@@ -1,0 +1,261 @@
+"""Typed pipeline configuration — the engine's "query language".
+
+Mirrors the reference's YAML config model (MigratorConfig.scala:14-38,
+config.yaml.example) as plain dataclasses with decode-time validation
+(reference: config/SourceSettings.scala, config/TargetSettings.scala,
+config/Validation.scala:51-113, config/Rename.scala:16-33).
+
+A pipeline is: source -> renames -> where-filter -> target, plus optional
+validation settings and savepoint settings. Sources/targets are discriminated
+by ``type``; the fixture engine ships parquet end-to-end, with jdbc /
+dynamodb-s3-export / stream variants implemented against the same interface.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# WHERE-clause sanitizer (reference: readers/MySQL.scala:198-373,
+# readers/jdbc/JdbcWhereFilter.scala:14-83). The filter is embedded into a
+# scan subquery, so user SQL is restricted to a read-only predicate.
+# --------------------------------------------------------------------------
+
+_FORBIDDEN_KEYWORDS = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|truncate|grant|revoke|merge|call|execute|"
+    r"union|into|load|outfile|dumpfile|sleep|benchmark|information_schema)\b",
+    re.IGNORECASE,
+)
+_COMMENT_OR_TERMINATOR = re.compile(r"(--|/\*|\*/|#|;)")
+_CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def validate_where_filter(where: str) -> str:
+    """Reject dangerous constructs in a user-supplied WHERE predicate.
+
+    Reference semantics: keyword blocklist, executable comments, statement
+    terminators, control characters, backslash escapes
+    (readers/MySQL.scala:278-373).
+    """
+    if not where or not where.strip():
+        raise ConfigError("where filter must be non-empty")
+    if _CONTROL_CHARS.search(where):
+        raise ConfigError("where filter contains control characters")
+    if _COMMENT_OR_TERMINATOR.search(where):
+        raise ConfigError("where filter contains comment or statement terminator")
+    if "\\" in where:
+        raise ConfigError("where filter contains backslash escape")
+    if _FORBIDDEN_KEYWORDS.search(where):
+        raise ConfigError("where filter contains forbidden keyword")
+    # quotes must be balanced (cheap scanner, reference MySQL.scala:278-340)
+    for q in ("'", '"'):
+        if where.count(q) % 2 != 0:
+            raise ConfigError(f"where filter has unbalanced {q} quote")
+    return where.strip()
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def validate_identifier(name: str) -> str:
+    if not _IDENT.match(name):
+        raise ConfigError(f"invalid identifier: {name!r}")
+    return name
+
+
+def escape_spark_identifier(name: str) -> str:
+    """Backtick-escape a column name for Spark SQL (SchemaResolver.scala:31-38)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# --------------------------------------------------------------------------
+# Renames (reference: config/Rename.scala, schema/SchemaResolver.scala:46-61)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Rename:
+    from_name: str
+    to_name: str
+
+
+def build_rename_map(renames: list[Rename], columns: list[str]) -> dict[str, str]:
+    """Case-insensitive rename resolution with collision detection.
+
+    Reference: Rename.buildCaseInsensitiveMap (config/Rename.scala:16-33) and
+    collision check (schema/SchemaResolver.scala:46-61). Lookup is
+    case-insensitive with exact-case preference; a rename whose target
+    collides (case-insensitively) with a surviving column is an error.
+    """
+    lower_to_actual: dict[str, list[str]] = {}
+    for c in columns:
+        lower_to_actual.setdefault(c.lower(), []).append(c)
+
+    resolved: dict[str, str] = {}
+    for r in renames:
+        candidates = lower_to_actual.get(r.from_name.lower(), [])
+        if not candidates:
+            raise ConfigError(f"rename source column not found: {r.from_name!r}")
+        if r.from_name in candidates:
+            actual = r.from_name  # exact-case preference
+        elif len(candidates) == 1:
+            actual = candidates[0]
+        else:
+            raise ConfigError(f"ambiguous rename source {r.from_name!r}: {candidates}")
+        if actual in resolved:
+            raise ConfigError(f"duplicate rename of column {actual!r}")
+        resolved[actual] = r.to_name
+
+    # collision detection on the output namespace
+    out_lower: dict[str, str] = {}
+    for c in columns:
+        out = resolved.get(c, c)
+        if out.lower() in out_lower:
+            raise ConfigError(
+                f"rename collision: {out!r} collides with {out_lower[out.lower()]!r}"
+            )
+        out_lower[out.lower()] = out
+    return resolved
+
+
+# --------------------------------------------------------------------------
+# Source / target / validation / savepoints settings
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SourceSettings:
+    type: str  # parquet | jdbc | dynamodb-s3-export | cql-fixture | stream
+    path: str | None = None
+    table: str | None = None
+    where: str | None = None
+    # jdbc partitioned-read settings (reference MySQL.scala:662-691)
+    partition_column: str | None = None
+    lower_bound: Any = None
+    upper_bound: Any = None
+    num_partitions: int | None = None
+    # cql-fixture settings
+    preserve_timestamps: bool = False
+    # resume skip sets (reference MigratorConfig.scala:43-57)
+    skip_files: list[str] = field(default_factory=list)
+    skip_segments: list[int] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        allowed = {"parquet", "jdbc", "dynamodb-s3-export", "cql-fixture", "stream"}
+        if self.type not in allowed:
+            raise ConfigError(f"unknown source type {self.type!r}; allowed: {sorted(allowed)}")
+        if self.where is not None:
+            self.where = validate_where_filter(self.where)
+        if self.num_partitions is not None:
+            if self.num_partitions < 1:
+                raise ConfigError("numPartitions must be >= 1")
+            if self.partition_column is None:
+                raise ConfigError("partitionColumn required when numPartitions is set")
+            if (self.lower_bound is None) != (self.upper_bound is None):
+                raise ConfigError("lowerBound and upperBound must be set together")
+
+
+@dataclass
+class TargetSettings:
+    type: str  # parquet | scylla-fixture | dynamodb-s3-export
+    path: str | None = None
+    mode: str = "overwrite"
+    compression: str = "snappy"
+    # constant TTL / WRITETIME applied on write (writers/Scylla.scala:278-330)
+    ttl: int | None = None
+    writetime_us: int | None = None
+    strip_trailing_zeros_for_decimals: bool = False
+
+    def __post_init__(self) -> None:
+        allowed = {"parquet", "scylla-fixture", "dynamodb-s3-export"}
+        if self.type not in allowed:
+            raise ConfigError(f"unknown target type {self.type!r}; allowed: {sorted(allowed)}")
+        if self.mode not in {"overwrite", "append", "error", "ignore"}:
+            raise ConfigError(f"invalid write mode {self.mode!r}")
+
+
+@dataclass
+class Validation:
+    """Validator tolerances (reference config/Validation.scala:26-113,
+    docs/source/validate.rst:17-31 for the defaults)."""
+
+    compare_timestamps: bool = True
+    ttl_tolerance_millis: int = 60_000
+    writetime_tolerance_millis: int = 1_000
+    timestamp_ms_tolerance: float = 0.0
+    floating_point_tolerance: float = 0.001
+    failures_to_fetch: int = 100
+    copy_missing_rows: bool = False
+    hash_columns: list[str] = field(default_factory=list)
+    numeric_type_policy: str = "lenient"  # lenient | strict-type | detect-widen
+
+    def __post_init__(self) -> None:
+        if self.numeric_type_policy not in {"lenient", "strict-type", "detect-widen"}:
+            raise ConfigError(f"invalid numericTypePolicy {self.numeric_type_policy!r}")
+        for name in ("ttl_tolerance_millis", "writetime_tolerance_millis", "failures_to_fetch"):
+            if getattr(self, name) < 0:
+                raise ConfigError(f"{name} must be >= 0")
+        if self.floating_point_tolerance < 0 or self.timestamp_ms_tolerance < 0:
+            raise ConfigError("tolerances must be >= 0")
+
+
+@dataclass
+class Savepoints:
+    path: str | None = None
+    interval_seconds: int = 300
+
+    def __post_init__(self) -> None:
+        if self.interval_seconds < 1:
+            raise ConfigError("savepoints.intervalSeconds must be >= 1")
+
+
+@dataclass
+class MigratorConfig:
+    source: SourceSettings
+    target: TargetSettings
+    renames: list[Rename] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    validation: Validation = field(default_factory=Validation)
+    savepoints: Savepoints | None = None
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "MigratorConfig":
+        renames = [Rename(r["from"], r["to"]) for r in d.get("renames", [])]
+        return MigratorConfig(
+            source=SourceSettings(**d["source"]),
+            target=TargetSettings(**d["target"]),
+            renames=renames,
+            primary_key=list(d.get("primaryKey", [])),
+            validation=Validation(**d.get("validation", {})),
+            savepoints=Savepoints(**d["savepoints"]) if "savepoints" in d else None,
+        )
+
+    @staticmethod
+    def load(path: str) -> "MigratorConfig":
+        with open(path) as f:
+            return MigratorConfig.from_dict(yaml.safe_load(f))
+
+    def rendered(self) -> dict[str, Any]:
+        """Config for logging with sensitive values redacted
+        (reference: config/SparkSecretRedaction.scala, MigratorConfig.scala:134-153)."""
+        out: dict[str, Any] = {
+            "source": {**self.source.__dict__},
+            "target": {**self.target.__dict__},
+            "renames": [{"from": r.from_name, "to": r.to_name} for r in self.renames],
+            "primaryKey": list(self.primary_key),
+        }
+        if self.source.where is not None:
+            out["source"]["where"] = "<redacted>"
+        for key in list(out["source"]):
+            if any(s in key.lower() for s in ("password", "secret", "credential", "token")):
+                out["source"][key] = "<redacted>"
+        return out

@@ -1,0 +1,79 @@
+"""Migration plan: dispatch (source, target) -> read -> transform -> write.
+
+Reference parity: Migrator.scala:64-98 dispatch + ScyllaMigrator.migrate
+(scylla/ScyllaMigrator.scala:47-133). The whole pipeline is one declarative
+DataFrame plan: scan (with pushdown) -> rename projection -> where filter ->
+null-PK drop -> sink. Catalyst collapses the projections; the physical plan is
+a single scan+project+filter+write stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scylla_migrator_spark.config import MigratorConfig
+from scylla_migrator_spark.operators.filters import apply_where, auto_null_pk_filtering, drop_null_pk_rows
+from scylla_migrator_spark.operators.renames import apply_renames
+from scylla_migrator_spark.sources.parquet import read_parquet
+from scylla_migrator_spark.sinks.parquet import write_parquet
+from scylla_migrator_spark.sinks.scylla_fixture import write_scylla_fixture
+from scylla_migrator_spark import schema as S
+
+
+@dataclass
+class MigrationResult:
+    frame: DataFrame
+
+
+def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
+    src = config.source
+    if src.type == "parquet":
+        df = read_parquet(spark, src.path, skip_files=src.skip_files)
+        if any(c.startswith(S.META_PREFIX) for c in df.columns):
+            df = S.strip_meta_prefix(df)
+    elif src.type == "cql-fixture":
+        # fixture stand-in for the CQL token-range scan (SURVEY S1): parquet
+        # scan + timestamp widening normalization pass
+        df = read_parquet(spark, src.path, skip_files=src.skip_files)
+        df = S.widen_timestamps(df)
+    elif src.type == "jdbc":
+        from scylla_migrator_spark.sources.jdbc import read_jdbc
+
+        df = read_jdbc(spark, src)
+    else:
+        raise ValueError(f"unsupported source type {src.type!r}")
+    return apply_where(df, src.where)
+
+
+def build_plan(spark: SparkSession, config: MigratorConfig) -> DataFrame:
+    """The lazy migration DataFrame (no action executed)."""
+    df = read_source(spark, config)
+    df = apply_renames(df, config.renames)
+    if config.primary_key and auto_null_pk_filtering(config.source.type):
+        df = drop_null_pk_rows(df, config.primary_key)
+    return df
+
+
+def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
+    """Execute the migration; returns the written frame (lazy re-read plan)."""
+    df = build_plan(spark, config)
+    tgt = config.target
+    if tgt.type == "parquet":
+        # persist TTL/WRITETIME companions under the __meta_ prefix (SURVEY P5/X2)
+        out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
+        write_parquet(out, tgt.path, mode=tgt.mode, compression=tgt.compression)
+    elif tgt.type == "scylla-fixture":
+        write_scylla_fixture(
+            df,
+            tgt.path,
+            primary_key=config.primary_key,
+            mode=tgt.mode,
+            ttl=tgt.ttl,
+            writetime_us=tgt.writetime_us,
+            strip_zeros=tgt.strip_trailing_zeros_for_decimals,
+        )
+    else:
+        raise ValueError(f"unsupported target type {tgt.type!r}")
+    return spark.read.parquet(tgt.path)

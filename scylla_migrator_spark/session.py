@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for the local[$SPARK_GRAFT_CPUS] test harness but every
+setting is the one we would ship on a 1000-executor cluster:
+
+* AQE on (runtime coalescing, skew-join splitting, broadcast demotion)
+* Arrow enabled for every pandas-UDF edge
+* shuffle partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the initial number mostly irrelevant as long as it is
+  *high enough* (we set ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(cpus * 4))
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # resilience posture mirrored from the reference (Migrator.scala:22-23)
+        .config("spark.task.maxFailures", "4")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the driver-provided parquet tables as DataFrames (lazy scans)."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}

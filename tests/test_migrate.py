@@ -1,0 +1,75 @@
+"""End-to-end migration slice: parquet -> rename + where + null-PK drop -> parquet.
+
+Mirrors the reference's BasicMigrationTest / RenamedItemsTest shapes
+(tests/.../scylla/BasicMigrationTest.scala:18-45).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scylla_migrator_spark.config import ConfigError, MigratorConfig, validate_where_filter
+from scylla_migrator_spark.plans.migrate import migrate
+
+
+def test_parquet_roundtrip_with_renames_and_filter(spark, sf_dir, tmp_path):
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {
+                "type": "parquet",
+                "path": f"{sf_dir}/lineitem.parquet",
+                "where": "l_quantity > 10",
+            },
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+            "renames": [{"from": "l_orderkey", "to": "order_id"}],
+            "primaryKey": ["order_id", "l_linenumber"],
+        }
+    )
+    out = migrate(spark, cfg)
+    assert "order_id" in out.columns and "l_orderkey" not in out.columns
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expected = src.filter("l_quantity > 10").count()
+    assert out.count() == expected
+
+
+def test_null_pk_rows_dropped(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, None), (None, None)], "id bigint, v string"
+    )
+    src_path = str(tmp_path / "src")
+    df.write.parquet(src_path)
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_path},
+            "target": {"type": "scylla-fixture", "path": str(tmp_path / "tgt")},
+            "primaryKey": ["id"],
+        }
+    )
+    out = migrate(spark, cfg)
+    assert out.count() == 2
+    assert out.filter("id IS NULL").count() == 0
+
+
+def test_where_sanitizer_rejects_dangerous():
+    for bad in [
+        "1=1; DROP TABLE t",
+        "x > 1 -- comment",
+        "x > 1 /* c */",
+        "id IN (SELECT id FROM t UNION SELECT 1)",
+        "name = 'it\\'s'",
+        "sleep(10) > 0",
+    ]:
+        with pytest.raises(ConfigError):
+            validate_where_filter(bad)
+    assert validate_where_filter("l_quantity > 10 AND l_returnflag = 'A'")
+
+
+def test_rename_collision_detected():
+    from scylla_migrator_spark.config import Rename, build_rename_map
+
+    # case-only collision with a surviving column must error
+    # (schema/SchemaResolver.scala:46-61)
+    with pytest.raises(ConfigError):
+        build_rename_map([Rename("a", "B")], ["a", "b"])
+    # case-insensitive source resolution works
+    assert build_rename_map([Rename("A", "x")], ["a", "b"]) == {"a": "x"}
