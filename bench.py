@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also prints the reference's own BENCHMARK_RESULT lines (ThroughputReporter
+format, tests/.../ThroughputReporter.scala:10-15) for direct comparability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scylla_migrator_spark.plans import queries as Q  # noqa: E402
+from scylla_migrator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "migrate_rename_filter",
+    "validation_diff_counts",
+    "agg_pricing_summary",
+    "window_top_order_per_cust",
+    "rollup_sales_region_nation",
+    "explode_timestamp_groups",
+    "cdc_last_state",
+    "content_hash",
+    "dedup_exact",
+    "text_quality",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the query
+    rows = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in ("orders", "lineitem", "events", "documents", "embeddings")}
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        base_rows = rows["lineitem"] if "pricing" in name else rows["orders"]
+        print(
+            f"BENCHMARK_RESULT | scenario={name} rows={n} durationMs={int(dt*1000)} "
+            f"rowsPerSec={int(base_rows / dt) if dt > 0 else 0}",
+            file=sys.stderr,
+        )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

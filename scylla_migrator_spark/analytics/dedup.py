@@ -1,0 +1,170 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+* exact dedup — hash aggregation on a digest of the text (shuffle carries the
+  32-byte digest, not the document): ``groupBy(sha2(text)) -> min(doc_id)``
+* MinHash+LSH — k independent min-hashes from one md5 base hash (h_i = a_i*h
+  + b_i mod p), banded into b buckets; candidate pairs come from an equi-JOIN
+  on (band_id, band_hash) — never an O(n^2) cross join. Verification joins
+  only candidate pairs back to shingle sets.
+* SimHash — 64-bit weighted-bit fingerprint; near-dup = hamming distance <= k
+  over bucket-joined candidates.
+* all of it built-ins; Python never sees a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics.text import _md5_int, shingles, tokens
+
+# a large 32-bit prime for the affine rehash family
+_P = 4_294_967_311
+# deterministic affine coefficients (odd multipliers)
+_COEFFS = [(2 * i + 1, 7919 * (i + 1)) for i in range(64)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: digest-grouped, keeper = min id.
+
+    Output: (digest, keeper_id, dup_count). The shuffle key is the sha2
+    digest — constant width regardless of document size."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep only the keeper row of each exact-duplicate group."""
+    keepers = exact_dedup(df, text_col, id_col).select(F.col("keeper_id").alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<long> of length ``num_hashes``.
+
+    One md5 base hash per shingle; the family h_i = (a_i*h + b_i) mod p gives
+    independent permutations without hashing the shingle k times."""
+    base = F.transform(shingles(col, shingle_n), _md5_int)
+    sig = []
+    for i in range(num_hashes):
+        a, b = _COEFFS[i]
+        sig.append(F.array_min(F.transform(base, lambda h: (h * a + b) % F.lit(_P))))
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH: rows sharing any band bucket.
+
+    Plan: project signature -> posexplode bands -> shuffle on
+    (band_id, band_hash) -> self-equi-join within buckets. At 100 TB the
+    band-bucket join is the only shuffle and its key space is uniform by
+    construction; no cross join ever materializes."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes)
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)), 256
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step after LSH).
+
+    Joins each pair side against the (small) candidate doc set; similarity is
+    computed with array_intersect/array_union on distinct shingle sets."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        df_pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint over word tokens: per-bit vote of token hashes.
+
+    Pure higher-order functions: for each bit position, count tokens whose
+    md5-int has that bit set; bit is 1 when set-count > half the tokens."""
+    hashes = F.transform(tokens(col), _md5_int)
+    n = F.size(hashes)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0))
+            * 2
+            > n,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def embedding_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99, block_col: Column | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    For the fixture scale a blocked self-join is used; at 100 TB callers
+    should pass ``block_col`` (e.g. an LSH bucket from
+    similarity.lsh_bucket) so the self-join is bucket-local."""
+    from scylla_migrator_spark.analytics.similarity import cosine
+
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        (block_col if block_col is not None else F.lit(0)).alias("blk"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: one broadcast of the
+  query vector, one narrow projection, one global top-k (``orderBy+limit`` =
+  per-partition top-k then driver merge via TakeOrderedAndProject — no full
+  sort, no shuffle of the data).
+* LSH-bucketed variant — random-hyperplane signatures; candidate set =
+  bucket-equality join, then exact cosine re-rank of candidates only. This is
+  the 100 TB path: the expensive exact cosine runs on a tiny candidate set.
+
+All vector math is ``zip_with`` + ``aggregate`` over array<double> — JVM-side,
+no UDF; deterministic left-to-right summation makes results oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Ties broken by id for determinism. Output: (id, cos)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+# deterministic pseudo-random hyperplanes: coefficient (i, j) derived from
+# md5 so any engine can reproduce them
+def _plane_coeff(plane: int, dim: int) -> list[float]:
+    import hashlib
+
+    coeffs = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:8], 16)
+        coeffs.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+    return coeffs
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^planes-1) as int."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(c) for c in _plane_coeff(p, dim)])
+        side = (dot(vec.cast("array<double>"), coeffs) >= 0).cast("int")
+        bucket = bucket * 2 + side
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale, write the table bucketed by ``lsh_bucket`` so this is a
+    single-partition read (partition pruning on bucket id)."""
+    dim = len(query_vec)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, planes).alias("bkt")
+    )
+    import hashlib  # derive the query's bucket with the same planes
+
+    qb = 0
+    for p in range(planes):
+        coeffs = _plane_coeff(p, dim)
+        side = 1 if sum(c * float(v) for c, v in zip(coeffs, query_vec)) >= 0 else 0
+        qb = qb * 2 + side
+    candidates = bucketed.filter(F.col("bkt") == qb)
+    return brute_force_topk(candidates, query_vec, id_col, vec_col, k)

@@ -1,0 +1,526 @@
+"""Query registry: every SURVEY §2 operator exposed as a (spark, sf_dir) ->
+DataFrame callable with a DuckDB-oracle SQL twin.
+
+Contract (driver): column names must match the oracle exactly; values are
+hash-compared order-insensitively. Therefore every computed column is aliased
+identically on both sides, double aggregates go through decimal casts (exact
+cross-engine arithmetic), and ratios are rounded to 6 dp.
+
+Determinism notes are inline per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics import dedup as D
+from scylla_migrator_spark.analytics import similarity as SIM
+from scylla_migrator_spark.analytics import text as TXT
+from scylla_migrator_spark.config import Rename, Validation
+from scylla_migrator_spark.operators.content_hash import add_content_hash
+from scylla_migrator_spark.operators.explode_timestamps import explode_by_timestamp_groups
+from scylla_migrator_spark.operators.filters import apply_where, drop_null_pk_rows
+from scylla_migrator_spark.operators.renames import apply_renames
+from scylla_migrator_spark.plans import validate as V
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Migration surface (SURVEY S6, P1, F1/F2, F6, K5)
+# ===========================================================================
+
+
+@_register(
+    "migrate_rename_filter",
+    """
+    SELECT o_orderkey AS order_id, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 1000
+    """,
+)
+def migrate_rename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+P1+F2: scan -> where (pushed to parquet) -> rename -> project."""
+    df = _t(spark, sf_dir, "orders")
+    df = apply_where(df, "o_totalprice > 1000")
+    df = apply_renames(df, [Rename("o_orderkey", "order_id")])
+    return df.select("order_id", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@_register(
+    "null_pk_drop",
+    """
+    SELECT count(*) AS cnt FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def null_pk_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: rows with any null PK component are dropped (and counted via
+    observe). Nulls are derived deterministically for the fixture."""
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "pk", F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderkey"))
+    )
+    out = drop_null_pk_rows(df, ["pk"], observe=False)
+    return out.agg(F.count("*").alias("cnt"))
+
+
+# ===========================================================================
+# Validator surface (J3/J4/J5/J7, V1-V3, A4)
+# ===========================================================================
+
+
+def _perturbed_target(df: DataFrame) -> DataFrame:
+    """Deterministic perturbation of orders: remove %97 keys, +0.5 price on
+    %13 (outside 0.001 tolerance), +0.0005 on %10 (inside tolerance), flip
+    status on %31."""
+    k = F.col("o_orderkey")
+    return (
+        df.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, F.col("o_totalprice") + 0.5)
+            .when(k % 10 == 0, F.col("o_totalprice") + 0.0005)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus", F.when(k % 31 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
+        )
+    )
+
+
+@_register(
+    "validation_diff_counts",
+    """
+    WITH src AS (SELECT * FROM orders)
+    SELECT 'MissingTargetRow' AS kind, count(*)::BIGINT AS cnt
+      FROM src WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'DifferingFieldValues' AS kind,
+           (count(*) FILTER (WHERE o_orderkey % 13 = 0)
+            + count(*) FILTER (WHERE o_orderkey % 31 = 0))::BIGINT AS cnt
+      FROM src WHERE o_orderkey % 97 <> 0
+    """,
+)
+def validation_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V3/J3: the full join-diff with tolerances; output = failure counts
+    by kind. The +0.0005 perturbation stays inside floatingPointTolerance
+    (0.001) and must NOT be reported."""
+    src = _t(spark, sf_dir, "orders")
+    tgt = _perturbed_target(src)
+    diff, _ = V.joined_diff(src, tgt, ["o_orderkey"], Validation())
+    return (
+        diff.filter(F.size(V.FAILURES_COL) > 0)
+        .select(F.explode(V.FAILURES_COL).alias("f"))
+        .groupBy(F.col("f.kind").alias("kind"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_register(
+    "extra_target_rows",
+    """
+    SELECT o_orderkey + 10000000 AS o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def extra_target_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: key-level left_anti — rows present only in the target."""
+    src = _t(spark, sf_dir, "orders")
+    extras = src.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    tgt = src.unionByName(extras)
+    return V.extra_target_rows(src, tgt, ["o_orderkey"])
+
+
+@_register(
+    "missing_rows_repair",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def missing_rows_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/V5: the repair input — full source rows absent from the target."""
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tgt = src.filter(F.col("o_orderkey") % 97 != 0)
+    return V.missing_source_rows(src, tgt, ["o_orderkey"])
+
+
+@_register(
+    "semi_join_probe",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def semi_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: key-driven lookup as a left_semi join (KeyDrivenLookup.scala:48-62)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100_000)
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "except_setop",
+    """
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2: set difference on key projections (token-range diff analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    all_keys = orders.select("o_orderkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return all_keys.exceptAll(done).distinct()
+
+
+@_register(
+    "content_hash",
+    """
+    SELECT c_custkey,
+      sha256(concat_ws('|',
+        CASE WHEN c_mktsegment IS NULL THEN sha256('1|') ELSE sha256('0|' || c_mktsegment) END,
+        CASE WHEN c_name       IS NULL THEN sha256('1|') ELSE sha256('0|' || c_name) END,
+        CASE WHEN c_nationkey  IS NULL THEN sha256('1|') ELSE sha256('0|' || CAST(c_nationkey AS VARCHAR)) END
+      )) AS content_hash
+    FROM customer
+    """,
+)
+def content_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/C4: the digest pipeline — sha2 per column with null sentinel,
+    case-insensitive column order, concat_ws join (ContentHashJoiner:16-65)."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    hashed = add_content_hash(customer, ["c_name", "c_nationkey", "c_mktsegment"])
+    return hashed.select("c_custkey", F.col("__content_hash").alias("content_hash"))
+
+
+# ===========================================================================
+# Aggregations / windows / rollup (Spark-free analytics surface, SURVEY §2.6)
+# ===========================================================================
+
+
+@_register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Decimal casts before summing make the arithmetic exact
+    and cross-engine identical; map-side partial aggregation applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "window_top_order_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def window_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per key with deterministic tiebreak."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
+    "rollup_sales_region_nation",
+    """
+    SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_sales_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join + ROLLUP. nation/region are broadcast (small dims); the only
+    shuffle is orders-customer."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price")
+    )
+
+
+@_register(
+    "distinct_supp_per_flag",
+    """
+    SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_supp_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+    )
+
+
+# ===========================================================================
+# Row explosion (X1/X2)
+# ===========================================================================
+
+
+@_register(
+    "explode_timestamp_groups",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS a,
+             100::INT AS a_ttl, (1000 * (o_orderkey % 3))::BIGINT AS a_writetime,
+             o_orderpriority AS b,
+             100::INT AS b_ttl, (1000 * (o_orderkey % 2))::BIGINT AS b_writetime
+      FROM orders)
+    SELECT pk, a, TRUE AS a__set,
+           CASE WHEN b_writetime = a_writetime THEN b END AS b,
+           (b_writetime = a_writetime) AS b__set,
+           a_ttl AS ttl, a_writetime AS writetime
+    FROM src
+    UNION ALL
+    SELECT pk, NULL AS a, FALSE AS a__set, b, TRUE AS b__set,
+           b_ttl AS ttl, b_writetime AS writetime
+    FROM src WHERE b_writetime <> a_writetime
+    """,
+)
+def explode_timestamp_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the signature explode — one row per distinct (ttl, writetime)
+    group with tri-state cells. Companions derived deterministically."""
+    k = F.col("o_orderkey")
+    src = _t(spark, sf_dir, "orders").select(
+        k.alias("pk"),
+        F.col("o_orderstatus").alias("a"),
+        F.lit(100).cast("int").alias("a_ttl"),
+        (F.lit(1000) * (k % 3)).cast("long").alias("a_writetime"),
+        F.col("o_orderpriority").alias("b"),
+        F.lit(100).cast("int").alias("b_ttl"),
+        (F.lit(1000) * (k % 2)).cast("long").alias("b_writetime"),
+    )
+    return explode_by_timestamp_groups(src, ["pk"])
+
+
+# ===========================================================================
+# Streaming CDC batch-equivalence (T1-T5)
+# ===========================================================================
+
+def cdc_op_column():
+    """Map event_type to the stream-replication change model
+    (DynamoStreamReplication.scala:36-40): INSERT/MODIFY -> put, REMOVE -> delete."""
+    return (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "REMOVE")
+        .otherwise("MODIFY")
+    )
+
+_CDC_ORACLE = """
+    WITH ops AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'REMOVE'
+                  ELSE 'MODIFY' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, value AS last_value, op AS last_op
+    FROM ops WHERE rn = 1 AND op <> 'REMOVE'
+"""
+
+
+@_register("cdc_last_state", _CDC_ORACLE)
+def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 batch equivalence: upsert/delete change stream applied in event
+    order with last-writer-wins; REMOVE deletes the key. The streaming path
+    (foreachBatch) reuses exactly this merge in streaming/cdc.py."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events").withColumn("op", cdc_op_column())
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "REMOVE"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.col("op").alias("last_op"),
+        )
+    )
+
+
+# ===========================================================================
+# Analytics: dedup / text / similarity
+# ===========================================================================
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS digest, min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups; shuffle key is the 32-byte digest, not the text."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text FROM documents)
+    SELECT doc_id,
+      length(text) AS n_chars_computed,
+      len(t) AS n_tokens,
+      round(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS avg_token_len,
+      round(len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','it'))) / len(t), 6)
+        AS stopword_ratio,
+      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) AS alpha_ratio
+    FROM toks
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TXT.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_chars_computed", "n_tokens", "avg_token_len", "stopword_ratio", "alpha_ratio"
+    )
+
+
+@_register(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('el','la','los','y','es'))) AS s_es
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TXT.language_id(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred")
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+    SELECT doc_id,
+      CASE WHEN len(t) < 3
+           THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 8) AS BIGINT)
+           ELSE list_min(list_transform(generate_series(1, len(t) - 2),
+                i -> CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8) AS BIGINT)))
+      END AS fingerprint
+    FROM toks
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TXT.fingerprint(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fingerprint")
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        round(
+          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM embeddings, q)
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exactness baseline; LSH variant in
+    analytics/similarity.py). Query = embedding of vec_id 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return SIM.brute_force_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -43,6 +43,10 @@ def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # read parquet TIMESTAMP(NANOS) as epoch-nanos LongType (Spark has no
+        # nanosecond timestamp type) — the same widening posture as the
+        # reference's CQL millis->LongType rule (Cassandra.scala:191-208)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # resilience posture mirrored from the reference (Migrator.scala:22-23)
