@@ -131,13 +131,16 @@ def simhash(col: Column, bits: int = 32) -> Column:
     md5-int has that bit set; bit is 1 when set-count > half the tokens."""
     hashes = F.transform(tokens(col), _md5_int)
     n = F.size(hashes)
+    # shiftleft needs a literal count, but the bit index is a column inside
+    # the lambda -> use pow(2, b) (exact in double up to 2^52)
+    def mask(b):
+        return F.pow(F.lit(2.0), b).cast("long")
+
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.when(
-            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0))
-            * 2
-            > n,
-            F.shiftleft(F.lit(1).cast("long"), b),
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask(b)) != 0)) * 2 > n,
+            mask(b),
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

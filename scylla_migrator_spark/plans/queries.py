@@ -524,3 +524,263 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ===========================================================================
+# Batch 2: join-heavy TPC-H shapes, sessionization, quantiles, sorted sets,
+# near-dup / similarity (LSH variants are approximate -> rows-only checks)
+# ===========================================================================
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join + agg + top-k. customer side is filter-reduced
+    and broadcast; lineitem->orders join shuffles on the orderkey."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(F.sum(rev).alias("rev_dec"))
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            # parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+            # session TZ is pinned UTC so the cast is lossless
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+        )
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way star join; dims broadcast, facts shuffle once."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey) & (supplier.s_nationkey == cust.c_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@_register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+      list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                              w -> CAST(ceil(length(w) / 4.0) AS INT)))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", TXT.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
+    )
+
+
+@_register(
+    "ngram_jaccard_block_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+             )) AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) > 0
+    """,
+)
+def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over source-blocked pairs (block join, never a
+    full cross join). Pairs with zero overlap are dropped to keep the output
+    proportional to real near-dups."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    return (
+        a.join(b, on=[F.col("src_a") == F.col("src_b"), F.col("id_a") < F.col("id_b")])
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_inter"),
+            (F.size("s_a") + F.size("s_b") - inter).alias("n_union"),
+        )
+        .filter(F.col("n_inter") > 0)
+        .select("id_a", "id_b", F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "simhash_docs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents)
+    SELECT doc_id,
+      list_sum(list_transform(generate_series(0, 31),
+        b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+    FROM h
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", D.simhash(F.col("text"), bits=32).alias("simhash"))
+    )
+
+
+@_register(
+    "events_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_ns(ts) AS tns,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                       > 1800000000000 OR
+                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap). The reference has no
+    session semantics (T6) — this is the analytics extension, kept as a
+    window expression so the streaming variant can reuse session_window."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")  # ts is epoch-nanos long (nanosAsLong)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    marked = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts") - F.lag("ts").over(w) > gap_ns
+        ).cast("int").isNull().cast("int")  # placeholder, replaced below
+    )
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(F.col("prev_ts").isNull() | (F.col("ts") - F.col("prev_ts") > gap_ns), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@_register(
+    "median_value_by_event_type",
+    """
+    SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.95), 6) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (approx_percentile exists for the
+    at-scale path; the exact form is the oracle-checkable baseline)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+    )
+
+
+@_register(
+    "sorted_status_sets",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|') AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def sorted_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 sorted-set encoding: collect_set + array_sort -> deterministic
+    string (the SS canonicalization rule applied relationally)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"))
+    )
+
+
+@_register("minhash_lsh_pairs")  # approximate: rows-only driver check
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banded signature equi-join — the
+    100 TB dedup path). Approximate by construction -> no SQL oracle; exact
+    Jaccard verification of these pairs is ngram_jaccard_block_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
+
+
+@_register("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup above 0.95, blocked by label (the fixture's
+    natural cluster key)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.95, block_col=F.col("label"))
+
+
+@_register("lsh_ann_topk")
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path for ann_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return SIM.lsh_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10, planes=4)

@@ -1,0 +1,125 @@
+"""Savepoints: resumable progress tracking as pruned work lists.
+
+Reference parity (Z1-Z5, SavepointsManager.scala:53-472):
+* a savepoint = the run's config + accumulated "done" sets (token ranges /
+  scan segments / data files), serialized to YAML
+* monotonic zero-padded ``(millis, seq)`` filenames — lexical order ==
+  chronological order (SavepointsManager.scala:231-246); hostile clock
+  values clamped to >= the last observed name (:433-472)
+* atomic writes: tmp file + rename (:337-387)
+* resume: latest savepoint's skip sets prune the work list BEFORE the scan
+  is planned (F3-F5) — partition pruning, not runtime filtering
+
+Our engine replaces the reference's SparkListener/accumulator machinery with
+``input_file_name()``-grained completion tracking: after a unit (file,
+segment, range) is fully written, the driver records it. The signal-handler
+dump machinery is deliberately not ported (SURVEY §7.3: an append-only
+progress log + idempotent writers is simpler and safer); periodic dumps are
+driven by the caller's loop."""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+SAVEPOINT_PREFIX = "savepoint"
+
+
+def _encode_name(millis: int, seq: int) -> str:
+    # zero-padded so lexical sort == numeric sort (O4)
+    return f"{SAVEPOINT_PREFIX}_{millis:020d}_{seq:06d}.yaml"
+
+
+def _decode_name(name: str) -> tuple[int, int] | None:
+    if not (name.startswith(SAVEPOINT_PREFIX + "_") and name.endswith(".yaml")):
+        return None
+    parts = name[len(SAVEPOINT_PREFIX) + 1 : -len(".yaml")].split("_")
+    if len(parts) != 2:
+        return None
+    try:
+        return int(parts[0]), int(parts[1])
+    except ValueError:
+        return None
+
+
+@dataclass
+class SavepointsManager:
+    """Driver-side progress manager for one run."""
+
+    directory: str
+    config: dict[str, Any] = field(default_factory=dict)
+    skip_files: set[str] = field(default_factory=set)
+    skip_segments: set[int] = field(default_factory=set)
+    skip_token_ranges: set[tuple[int, int]] = field(default_factory=set)
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+
+    # -- progress recording (replaces accumulators A3/Z2-Z5) ---------------
+    def complete_files(self, files: list[str]) -> None:
+        self.skip_files.update(files)
+
+    def complete_segments(self, segments: list[int]) -> None:
+        self.skip_segments.update(segments)
+
+    def complete_token_ranges(self, ranges: list[tuple[int, int]]) -> None:
+        self.skip_token_ranges.update(tuple(r) for r in ranges)
+
+    # -- persistence --------------------------------------------------------
+    def _next_name(self) -> str:
+        now = int(time.time() * 1000)
+        last = self.latest_name()
+        seq = 0
+        if last is not None:
+            lm, ls = _decode_name(last)  # type: ignore[misc]
+            if now <= lm:  # hostile/regressing clock: clamp monotonic (O4)
+                now, seq = lm, ls + 1
+        return _encode_name(now, seq)
+
+    def latest_name(self) -> str | None:
+        names = sorted(n for n in os.listdir(self.directory) if _decode_name(n) is not None)
+        return names[-1] if names else None
+
+    def dump(self) -> str:
+        """Atomically write a savepoint (config + skip sets merged with any
+        pre-existing sets, E3 union semantics). Returns the file path."""
+        payload = {
+            "config": self.config,
+            "skipFiles": sorted(self.skip_files),
+            "skipSegments": sorted(self.skip_segments),
+            "skipTokenRanges": sorted(list(r) for r in self.skip_token_ranges),
+        }
+        name = self._next_name()
+        path = os.path.join(self.directory, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            yaml.safe_dump(payload, f, sort_keys=True)
+        os.replace(tmp, path)  # atomic rename (Z1)
+        return path
+
+    @classmethod
+    def resume(cls, directory: str) -> "SavepointsManager":
+        """Seed a manager from the latest savepoint in ``directory``
+        (S10: skip sets become scan-planning prune lists)."""
+        mgr = cls(directory)
+        latest = mgr.latest_name()
+        if latest is None:
+            return mgr
+        with open(os.path.join(directory, latest)) as f:
+            payload = yaml.safe_load(f) or {}
+        mgr.config = payload.get("config", {})
+        mgr.skip_files = set(payload.get("skipFiles", []))
+        mgr.skip_segments = set(payload.get("skipSegments", []))
+        mgr.skip_token_ranges = {tuple(r) for r in payload.get("skipTokenRanges", [])}
+        return mgr
+
+
+def diff_token_ranges(
+    all_ranges: list[tuple[int, int]], done: set[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Coverage diagnostic (E1, CqlSavepointsManager.scala:39-83)."""
+    return [r for r in all_ranges if tuple(r) not in done]

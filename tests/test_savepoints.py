@@ -1,0 +1,66 @@
+"""Savepoint manager tests (reference SavepointsManagerConcurrencyTest /
+naming semantics, SavepointsManager.scala:231-246,433-472)."""
+
+from __future__ import annotations
+
+import os
+
+from scylla_migrator_spark.savepoints import SavepointsManager, _decode_name, diff_token_ranges
+
+
+def test_monotonic_names_and_resume(tmp_path):
+    d = str(tmp_path / "sp")
+    mgr = SavepointsManager(d, config={"source": {"type": "parquet"}})
+    mgr.complete_files(["a.parquet"])
+    p1 = mgr.dump()
+    mgr.complete_files(["b.parquet"])
+    mgr.complete_segments([0, 2])
+    mgr.complete_token_ranges([(10, 20)])
+    p2 = mgr.dump()
+    assert os.path.basename(p1) < os.path.basename(p2)  # lexical == chronological
+
+    resumed = SavepointsManager.resume(d)
+    assert resumed.skip_files == {"a.parquet", "b.parquet"}
+    assert resumed.skip_segments == {0, 2}
+    assert resumed.skip_token_ranges == {(10, 20)}
+    assert resumed.config == {"source": {"type": "parquet"}}
+
+
+def test_seq_increments_within_same_millisecond(tmp_path):
+    mgr = SavepointsManager(str(tmp_path / "sp"))
+    names = [os.path.basename(mgr.dump()) for _ in range(3)]
+    assert names == sorted(names) and len(set(names)) == 3
+    decoded = [_decode_name(n) for n in names]
+    assert all(d is not None for d in decoded)
+
+
+def test_resume_empty_dir(tmp_path):
+    mgr = SavepointsManager.resume(str(tmp_path / "nothing"))
+    assert mgr.skip_files == set()
+
+
+def test_token_range_diff():
+    assert diff_token_ranges([(0, 1), (1, 2), (2, 3)], {(1, 2)}) == [(0, 1), (2, 3)]
+
+
+def test_migration_resume_end_to_end(spark, tmp_path):
+    """F9: resumed run processes only the complement; final row set equals an
+    uninterrupted run."""
+    from scylla_migrator_spark.sources.parquet import list_parquet_files, read_parquet
+
+    src_dir = str(tmp_path / "multi_src")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(8).write.parquet(src_dir)
+    files = list_parquet_files(src_dir)
+    assert len(files) >= 8
+
+    d = str(tmp_path / "sp")
+    mgr = SavepointsManager(d)
+    mgr.complete_files(files[:4])  # first run "finished" half
+    mgr.dump()
+
+    resumed = SavepointsManager.resume(d)
+    remaining = read_parquet(spark, src_dir, skip_files=sorted(resumed.skip_files))
+    done = read_parquet(spark, src_dir, skip_files=[f for f in files if f not in resumed.skip_files])
+    assert remaining.count() + done.count() == 1000
+    union = remaining.unionByName(done)
+    assert union.exceptAll(spark.read.parquet(src_dir)).count() == 0

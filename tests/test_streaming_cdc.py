@@ -1,0 +1,71 @@
+"""Streaming CDC tests: file-source replay of the events table through the
+foreachBatch merge; final state must equal the batch cdc_last_state query
+(FIXTURES.md F8 semantics: INSERT/MODIFY upsert, REMOVE delete,
+at-least-once idempotency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.plans.queries import cdc_last_state, cdc_op_column
+from scylla_migrator_spark.streaming.cdc import CdcReplicator
+
+
+def _events_with_op(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("op", cdc_op_column())
+        .select("user_id", "ts", "event_id", "op", "value")
+    )
+
+
+def test_stream_replay_matches_batch_state(spark, sf_dir, tmp_path):
+    events = _events_with_op(spark, sf_dir)
+    # replay the event log as a 4-file stream (micro-batch simulation)
+    stream_src = str(tmp_path / "stream_src")
+    events.repartition(4).write.parquet(stream_src)
+
+    target = str(tmp_path / "cdc_target")
+    rep = CdcReplicator(target_path=target, key_cols=["user_id"], value_cols=["value"])
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(stream_src)
+    q = rep.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = rep.current(spark).select(
+        "user_id", F.col("event_id").alias("last_event_id"), F.col("value").alias("last_value")
+    )
+    want = cdc_last_state(spark, sf_dir).select("user_id", "last_event_id", "last_value")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # multiple micro-batches actually ran
+    assert len(rep.metrics) >= 2
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    events = _events_with_op(spark, sf_dir)
+    target = str(tmp_path / "cdc_target2")
+    rep = CdcReplicator(target_path=target, key_cols=["user_id"], value_cols=["value"])
+    rep.apply_batch(events, 0)
+    first = spark.read.parquet(target).collect()
+    rep.apply_batch(events, 1)  # at-least-once: same batch delivered twice
+    second = spark.read.parquet(target).collect()
+    assert sorted(map(str, first)) == sorted(map(str, second))
+
+
+def test_remove_deletes_key(spark, tmp_path):
+    rows = [
+        (1, 100, 1, "INSERT", 1.0),
+        (1, 200, 2, "REMOVE", None),
+        (2, 100, 3, "INSERT", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_id bigint, op string, value double")
+    target = str(tmp_path / "cdc_target3")
+    rep = CdcReplicator(target_path=target, key_cols=["user_id"], value_cols=["value"])
+    rep.apply_batch(df, 0)
+    assert [r["user_id"] for r in rep.current(spark).collect()] == [2]
+    # late-arriving older event must not resurrect the deleted key
+    late = spark.createDataFrame(
+        [(1, 150, 9, "MODIFY", 9.9)], "user_id bigint, ts bigint, event_id bigint, op string, value double"
+    )
+    rep.apply_batch(late, 1)
+    assert [r["user_id"] for r in rep.current(spark).collect()] == [2]
