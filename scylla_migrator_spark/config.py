@@ -174,6 +174,10 @@ class TargetSettings:
     ttl: int | None = None
     writetime_us: int | None = None
     strip_trailing_zeros_for_decimals: bool = False
+    # per-row TTL/WRITETIME write path: explode companioned rows by
+    # (ttl, writetime) group before writing (reference cassandraExplodedWrite,
+    # ScyllaMigrator.scala:28-33)
+    exploded_timestamp_write: bool = False
 
     def __post_init__(self) -> None:
         allowed = {"parquet", "scylla-fixture", "dynamodb-s3-export"}

@@ -211,6 +211,11 @@ def build_column_comparisons(
     for f in schema.fields:
         if f.name in pk:
             continue
+        if tgt_schema is not None and f.name not in tgt_fields:
+            # column absent on the target side: reported as a schema-level
+            # MismatchedColumnNames failure (RowComparisonFailure:96-117);
+            # value comparison proceeds over the common columns only
+            continue
         tgt_f = tgt_fields.get(f.name, f)
         l = F.col(src_prefix + f.name)
         r = F.col(tgt_prefix + f.name)

@@ -29,7 +29,9 @@ def rename_map_keys(df: DataFrame, map_col: str, renames: list[Rename]) -> DataF
         return df
     expr = F.col(map_col)
     for r in renames:
-        expr = F.transform_keys(
-            expr, lambda k, _v, old=r.from_name, new=r.to_name: F.when(k == old, new).otherwise(k)
-        )
+        def rekey(k, _v, _old=r.from_name, _new=r.to_name):
+            return F.when(k == _old, _new).otherwise(k)
+
+        # pyspark inspects the lambda arity, so bind via functools-style proxy
+        expr = F.transform_keys(expr, (lambda fn: lambda k, v: fn(k, v))(rekey))
     return df.withColumn(map_col, expr)

@@ -35,9 +35,17 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
             df = S.strip_meta_prefix(df)
     elif src.type == "cql-fixture":
         # fixture stand-in for the CQL token-range scan (SURVEY S1): parquet
-        # scan + timestamp widening normalization pass
+        # scan + timestamp widening normalization pass; companions arrive
+        # either bare (c_ttl/c_writetime) or __meta_-prefixed
         df = read_parquet(spark, src.path, skip_files=src.skip_files)
+        if any(c.startswith(S.META_PREFIX) for c in df.columns):
+            df = S.strip_meta_prefix(df)
         df = S.widen_timestamps(df)
+        if not src.preserve_timestamps:
+            companions = [
+                c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
+            ]
+            df = df.drop(*companions)
     elif src.type == "jdbc":
         from scylla_migrator_spark.sources.jdbc import read_jdbc
 
@@ -65,6 +73,15 @@ def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
         out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
         write_parquet(out, tgt.path, mode=tgt.mode, compression=tgt.compression)
     elif tgt.type == "scylla-fixture":
+        if tgt.exploded_timestamp_write and S.has_timestamp_companions(df.columns):
+            # per-row TTL/WRITETIME path (K2): explode by (ttl, writetime)
+            # group; each output row carries its own ttl/writetime plus
+            # tri-state cell flags — the fixture persists them verbatim
+            from scylla_migrator_spark.operators.explode_timestamps import (
+                explode_by_timestamp_groups,
+            )
+
+            df = explode_by_timestamp_groups(df, config.primary_key)
         write_scylla_fixture(
             df,
             tgt.path,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.config import Validation
@@ -197,4 +197,27 @@ def validate(
         type_mismatch_columns=type_mismatches,
         schema_failures=schema_failures,
         repaired_rows=repaired,
+    )
+
+
+def run_validation(spark: SparkSession, config) -> ValidationReport:
+    """Config-driven validation (Validator.main analog, Validator.scala:40-105):
+    load source and target per the config, validate with the configured
+    tolerances, optionally repair missing rows into the target."""
+    from scylla_migrator_spark.operators.renames import apply_renames
+    from scylla_migrator_spark.plans.migrate import read_source
+
+    source = read_source(spark, config)
+    source = apply_renames(source, config.renames)
+    target = spark.read.parquet(config.target.path)
+
+    def repair(missing: DataFrame) -> None:
+        missing.write.mode("append").parquet(config.target.path)
+
+    return validate(
+        source,
+        target,
+        config.primary_key,
+        config.validation,
+        repair_writer=repair if config.validation.copy_missing_rows else None,
     )

@@ -33,6 +33,14 @@ TABLE_NAMES = (
 def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # executor Python workers must be able to import this package for the
+    # mapInPandas/foreachPartition closures — the driver's sys.path does NOT
+    # propagate to workers, so pin the repo root into PYTHONPATH before the
+    # workers fork (on a real cluster this is a --py-files zip instead)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -51,6 +59,7 @@ def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) 
         .config("spark.ui.enabled", "false")
         # resilience posture mirrored from the reference (Migrator.scala:22-23)
         .config("spark.task.maxFailures", "4")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     return builder.getOrCreate()
 

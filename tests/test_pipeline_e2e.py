@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: the reference's flagship scenarios re-expressed
+(CqlToParquetToScyllaTimestampRoundTripTest, CopyMissingRowsTest shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.config import MigratorConfig
+from scylla_migrator_spark.operators.explode_timestamps import apply_exploded
+from scylla_migrator_spark.plans.migrate import migrate
+from scylla_migrator_spark.plans.validate import run_validation
+
+
+def _ts_fixture(spark):
+    # F2 shape: per-column (value, ttl, writetime) companions
+    return spark.createDataFrame(
+        [
+            ("p1", 1, "av", 100, 1_000, 1.5, 100, 1_000),
+            ("p2", 1, "av2", 100, 1_000, 2.5, 200, 2_000),
+            ("p3", 1, "av3", 100, 1_000, 3.5, None, None),
+        ],
+        "pk string, ck int, a string, a_ttl int, a_writetime long, b double, b_ttl int, b_writetime long",
+    )
+
+
+def test_cql_to_parquet_to_scylla_timestamp_roundtrip(spark, tmp_path):
+    """cassandra -> parquet (__meta_ prefixed) -> scylla (exploded write):
+    re-assembled cell state must equal the original (round-trip test shape)."""
+    src_path = str(tmp_path / "cql_src")
+    _ts_fixture(spark).write.parquet(src_path)
+
+    # leg 1: cql-fixture -> parquet; companions persisted as __meta_*
+    mid_path = str(tmp_path / "mid")
+    cfg1 = MigratorConfig.from_dict(
+        {
+            "source": {"type": "cql-fixture", "path": src_path, "preserve_timestamps": True},
+            "target": {"type": "parquet", "path": mid_path},
+            "primaryKey": ["pk", "ck"],
+        }
+    )
+    migrate(spark, cfg1)
+    mid = spark.read.parquet(mid_path)
+    assert "__meta_a_ttl" in mid.columns and "a" in mid.columns
+
+    # leg 2: parquet -> scylla-fixture with per-row (ttl, writetime) groups
+    tgt_path = str(tmp_path / "tgt")
+    cfg2 = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": mid_path},
+            "target": {"type": "scylla-fixture", "path": tgt_path, "exploded_timestamp_write": True},
+            "primaryKey": ["pk", "ck"],
+        }
+    )
+    out = migrate(spark, cfg2)
+    assert {"ttl", "writetime"} <= set(out.columns)
+
+    # server-side apply: reassembled state == original fixture
+    applied = apply_exploded(out, ["pk", "ck"])
+    orig = {r["pk"]: r for r in _ts_fixture(spark).collect()}
+    got = {r["pk"]: r for r in applied.collect()}
+    for pk in ("p1", "p2"):
+        assert got[pk]["a"] == orig[pk]["a"] and got[pk]["b"] == orig[pk]["b"]
+        assert got[pk]["a_ttl"] == orig[pk]["a_ttl"]
+    # p3's b sat in the dropped (null,null) group -> implicit null preserved
+    assert got["p3"]["b"] is None
+
+
+def test_preserve_timestamps_false_drops_companions(spark, tmp_path):
+    src_path = str(tmp_path / "cql_src2")
+    _ts_fixture(spark).write.parquet(src_path)
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "cql-fixture", "path": src_path, "preserve_timestamps": False},
+            "target": {"type": "parquet", "path": str(tmp_path / "out2")},
+            "primaryKey": ["pk", "ck"],
+        }
+    )
+    out = migrate(spark, cfg)
+    assert set(out.columns) == {"pk", "ck", "a", "b"}
+
+
+def test_config_driven_validation_with_repair(spark, sf_dir, tmp_path):
+    """CopyMissingRowsTest shape: validate finds missing rows, repairs them,
+    second validation is clean."""
+    src_path = f"{sf_dir}/orders.parquet"
+    tgt_path = str(tmp_path / "tgt_orders")
+    spark.read.parquet(src_path).filter(F.col("o_orderkey") % 11 != 0).write.parquet(tgt_path)
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_path},
+            "target": {"type": "parquet", "path": tgt_path},
+            "primaryKey": ["o_orderkey"],
+            "validation": {"copy_missing_rows": True},
+        }
+    )
+    report = run_validation(spark, cfg)
+    assert report.counts_by_kind["MissingTargetRow"] > 0
+    assert report.repaired_rows == report.counts_by_kind["MissingTargetRow"]
+    assert report.exit_code == 1
+
+    report2 = run_validation(spark, cfg)
+    assert report2.total_failures == 0 and report2.repaired_rows == 0
+    assert report2.exit_code == 0

@@ -125,3 +125,14 @@ def test_repair_missing_rows(spark):
     v = Validation(copy_missing_rows=True)
     report = validate(src, tgt, ["id"], v, repair_writer=lambda df: captured.append(df.count()))
     assert report.repaired_rows == 1 and captured == [1]
+
+
+def test_schema_mismatch_reported_not_crash(spark):
+    """A target missing/renaming a column yields MismatchedColumnNames +
+    common-column diff, not an AnalysisException."""
+    src = spark.createDataFrame([(1, "a", 2.0)], "id bigint, s string, d double")
+    tgt = spark.createDataFrame([(1, "a", 2.0)], "id bigint, zzz string, d double")
+    report = validate(src, tgt, ["id"])
+    assert report.schema_failures == [C.MISMATCHED_COLUMN_NAMES]
+    assert report.exit_code == 1
+    assert report.counts_by_kind == {}  # common columns all match
