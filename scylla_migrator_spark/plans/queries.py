@@ -784,3 +784,101 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return SIM.lsh_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10, planes=4)
+
+
+# ===========================================================================
+# Batch 3: scalar-function surface (C2/C3/C12) + skew-safe aggregation
+# ===========================================================================
+
+
+@_register(
+    "widen_timestamps_orders",
+    """
+    SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate
+    FROM orders
+    """,
+)
+def widen_timestamps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the CQL timestamp widening pass — TimestampType becomes
+    epoch-millis LongType, recursively (schema.widen_timestamps)."""
+    from scylla_migrator_spark.schema import widen_timestamps
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+    )
+    return widen_timestamps(df)
+
+
+@_register(
+    "strip_trailing_zeros",
+    """
+    SELECT o_orderkey,
+      CASE WHEN strpos(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '.') > 0
+           THEN regexp_replace(regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+                                              '0+$', ''), '\\.$', '')
+           ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) END AS price_stripped
+    FROM orders
+    """,
+)
+def strip_trailing_zeros_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: BigDecimal.stripTrailingZeros semantics on write
+    (writers/Scylla.scala:344-355) — rendered without trailing zeros."""
+    dec = F.col("o_totalprice").cast("decimal(18,4)").cast("string")
+    stripped = F.when(
+        dec.contains("."), F.regexp_replace(F.regexp_replace(dec, "0+$", ""), "\\.$", "")
+    ).otherwise(dec)
+    return _t(spark, sf_dir, "orders").select("o_orderkey", stripped.alias("price_stripped"))
+
+
+@_register(
+    "ddb_number_canon",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS DECIMAL(38,10))::VARCHAR
+             AS n_canon
+    FROM orders
+    """,
+)
+def ddb_number_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/C9: DynamoDB string-encoded numbers parsed through the variant
+    item codec and re-canonicalized (BigDecimal-equivalent normalization)."""
+    from scylla_migrator_spark.functions.ddb_variant import item_canonical_sets, parse_item
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit('{"price":{"N":"'),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("string"),
+            F.lit('"}}'),
+        ).alias("item_json"),
+    )
+    canon = item_canonical_sets(parse_item(F.col("item_json")))
+    return df.select(
+        "o_orderkey", canon.getItem("price").getField("N").alias("n_canon")
+    )
+
+
+@_register(
+    "salted_skew_aggregation",
+    """
+    SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the (low-cardinality, skewed)
+    group key, pre-aggregate per (key, salt), then combine. At 100 TB this is
+    the manual fallback when AQE skew handling can't apply (e.g. a single hot
+    key in a groupBy); results identical to the direct aggregation."""
+    from scylla_migrator_spark.operators.skew import salted_aggregate
+
+    return salted_aggregate(
+        _t(spark, sf_dir, "orders"),
+        keys=["o_orderstatus"],
+        aggs={
+            "cnt": (F.count("*"), F.sum),
+            "total": (F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.sum),
+        },
+        salt_buckets=8,
+    ).select("o_orderstatus", F.col("cnt").cast("long"), F.col("total").cast("double"))
