@@ -882,3 +882,294 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=8,
     ).select("o_orderstatus", F.col("cnt").cast("long"), F.col("total").cast("double"))
+
+
+# ===========================================================================
+# Batch 4: S3-export roundtrip (S8/K6/A6), DDB deep compare (V2/C9),
+# real Structured Streaming (T6), cube, running totals, multimodal
+# ===========================================================================
+
+
+@_register(
+    "s3export_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_canon
+    FROM orders
+    """,
+)
+def s3export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+K6+A6 end to end: encode orders as DynamoDB-JSON items, write a
+    full S3 export (gzip JSON-lines data files + manifest-files +
+    manifest-summary with per-file item counts), read it back through the
+    export source, decode, and project the original columns. The manifest
+    per-file counts are the A6 per-partition-count surface."""
+    import os
+
+    from scylla_migrator_spark.functions.ddb_variant import key_field, parse_item
+    from scylla_migrator_spark.sinks.s3export import write_s3_export
+    from scylla_migrator_spark.sources.s3export import read_s3_export
+
+    df = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    item_json = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
+            F.struct(price.alias("N")).alias("price"),
+            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+        )
+    )
+    root = os.path.join("/tmp", f"spark_graft_s3export_{os.path.basename(sf_dir.rstrip('/'))}")
+    summary = write_s3_export(df.select(item_json.alias("item_json")), "item_json", root)
+    assert summary["itemCount"] > 0
+    it = F.col("item")
+    return read_s3_export(spark, root).select(
+        key_field(it, "k", "N").cast("bigint").alias("o_orderkey"),
+        key_field(it, "status", "S").alias("o_orderstatus"),
+        key_field(it, "price", "N").alias("price_canon"),
+    )
+
+
+@_register(
+    "ddb_deep_compare",
+    """
+    SELECT (o_orderkey % 11 <> 0) AS items_equal, count(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def ddb_deep_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/C9: order-insensitive deep equality of DynamoDB items. The target
+    re-encodes numbers at a different scale ('123.45' vs '123.4500') — the
+    canonical compare treats those as EQUAL (BigDecimal semantics,
+    RowComparisonFailure.scala:308-314); only genuinely different values
+    (every 11th key gets +1) differ."""
+    from scylla_migrator_spark.functions.ddb_variant import items_deep_equal, parse_item
+
+    df = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    src = parse_item(
+        F.to_json(
+            F.struct(
+                F.struct(price.cast("string").alias("N")).alias("price"),
+                F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+            )
+        )
+    )
+    tgt_price = F.when(F.col("o_orderkey") % 11 == 0, price + 1).otherwise(price)
+    tgt = parse_item(
+        F.to_json(
+            F.struct(
+                # different number formatting on purpose: scale 4 vs scale 2
+                F.struct(tgt_price.cast("decimal(18,4)").cast("string").alias("N")).alias("price"),
+                F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+            )
+        )
+    )
+    return (
+        df.select(items_deep_equal(src, tgt).alias("items_equal"))
+        .groupBy("items_equal")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The fixture stores ts as
+    TIMESTAMP(NANOS), surfaced as epoch-nanos LongType (see session.py);
+    event-time ops need TimestampType, so narrow nanos -> micros here."""
+    import os
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file streaming source requires a *directory*; the fixture table is a
+    # single file -> stage a symlink dir (testdata itself is read-only)
+    stage = os.path.join("/tmp", f"sgs_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming plan to completion with the availableNow trigger and a
+    memory sink; returns the materialized result table."""
+    import tempfile
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@_register(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (our extension beyond the reference): real Structured Streaming —
+    file source -> 1h watermark -> tumbling 1h window aggregation -> memory
+    sink, driven to completion with Trigger.AvailableNow. Batch-equivalent to
+    GROUP BY date_trunc('hour')."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = _run_available_now(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+
+
+@_register(
+    "stream_dedup_watermark",
+    """
+    SELECT count(*) AS cnt, count(DISTINCT event_id) AS distinct_ids FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: dropDuplicatesWithinWatermark over a doubled stream (the same
+    source unioned with itself — every event arrives exactly twice, the
+    at-least-once delivery model of T4). The deduped stream equals the
+    original table."""
+    doubled = _events_stream(spark, sf_dir).union(_events_stream(spark, sf_dir))
+    dedup = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out = _run_available_now(dedup, "append")
+    return out.agg(
+        F.count("*").alias("cnt"), F.countDistinct("event_id").alias("distinct_ids")
+    )
+
+
+@_register(
+    "cube_sales_region_status",
+    """
+    SELECT coalesce(r_name, '(all)') AS region, coalesce(o_orderstatus, '(all)') AS status,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, o_orderstatus)
+    """,
+)
+def cube_sales_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the region x status hierarchy. nation/region are broadcast
+    (tiny dims); the single shuffle is the orders-customer join + cube agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.cube("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@_register(
+    "running_total_per_cust",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS running_total,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderkey
+    FROM orders
+    """,
+)
+def running_total_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: per-customer running sum + lag over a
+    deterministic (o_orderdate, o_orderkey) order. One shuffle on o_custkey;
+    both windows share the same partitioning/sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@_register(
+    "multimodal_asset_meta",
+    """
+    SELECT doc_id AS asset_id, 'image' AS kind,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: wrap bytes into the asset struct convention and
+    read ONLY metadata — the filter/projection never deserializes the blob
+    (meta is a sibling column, prunable at the parquet scan)."""
+    from scylla_migrator_spark.analytics.multimodal import make_asset_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("data")
+    )
+    assets = make_asset_table(docs, "doc_id", "data", kind="image", mime="image/png")
+    return assets.select(
+        "asset_id",
+        F.col("asset.meta.kind").alias("kind"),
+        F.octet_length("asset.data").cast("long").alias("n_bytes"),
+    )
+
+
+@_register("multimodal_fake_features")  # rows-only: fake decoder not SQL-expressible
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: Arrow-batched mapInPandas feature extraction
+    with the deterministic fake decoder (real codecs stubbed — not in this
+    container). Exercises schema, batching, and size-aware repartition."""
+    from scylla_migrator_spark.analytics.multimodal import extract_features, make_asset_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("data")
+    )
+    assets = make_asset_table(docs, "doc_id", "data", kind="image", mime="image/png")
+    feats = extract_features(assets, fake=True)
+    return feats.select("asset_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0"))
+
+
+@_register("approx_aggregates")  # rows-only: approximate by construction
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB path: HLL++ distinct count and
+    t-digest-style quantiles — constant memory per partition vs a full
+    shuffle for exact distinct. Accuracy asserted within tolerance in
+    tests/test_approx.py."""
+    return _t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_value"),
+    )

@@ -1,0 +1,28 @@
+"""Accuracy bounds for the approximate aggregates (rows-only in the driver
+gate; here we pin them against exact answers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.plans import queries as Q
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    row = Q.QUERIES["approx_aggregates"](spark, sf_dir).head()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_users = events.select("user_id").distinct().count()
+    exact_p50, exact_p99 = events.selectExpr(
+        "percentile(value, 0.5)", "percentile(value, 0.99)"
+    ).head()
+    assert abs(row["approx_users"] - exact_users) <= max(2, 0.03 * exact_users)
+    assert abs(row["p50_value"] - exact_p50) <= 0.05 * (abs(exact_p50) + 1)
+    assert abs(row["p99_value"] - exact_p99) <= 0.05 * (abs(exact_p99) + 1)
+
+
+def test_fake_features_deterministic(spark, sf_dir):
+    df = Q.QUERIES["multimodal_fake_features"](spark, sf_dir)
+    a = {r["asset_id"]: r["f0"] for r in df.collect()}
+    b = {r["asset_id"]: r["f0"] for r in df.collect()}
+    assert a == b
+    assert all(0.0 <= v <= 1.0 for v in a.values())
