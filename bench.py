@@ -34,6 +34,14 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "cube_sales_region_status",
+    "running_total_per_cust",
+    "s3export_roundtrip",
+    "stream_windowed_counts",
+    "salted_skew_aggregation",
+    "minhash_lsh_pairs",
 ]
 
 

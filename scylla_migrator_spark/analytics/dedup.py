@@ -44,17 +44,41 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<long> of length ``num_hashes``.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per document with its MinHash signature (array<long> of length
+    ``num_hashes``).
 
-    One md5 base hash per shingle; the family h_i = (a_i*h + b_i) mod p gives
-    independent permutations without hashing the shingle k times."""
-    base = F.transform(shingles(col, shingle_n), _md5_int)
-    sig = []
-    for i in range(num_hashes):
-        a, b = _COEFFS[i]
-        sig.append(F.array_min(F.transform(base, lambda h: (h * a + b) % F.lit(_P))))
-    return F.array(*sig)
+    Computed as explode(shingles) -> md5 ONCE per (doc, shingle) -> groupBy
+    doc with ``num_hashes`` min-aggregates of the affine family
+    h_i = (a_i*h + b_i) mod p. One pass over the shingles, one shuffle on the
+    doc id, and partial (map-side) min-combining — unlike a nested
+    array_min(transform(...)) column expression, which Catalyst inlines per
+    hash function and per downstream use, re-hashing every shingle dozens of
+    times. Documents whose text yields no shingles get no signature (they can
+    have no near-duplicates)."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
+    )
+    h = ex.select(id_col, _md5_int(F.col("__sh")).alias("__h"))
+    aggs = [
+        F.min((F.col("__h") * a + b) % F.lit(_P)).alias(f"__mh_{i}")
+        for i, (a, b) in enumerate(_COEFFS[:num_hashes])
+    ]
+    return (
+        h.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -66,19 +90,22 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: rows sharing any band bucket.
 
-    Plan: project signature -> posexplode bands -> shuffle on
-    (band_id, band_hash) -> self-equi-join within buckets. At 100 TB the
-    band-bucket join is the only shuffle and its key space is uniform by
-    construction; no cross join ever materializes."""
+    Plan: signature (one shuffle, see minhash_signatures) -> posexplode bands
+    -> shuffle on (band_id, band_hash) -> self-equi-join within buckets. At
+    100 TB the band-bucket join is the dominant shuffle and its key space is
+    uniform by construction; no cross join ever materializes."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes)
-    banded = df.select(
+    sig_df = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.sha2(
-                    F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)), 256
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                    256,
                 ),
             )
         ).alias("band_id", "band_hash"),
@@ -119,6 +146,59 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all same-block pairs with >=1 shared shingle,
+    via an inverted-index join (the scalable shape).
+
+    Plan: explode distinct shingles -> self-equi-join on (block, shingle) ->
+    count shared shingles per (id_a, id_b) = |intersection| -> union from the
+    per-doc set sizes. Work is proportional to the number of (pair,
+    shared-shingle) co-occurrences — NOT to all-pairs x array-intersect like
+    a blocked array join, which also re-evaluates the intersect per projected
+    use. At 100 TB, prune stop-shingles (document frequency above a cap)
+    before the join to bound the hot-shingle skew; AQE skew-join splits the
+    rest."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("__s"),
+    )
+    ex = sh.select(
+        F.col(id_col), "__blk", F.size("__s").alias("__sz"), F.explode("__s").alias("__g")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__g") == F.col("b.__g"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sz").alias("__sz_a"),
+            F.col("b.__sz").alias("__sz_b"),
+        )
+        .agg(F.count("*").alias("__n_inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__n_inter") / (F.col("__sz_a") + F.col("__sz_b") - F.col("__n_inter")), 6
             ).alias("jaccard"),
         )
     )

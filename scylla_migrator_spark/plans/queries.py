@@ -126,9 +126,12 @@ def validation_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _t(spark, sf_dir, "orders")
     tgt = _perturbed_target(src)
     diff, _ = V.joined_diff(src, tgt, ["o_orderkey"], Validation())
+    # no pre-filter on size(failures) > 0: explode already drops empty
+    # arrays, and skipping the filter halves the (wide) comparison
+    # expression's evaluations — it would otherwise run in both Filter
+    # and Project within the same codegen stage
     return (
-        diff.filter(F.size(V.FAILURES_COL) > 0)
-        .select(F.explode(V.FAILURES_COL).alias("f"))
+        diff.select(F.explode(V.FAILURES_COL).alias("f"))
         .groupBy(F.col("f.kind").alias("kind"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -640,29 +643,11 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over source-blocked pairs (block join, never a
-    full cross join). Pairs with zero overlap are dropped to keep the output
-    proportional to real near-dups."""
+    """Exact 3-gram Jaccard over source-blocked pairs via the inverted-index
+    join (dedup.ngram_jaccard_pairs) — work scales with shared-shingle
+    co-occurrences, not all-pairs array intersects."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("s").alias("s_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    return (
-        a.join(b, on=[F.col("src_a") == F.col("src_b"), F.col("id_a") < F.col("id_b")])
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("n_inter"),
-            (F.size("s_a") + F.size("s_b") - inter).alias("n_union"),
-        )
-        .filter(F.col("n_inter") > 0)
-        .select("id_a", "id_b", F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"))
-    )
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", block_col="source", n=3)
 
 
 @_register(
