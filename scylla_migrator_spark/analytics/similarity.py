@@ -95,3 +95,57 @@ def lsh_topk(
         qb = qb * 2 + side
     candidates = bucketed.filter(F.col("bkt") == qb)
     return brute_force_topk(candidates, query_vec, id_col, vec_col, k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (max cosine). The centroid list is small (broadcast as literals); the
+    argmax is one array expression — no join, no shuffle. At 100 TB, write
+    the table partitioned by ``centroid_id`` so probes prune partitions."""
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[cosine(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` centroid partitions
+    nearest to the query, exact cosine re-rank inside them.
+
+    Centroids are taken deterministically from the table itself (the
+    ``n_centroids`` lowest ids) — a stand-in for a k-means pass; the plan
+    shape (assign -> partition-prune -> re-rank) is the production path."""
+    import math
+
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec)
+    )[:nprobe]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    candidates = assigned.filter(F.col("centroid_id").isin(probe))
+    return brute_force_topk(candidates, query_vec, id_col, vec_col, k)

@@ -755,12 +755,96 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
 
 
-@_register("embedding_near_dup_pairs")
+@_register(
+    "embedding_near_dup_pairs",
+    """
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    doubled AS (
+      SELECT vec_id, label, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_concat([v[1] + 0.01], v[2:]) AS v
+      FROM base)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM doubled a JOIN doubled b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup above 0.95, blocked by label (the fixture's
-    natural cluster key)."""
+    """Embedding-cosine near-dup, blocked by label. The fixture embeddings
+    have no natural near-dups (max intra-label cosine ~0.47), so each vector
+    gets a deterministic perturbed twin (+0.01 on dim 0, id + 1e6); the
+    operator must find exactly the twin pairs at threshold 0.99. Output is
+    the pair ids (not the cosine) so the check is float-rounding-proof."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, F.size("v") - 1)
+        ).alias("v"),
+    )
+    doubled = emb.unionByName(twin)
+    return D.embedding_near_dup(
+        doubled, "vec_id", "v", threshold=0.99, block_col=F.col("label")
+    ).select("id_a", "id_b")
+
+
+@_register(
+    "simhash_hamming_pairs",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: same-source pairs whose 32-bit fingerprints are
+    within hamming distance 8. Fingerprint once per doc (5k rows), then a
+    block self-join; at 100 TB block instead on fingerprint band-prefixes so
+    candidates share a bucket key (same shape as MinHash LSH)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", D.simhash(F.col("text"), bits=32).alias("sh"))
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            on=[F.col("a.source") == F.col("b.source"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+@_register("ivf_ann_topk")  # approximate: recall pinned vs brute force in tests
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: coarse-quantize to 16 centroids,
+    probe the 4 nearest, exact cosine re-rank inside the probed partitions
+    (similarity.ivf_topk). The scale path pairs this with a table layout
+    partitioned by centroid_id for partition-pruned probes."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.95, block_col=F.col("label"))
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return SIM.ivf_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)
 
 
 @_register("lsh_ann_topk")

@@ -26,3 +26,14 @@ def test_fake_features_deterministic(spark, sf_dir):
     b = {r["asset_id"]: r["f0"] for r in df.collect()}
     assert a == b
     assert all(0.0 <= v <= 1.0 for v in a.values())
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from scylla_migrator_spark.analytics import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in SIM.ivf_topk(emb, qv, k=10).collect()}
+    # IVF probes 4/16 partitions; recall@10 must stay useful
+    assert len(exact & approx) >= 5
