@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: the properties that make the engine hold at
+100 TB — pushdown reaching the scan, broadcast joins for small dims, no
+Python in hot paths, shuffle-free bucketed joins, single-Generate explode."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.plans import queries as Q
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_where_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["migrate_rename_filter"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(o_totalprice,1000.0)" in plan
+
+
+def test_scan_is_column_pruned(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["migrate_rename_filter"](spark, sf_dir))
+    # only the 4 projected columns reach the scan, not the full table
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>" in plan
+
+
+def test_small_dims_broadcast_in_star_join(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["tpch_q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_eval_in_hot_paths(spark, sf_dir):
+    """Every oracle-backed batch query must stay JVM-side (whole-stage
+    codegen); Python appears only in the explicitly-Arrow multimodal path."""
+    skip = {
+        "multimodal_fake_features",  # mapInPandas by design
+        "stream_windowed_counts",  # executes a stream on call
+        "stream_dedup_watermark",
+        "s3export_roundtrip",  # writes an export on call
+    }
+    for name, fn in Q.QUERIES.items():
+        if name in skip:
+            continue
+        plan = plan_of(fn(spark, sf_dir), mode="simple")
+        assert "EvalPython" not in plan, f"{name} fell back to Python row eval"
+        assert "CartesianProduct" not in plan, f"{name} plans a cross join"
+
+
+def test_explode_is_single_generate_no_shuffle(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["explode_timestamp_groups"](spark, sf_dir), mode="simple")
+    assert plan.count("Generate") == 1
+    assert "Exchange" not in plan  # per-row group computation, no shuffle
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing both sides on the join key removes the shuffle entirely —
+    the layout strategy for repeated big-big joins at 100 TB."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                orders.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey")
+                .saveAsTable(name)
+            )
+        a, b = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        joined = a.join(b.withColumnRenamed("o_totalprice", "p2"), "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_brute_force_topk_avoids_global_sort(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    from scylla_migrator_spark.analytics.similarity import brute_force_topk
+
+    plan = plan_of(brute_force_topk(emb, qv, k=10))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, driver merge
+    assert "Exchange" not in plan
