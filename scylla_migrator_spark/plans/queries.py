@@ -1347,3 +1347,83 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@_register(
+    "hash_refinement_diff",
+    """
+    SELECT o_orderkey AS src_o_orderkey FROM orders
+    WHERE o_orderkey % 97 <> 0 AND (o_orderkey % 13 = 0 OR o_orderkey % 31 = 0)
+    """,
+)
+def hash_refinement_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4/J6: the hash-backed validation plan end to end. Payload columns are
+    collapsed into one sha2 digest before the compare join (the shuffle
+    carries 32 bytes instead of the wide row); digest-mismatched PKs are then
+    re-probed with a broadcast key join against both full-payload sides and
+    re-compared column by column. The %10 price perturbation (+0.0005) IS a
+    digest mismatch but is inside floatingPointTolerance, so refinement must
+    clear it — only the %13 (+0.5) and %31 (status flip) rows survive."""
+    src = _t(spark, sf_dir, "orders")
+    tgt = _perturbed_target(src)
+    hash_cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    v = Validation(hash_columns=hash_cols)
+    diff, _ = V.joined_diff(src, tgt, ["o_orderkey"], v)
+    mismatched = diff.filter(
+        (F.size(V.FAILURES_COL) > 0) & F.col("tgt_o_orderkey").isNotNull()
+    ).select(F.col("src_o_orderkey").alias("o_orderkey"))
+    refined = V.refine_hash_mismatches(src, tgt, mismatched, ["o_orderkey"], v)
+    return refined.select("src_o_orderkey")
+
+
+@_register(
+    "stream_stateful_dedup_count",
+    """
+    SELECT user_id, count(DISTINCT event_id) AS distinct_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T6 + custom stateful operator: every event is delivered TWICE in
+    two separate micro-batches (at-least-once re-delivery); the
+    applyInPandasWithState dedup counter remembers seen ids across batches
+    and counts each event once. Sum of per-batch emissions == exact
+    per-user distinct counts."""
+    import os
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.stateful import stateful_distinct_counts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        "/tmp", f"sgs_events2x_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    for name in ("a_events.parquet", "b_events.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(stage)
+        .select("user_id", "event_id")
+    )
+    counts = stateful_distinct_counts(stream, "user_id")
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.sum("new_events").alias("distinct_events"))
+    )

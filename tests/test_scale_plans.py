@@ -96,3 +96,17 @@ def test_brute_force_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(brute_force_topk(emb, qv, k=10))
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, driver merge
     assert "Exchange" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy layout + filter -> Catalyst prunes non-matching partition
+    directories at planning time (the layout strategy for predicate-heavy
+    access at 100 TB)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = events.filter("event_type = 'purchase'").count()
+    assert df.count() == expected
