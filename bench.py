@@ -68,6 +68,30 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # reference-style E2E migration scenario (the cassandra->scylla analog:
+    # full-table scan -> rename -> null-PK guard -> write), reported in the
+    # reference's own BENCHMARK_RESULT format for direct comparability
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
+            "target": {"type": "parquet", "path": "/tmp/sgs_bench_migrate"},
+            "renames": [{"from": "l_orderkey", "to": "order_id"}],
+            "primaryKey": ["order_id"],
+        }
+    )
+    t0 = time.perf_counter()
+    n = migrate(spark, cfg).count()
+    dt = time.perf_counter() - t0
+    timings["migrate_pipeline"] = round(dt, 3)
+    print(
+        f"BENCHMARK_RESULT | scenario=parquet_to_parquet_migration rows={n} "
+        f"durationMs={int(dt*1000)} rowsPerSec={int(n / dt) if dt > 0 else 0}",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -50,6 +50,10 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
         from scylla_migrator_spark.sources.jdbc import read_jdbc
 
         df = read_jdbc(spark, src)
+    elif src.type == "dynamodb-s3-export":
+        from scylla_migrator_spark.sources.s3export import read_s3_export
+
+        df = read_s3_export(spark, src.path, skip_files=src.skip_files)
     else:
         raise ValueError(f"unsupported source type {src.type!r}")
     return apply_where(df, src.where)
@@ -58,6 +62,18 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
 def build_plan(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     """The lazy migration DataFrame (no action executed)."""
     df = read_source(spark, config)
+    if "item" in df.columns:
+        # schemaless item frame (DynamoDB model): renames are per-item key
+        # renames (writers/DynamoDB.scala:121-129), and the canonical JSON
+        # payload must follow the renamed map
+        if config.renames:
+            from pyspark.sql import functions as F
+
+            from scylla_migrator_spark.operators.renames import rename_map_keys
+
+            df = rename_map_keys(df, "item", config.renames)
+            df = df.withColumn("item_json", F.to_json(F.col("item")))
+        return df
     df = apply_renames(df, config.renames)
     if config.primary_key and auto_null_pk_filtering(config.source.type):
         df = drop_null_pk_rows(df, config.primary_key)
@@ -91,6 +107,14 @@ def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
             writetime_us=tgt.writetime_us,
             strip_zeros=tgt.strip_trailing_zeros_for_decimals,
         )
+    elif tgt.type == "dynamodb-s3-export":
+        from scylla_migrator_spark.sinks.s3export import write_s3_export
+        from scylla_migrator_spark.sources.s3export import read_s3_export
+
+        if "item_json" not in df.columns:
+            raise ValueError("dynamodb-s3-export target requires an item_json column")
+        write_s3_export(df.select("item_json"), "item_json", tgt.path)
+        return read_s3_export(spark, tgt.path)
     else:
         raise ValueError(f"unsupported target type {tgt.type!r}")
     return spark.read.parquet(tgt.path)

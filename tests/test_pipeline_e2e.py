@@ -102,3 +102,41 @@ def test_config_driven_validation_with_repair(spark, sf_dir, tmp_path):
     report2 = run_validation(spark, cfg)
     assert report2.total_failures == 0 and report2.repaired_rows == 0
     assert report2.exit_code == 0
+
+
+def test_s3export_to_s3export_migration_with_rename(spark, tmp_path):
+    """Full export->export migration through the config-driven dispatch:
+    read a DynamoDB S3 export, rename an item attribute, write a new export
+    (Migrator dispatch analog for the s3export->alternator-style combos)."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.config import MigratorConfig, Rename
+    from scylla_migrator_spark.plans.migrate import migrate
+    from scylla_migrator_spark.sinks.s3export import write_s3_export
+    from scylla_migrator_spark.sources.s3export import read_manifest_summary
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(200)
+    item_json = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
+            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+        )
+    )
+    src_root = str(tmp_path / "export_src")
+    write_s3_export(orders.select(item_json.alias("item_json")), "item_json", src_root)
+
+    tgt_root = str(tmp_path / "export_tgt")
+    cfg = MigratorConfig(
+        source=__import__(
+            "scylla_migrator_spark.config", fromlist=["SourceSettings"]
+        ).SourceSettings(type="dynamodb-s3-export", path=src_root),
+        target=__import__(
+            "scylla_migrator_spark.config", fromlist=["TargetSettings"]
+        ).TargetSettings(type="dynamodb-s3-export", path=tgt_root),
+        renames=[Rename("status", "order_status")],
+    )
+    out = migrate(spark, cfg)
+    assert out.count() == 200
+    assert read_manifest_summary(tgt_root)["itemCount"] == 200
+    keys = out.select(F.map_keys(F.col("item")).alias("ks")).head()["ks"]
+    assert sorted(keys) == ["k", "order_status"]
