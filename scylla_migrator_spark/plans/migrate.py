@@ -9,6 +9,7 @@ a single scan+project+filter+write stage with no shuffle.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,25 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
         from scylla_migrator_spark.sources.s3export import read_s3_export
 
         df = read_s3_export(spark, src.path, skip_files=src.skip_files)
+    elif src.type == "stream":
+        # continuous file-source replication (T2: replays from the start —
+        # the TrimHorizon analog). Schema comes from a batch probe of the
+        # same path; a single-file path is staged into a directory because
+        # the file streaming source lists directories.
+        import os
+
+        path = src.path
+        batch_schema = spark.read.parquet(path).schema
+        if os.path.isfile(path):
+            stage = os.path.join(
+                "/tmp", f"sgs_stream_src_{abs(hash(os.path.abspath(path))) % 10**10}"
+            )
+            os.makedirs(stage, exist_ok=True)
+            link = os.path.join(stage, os.path.basename(path))
+            if not os.path.exists(link):
+                os.symlink(os.path.abspath(path), link)
+            path = stage
+        df = spark.readStream.schema(batch_schema).parquet(path)
     else:
         raise ValueError(f"unsupported source type {src.type!r}")
     return apply_where(df, src.where)
@@ -84,6 +104,31 @@ def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     """Execute the migration; returns the written frame (lazy re-read plan)."""
     df = build_plan(spark, config)
     tgt = config.target
+    if df.isStreaming:
+        # streaming migration (T1/T5): drain the stream into the target with
+        # the availableNow trigger; the Structured Streaming checkpoint IS
+        # the savepoint (restart resumes from the last committed batch)
+        import shutil
+        import tempfile
+
+        if tgt.type != "parquet":
+            raise ValueError("stream source currently targets parquet sinks")
+        if tgt.mode == "overwrite" and os.path.exists(tgt.path):
+            shutil.rmtree(tgt.path)
+        checkpoint = (
+            config.savepoints.path
+            if config.savepoints and config.savepoints.path
+            else tempfile.mkdtemp(prefix="sgs_stream_ckpt_")
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", tgt.path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(tgt.path)
     if tgt.type == "parquet":
         # persist TTL/WRITETIME companions under the __meta_ prefix (SURVEY P5/X2)
         out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df

@@ -140,3 +140,28 @@ def test_s3export_to_s3export_migration_with_rename(spark, tmp_path):
     assert read_manifest_summary(tgt_root)["itemCount"] == 200
     keys = out.select(F.map_keys(F.col("item")).alias("ks")).head()["ks"]
     assert sorted(keys) == ["k", "order_status"]
+
+
+def test_stream_source_migration(spark, tmp_path):
+    """stream -> parquet migration: file-source replication drained with
+    availableNow; renames apply to the streaming plan; checkpoint doubles as
+    the savepoint."""
+    from scylla_migrator_spark.config import (
+        MigratorConfig,
+        Rename,
+        Savepoints,
+        SourceSettings,
+        TargetSettings,
+    )
+    from scylla_migrator_spark.plans.migrate import migrate
+
+    cfg = MigratorConfig(
+        source=SourceSettings(type="stream", path="/root/testdata/sf0.001/orders.parquet"),
+        target=TargetSettings(type="parquet", path=str(tmp_path / "stream_out")),
+        renames=[Rename("o_orderkey", "order_id")],
+        savepoints=Savepoints(path=str(tmp_path / "ckpt")),
+    )
+    out = migrate(spark, cfg)
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert out.count() == src.count()
+    assert "order_id" in out.columns and "o_orderkey" not in out.columns
