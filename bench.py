@@ -92,6 +92,48 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # ±timestamps scenario (cassandra->scylla with preserveTimestamps): the
+    # source carries per-column TTL/WRITETIME companions; the sink explodes
+    # rows by (ttl, writetime) group (the signature K2/X1 path)
+    from pyspark.sql import functions as F
+
+    src_ts = "/tmp/sgs_bench_ts_src"
+    k = F.col("o_orderkey")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(100).cast("int").alias("o_orderstatus_ttl"),
+            (F.lit(1000) * (k % 3)).cast("long").alias("o_orderstatus_writetime"),
+            "o_orderpriority",
+            F.lit(100).cast("int").alias("o_orderpriority_ttl"),
+            (F.lit(1000) * (k % 2)).cast("long").alias("o_orderpriority_writetime"),
+        )
+        .write.mode("overwrite")
+        .parquet(src_ts)
+    )
+    cfg_ts = MigratorConfig.from_dict(
+        {
+            "source": {"type": "cql-fixture", "path": src_ts, "preserveTimestamps": True},
+            "target": {
+                "type": "scylla-fixture",
+                "path": "/tmp/sgs_bench_ts_out",
+                "explodedTimestampWrite": True,
+            },
+            "primaryKey": ["o_orderkey"],
+        }
+    )
+    t0 = time.perf_counter()
+    n = migrate(spark, cfg_ts).count()
+    dt = time.perf_counter() - t0
+    timings["migrate_exploded_timestamps"] = round(dt, 3)
+    print(
+        f"BENCHMARK_RESULT | scenario=cql_to_scylla_preserve_timestamps rows={n} "
+        f"durationMs={int(dt*1000)} rowsPerSec={int(rows['orders'] / dt) if dt > 0 else 0}",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

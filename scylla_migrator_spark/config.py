@@ -222,6 +222,16 @@ class Savepoints:
             raise ConfigError("savepoints.intervalSeconds must be >= 1")
 
 
+def _snake_keys(d: dict[str, Any]) -> dict[str, Any]:
+    """Accept the reference's camelCase YAML keys (config.yaml.example)
+    alongside snake_case: preserveTimestamps -> preserve_timestamps, etc."""
+    out = {}
+    for k, v in d.items():
+        s = re.sub(r"(?<!^)([A-Z])", r"_\1", k).lower()
+        out[s] = v
+    return out
+
+
 @dataclass
 class MigratorConfig:
     source: SourceSettings
@@ -235,12 +245,12 @@ class MigratorConfig:
     def from_dict(d: dict[str, Any]) -> "MigratorConfig":
         renames = [Rename(r["from"], r["to"]) for r in d.get("renames", [])]
         return MigratorConfig(
-            source=SourceSettings(**d["source"]),
-            target=TargetSettings(**d["target"]),
+            source=SourceSettings(**_snake_keys(d["source"])),
+            target=TargetSettings(**_snake_keys(d["target"])),
             renames=renames,
             primary_key=list(d.get("primaryKey", [])),
-            validation=Validation(**d.get("validation", {})),
-            savepoints=Savepoints(**d["savepoints"]) if "savepoints" in d else None,
+            validation=Validation(**_snake_keys(d.get("validation", {}))),
+            savepoints=Savepoints(**_snake_keys(d["savepoints"])) if "savepoints" in d else None,
         )
 
     @staticmethod

@@ -1427,3 +1427,49 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_events").alias("distinct_events"))
     )
+
+
+@_register(
+    "salted_broadcast_join_hot_key",
+    """
+    SELECT o_orderkey, o_orderstatus, n_name
+    FROM orders JOIN nation ON (o_orderkey % 25) = n_nationkey
+    """,
+)
+def salted_broadcast_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (operators/skew.py): the derived join key (o_orderkey
+    % 25) is low-cardinality — every key is hot. The small side is replicated
+    per salt so each hot key spreads over salt_buckets tasks; the result is
+    identical to the direct join (oracle-checked)."""
+    from scylla_migrator_spark.operators.skew import salted_broadcast_join
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "n_nationkey", (F.col("o_orderkey") % 25).cast("int")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return salted_broadcast_join(o, n, on=["n_nationkey"], salt_buckets=8).select(
+        "o_orderkey", "o_orderstatus", "n_name"
+    )
+
+
+@_register(
+    "meta_prefix_roundtrip",
+    """
+    SELECT o_orderkey AS pk, o_orderstatus AS status,
+           100 AS status_ttl, (o_orderkey * 1000)::BIGINT AS status_writetime
+    FROM orders
+    """,
+)
+def meta_prefix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/X2: TTL/WRITETIME companions survive the __migrator_meta_-style
+    parquet convention — prefix on write, detect + strip on read
+    (readers/TimestampColumns.scala:14-61)."""
+    from scylla_migrator_spark.schema import add_meta_prefix, strip_meta_prefix
+
+    df = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(100).cast("int").alias("status_ttl"),
+        (F.col("o_orderkey") * 1000).cast("long").alias("status_writetime"),
+    )
+    return strip_meta_prefix(add_meta_prefix(df))
