@@ -71,7 +71,10 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
             os.makedirs(stage, exist_ok=True)
             link = os.path.join(stage, os.path.basename(path))
             if not os.path.exists(link):
-                os.symlink(os.path.abspath(path), link)
+                try:
+                    os.symlink(os.path.abspath(path), link)
+                except FileExistsError:
+                    pass  # concurrent session staged it first
             path = stage
         df = spark.readStream.schema(batch_schema).parquet(path)
     else:

@@ -1054,7 +1054,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        try:
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent session staged it first
     stream = spark.readStream.schema(batch.schema).parquet(stage)
     return stream.withColumn(
         "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
@@ -1404,7 +1407,10 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("a_events.parquet", "b_events.parquet"):
         link = os.path.join(stage, name)
         if not os.path.exists(link):
-            os.symlink(src, link)
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass  # concurrent session staged it first
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)  # force two micro-batches
