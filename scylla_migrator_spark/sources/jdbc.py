@@ -7,8 +7,9 @@ the predicate runs server-side with exact dialect control (MySQL.scala:635-651)
 — Catalyst's JDBC pushdown would also work, but the subquery form matches the
 reference's sanitizer-gated behavior.
 
-No JDBC driver ships in the test container, so this module is exercised by
-unit tests on the option-building logic only; the read call is real.
+Integration-tested against embedded Derby (the JDBC engine in Spark's own
+jars): single-partition, range-partitioned, and WHERE-subquery reads
+(tests/test_jdbc_integration.py).
 """
 
 from __future__ import annotations
