@@ -137,6 +137,7 @@ class SourceSettings:
     type: str  # parquet | jdbc | dynamodb-s3-export | cql-fixture | stream
     path: str | None = None
     table: str | None = None
+    url: str | None = None  # jdbc connection url (redacted in rendered())
     where: str | None = None
     # jdbc partitioned-read settings (reference MySQL.scala:662-691)
     partition_column: str | None = None
@@ -269,6 +270,8 @@ class MigratorConfig:
         }
         if self.source.where is not None:
             out["source"]["where"] = "<redacted>"
+        if self.source.url is not None:
+            out["source"]["url"] = "<redacted>"  # urls can embed credentials
         for key in list(out["source"]):
             if any(s in key.lower() for s in ("password", "secret", "credential", "token")):
                 out["source"][key] = "<redacted>"

@@ -50,7 +50,9 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     elif src.type == "jdbc":
         from scylla_migrator_spark.sources.jdbc import read_jdbc
 
-        df = read_jdbc(spark, src)
+        # the where is pushed server-side inside the dbtable subquery (S5);
+        # do NOT re-apply it Spark-side — it may be dialect-specific SQL
+        return read_jdbc(spark, src, url=src.url)
     elif src.type == "dynamodb-s3-export":
         from scylla_migrator_spark.sources.s3export import read_s3_export
 

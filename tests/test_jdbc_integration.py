@@ -70,3 +70,32 @@ def test_jdbc_where_sanitizer_rejects_injection(spark, derby):
     url, _ = derby
     with pytest.raises(ConfigError):
         SourceSettings(type="jdbc", table="ORDERS", where="1=1; DROP TABLE ORDERS")
+
+
+def test_jdbc_to_scylla_migration_and_validation(spark, derby, tmp_path):
+    """The MySQL->Scylla analog end to end (MySQLToScyllaValidator shape):
+    config-driven jdbc read -> rename -> null-PK guard -> fixture write,
+    then the join-diff validator confirms a clean copy."""
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+    from scylla_migrator_spark.plans.validate import validate
+
+    url, n = derby
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "jdbc", "table": "ORDERS", "url": url},
+            "target": {"type": "scylla-fixture", "path": str(tmp_path / "tgt")},
+            "renames": [{"from": "O_ORDERKEY", "to": "order_id"}],
+            "primaryKey": ["order_id"],
+        }
+    )
+    out = migrate(spark, cfg)
+    assert out.count() == n
+    src = spark.read.format("jdbc").options(
+        url=url, dbtable="ORDERS", driver=DRIVER
+    ).load().withColumnRenamed("O_ORDERKEY", "order_id")
+    report = validate(src, out, ["order_id"])
+    assert report.counts_by_kind == {}
+    assert report.exit_code == 0
+    # secrets never leak into rendered config
+    assert cfg.rendered()["source"]["url"] == "<redacted>"
