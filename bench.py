@@ -42,6 +42,16 @@ HEADLINE = [
     "stream_windowed_counts",
     "salted_skew_aggregation",
     "minhash_lsh_pairs",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "hash_refinement_diff",
+    "ngram_jaccard_block_pairs",
+    "simhash_hamming_pairs",
+    "ivf_ann_topk",
+    "stream_stateful_dedup_count",
+    "salted_broadcast_join_hot_key",
+    "ddb_deep_compare",
 ]
 
 

@@ -204,6 +204,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry_cols: list[str] | None = None,
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprints via explode -> bit-vote aggregation.
+
+    Same semantics as the ``simhash`` column expression, but each token is
+    hashed ONCE and the per-bit majority vote is ``bits`` sum-aggregates over
+    the exploded tokens. The aggregation is also an optimizer barrier: a
+    downstream self-join sees a materialized ``sh`` column instead of
+    re-inlining the whole fingerprint expression per candidate PAIR (measured
+    72s -> ~2s at sf0.1 for the hamming-pair join)."""
+    carry = carry_cols or []
+    ex = df.select(F.col(id_col), *carry, F.explode(tokens(F.col(text_col))).alias("__tok"))
+    h = ex.select(id_col, *carry, _md5_int(F.col("__tok")).alias("__h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(bits)
+    ] + [F.count("*").alias("__n")]
+    agg = h.groupBy(id_col, *carry).agg(*aggs)
+    sh = None
+    for b in range(bits):
+        bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = bit if sh is None else sh + bit
+    return agg.select(F.col(id_col), *carry, sh.alias("sh"))
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over word tokens: per-bit vote of token hashes.
 

@@ -819,7 +819,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block self-join; at 100 TB block instead on fingerprint band-prefixes so
     candidates share a bucket key (same shape as MinHash LSH)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", "source", D.simhash(F.col("text"), bits=32).alias("sh"))
+    fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"], bits=32)
     a, b = fp.alias("a"), fp.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure-Python DynamoDB variant
+codec — invariants the engine's comparisons depend on. No Spark session."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scylla_migrator_spark.functions.ddb_variant import (
+    canonical_json,
+    canonicalize_value,
+    item_to_canonical_json,
+)
+
+# strategy for DynamoDB AttributeValue JSON trees (bounded depth)
+_number = st.decimals(
+    allow_nan=False, allow_infinity=False, places=6, min_value=-10**12, max_value=10**12
+).map(lambda d: str(d))
+_b64 = st.binary(max_size=12).map(lambda b: base64.b64encode(b).decode())
+_scalar = st.one_of(
+    st.builds(lambda s: {"S": s}, st.text(max_size=12)),
+    st.builds(lambda n: {"N": n}, _number),
+    st.builds(lambda b: {"B": b}, _b64),
+    st.builds(lambda v: {"BOOL": v}, st.booleans()),
+    st.just({"NULL": True}),
+    st.builds(lambda xs: {"SS": xs}, st.lists(st.text(max_size=8), min_size=1, max_size=4)),
+    st.builds(lambda xs: {"NS": xs}, st.lists(_number, min_size=1, max_size=4)),
+    st.builds(lambda xs: {"BS": xs}, st.lists(_b64, min_size=1, max_size=3)),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.builds(lambda xs: {"L": xs}, st.lists(children, max_size=3)),
+        st.builds(
+            lambda kv: {"M": dict(kv)},
+            st.lists(st.tuples(st.text(max_size=6), children), max_size=3),
+        ),
+    ),
+    max_leaves=8,
+)
+
+
+@given(_value)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_is_idempotent(av):
+    once = canonicalize_value(av)
+    twice = canonicalize_value(once)
+    assert once == twice
+
+
+@given(_value)
+@settings(max_examples=200, deadline=None)
+def test_canonical_json_is_deterministic_and_parseable(av):
+    s = canonical_json(av)
+    assert json.loads(s) == canonicalize_value(av)
+    assert canonical_json(av) == s
+
+
+@given(_value)
+@settings(max_examples=100, deadline=None)
+def test_set_order_never_matters(av):
+    """Reversing every set's order yields the same canonical form (C9:
+    order-insensitive set equality)."""
+
+    def rev(v):
+        (tag, val), = v.items()
+        if tag in ("SS", "NS", "BS"):
+            return {tag: list(reversed(val))}
+        if tag == "L":
+            return {"L": [rev(x) for x in val]}
+        if tag == "M":
+            return {"M": {k: rev(x) for k, x in val.items()}}
+        return v
+
+    assert canonical_json(av) == canonical_json(rev(av))
+
+
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=6), _value), max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_item_key_order_never_matters(pairs):
+    item = dict(pairs)
+    shuffled = dict(reversed(list(item.items())))
+    assert item_to_canonical_json(item) == item_to_canonical_json(shuffled)
+
+
+@given(_number, st.integers(min_value=0, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_number_formatting_never_matters(n, pad):
+    """'1.5', '1.50', '1.5000' canonicalize identically (BigDecimal compare,
+    RowComparisonFailure.scala:308-314)."""
+    padded = n + ("." if "." not in n else "") + "0" * pad if pad else n
+    assert canonicalize_value({"N": n}) == canonicalize_value({"N": padded})
