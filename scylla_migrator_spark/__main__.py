@@ -1,0 +1,58 @@
+"""Command-line entry points — the Migrator.main / Validator.main analog
+(Migrator.scala:14-44, Validator.scala:40-105):
+
+    python -m scylla_migrator_spark migrate  config.yaml
+    python -m scylla_migrator_spark validate config.yaml
+
+Exit codes: 0 on success; validate exits non-zero when any failure category
+is non-empty (Validator.scala:67-104). The rendered (secret-redacted) config
+is logged before execution (MigratorConfig.scala:134-153 posture).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2 or argv[0] not in {"migrate", "validate"}:
+        print(__doc__, file=sys.stderr)
+        return 2
+    command, config_path = argv
+
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.session import get_spark
+
+    config = MigratorConfig.load(config_path)
+    print(json.dumps({"config": config.rendered()}, default=str), file=sys.stderr)
+    spark = get_spark(f"scylla-migrator-spark-{command}")
+    try:
+        if command == "migrate":
+            from scylla_migrator_spark.plans.migrate import migrate
+
+            out = migrate(spark, config)
+            print(json.dumps({"migrated_rows": out.count()}))
+            return 0
+        from scylla_migrator_spark.plans.validate import run_validation
+
+        report = run_validation(spark, config)
+        print(
+            json.dumps(
+                {
+                    "counts_by_kind": report.counts_by_kind,
+                    "schema_failures": report.schema_failures,
+                    "type_mismatch_columns": report.type_mismatch_columns,
+                    "repaired_rows": report.repaired_rows,
+                    "exit_code": report.exit_code,
+                }
+            )
+        )
+        return report.exit_code
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1479,3 +1479,39 @@ def meta_prefix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") * 1000).cast("long").alias("status_writetime"),
     )
     return strip_meta_prefix(add_meta_prefix(df))
+
+
+@_register(
+    "training_data_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio
+      FROM documents),
+    q AS (SELECT * FROM scored WHERE n_tokens >= 20 AND alpha_ratio >= 0.5),
+    kept AS (
+      SELECT * FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY sha256(text)))
+    SELECT source, count(*) AS docs, sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data pipeline: quality scoring -> threshold
+    filter -> exact dedup (digest groups, keeper = min id) -> per-source
+    corpus stats. Every stage is a plan fragment from the analytics modules;
+    the whole thing is one declarative DataFrame (two shuffles: the dedup
+    digest groupBy and the final source aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TXT.quality_features(docs)
+    q = scored.filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.5)).select(
+        "doc_id", "source", "text", "n_tokens"
+    )
+    kept = D.drop_exact_duplicates(q, "text", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )

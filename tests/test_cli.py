@@ -1,0 +1,81 @@
+"""CLI entry points (Migrator.main / Validator.main analog) — run as real
+subprocesses so their session lifecycle can't disturb the shared test
+session."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(command: str, config: dict, tmp_path) -> subprocess.CompletedProcess:
+    cfg_path = tmp_path / f"{command}.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"}
+    return subprocess.run(
+        [sys.executable, "-m", "scylla_migrator_spark", command, str(cfg_path)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+
+
+def test_cli_migrate_then_validate_clean(tmp_path):
+    target = str(tmp_path / "out")
+    config = {
+        "source": {"type": "parquet", "path": "/root/testdata/sf0.001/orders.parquet"},
+        "target": {"type": "parquet", "path": target},
+        "primaryKey": ["o_orderkey"],
+    }
+    mig = _run("migrate", config, tmp_path)
+    assert mig.returncode == 0, mig.stderr[-2000:]
+    assert json.loads(mig.stdout.strip().splitlines()[-1])["migrated_rows"] == 1500
+    # the rendered config is logged and contains no unredacted secrets
+    assert '"config"' in mig.stderr
+
+    val = _run("validate", config, tmp_path)
+    assert val.returncode == 0, val.stderr[-2000:]
+    report = json.loads(val.stdout.strip().splitlines()[-1])
+    assert report["counts_by_kind"] == {}
+    assert report["exit_code"] == 0
+
+
+def test_cli_validate_nonzero_exit_on_diff(tmp_path):
+    target = str(tmp_path / "out")
+    config = {
+        "source": {"type": "parquet", "path": "/root/testdata/sf0.001/orders.parquet"},
+        "target": {"type": "parquet", "path": target},
+        "primaryKey": ["o_orderkey"],
+    }
+    # migrate only a subset, then validate against the full source -> missing rows
+    subset_cfg = {
+        "source": {
+            "type": "parquet",
+            "path": "/root/testdata/sf0.001/orders.parquet",
+            "where": "o_orderkey % 2 = 0",
+        },
+        "target": {"type": "parquet", "path": target},
+        "primaryKey": ["o_orderkey"],
+    }
+    assert _run("migrate", subset_cfg, tmp_path).returncode == 0
+    val = _run("validate", config, tmp_path)
+    assert val.returncode == 1
+    report = json.loads(val.stdout.strip().splitlines()[-1])
+    assert report["counts_by_kind"].get("MissingTargetRow", 0) > 0
+
+
+def test_cli_usage_error():
+    out = subprocess.run(
+        [sys.executable, "-m", "scylla_migrator_spark", "frobnicate"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 2
