@@ -110,3 +110,39 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     expected = events.filter("event_type = 'purchase'").count()
     assert df.count() == expected
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling: one key owns ~a third of the probe side; with
+    skew thresholds lowered to fixture scale, AQE must still produce correct
+    results while splitting the hot partition (OptimizeSkewedJoin)."""
+    # repartition first: skew splits operate on MAP-OUTPUT granularity, so a
+    # single-file scan (1 map task) can never be split — at 100 TB inputs
+    # always have many map tasks, locally we must manufacture them
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(16)
+    hot = orders.withColumn(
+        "k", F.when(F.col("o_orderkey") % 3 < 2, F.lit(7)).otherwise(F.col("o_orderkey"))
+    )
+    dim = orders.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4096")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    try:
+        joined = hot.join(dim, "k")
+        n = len(joined.collect())  # collect drives THIS DataFrame's execution
+        expected = hot.join(dim.hint("broadcast"), "k").count()
+        assert n == expected
+        # the executed adaptive plan marks the skewed SMJ
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old["spark.sql.autoBroadcastJoinThreshold"])
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
