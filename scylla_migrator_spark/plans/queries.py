@@ -1515,3 +1515,75 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+@_register(
+    "stream_stateful_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+    g AS (SELECT user_id, ts_ms,
+                 CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                      > 1800000 THEN 1 ELSE 0 END AS brk
+          FROM e)
+    SELECT user_id, (1 + sum(brk))::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 custom stateful operator #2: cross-batch sessionization with
+    mergeable interval state (streaming/stateful.py::stateful_sessionize).
+    The events table is split into TWO files (even/odd event ids) delivered
+    as separate micro-batches — sessions spanning the split must be stitched
+    by the per-key state; the final answer equals the batch lag-gap
+    sessionization (30-minute gap) regardless of batch order because
+    interval merging is order-independent."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.stateful import stateful_sessionize
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor(F.col("ts") / 1_000_000).cast("long").alias("ts_ms")
+    )
+    stage = os.path.join("/tmp", f"sgs_events_split_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(stage, "_READY")):
+        tmp = stage + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for name, pred in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+            part_dir = os.path.join(tmp, f"_{name}")
+            base.filter(pred).select("user_id", "ts_ms").coalesce(1).write.parquet(part_dir)
+            (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            shutil.move(part_file, os.path.join(tmp, f"{name}.parquet"))
+            shutil.rmtree(part_dir)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent session built it
+    schema = "user_id long, ts_ms long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one batch per half
+        .parquet(stage)
+    )
+    sessions = stateful_sessionize(stream, "user_id", "ts_ms", gap_ms=30 * 60_000)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_sessions", "n_events"), "upd").alias("r"))
+        .select("user_id", F.col("r.n_sessions").alias("n_sessions"), F.col("r.n_events").alias("n_events"))
+    )

@@ -63,3 +63,88 @@ def stateful_distinct_counts(stream: DataFrame, key_col: str = "user_id") -> Dat
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch sessionization with mergeable interval state
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("upd", T.LongType()),  # per-key update counter; max = final
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+
+def _merge_sessions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState, gap_ms: int
+) -> Iterator[pd.DataFrame]:
+    """Merge this batch's event times into the per-key session intervals.
+
+    Sessions are connected components of event times under `distance <= gap`,
+    which is independent of arrival order and batch split — so the final
+    state equals the batch `session_window` answer no matter how the stream
+    was chopped up. State is O(sessions), not O(events): each interval is
+    (start, end, count); a new point either extends an interval, bridges two,
+    or opens its own."""
+    if state.exists:
+        starts, ends, counts, upd = state.get
+        intervals = [[s, e, c] for s, e, c in zip(starts, ends, counts)]
+    else:
+        intervals, upd = [], 0
+    pts = sorted(
+        int(t) for pdf in pdfs for t in pdf["ts_ms"].tolist()
+    )
+    # sweep-merge: existing intervals + new points (as degenerate intervals),
+    # ordered by start; adjacent pieces closer than gap fuse
+    pieces = sorted(intervals + [[t, t, 1] for t in pts])
+    merged: list[list[int]] = []
+    for s, e, c in pieces:
+        if merged and s - merged[-1][1] <= gap_ms:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += c
+        else:
+            merged.append([s, e, c])
+    upd += 1
+    state.update(
+        ([m[0] for m in merged], [m[1] for m in merged], [m[2] for m in merged], upd)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "upd": [upd],
+            "n_sessions": [len(merged)],
+            "n_events": [sum(m[2] for m in merged)],
+        }
+    )
+
+
+def stateful_sessionize(
+    stream: DataFrame, key_col: str = "user_id", ts_ms_col: str = "ts_ms", gap_ms: int = 30 * 60_000
+) -> DataFrame:
+    """Cross-batch sessionization (the stateful twin of ``session_window``).
+
+    Emits (key, upd, n_sessions, n_events) per key per batch; the row with
+    the max ``upd`` per key is the final answer."""
+
+    def fn(key, pdfs, state):
+        return _merge_sessions(key, pdfs, state, gap_ms)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
