@@ -46,6 +46,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to every core before compute-heavy per-row work.
+
+    The driver fixtures are single-file single-row-group parquet, so the scan
+    stage cannot split and any expensive projection chained onto it (JSON
+    codec, digests, shingling) runs serially. A real 100 TB table is tens of
+    thousands of files/row-groups and parallelizes at the scan, so this
+    round-robin repartition reproduces the cluster plan shape locally. It is
+    applied AFTER filters/column pruning so pushdown still reaches the scan
+    and the shuffle carries only the pruned columns."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ===========================================================================
 # Migration surface (SURVEY S6, P1, F1/F2, F6, K5)
 # ===========================================================================
@@ -123,7 +137,7 @@ def validation_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1/V3/J3: the full join-diff with tolerances; output = failure counts
     by kind. The +0.0005 perturbation stays inside floatingPointTolerance
     (0.001) and must NOT be reported."""
-    src = _t(spark, sf_dir, "orders")
+    src = _fan(_t(spark, sf_dir, "orders"))
     tgt = _perturbed_target(src)
     diff, _ = V.joined_diff(src, tgt, ["o_orderkey"], Validation())
     # no pre-filter on size(failures) > 0: explode already drops empty
@@ -646,7 +660,7 @@ def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over source-blocked pairs via the inverted-index
     join (dedup.ngram_jaccard_pairs) — work scales with shared-shingle
     co-occurrences, not all-pairs array intersects."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", block_col="source", n=3)
 
 
@@ -667,7 +681,7 @@ def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _t(spark, sf_dir, "documents")
+        _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", D.simhash(F.col("text"), bits=32).alias("simhash"))
     )
 
@@ -751,7 +765,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded signature equi-join — the
     100 TB dedup path). Approximate by construction -> no SQL oracle; exact
     Jaccard verification of these pairs is ngram_jaccard_block_pairs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
 
 
@@ -818,7 +832,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within hamming distance 8. Fingerprint once per doc (5k rows), then a
     block self-join; at 100 TB block instead on fingerprint band-prefixes so
     candidates share a bucket key (same shape as MinHash LSH)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"], bits=32)
     a, b = fp.alias("a"), fp.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
@@ -972,14 +986,15 @@ def s3export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     full S3 export (gzip JSON-lines data files + manifest-files +
     manifest-summary with per-file item counts), read it back through the
     export source, decode, and project the original columns. The manifest
-    per-file counts are the A6 per-partition-count surface."""
+    per-file counts are the A6 per-partition-count surface. The fan-out also
+    parallelizes the gzip encode across data files (one per partition)."""
     import os
 
     from scylla_migrator_spark.functions.ddb_variant import key_field, parse_item
     from scylla_migrator_spark.sinks.s3export import write_s3_export
     from scylla_migrator_spark.sources.s3export import read_s3_export
 
-    df = _t(spark, sf_dir, "orders")
+    df = _fan(_t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"))
     price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
     item_json = F.to_json(
         F.struct(
@@ -1014,7 +1029,7 @@ def ddb_deep_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 11th key gets +1) differ."""
     from scylla_migrator_spark.functions.ddb_variant import items_deep_equal, parse_item
 
-    df = _t(spark, sf_dir, "orders")
+    df = _fan(_t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"))
     price = F.col("o_totalprice").cast("decimal(18,2)")
     src = parse_item(
         F.to_json(
@@ -1366,7 +1381,10 @@ def hash_refinement_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-probed with a broadcast key join against both full-payload sides and
     re-compared column by column. The %10 price perturbation (+0.0005) IS a
     digest mismatch but is inside floatingPointTolerance, so refinement must
-    clear it — only the %13 (+0.5) and %31 (status flip) rows survive."""
+    clear it — only the %13 (+0.5) and %31 (status flip) rows survive.
+    (No _fan here: the refinement plan executes its upstream three times —
+    digest join, broadcast build, re-probe — so an extra round-robin
+    exchange would be paid on every pass and costs more than it buys.)"""
     src = _t(spark, sf_dir, "orders")
     tgt = _perturbed_target(src)
     hash_cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
