@@ -52,6 +52,9 @@ HEADLINE = [
     "stream_stateful_dedup_count",
     "salted_broadcast_join_hot_key",
     "ddb_deep_compare",
+    "asof_click_purchase",
+    "range_join_error_clicks",
+    "time_bucket_rollup",
 ]
 
 

@@ -1075,7 +1075,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # concurrent session staged it first
     stream = spark.readStream.schema(batch.schema).parquet(stage)
     return stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 
@@ -1564,7 +1564,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.streaming.stateful import stateful_sessionize
 
     base = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.floor(F.col("ts") / 1_000_000).cast("long").alias("ts_ms")
+        "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
     )
     stage = os.path.join("/tmp", f"sgs_events_split_{os.path.basename(sf_dir.rstrip('/'))}")
     if not os.path.exists(os.path.join(stage, "_READY")):
@@ -1604,4 +1604,133 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max_by(F.struct("n_sessions", "n_events"), "upd").alias("r"))
         .select("user_id", F.col("r.n_sessions").alias("n_sessions"), F.col("r.n_events").alias("n_events"))
+    )
+
+
+# ===========================================================================
+# Temporal operators the reference lacks: as-of join, range join, time-bucket
+# rollup (operators/asof.py, operators/range_join.py)
+# ===========================================================================
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ts narrowed from epoch-nanos long to epoch-micros long —
+    the precision DuckDB's TIMESTAMP carries, so oracles compare exactly."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+    )
+
+
+@_register(
+    "asof_click_purchase",
+    """
+    WITH c AS (SELECT event_id AS click_event_id, user_id, epoch_us(ts)::BIGINT AS click_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts)::BIGINT AS purchase_us, event_id AS purchase_event_id
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.click_event_id, c.user_id, c.click_us, p.purchase_us, p.purchase_event_id,
+             row_number() OVER (PARTITION BY c.click_event_id
+                                ORDER BY p.purchase_us DESC, p.purchase_event_id DESC) AS rn
+      FROM c JOIN p ON c.user_id = p.user_id AND p.purchase_us <= c.click_us)
+    SELECT click_event_id, user_id, click_us, purchase_us, purchase_event_id
+    FROM cand WHERE rn = 1
+    """,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join: each click event gets the same user's
+    most recent purchase at-or-before it (ties broken by max event id). The
+    union-sort plan shuffles each side ONCE by user_id — no candidate-pair
+    explosion (see operators/asof.py)."""
+    from scylla_migrator_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", F.col("ts_us").alias("click_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_us",
+        right_ts="purchase_us",
+        tiebreak="purchase_event_id",
+        how="inner",
+    )
+
+
+@_register(
+    "range_join_error_clicks",
+    """
+    WITH e AS (SELECT event_id AS error_event_id, user_id,
+                      epoch_us(ts)::BIGINT AS start_us,
+                      epoch_us(ts)::BIGINT + 21600000000 AS end_us
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, event_id AS click_event_id, epoch_us(ts)::BIGINT AS click_us
+          FROM events WHERE event_type = 'click')
+    SELECT e.error_event_id, c.click_event_id, e.user_id
+    FROM e JOIN c ON e.user_id = c.user_id
+                 AND c.click_us >= e.start_us AND c.click_us <= e.end_us
+    """,
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join: clicks landing within 6 hours after an
+    error by the same user. The inequality becomes an equi-join on
+    (user_id, time-bucket) — shuffle-planable, broadcastable, AQE-friendly —
+    instead of a per-key cross product (see operators/range_join.py)."""
+    from scylla_migrator_spark.operators.range_join import range_join_points
+
+    ev = _events_us(spark, sf_dir)
+    window_us = 21_600_000_000  # 6 hours
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + window_us).alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), F.col("ts_us").alias("click_us")
+    )
+    joined = range_join_points(
+        errors, clicks, ["user_id"], "start_us", "end_us", "click_us", bucket_width=window_us
+    )
+    return joined.select("error_event_id", "click_event_id", "user_id")
+
+
+@_register(
+    "time_bucket_rollup",
+    """
+    SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS bucket_day,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type, bucket_day
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (event_type, day-bucket)
+    rollup. At scale this is the materialized layer a `partitionBy(bucket)`
+    parquet layout serves with partition-pruned reads; the map-side partial
+    aggregation makes the shuffle carry one row per group per task."""
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    return (
+        ev.groupBy(
+            "event_type", F.expr(f"ts DIV {day_ns}").alias("bucket_day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
     )

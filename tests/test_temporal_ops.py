@@ -1,0 +1,111 @@
+"""Unit + plan-shape tests for the temporal operators (as-of join, bucketed
+range join) — semantics the DuckDB oracle can't pin (left-join nulls,
+tie-breaks, plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.operators.asof import asof_join
+from scylla_migrator_spark.operators.range_join import range_join_points
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 20, 2), ("B", 5, 3), ("B", 4, 4)],
+        "sym string, t long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100, 50.0), ("A", 10, 101, 51.0), ("A", 10, 102, 52.0), ("B", 5, 103, 9.0)],
+        "sym string, qt long, quote_id long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_inclusive_and_tiebreak(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt", tiebreak="quote_id", how="inner"
+    )
+    rows = {r.trade_id: (r.quote_id, r.px) for r in out.collect()}
+    # t=10 matches the equal-ts quote (inclusive); among the two qt=10 quotes
+    # the max quote_id (102) wins
+    assert rows[1] == (102, 52.0)
+    assert rows[2] == (102, 52.0)
+    assert rows[3] == (103, 9.0)  # equal ts inclusive
+    assert 4 not in rows  # t=4 precedes every B quote -> dropped by inner
+
+
+def test_asof_left_keeps_unmatched(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt", tiebreak="quote_id", how="left"
+    )
+    rows = {r.trade_id: r.quote_id for r in out.collect()}
+    assert len(rows) == 4 and rows[4] is None
+
+
+def test_asof_single_shuffle_plan(trades_quotes):
+    """The union-sort as-of plan must shuffle each side once (the window's
+    hash partitioning) — no join node, no cartesian/BNLJ anywhere."""
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="qt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_asof_rejects_bad_how(trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="how"):
+        asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="qt", how="full")
+
+
+@pytest.fixture(scope="module")
+def intervals_points(spark):
+    iv = spark.createDataFrame(
+        [("u1", 100, 200, 1), ("u1", 150, 250, 2), ("u2", 0, 50, 3)],
+        "k string, s long, e long, iv_id long",
+    )
+    pts = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", 200, 11), ("u1", 225, 12), ("u1", 260, 13), ("u2", 50, 14)],
+        "k string, p long, pt_id long",
+    )
+    return iv, pts
+
+
+def test_range_join_containment_inclusive_no_dupes(intervals_points):
+    iv, pts = intervals_points
+    out = range_join_points(iv, pts, ["k"], "s", "e", "p", bucket_width=100)
+    pairs = sorted((r.iv_id, r.pt_id) for r in out.collect())
+    # boundaries inclusive on both ends; p=260 matches nothing; each pair once
+    assert pairs == [(1, 10), (1, 11), (2, 11), (2, 12), (3, 14)]
+
+
+@pytest.mark.parametrize("width", [1, 7, 1000])
+def test_range_join_width_invariant(intervals_points, width):
+    iv, pts = intervals_points
+    out = range_join_points(iv, pts, ["k"], "s", "e", "p", bucket_width=width)
+    pairs = sorted((r.iv_id, r.pt_id) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 11), (2, 12), (3, 14)]
+
+
+def test_range_join_is_equi_join(intervals_points):
+    """The physical plan must be a hash/merge equi-join on the bucket key —
+    never a nested-loop theta join."""
+    iv, pts = intervals_points
+    out = range_join_points(iv, pts, ["k"], "s", "e", "p", bucket_width=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_rejects_ambiguity_and_bad_width(intervals_points):
+    iv, pts = intervals_points
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join_points(iv, pts, ["k"], "s", "e", "p", bucket_width=0)
+    clash = pts.withColumnRenamed("p", "s")
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join_points(iv, clash, ["k"], "s", "e", "s", bucket_width=10)
