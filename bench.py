@@ -55,6 +55,13 @@ HEADLINE = [
     "asof_click_purchase",
     "range_join_error_clicks",
     "time_bucket_rollup",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_cust_distribution",
+    "tpch_q18_large_orders",
+    "window_lag_lead_gaps",
+    "grouping_sets_order_stats",
 ]
 
 

@@ -1734,3 +1734,513 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+# ===========================================================================
+# Batch 4: the remaining TPC-H join/subquery shapes (adapted to the slim
+# fixture: no partsupp, lineitem has no commitdate/receiptdate/shipmode),
+# plus lag/lead windows, pivot, grouping sets, and INTERSECT. These widen
+# the analytics surface beyond the reference's equi-join-only plans
+# (SURVEY §2.5 note, §7.2.9).
+# ===========================================================================
+
+
+@_register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left_semi join (the J7 pattern,
+    m/validation/core/KeyDrivenLookup.scala:48-62, generalized to a non-equi
+    residual condition). The semi join shuffles both sides on orderkey once;
+    lineitem is pruned to (l_orderkey, l_shipdate) at the scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li["l_orderkey"] == o["o_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The same dimension (nation) joins twice under different roles;
+    supplier + both nation copies broadcast, so the only shuffles are the
+    lineitem-orders and orders-customer equi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of PROMO-part volume sold
+    to ASIA customers, per order year. Conditional aggregation over an
+    8-way star join; every dimension broadcasts, facts shuffle twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)).cast("double")
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@_register(
+    "tpch_q12_priority_lines",
+    """
+    SELECT year(l_shipdate) AS ship_year,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY ship_year
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> ship year): conditional counts over a
+    join with a non-equi residual filter. Partial aggregation collapses the
+    shuffle to one row per (task, year)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q13_cust_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution. A left outer join with a
+    filter INSIDE the join condition (kept rows vs dropped matches — the
+    semantics the J1 validator join relies on), then a two-level aggregate.
+    The second aggregate is tiny (distinct counts), so the only real
+    shuffle is the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax via scalar subquery. The per-supplier revenue
+    aggregate is computed once and reused for both the max and the probe
+    (decimal sums make the equality exact cross-engine); the 1-row max side
+    and the supplier dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .alias("total_revenue_dec")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue_dec"] == mx["mx"])
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 count(*) AS cnt_qty
+          FROM lineitem GROUP BY l_partkey) pq
+      ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average (qty < 0.2 * avg) turned
+    into an aggregate-then-rejoin. The fractional threshold is cross-
+    multiplied (qty * 5 * count < sum) so the comparison is exact decimal
+    arithmetic — no float boundary flakiness between engines. At scale the
+    per-part aggregate is much smaller than lineitem and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pq = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(pq), F.col("agg_partkey") == li["l_partkey"])
+        .filter(qty_dec * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING -> aggregate + left_semi
+    join. The qualifying-orderkey set is tiny (tail of the qty
+    distribution), so it broadcasts into the semi join and prunes orders
+    before the expensive customer join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_dec).alias("big_qty"))
+        .filter(F.col("big_qty") > 300)
+        .select("l_orderkey")
+    )
+    o_big = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+    return (
+        li.join(o_big, li["l_orderkey"] == o_big["o_orderkey"])
+        .join(c, o_big["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty_dec).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing columns from both join sides.
+    Catalyst extracts the common single-side conjuncts (brand set, quantity
+    envelope) as pushed-down pre-filters; the residual disjunction evaluates
+    post-join inside codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q22_wealthy_inactive",
+    """
+    WITH params AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt_bal
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, params
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average account balance (scalar aggregate
+    subquery, cross-multiplied to exact decimal arithmetic) AND no urgent
+    orders (NOT EXISTS -> left_anti, the J4 pattern,
+    m/validation/core/ExtraRowDetector.scala:8-31). The 1-row params frame
+    cross-joins via broadcast; the anti join's filtered build side is small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    params = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+        F.count("*").alias("cnt_bal"),
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        c.crossJoin(F.broadcast(params))
+        .filter(bal_dec * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal_dec).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "window_lag_lead_gaps",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts)::BIGINT - lag(epoch_us(ts)::BIGINT) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type,
+           row_number() OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/row_number in one window pass: per-user inter-event gaps and
+    next event type. One shuffle on user_id serves all three functions
+    (single Window physical operator); timestamps compared at microsecond
+    precision (integer arithmetic, no float drift)."""
+    from pyspark.sql.window import Window
+
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@_register(
+    "pivot_priority_counts",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-values job —
+    mandatory at scale) = one single-shuffle aggregate; missing cells
+    coalesce to 0 to match SQL's FILTER counts."""
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["urgent", "high", "medium", "notspec", "low"]
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in zip(vals, aliases)],
+    )
+
+
+@_register(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube) through the SQL
+    front-end: Spark expands to a single Expand + one aggregate — 3 grouping
+    combinations in one shuffle, not 3 jobs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
+    "intersect_fulfilled_pending_custs",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def intersect_fulfilled_pending_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics, complementing the E1/E2 EXCEPT ops):
+    customers with both fulfilled and pending orders. Spark plans a
+    left-semi join over pre-aggregated distincts."""
+    o = _t(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_side = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f_side.intersect(p_side)
