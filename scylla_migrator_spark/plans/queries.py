@@ -2187,20 +2187,23 @@ def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT with an explicit value list (no extra distinct-values job —
-    mandatory at scale) = one single-shuffle aggregate; missing cells
-    coalesce to 0 to match SQL's FILTER counts."""
+    """Pivot with a known value list, written as conditional aggregation
+    rather than `DataFrame.pivot`: Spark's pivot plans TWO exchanges (a
+    (status, priority) pre-aggregate feeding `pivotfirst`), while
+    count-when compiles to one partial-agg shuffle carrying one row per
+    (task, status) — the shape that survives a 100x scale-up. No
+    distinct-values driver job either."""
     vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     aliases = ["urgent", "high", "medium", "notspec", "low"]
-    pivoted = (
+    return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .pivot("o_orderpriority", vals)
-        .count()
-    )
-    return pivoted.select(
-        "o_orderstatus",
-        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in zip(vals, aliases)],
+        .agg(
+            *[
+                F.count(F.when(F.col("o_orderpriority") == v, True)).alias(a)
+                for v, a in zip(vals, aliases)
+            ]
+        )
     )
 
 

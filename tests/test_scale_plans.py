@@ -146,3 +146,49 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+
+
+def test_q4_semi_join_prunes_lineitem_scan(spark, sf_dir):
+    """EXISTS -> left_semi: lineitem reaches the scan with only the join key
+    and the residual-predicate column, and the join stays a semi join."""
+    plan = plan_of(Q.QUERIES["tpch_q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan
+
+
+def test_q18_having_set_broadcasts_into_semi_join(spark, sf_dir):
+    """The HAVING-qualified orderkey set is tiny -> it must broadcast, not
+    shuffle orders."""
+    plan = plan_of(Q.QUERIES["tpch_q18_large_orders"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q22_anti_join_no_cartesian(spark, sf_dir):
+    """Scalar params cross-join must be a broadcast nested loop over ONE row,
+    and NOT EXISTS must plan as a (broadcastable) left_anti join."""
+    plan = plan_of(Q.QUERIES["tpch_q22_wealthy_inactive"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_pivot_explicit_values_single_shuffle(spark, sf_dir):
+    """PIVOT with an explicit value list must not run a distinct-values job:
+    exactly one aggregate exchange in the plan."""
+    plan = plan_of(Q.QUERIES["pivot_priority_counts"](spark, sf_dir), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS expands in-task (one Expand) and aggregates in one
+    shuffle — not one job per grouping combination."""
+    plan = plan_of(Q.QUERIES["grouping_sets_order_stats"](spark, sf_dir), mode="simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_lag_lead_single_window_pass(spark, sf_dir):
+    """lag + lead + row_number over the same spec share ONE Window operator
+    and one shuffle on user_id."""
+    plan = plan_of(Q.QUERIES["window_lag_lead_gaps"](spark, sf_dir), mode="simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
