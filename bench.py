@@ -62,6 +62,8 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "window_lag_lead_gaps",
     "grouping_sets_order_stats",
+    "dedup_components",
+    "stream_stream_join",
 ]
 
 

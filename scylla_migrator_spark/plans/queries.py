@@ -2247,3 +2247,105 @@ def intersect_fulfilled_pending_custs(spark: SparkSession, sf_dir: str) -> DataF
     f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     p_side = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return f_side.intersect(p_side)
+
+
+# ===========================================================================
+# Batch 5: graph dedup clustering + stream-stream join
+# ===========================================================================
+
+
+@_register(
+    "dedup_components",
+    r"""
+    WITH RECURSIVE
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s)
+    SELECT v AS doc_id, min(u)::BIGINT AS component FROM reach GROUP BY v
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP ASSIGNMENT: near-dup pairs (simhash hamming<=8) form a
+    graph; each doc gets its connected component's min doc_id as canonical
+    representative. Iterative min-label propagation in DataFrame joins
+    (analytics/components.py) vs a transitive-closure recursive CTE in the
+    oracle — an operator class (iterative graph fixpoint) the reference
+    engine cannot express at all."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@_register(
+    "stream_stream_join",
+    """
+    WITH c AS (SELECT user_id, event_id AS click_event_id, epoch_us(ts)::BIGINT AS click_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_event_id, epoch_us(ts)::BIGINT AS purchase_us
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_event_id, p.purchase_event_id, c.user_id, c.click_us, p.purchase_us
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.purchase_us >= c.click_us AND p.purchase_us <= c.click_us + 3600000000
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (T6 extension): purchases within 1 hour
+    after a click by the same user. Both sides carry event-time watermarks;
+    the time-interval join condition lets Structured Streaming bound each
+    side's state store (clicks expire 1h after their event time) — the
+    pattern that keeps state finite on an unbounded 100 TB/day stream.
+    Batch-equivalent to the oracle's range join."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_available_now(joined, "append")
+    return out.select(
+        "click_event_id",
+        "purchase_event_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )

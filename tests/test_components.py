@@ -1,0 +1,45 @@
+"""Unit tests for analytics/components.py — iterative connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics.components import connected_components
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components(edges).collect()
+    return {r["id"]: r["comp"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4, everything labels 1
+    comp = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_separate_cliques_stay_separate(spark):
+    comp = _cc(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)])
+    assert {comp[1], comp[2], comp[3]} == {1}
+    assert {comp[10], comp[11], comp[12]} == {10}
+
+
+def test_bridge_merges_components(spark):
+    comp = _cc(spark, [(1, 2), (10, 11), (2, 10)])
+    assert set(comp.values()) == {1}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    fwd = _cc(spark, [(1, 5), (5, 9)])
+    rev = _cc(spark, [(9, 5), (5, 1)])
+    assert fwd == rev == {1: 1, 5: 1, 9: 1}
+
+
+def test_long_chain_converges_within_max_iter(spark):
+    # 40-node path: needs ~39 propagation rounds with naive one-hop gossip;
+    # must still converge because each round's min spreads from both ends
+    n = 40
+    comp = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
