@@ -202,10 +202,20 @@ class Validation:
     copy_missing_rows: bool = False
     hash_columns: list[str] = field(default_factory=list)
     numeric_type_policy: str = "lenient"  # lenient | strict-type | detect-widen
+    # how repaired rows' *_writetime companions are stamped
+    # (RepairWritetimeStrategy.scala, ScyllaValidator.scala:275-303)
+    repair_writetime_strategy: str = "source"  # source | coordinator | config
+    repair_writetime_value: int | None = None  # epoch-µs, required for "config"
 
     def __post_init__(self) -> None:
         if self.numeric_type_policy not in {"lenient", "strict-type", "detect-widen"}:
             raise ConfigError(f"invalid numericTypePolicy {self.numeric_type_policy!r}")
+        if self.repair_writetime_strategy not in {"source", "coordinator", "config"}:
+            raise ConfigError(
+                f"invalid repairWritetimeStrategy {self.repair_writetime_strategy!r}"
+            )
+        if self.repair_writetime_strategy == "config" and self.repair_writetime_value is None:
+            raise ConfigError("repairWritetimeStrategy: config requires repairWritetimeValue")
         for name in ("ttl_tolerance_millis", "writetime_tolerance_millis", "failures_to_fetch"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

@@ -148,6 +148,43 @@ def refine_hash_mismatches(
     return diff.filter(F.size(FAILURES_COL) > 0)
 
 
+def apply_repair_writetime(
+    df: DataFrame, strategy: str = "source", value_us: int | None = None, now_us: int | None = None
+) -> DataFrame:
+    """Stamp the ``*_writetime`` companion columns of repair rows
+    (RepairWritetimeStrategy.scala, applied at ScyllaValidator.scala:275-303):
+
+    - ``source``: keep the source row's writetimes (no-op) — the repaired
+      cell is indistinguishable from an original migration.
+    - ``coordinator``: stamp "now" in epoch-µs — what a plain CQL INSERT
+      without USING TIMESTAMP would get. ``now_us`` injectable for tests.
+    - ``config``: stamp the fixed configured value.
+
+    A column expression rewrite (single projection, stays in codegen); the
+    non-writetime columns pass through untouched."""
+    from scylla_migrator_spark.schema import WRITETIME_SUFFIX
+
+    if strategy == "source":
+        return df
+    if strategy == "coordinator":
+        import time as _time
+
+        stamp = now_us if now_us is not None else int(_time.time() * 1_000_000)
+    elif strategy == "config":
+        if value_us is None:
+            raise ValueError("repair_writetime_strategy 'config' requires a value")
+        stamp = value_us
+    else:
+        raise ValueError(f"unknown repair writetime strategy {strategy!r}")
+    wt_cols = [c for c in df.columns if c.endswith(WRITETIME_SUFFIX)]
+    return df.select(
+        *[
+            F.lit(stamp).cast("long").alias(c) if c in wt_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def validate(
     source: DataFrame,
     target: DataFrame,
@@ -187,7 +224,11 @@ def validate(
         try:
             repaired = missing.count()
             if repaired:
-                repair_writer(missing)
+                repair_writer(
+                    apply_repair_writetime(
+                        missing, v.repair_writetime_strategy, v.repair_writetime_value
+                    )
+                )
         finally:
             missing.unpersist()
 

@@ -136,3 +136,57 @@ def test_schema_mismatch_reported_not_crash(spark):
     assert report.schema_failures == [C.MISMATCHED_COLUMN_NAMES]
     assert report.exit_code == 1
     assert report.counts_by_kind == {}  # common columns all match
+
+
+def test_repair_writetime_strategies(spark):
+    """RepairWritetimeStrategy semantics (ScyllaValidator.scala:275-303):
+    source = passthrough, coordinator = now-µs, config = fixed value."""
+    from scylla_migrator_spark.plans.validate import apply_repair_writetime
+
+    df = spark.createDataFrame(
+        [(1, "a", 111, 222)], "id long, v string, v_ttl long, v_writetime long"
+    )
+    src = apply_repair_writetime(df, "source").collect()[0]
+    assert (src["v_writetime"], src["v_ttl"]) == (222, 111)
+
+    coord = apply_repair_writetime(df, "coordinator", now_us=9_999).collect()[0]
+    assert coord["v_writetime"] == 9_999
+    assert coord["v_ttl"] == 111  # TTL untouched
+
+    fixed = apply_repair_writetime(df, "config", value_us=1_234_567).collect()[0]
+    assert fixed["v_writetime"] == 1_234_567
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_repair_writetime(df, "config")  # value required
+
+
+def test_repair_writetime_config_via_validate(spark):
+    """End-to-end: copyMissingRows with the 'config' strategy stamps the
+    repaired rows' writetime companions."""
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, v_writetime long"
+    )
+    tgt = src.filter(F.col("id") == 1)
+    captured = []
+    v = Validation(
+        copy_missing_rows=True,
+        repair_writetime_strategy="config",
+        repair_writetime_value=777,
+    )
+    report = validate(src, tgt, ["id"], v, repair_writer=lambda d: captured.append(d.collect()))
+    assert report.repaired_rows == 1
+    [rows] = captured
+    assert rows[0]["id"] == 2 and rows[0]["v_writetime"] == 777
+
+
+def test_invalid_repair_strategy_rejected():
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError
+
+    with _pytest.raises(ConfigError):
+        Validation(repair_writetime_strategy="bogus")
+    with _pytest.raises(ConfigError):
+        Validation(repair_writetime_strategy="config")  # missing value
