@@ -134,11 +134,16 @@ def build_rename_map(renames: list[Rename], columns: list[str]) -> dict[str, str
 
 @dataclass
 class SourceSettings:
-    type: str  # parquet | jdbc | dynamodb-s3-export | cql-fixture | stream
+    type: str  # parquet | csv | json | orc | jdbc | dynamodb-s3-export | cql-fixture | stream
     path: str | None = None
     table: str | None = None
     url: str | None = None  # jdbc connection url (redacted in rendered())
     where: str | None = None
+    # generic file-format reader options (csv/json/orc), e.g. header,
+    # inferSchema, multiLine; at scale pass an explicit `schema` DDL string
+    # instead of inferSchema (inference is an extra full pass over the data)
+    options: dict[str, str] = field(default_factory=dict)
+    schema_ddl: str | None = None
     # jdbc partitioned-read settings (reference MySQL.scala:662-691)
     partition_column: str | None = None
     lower_bound: Any = None
@@ -151,7 +156,10 @@ class SourceSettings:
     skip_segments: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        allowed = {"parquet", "jdbc", "dynamodb-s3-export", "cql-fixture", "stream"}
+        allowed = {
+            "parquet", "csv", "json", "orc",
+            "jdbc", "dynamodb-s3-export", "cql-fixture", "stream",
+        }
         if self.type not in allowed:
             raise ConfigError(f"unknown source type {self.type!r}; allowed: {sorted(allowed)}")
         if self.where is not None:
@@ -167,10 +175,11 @@ class SourceSettings:
 
 @dataclass
 class TargetSettings:
-    type: str  # parquet | scylla-fixture | dynamodb-s3-export
+    type: str  # parquet | csv | json | orc | scylla-fixture | dynamodb-s3-export
     path: str | None = None
     mode: str = "overwrite"
     compression: str = "snappy"
+    options: dict[str, str] = field(default_factory=dict)
     # constant TTL / WRITETIME applied on write (writers/Scylla.scala:278-330)
     ttl: int | None = None
     writetime_us: int | None = None
@@ -181,7 +190,7 @@ class TargetSettings:
     exploded_timestamp_write: bool = False
 
     def __post_init__(self) -> None:
-        allowed = {"parquet", "scylla-fixture", "dynamodb-s3-export"}
+        allowed = {"parquet", "csv", "json", "orc", "scylla-fixture", "dynamodb-s3-export"}
         if self.type not in allowed:
             raise ConfigError(f"unknown target type {self.type!r}; allowed: {sorted(allowed)}")
         if self.mode not in {"overwrite", "append", "error", "ignore"}:

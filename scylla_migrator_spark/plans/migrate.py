@@ -47,6 +47,17 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
                 c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
             ]
             df = df.drop(*companions)
+    elif src.type in ("csv", "json", "orc"):
+        # generic columnar/text file sources: same pipeline surface as
+        # parquet. CSV/JSON get schema from `schemaDdl` when provided
+        # (at scale: always — inference re-reads the data); ORC is
+        # self-describing like parquet.
+        reader = spark.read.options(**src.options)
+        if src.schema_ddl:
+            reader = reader.schema(src.schema_ddl)
+        elif src.type == "csv":
+            reader = reader.option("inferSchema", True)
+        df = getattr(reader, src.type)(src.path)
     elif src.type == "jdbc":
         from scylla_migrator_spark.sources.jdbc import read_jdbc
 
@@ -157,6 +168,19 @@ def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
             writetime_us=tgt.writetime_us,
             strip_zeros=tgt.strip_trailing_zeros_for_decimals,
         )
+    elif tgt.type in ("csv", "json", "orc"):
+        writer = df.write.mode(tgt.mode).options(**tgt.options).option(
+            "compression", tgt.compression
+        )
+        if tgt.type == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, tgt.type)(tgt.path)
+        reader = spark.read.options(**tgt.options)
+        if tgt.type == "csv":
+            reader = reader.option("header", True).schema(df.schema)
+        elif tgt.type == "json":
+            reader = reader.schema(df.schema)
+        return getattr(reader, tgt.type)(tgt.path)
     elif tgt.type == "dynamodb-s3-export":
         from scylla_migrator_spark.sinks.s3export import write_s3_export
         from scylla_migrator_spark.sources.s3export import read_s3_export

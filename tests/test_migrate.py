@@ -73,3 +73,48 @@ def test_rename_collision_detected():
         build_rename_map([Rename("a", "B")], ["a", "b"])
     # case-insensitive source resolution works
     assert build_rename_map([Rename("A", "x")], ["a", "b"]) == {"a": "x"}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_file_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """csv/json/orc migrate targets and sources: orders -> fmt -> validate
+    clean against the original."""
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+    from scylla_migrator_spark.plans.validate import validate
+
+    out_dir = str(tmp_path / f"out_{fmt}")
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            "target": {"type": fmt, "path": out_dir, "compression": "gzip" if fmt != "orc" else "snappy"},
+            "primaryKey": ["o_orderkey"],
+        }
+    )
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = migrate(spark, cfg)
+    # timestamp column fidelity differs per format (csv parses back as
+    # timestamp via the provided schema); compare a stable projection
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    report = validate(src.select(*cols), out.select(*cols), ["o_orderkey"])
+    assert report.counts_by_kind == {}
+
+    # and read back through the source dispatch (schema pinned via DDL)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields)
+    cfg2 = MigratorConfig.from_dict(
+        {
+            "source": {
+                "type": fmt,
+                "path": out_dir,
+                "schemaDdl": ddl,
+                "options": {"header": "true"} if fmt == "csv" else {},
+            },
+            "target": {"type": "parquet", "path": str(tmp_path / f"back_{fmt}")},
+            "primaryKey": ["o_orderkey"],
+        }
+    )
+    back = migrate(spark, cfg2)
+    assert back.count() == src.count()
