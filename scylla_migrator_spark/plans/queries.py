@@ -2349,3 +2349,85 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, lower(w) AS term
+      FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+      WHERE length(w) >= 4),
+    tf AS (SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df_lang
+           FROM toks GROUP BY lang, term),
+    n AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY lang),
+    scored AS (
+      SELECT tf.lang, term, tf * (n_docs * 1.0 / df_lang) AS score_raw,
+             row_number() OVER (PARTITION BY tf.lang
+                                ORDER BY tf * (n_docs * 1.0 / df_lang) DESC, term) AS rn
+      FROM tf JOIN n ON tf.lang = n.lang)
+    SELECT lang, term, round(score_raw, 6) AS score FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction: top-3 terms per language by TF x linear
+    IDF (tf * N/df — linear instead of log IDF so the score is a single
+    IEEE-deterministic double op chain, exactly reproducible cross-engine).
+    Plan: tokenize/explode -> two-level agg -> broadcast per-lang totals ->
+    windowed top-k. The explode happens AFTER the scan projection prunes to
+    3 columns; the per-(lang,term) aggregate is partial-agg friendly."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        _fan(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 4)
+        .select("doc_id", "lang", F.lower(F.col("w")).alias("term"))
+    )
+    tf = toks.groupBy("lang", "term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df_lang")
+    )
+    n = toks.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = tf.join(F.broadcast(n), "lang").withColumn(
+        "score_raw", F.col("tf") * (F.col("n_docs") * 1.0 / F.col("df_lang"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "term", F.round("score_raw", 6).alias("score"))
+    )
+
+
+@_register(
+    "embedding_centroids",
+    """
+    SELECT label, dim::INT AS dim,
+           round(CAST(sum(CAST(embedding[dim] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+             AS avg_val
+    FROM embeddings, generate_series(1, 4) AS g(dim)
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (first 4 dims compared):
+    posexplode -> (label, dim) aggregate. Floats are summed as DECIMAL(18,9)
+    so the reduction is associative-exact (order-independent — a plain
+    double sum is shuffle-order-dependent and NOT cross-engine stable);
+    the final mean divides once in double. This is the k-means update step
+    / class-prototype op of the embedding pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") < 4)
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+            ).alias("avg_val")
+        )
+    )
