@@ -12,10 +12,10 @@ Reference parity (Z1-Z5, SavepointsManager.scala:53-472):
 
 Our engine replaces the reference's SparkListener/accumulator machinery with
 ``input_file_name()``-grained completion tracking: after a unit (file,
-segment, range) is fully written, the driver records it. The signal-handler
-dump machinery is deliberately not ported (SURVEY §7.3: an append-only
-progress log + idempotent writers is simpler and safer); periodic dumps are
-driven by the caller's loop."""
+segment, range) is fully written, the driver records it. The Z1 lifecycle
+(periodic scheduler + SIGUSR2 on-demand dumps + terminal dump) lives in
+``PeriodicDumper`` below, serialized on one lock like the reference's
+``dumpLock``."""
 
 from __future__ import annotations
 
@@ -123,3 +123,77 @@ def diff_token_ranges(
 ) -> list[tuple[int, int]]:
     """Coverage diagnostic (E1, CqlSavepointsManager.scala:39-83)."""
     return [r for r in all_ranges if tuple(r) not in done]
+
+
+class PeriodicDumper:
+    """Z1 lifecycle: periodic + signal-triggered + terminal savepoint dumps
+    (SavepointsManager.scala:72-92 scheduler, :248-322 signal handlers,
+    terminal dump at ScyllaMigrator.scala:113-131).
+
+    A daemon scheduler thread dumps every ``interval_seconds``; an optional
+    SIGUSR2 handler dumps on demand; ``stop()`` joins the thread and writes
+    the terminal savepoint. All dumps serialize on one lock (the reference's
+    ``dumpLock``), so a signal landing mid-periodic-dump cannot interleave
+    writes — and the atomic tmp+rename in ``dump()`` means a crash mid-dump
+    never leaves a truncated savepoint."""
+
+    def __init__(
+        self,
+        manager: SavepointsManager,
+        interval_seconds: float,
+        install_signal_handler: bool = False,
+    ) -> None:
+        import threading
+
+        self._mgr = manager
+        self._interval = interval_seconds
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Any = None
+        self._prev_handler: Any = None
+        self._signal_installed = False
+        self.dump_count = 0
+        if install_signal_handler:
+            import signal as _signal
+            import threading as _threading
+
+            if _threading.current_thread() is _threading.main_thread():
+                self._prev_handler = _signal.signal(
+                    _signal.SIGUSR2, lambda *_: self.dump_now()
+                )
+                self._signal_installed = True
+
+    def dump_now(self) -> str:
+        with self._lock:
+            path = self._mgr.dump()
+            self.dump_count += 1
+            return path
+
+    def start(self) -> "PeriodicDumper":
+        import threading
+
+        def loop() -> None:
+            while not self._stop.wait(self._interval):
+                self.dump_now()
+
+        self._thread = threading.Thread(target=loop, daemon=True, name="savepoint-dumper")
+        self._thread.start()
+        return self
+
+    def stop(self) -> str:
+        """Stop the scheduler and write the terminal savepoint."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        if self._signal_installed:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGUSR2, self._prev_handler)
+            self._signal_installed = False
+        return self.dump_now()
+
+    def __enter__(self) -> "PeriodicDumper":
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.stop()

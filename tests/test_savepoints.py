@@ -64,3 +64,41 @@ def test_migration_resume_end_to_end(spark, tmp_path):
     assert remaining.count() + done.count() == 1000
     union = remaining.unionByName(done)
     assert union.exceptAll(spark.read.parquet(src_dir)).count() == 0
+
+
+def test_periodic_dumper_dumps_and_terminal(tmp_path):
+    """Z1 scheduler: periodic dumps on an interval, terminal dump on stop,
+    resume sees the final skip sets."""
+    import time as _time
+
+    from scylla_migrator_spark.savepoints import PeriodicDumper, SavepointsManager
+
+    mgr = SavepointsManager(str(tmp_path / "sp"))
+    with PeriodicDumper(mgr, interval_seconds=0.05) as dumper:
+        mgr.complete_files(["f1"])
+        _time.sleep(0.2)  # several periodic dumps land
+        mgr.complete_files(["f2"])
+    assert dumper.dump_count >= 2  # >=1 periodic + the terminal dump
+    resumed = SavepointsManager.resume(str(tmp_path / "sp"))
+    assert resumed.skip_files == {"f1", "f2"}
+
+
+def test_signal_triggered_dump(tmp_path):
+    """SIGUSR2 triggers an on-demand dump (SavepointsManager.scala:248-322)."""
+    import os as _os
+    import signal as _signal
+    import time as _time
+
+    from scylla_migrator_spark.savepoints import PeriodicDumper, SavepointsManager
+
+    mgr = SavepointsManager(str(tmp_path / "sp2"))
+    dumper = PeriodicDumper(mgr, interval_seconds=60, install_signal_handler=True).start()
+    try:
+        mgr.complete_segments([7])
+        _os.kill(_os.getpid(), _signal.SIGUSR2)
+        _time.sleep(0.1)
+        assert dumper.dump_count >= 1
+        resumed = SavepointsManager.resume(str(tmp_path / "sp2"))
+        assert resumed.skip_segments == {7}
+    finally:
+        dumper.stop()
