@@ -180,6 +180,10 @@ class TargetSettings:
     mode: str = "overwrite"
     compression: str = "snappy"
     options: dict[str, str] = field(default_factory=dict)
+    # physical layout (parquet targets): hive partition dirs + pre-write
+    # clustering to avoid the small-files problem at scale
+    partition_by: list[str] = field(default_factory=list)
+    repartition_columns: list[str] = field(default_factory=list)
     # constant TTL / WRITETIME applied on write (writers/Scylla.scala:278-330)
     ttl: int | None = None
     writetime_us: int | None = None

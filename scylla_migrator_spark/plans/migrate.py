@@ -148,7 +148,14 @@ def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     if tgt.type == "parquet":
         # persist TTL/WRITETIME companions under the __meta_ prefix (SURVEY P5/X2)
         out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
-        write_parquet(out, tgt.path, mode=tgt.mode, compression=tgt.compression)
+        write_parquet(
+            out,
+            tgt.path,
+            mode=tgt.mode,
+            compression=tgt.compression,
+            partition_by=tgt.partition_by,
+            repartition_columns=tgt.repartition_columns,
+        )
     elif tgt.type == "scylla-fixture":
         if tgt.exploded_timestamp_write and S.has_timestamp_companions(df.columns):
             # per-row TTL/WRITETIME path (K2): explode by (ttl, writetime)

@@ -118,3 +118,35 @@ def test_file_format_roundtrip(spark, sf_dir, tmp_path, fmt):
     )
     back = migrate(spark, cfg2)
     assert back.count() == src.count()
+
+
+def test_partitioned_layout_target(spark, sf_dir, tmp_path):
+    """partitionBy layout on the parquet target: downstream filtered reads
+    are partition-pruned, and pre-write clustering bounds file counts."""
+    import glob
+
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+
+    out = str(tmp_path / "by_status")
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            "target": {
+                "type": "parquet",
+                "path": out,
+                "partitionBy": ["o_orderstatus"],
+                "repartitionColumns": ["o_orderstatus"],
+            },
+            "primaryKey": ["o_orderkey"],
+        }
+    )
+    migrate(spark, cfg)
+    dirs = sorted(glob.glob(f"{out}/o_orderstatus=*"))
+    assert len(dirs) == 3  # F / O / P
+    # clustering: each partition dir holds one file, not one per task
+    for d in dirs:
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    src_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert spark.read.parquet(out).count() == src_n
