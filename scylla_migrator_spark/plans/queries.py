@@ -2435,3 +2435,72 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_val")
         )
     )
+
+
+@_register(
+    "stream_continuous_rollup",
+    """
+    SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS bucket_day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, bucket_day
+    """,
+)
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (streaming/rollup.py): the event stream is split
+    into TWO micro-batches (event_id parity halves); an update-mode streaming
+    aggregation emits changed (event_type, day) groups per batch and
+    foreachBatch upserts them into the serving table. The final table must
+    equal the batch rollup exactly — decimal sums make the check
+    batch-split-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_migrator_spark.streaming.rollup import continuous_rollup
+
+    day_ns = 86_400_000_000_000
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join("/tmp", f"sgs_events_halves_{tag}")
+    marker = os.path.join(stage, "_READY")
+    if not os.path.exists(marker):
+        tmp_stage = f"{stage}__build_{os.getpid()}"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        for half in (0, 1):
+            part_dir = os.path.join(tmp_stage, f"h{half}")
+            ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
+            )
+            shutil.rmtree(part_dir)
+        open(os.path.join(tmp_stage, "_READY"), "w").close()
+        try:
+            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp_stage, ignore_errors=True)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)  # one half per micro-batch
+        .parquet(stage)
+    )
+    agg = stream.groupBy(
+        "event_type", F.expr(f"ts DIV {day_ns}").alias("bucket_day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+    )
+    serving = tempfile.mkdtemp(prefix="sgs_rollup_") + "/serving"
+    q = continuous_rollup(
+        agg, serving, ["event_type", "bucket_day"], tempfile.mkdtemp(prefix="sgs_rollup_ckpt_")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(serving).select(
+        "event_type",
+        "bucket_day",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

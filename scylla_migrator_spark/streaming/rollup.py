@@ -1,0 +1,76 @@
+"""Continuous aggregate: a streaming time-bucket rollup materialized by
+foreachBatch upserts — the incremental twin of the batch
+``time_bucket_rollup`` query (hypertable-style continuous aggregate).
+
+Pattern (T6 extension; the reference's streaming path is stateless
+per-record replication, DynamoStreamReplication.scala:42-114):
+
+    readStream -> groupBy(entity, time_bucket).agg(...) in UPDATE mode
+      -> foreachBatch: upsert the changed groups into the serving table
+
+Update-mode streaming aggregation keeps per-group running state in the
+checkpointed state store; each micro-batch emits only the groups that
+changed, and the upsert replaces those keys in the serving table. After any
+prefix of the stream, the serving table equals the batch aggregate over the
+events seen so far — the correctness invariant the oracle checks.
+
+Scale notes:
+- the upsert here is read-merge-atomic-swap on a parquet dir (fixture
+  scale); on a real lakehouse the foreachBatch body becomes a
+  ``MERGE INTO serving USING batch ON keys`` against Delta/Iceberg —
+  same batch DataFrame, same keys, one line.
+- sums use DECIMAL so merged results are bit-identical regardless of how
+  the stream was chopped into batches (double sums are order-dependent).
+- state is bounded by adding a watermark on the event-time column when
+  buckets age out (not needed for the bounded fixture replay).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def upsert_parquet(batch_df: DataFrame, path: str, keys: list[str]) -> None:
+    """Replace rows matching ``keys`` with the batch's rows (last-writer-wins
+    upsert, K7 semantics). The new table generation is fully materialized to
+    a side directory BEFORE the swap, so readers never observe a partial
+    table and a mid-upsert crash leaves the previous generation intact."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = existing.join(batch_df.select(*keys), on=keys, how="left_anti").unionByName(
+                batch_df
+            )
+        else:
+            merged = batch_df
+        tmp = f"{path}__gen_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, path)
+    finally:
+        batch_df.unpersist()
+
+
+def continuous_rollup(
+    stream_agg: DataFrame, target_path: str, keys: list[str], checkpoint: str
+):
+    """Drive an update-mode streaming aggregate into a parquet serving table
+    via foreachBatch upserts; returns the started query."""
+    return (
+        stream_agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda bdf, _bid: upsert_parquet(bdf, target_path, keys))
+        .trigger(availableNow=True)
+        .start()
+    )

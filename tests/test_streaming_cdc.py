@@ -69,3 +69,16 @@ def test_remove_deletes_key(spark, tmp_path):
     )
     rep.apply_batch(late, 1)
     assert [r["user_id"] for r in rep.current(spark).collect()] == [2]
+
+
+def test_upsert_parquet_replaces_keys(spark, tmp_path):
+    """rollup.upsert_parquet: last-writer-wins by key, atomic generation swap."""
+    from scylla_migrator_spark.streaming.rollup import upsert_parquet
+
+    path = str(tmp_path / "serving")
+    g1 = spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], "k string, day int, total int")
+    upsert_parquet(g1, path, ["k", "day"])
+    g2 = spark.createDataFrame([("a", 1, 15), ("c", 1, 30)], "k string, day int, total int")
+    upsert_parquet(g2, path, ["k", "day"])
+    rows = {(r["k"], r["day"]): r["total"] for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1): 15, ("b", 1): 20, ("c", 1): 30}
