@@ -2504,3 +2504,29 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+@_register(
+    "stream_static_enrichment",
+    """
+    SELECT n_name, event_type, count(*) AS cnt
+    FROM events JOIN nation ON (user_id % 25) = n_nationkey
+    GROUP BY n_name, event_type
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (T6): each micro-batch of the event stream is
+    enriched against a STATIC dimension (broadcast hash join — no state
+    store, the dim is re-resolved per batch so slowly-changing dims pick up
+    updates), then aggregated. This is the standard streaming enrichment
+    plan: dim broadcast keeps the stream side shuffle-free before the
+    aggregate."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .withColumn("nation_key", F.col("user_id") % 25)
+        .join(nation, F.col("nation_key") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _run_available_now(enriched, "complete").select("n_name", "event_type", "cnt")
