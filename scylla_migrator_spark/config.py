@@ -134,8 +134,12 @@ def build_rename_map(renames: list[Rename], columns: list[str]) -> dict[str, str
 
 @dataclass
 class SourceSettings:
-    type: str  # parquet | csv | json | orc | jdbc | dynamodb-s3-export | cql-fixture | stream
+    type: str  # parquet | csv | json | orc | jdbc | dynamodb-s3-export | cql-fixture | stream | sql
     path: str | None = None
+    # type "sql": ANSI query over `tables` registered as temp views
+    # ({name: path} parquet datasets); the engine's SQL front-end
+    query: str | None = None
+    tables: dict[str, str] = field(default_factory=dict)
     table: str | None = None
     url: str | None = None  # jdbc connection url (redacted in rendered())
     where: str | None = None
@@ -158,12 +162,17 @@ class SourceSettings:
     def __post_init__(self) -> None:
         allowed = {
             "parquet", "csv", "json", "orc",
-            "jdbc", "dynamodb-s3-export", "cql-fixture", "stream",
+            "jdbc", "dynamodb-s3-export", "cql-fixture", "stream", "sql",
         }
         if self.type not in allowed:
             raise ConfigError(f"unknown source type {self.type!r}; allowed: {sorted(allowed)}")
         if self.where is not None:
             self.where = validate_where_filter(self.where)
+        if self.type == "sql":
+            if not self.query:
+                raise ConfigError("sql source requires a query")
+            if not self.tables:
+                raise ConfigError("sql source requires a tables mapping {view: path}")
         if self.num_partitions is not None:
             if self.num_partitions < 1:
                 raise ConfigError("numPartitions must be >= 1")

@@ -58,6 +58,16 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
         elif src.type == "csv":
             reader = reader.option("inferSchema", True)
         df = getattr(reader, src.type)(src.path)
+    elif src.type == "sql":
+        # SQL front-end: register the configured parquet datasets as temp
+        # views and hand the query text to Spark SQL. Catalyst gets the whole
+        # statement — pushdown/pruning/join planning apply exactly as in the
+        # DataFrame paths; the YAML stays the reference-style config surface.
+        for view, vpath in src.tables.items():
+            from scylla_migrator_spark.config import validate_identifier
+
+            spark.read.parquet(vpath).createOrReplaceTempView(validate_identifier(view))
+        df = spark.sql(src.query)
     elif src.type == "jdbc":
         from scylla_migrator_spark.sources.jdbc import read_jdbc
 

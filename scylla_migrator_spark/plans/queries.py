@@ -2530,3 +2530,86 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return _run_available_now(enriched, "complete").select("n_name", "event_type", "cnt")
+
+
+@_register(
+    "tpch_q2_cheapest_part",
+    """
+    WITH m AS (SELECT p_brand, min(p_retailprice) AS min_price FROM part GROUP BY p_brand)
+    SELECT p.p_brand, min(p.p_partkey) AS p_partkey, m.min_price AS p_retailprice
+    FROM part p JOIN m ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    GROUP BY p.p_brand, m.min_price
+    """,
+)
+def tpch_q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated argmin — cheapest part per brand, min
+    partkey on price ties. Aggregate-then-rejoin on (group, min): the
+    per-group min frame is tiny and broadcasts; equality on the stored
+    double is exact (same value both sides, no arithmetic)."""
+    p = _t(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_brand").alias("m_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (p["p_brand"] == F.col("m_brand")) & (p["p_retailprice"] == F.col("min_price")),
+        )
+        .groupBy("p_brand", "min_price")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select("p_brand", "p_partkey", F.col("min_price").alias("p_retailprice"))
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    """
+    WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+               FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(part_value) AS total_value FROM v)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM v, tot WHERE part_value * 1500 > total_value
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery — parts whose
+    revenue share exceeds 1/1500 of the total. The per-part aggregate is
+    computed ONCE and reused for both the total (1-row broadcast) and the
+    filter (Spark reuses the shuffle exchange); the share test is
+    cross-multiplied decimal arithmetic — exact, no division."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value")
+    )
+    tot = v.agg(F.sum("part_value").alias("total_value"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") * 1500 > F.col("total_value"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@_register(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery -> left_anti join (safe
+    here because s_suppkey is non-null; a general NOT IN needs null-aware
+    anti join, which Spark plans as BroadcastNestedLoopJoin), then
+    count-distinct per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 14, 23, 45))
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -150,3 +150,34 @@ def test_partitioned_layout_target(spark, sf_dir, tmp_path):
         assert len(files) == 1, d
     src_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert spark.read.parquet(out).count() == src_n
+
+
+def test_sql_source_migration(spark, sf_dir, tmp_path):
+    """The 'sql' source type: config-declared views + ANSI query -> target."""
+    from scylla_migrator_spark.config import ConfigError, MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {
+                "type": "sql",
+                "tables": {"o": f"{sf_dir}/orders.parquet", "c": f"{sf_dir}/customer.parquet"},
+                "query": """
+                    SELECT c_mktsegment, count(*) AS n_orders,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                    FROM o JOIN c ON o_custkey = c_custkey GROUP BY c_mktsegment
+                """,
+            },
+            "target": {"type": "parquet", "path": str(tmp_path / "sql_out")},
+        }
+    )
+    out = migrate(spark, cfg)
+    assert out.count() == 5  # mktsegments
+    assert set(out.columns) == {"c_mktsegment", "n_orders", "total"}
+
+    import pytest as __pytest
+
+    with __pytest.raises(ConfigError):
+        MigratorConfig.from_dict(
+            {"source": {"type": "sql", "query": "SELECT 1"}, "target": {"type": "parquet", "path": "/tmp/x"}}
+        )
