@@ -64,6 +64,14 @@ HEADLINE = [
     "grouping_sets_order_stats",
     "dedup_components",
     "stream_stream_join",
+    "tpch_q2_cheapest_part",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_variety",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "pivot_priority_counts",
+    "stream_continuous_rollup",
+    "stream_static_enrichment",
 ]
 
 
@@ -82,6 +90,14 @@ def main() -> None:
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
+        # one retry for fast queries: a single reading is exposed to GC /
+        # JIT / page-cache interference from the previous query (observed
+        # 10x outliers); min-of-two is stable. Slow queries (streaming
+        # setup, iterative) skip the retry to bound total bench time.
+        if dt < 8.0:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         base_rows = rows["lineitem"] if "pricing" in name else rows["orders"]
         print(

@@ -43,3 +43,38 @@ def test_long_chain_converges_within_max_iter(spark):
     comp = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_random_graph_matches_union_find(spark):
+    """200-edge random graph: Spark CC must equal a union-find oracle."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # canonical representative = min id in component
+    comp_min = {}
+    for v, r in expected.items():
+        comp_min.setdefault(find(r), set()).add(v)
+    truth = {v: min(members) for root, members in comp_min.items() for v in members}
+
+    got = _cc(spark, edges)
+    assert got == truth

@@ -93,3 +93,60 @@ def test_number_formatting_never_matters(n, pad):
     RowComparisonFailure.scala:308-314)."""
     padded = n + ("." if "." not in n else "") + "0" * pad if pad else n
     assert canonicalize_value({"N": n}) == canonicalize_value({"N": padded})
+
+
+# ---------------------------------------------------------------------------
+# Savepoint filename encoding (O4): lexical order == chronological order
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**13),
+            st.integers(min_value=0, max_value=999_999),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_savepoint_name_order_matches_numeric_order(pairs):
+    from scylla_migrator_spark.savepoints import _decode_name, _encode_name
+
+    names = [_encode_name(m, s) for m, s in pairs]
+    assert sorted(names) == [_encode_name(m, s) for m, s in sorted(pairs)]
+    for (m, s), n in zip(pairs, names):
+        assert _decode_name(n) == (m, s)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_decode_name_never_raises_on_junk(junk):
+    from scylla_migrator_spark.savepoints import _decode_name
+
+    _decode_name(junk)  # must return None or a tuple, never raise
+
+
+# ---------------------------------------------------------------------------
+# WHERE sanitizer (F8): dangerous constructs always rejected, accepted
+# strings are returned stripped and unchanged
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_where_sanitizer_total_and_consistent(s):
+    from scylla_migrator_spark.config import ConfigError, validate_where_filter
+
+    try:
+        out = validate_where_filter(s)
+    except ConfigError:
+        return
+    assert out == s.strip()
+    # anything accepted must be free of the dangerous constructs
+    lowered = out.lower()
+    for bad in (";", "--", "/*", "\\", "\x00"):
+        assert bad not in out
+    for kw in ("drop ", "delete ", "insert ", "update ", "grant "):
+        assert kw not in lowered
