@@ -1083,6 +1083,30 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming query's planning.
+
+    Every stateful streaming operator creates ONE STATE STORE PER SHUFFLE
+    PARTITION, per operator, touched on every micro-batch — at fixture scale
+    the default 32 stores are pure task-scheduling + store-commit overhead
+    (measured 3-4x the whole query: stream-stream join 9.5s -> 2.9s at
+    sf0.1). The count is part of the checkpoint, so it must be chosen at
+    query birth: size it to key cardinality / executor count on a real
+    cluster (hundreds+), small for bounded replays. Restores the session
+    value afterwards; queries run sequentially under the driver contract so
+    the temporary session mutation cannot leak into a concurrent plan."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming plan to completion with the availableNow trigger and a
     memory sink; returns the materialized result table."""
@@ -1090,15 +1114,16 @@ def _run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -1441,15 +1466,16 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = stateful_distinct_counts(stream, "user_id")
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1594,15 +1620,16 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = stateful_sessionize(stream, "user_id", "ts_ms", gap_ms=30 * 60_000)
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2494,10 +2521,11 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
     )
     serving = tempfile.mkdtemp(prefix="sgs_rollup_") + "/serving"
-    q = continuous_rollup(
-        agg, serving, ["event_type", "bucket_day"], tempfile.mkdtemp(prefix="sgs_rollup_ckpt_")
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = continuous_rollup(
+            agg, serving, ["event_type", "bucket_day"], tempfile.mkdtemp(prefix="sgs_rollup_ckpt_")
+        )
+        q.awaitTermination()
     return spark.read.parquet(serving).select(
         "event_type",
         "bucket_day",
