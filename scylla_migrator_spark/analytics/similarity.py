@@ -106,12 +106,36 @@ def ivf_assign(
     """IVF coarse quantization: assign each vector to its nearest centroid
     (max cosine). The centroid list is small (broadcast as literals); the
     argmax is one array expression — no join, no shuffle. At 100 TB, write
-    the table partitioned by ``centroid_id`` so probes prune partitions."""
+    the table partitioned by ``centroid_id`` so probes prune partitions.
+
+    Two expression-level choices that halve-and-halve the per-row work:
+    - argmax over ``dot(v, c)/|c|`` instead of full cosine — ``|v|`` is a
+      common positive factor across centroids, so it cannot change the
+      argmax and is never computed (|c| folds to a Python constant).
+    - the score array is consumed exactly ONCE by a fold that carries
+      (best_score, best_index); the naive
+      ``array_position(sims, array_max(sims))`` references ``sims`` twice
+      and Spark re-inlines the whole 16-cosine computation per reference."""
+    import math
+
     v = F.col(vec_col).cast("array<double>")
     sims = F.array(
-        *[cosine(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+        *[
+            dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            / (math.sqrt(sum(x * x for x in c)) or 1.0)
+            for c in centroids
+        ]
     )
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    pairs = F.zip_with(
+        sims,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )["i"]
     return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
 
 
