@@ -102,3 +102,39 @@ def test_signal_triggered_dump(tmp_path):
         assert resumed.skip_segments == {7}
     finally:
         dumper.stop()
+
+
+def test_migrate_resumable_survives_interruption(spark, sf_dir, tmp_path):
+    """Kill the chunked migration mid-run; the resumed run completes the
+    remaining files with no duplicates and no re-work."""
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate_resumable
+    from scylla_migrator_spark.savepoints import SavepointsManager
+
+    # a multi-file source: orders split into 6 files
+    src_dir = str(tmp_path / "orders6")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(6).write.parquet(src_dir)
+    n_src = orders.count()
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_dir, "where": "o_totalprice > 0"},
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+            "primaryKey": ["o_orderkey"],
+            "savepoints": {"path": str(tmp_path / "sp"), "intervalSeconds": 3600},
+        }
+    )
+    # first run dies after 1 chunk (2 files)
+    migrate_resumable(spark, cfg, files_per_chunk=2, stop_after_chunks=1)
+    mgr = SavepointsManager.resume(str(tmp_path / "sp"))
+    assert len(mgr.skip_files) == 2  # terminal savepoint recorded the chunk
+    partial = spark.read.parquet(str(tmp_path / "out")).count()
+    assert 0 < partial < n_src
+
+    # resume: completes the remaining 4 files, exact row parity, no dupes
+    out = migrate_resumable(spark, cfg, files_per_chunk=2)
+    assert out.count() == n_src
+    assert out.select("o_orderkey").distinct().count() == n_src
+    mgr2 = SavepointsManager.resume(str(tmp_path / "sp"))
+    assert len(mgr2.skip_files) == 6
