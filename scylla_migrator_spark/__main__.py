@@ -30,10 +30,22 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"scylla-migrator-spark-{command}")
     try:
         if command == "migrate":
-            from scylla_migrator_spark.plans.migrate import migrate
+            from scylla_migrator_spark.plans.migrate import migrate, migrate_resumable
 
-            out = migrate(spark, config)
-            print(json.dumps({"migrated_rows": out.count()}))
+            # a savepoints.path on a file-based batch source selects the
+            # resumable chunked loop (periodic + terminal savepoints, restart
+            # resumes with zero re-work) — the reference's default posture
+            resumable = (
+                config.savepoints is not None
+                and config.savepoints.path is not None
+                and config.source.type in ("parquet", "cql-fixture")
+                and config.target.type == "parquet"
+                and not config.source.preserve_timestamps
+            )
+            out = (
+                migrate_resumable(spark, config) if resumable else migrate(spark, config)
+            )
+            print(json.dumps({"migrated_rows": out.count(), "resumable": resumable}))
             return 0
         from scylla_migrator_spark.plans.validate import run_validation
 

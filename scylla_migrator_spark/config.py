@@ -155,6 +155,8 @@ class SourceSettings:
     num_partitions: int | None = None
     # cql-fixture settings
     preserve_timestamps: bool = False
+    # schema evolution across parquet files (union schema, absent cols null)
+    merge_schema: bool = False
     # resume skip sets (reference MigratorConfig.scala:43-57)
     skip_files: list[str] = field(default_factory=list)
     skip_segments: list[int] = field(default_factory=list)

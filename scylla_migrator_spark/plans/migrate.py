@@ -31,7 +31,9 @@ class MigrationResult:
 def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     src = config.source
     if src.type == "parquet":
-        df = read_parquet(spark, src.path, skip_files=src.skip_files)
+        df = read_parquet(
+            spark, src.path, skip_files=src.skip_files, merge_schema=src.merge_schema
+        )
         if any(c.startswith(S.META_PREFIX) for c in df.columns):
             df = S.strip_meta_prefix(df)
     elif src.type == "cql-fixture":

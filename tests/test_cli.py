@@ -79,3 +79,19 @@ def test_cli_usage_error():
         env={**os.environ, "PYTHONPATH": REPO},
     )
     assert out.returncode == 2
+
+
+def test_cli_migrate_resumable_selected(tmp_path):
+    """savepoints.path on a file-based source routes the CLI through the
+    resumable chunked loop and leaves a terminal savepoint."""
+    config = {
+        "source": {"type": "parquet", "path": "/root/testdata/sf0.001/orders.parquet"},
+        "target": {"type": "parquet", "path": str(tmp_path / "out")},
+        "primaryKey": ["o_orderkey"],
+        "savepoints": {"path": str(tmp_path / "sp"), "intervalSeconds": 3600},
+    }
+    mig = _run("migrate", config, tmp_path)
+    assert mig.returncode == 0, mig.stderr[-2000:]
+    out = json.loads(mig.stdout.strip().splitlines()[-1])
+    assert out["resumable"] is True and out["migrated_rows"] == 1500
+    assert any(n.startswith("savepoint_") for n in os.listdir(tmp_path / "sp"))

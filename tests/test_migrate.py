@@ -181,3 +181,27 @@ def test_sql_source_migration(spark, sf_dir, tmp_path):
         MigratorConfig.from_dict(
             {"source": {"type": "sql", "query": "SELECT 1"}, "target": {"type": "parquet", "path": "/tmp/x"}}
         )
+
+
+def test_merge_schema_evolved_table(spark, sf_dir, tmp_path):
+    """Schema evolution: files written before a column existed read as null
+    under mergeSchema; the pipeline runs over the union schema."""
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate
+
+    src_dir = str(tmp_path / "evolved")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.select("o_orderkey", "o_totalprice").write.parquet(src_dir)
+    o.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode("append").parquet(src_dir)
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_dir, "mergeSchema": True},
+            "target": {"type": "parquet", "path": str(tmp_path / "evolved_out")},
+        }
+    )
+    out = migrate(spark, cfg)
+    assert "o_orderstatus" in out.columns
+    n = o.count()
+    assert out.count() == 2 * n
+    assert out.filter(out["o_orderstatus"].isNull()).count() == n
