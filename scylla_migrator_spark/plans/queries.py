@@ -2641,3 +2641,143 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@_register(
+    "tpch_q9_profit",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+               AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supplycost -> retail-cost proxy): per-(nation, year)
+    profit over a 5-way join with a substring part filter. The LIKE filter
+    prunes part BEFORE the broadcast; amounts are decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@_register(
+    "tpch_q20_promo_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+    """,
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested qualification — suppliers who moved > 50
+    units of some single PROMO part in 1997. Inner aggregate at
+    (supplier, part) grain, then DISTINCT supplier keys feed a left_semi
+    against the supplier dim (J7 chain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    qualified = (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualified), s["s_suppkey"] == qualified["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS mavg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 3-order moving average per customer (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW). Decimal running sum / bigint
+    count — frame arithmetic stays exact; one shuffle on the partition
+    key serves both window functions."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_ms", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("mavg3"),
+    )
+
+
+@_register(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           dense_rank() OVER w AS dr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking suite sharing one window spec: ntile quartiles, percent_rank,
+    dense_rank — one sort, one Window operator. Partitioned by status: a
+    GLOBAL ranking (no PARTITION BY) would funnel every row through one
+    task — the anti-pattern; partition or pre-bucket instead."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.dense_rank().over(w).alias("dr"),
+    )
