@@ -72,6 +72,10 @@ HEADLINE = [
     "pivot_priority_counts",
     "stream_continuous_rollup",
     "stream_static_enrichment",
+    "tpch_q9_profit",
+    "tpch_q20_promo_suppliers",
+    "window_moving_avg",
+    "window_rank_suite",
 ]
 
 
