@@ -77,6 +77,60 @@ def escape_spark_identifier(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+# JDBC driver properties that trigger driver-side file reads / arbitrary
+# class loading / multi-statement execution — classic connector attack
+# vectors the reference blocklists (config/SourceSettings.scala:586-911)
+_DANGEROUS_JDBC_KEYS = (
+    "allowloadlocalinfile",
+    "allowloadlocalinfileinpath",
+    "allowurlinlocalinfile",
+    "autodeserialize",
+    "allowmultiqueries",
+    "statementinterceptors",
+    "queryinterceptors",
+    "connectionlifecycleinterceptors",
+    "socketfactory",
+    "serverrsapublickeyfile",
+    "allowpublickeyretrieval",
+)
+
+
+def validate_jdbc_url(url: str) -> str:
+    """Reject JDBC URLs smuggling dangerous driver properties
+    (SourceSettings.scala:586-911 posture: blocklist checked on the decoded,
+    case-folded URL so `allowLoadLocalInfile`, `%61llow...`, and `ALLOW...`
+    spellings all fail)."""
+    if not url.lower().startswith("jdbc:"):
+        raise ConfigError("jdbc url must start with jdbc:")
+    from urllib.parse import unquote
+
+    folded = unquote(url).replace(" ", "").lower()
+    for key in _DANGEROUS_JDBC_KEYS:
+        if key in folded:
+            raise ConfigError(f"jdbc url contains blocked property {key!r}")
+    return url
+
+
+_HOSTNAME = re.compile(r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+                       r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
+
+
+def validate_host_port(value: str, default_port: int | None = None) -> tuple[str, int]:
+    """Parse and validate a host[:port] endpoint (HostValidation.scala
+    posture: hostname/IP syntax, port 1-65535)."""
+    host, sep, port_s = value.partition(":")
+    if sep and not port_s.isdigit():
+        raise ConfigError(f"invalid port in {value!r}")
+    port = int(port_s) if sep else default_port
+    if port is None:
+        raise ConfigError(f"missing port in {value!r}")
+    if not (1 <= port <= 65_535):
+        raise ConfigError(f"port out of range in {value!r}")
+    if not _HOSTNAME.match(host):
+        raise ConfigError(f"invalid hostname {host!r}")
+    return host, port
+
+
 # --------------------------------------------------------------------------
 # Renames (reference: config/Rename.scala, schema/SchemaResolver.scala:46-61)
 # --------------------------------------------------------------------------
@@ -170,6 +224,8 @@ class SourceSettings:
             raise ConfigError(f"unknown source type {self.type!r}; allowed: {sorted(allowed)}")
         if self.where is not None:
             self.where = validate_where_filter(self.where)
+        if self.url is not None:
+            validate_jdbc_url(self.url)
         if self.type == "sql":
             if not self.query:
                 raise ConfigError("sql source requires a query")

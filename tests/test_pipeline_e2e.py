@@ -165,3 +165,35 @@ def test_stream_source_migration(spark, tmp_path):
     src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     assert out.count() == src.count()
     assert "order_id" in out.columns and "o_orderkey" not in out.columns
+
+
+def test_jdbc_url_hardening():
+    """Dangerous JDBC driver properties are rejected at config decode,
+    including URL-encoded and case-varied spellings (SourceSettings
+    posture)."""
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError, validate_jdbc_url
+
+    assert validate_jdbc_url("jdbc:derby:memory:db;create=true")
+    for bad in (
+        "jdbc:mysql://h/db?allowLoadLocalInfile=true",
+        "jdbc:mysql://h/db?ALLOWMULTIQUERIES=1",
+        "jdbc:mysql://h/db?%61utoDeserialize=true",  # %-encoded
+        "jdbc:mysql://h/db?socketFactory=evil.Cls",
+        "mysql://h/db",  # missing jdbc: scheme
+    ):
+        with _pytest.raises(ConfigError):
+            validate_jdbc_url(bad)
+
+
+def test_host_port_validation():
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError, validate_host_port
+
+    assert validate_host_port("scylla-1.example.com:9042") == ("scylla-1.example.com", 9042)
+    assert validate_host_port("10.0.0.7", default_port=9042) == ("10.0.0.7", 9042)
+    for bad in ("host:", "host:0", "host:99999", "-bad-:9042", "h ost:9042"):
+        with _pytest.raises(ConfigError):
+            validate_host_port(bad, default_port=9042)
