@@ -764,11 +764,54 @@ def sorted_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("minhash_lsh_pairs")  # approximate: rows-only driver check
+@_register(
+    "minhash_lsh_pairs",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs
+      FROM toks),
+    shd AS (SELECT DISTINCT doc_id, g FROM sh, UNNEST(gs) AS u(g)),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM shd),
+    sig AS (SELECT doc_id,
+           min((h*1 + 7919) % 4294967311) AS m0,
+           min((h*3 + 15838) % 4294967311) AS m1,
+           min((h*5 + 23757) % 4294967311) AS m2,
+           min((h*7 + 31676) % 4294967311) AS m3,
+           min((h*9 + 39595) % 4294967311) AS m4,
+           min((h*11 + 47514) % 4294967311) AS m5,
+           min((h*13 + 55433) % 4294967311) AS m6,
+           min((h*15 + 63352) % 4294967311) AS m7,
+           min((h*17 + 71271) % 4294967311) AS m8,
+           min((h*19 + 79190) % 4294967311) AS m9,
+           min((h*21 + 87109) % 4294967311) AS m10,
+           min((h*23 + 95028) % 4294967311) AS m11,
+           min((h*25 + 102947) % 4294967311) AS m12,
+           min((h*27 + 110866) % 4294967311) AS m13,
+           min((h*29 + 118785) % 4294967311) AS m14,
+           min((h*31 + 126704) % 4294967311) AS m15
+      FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, [m0,m1,m2,m3] AS bh FROM sig
+      UNION ALL SELECT doc_id, 1 AS band_id, [m4,m5,m6,m7] AS bh FROM sig
+      UNION ALL SELECT doc_id, 2 AS band_id, [m8,m9,m10,m11] AS bh FROM sig
+      UNION ALL SELECT doc_id, 3 AS band_id, [m12,m13,m14,m15] AS bh FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded signature equi-join — the
-    100 TB dedup path). Approximate by construction -> no SQL oracle; exact
-    Jaccard verification of these pairs is ngram_jaccard_block_pairs."""
+    100 TB dedup path). Every ingredient (whitespace shingles, md5-derived
+    32-bit hash, affine rehash family, 4-row bands) is deterministic, so the
+    oracle replays the EXACT pipeline in SQL — band equality compared on the
+    raw 4-minhash tuple (Spark hashes the band only to narrow the shuffle
+    key; equality is equivalent). Exact Jaccard verification of these pairs
+    is ngram_jaccard_block_pairs."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
 
