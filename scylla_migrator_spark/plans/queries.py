@@ -897,20 +897,65 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ivf_ann_topk")  # approximate: recall pinned vs brute force in tests
+@_register(
+    "ivf_ann_topk",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+             FROM base ORDER BY vec_id LIMIT 16),
+    probe AS (SELECT cidx FROM cent, q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cidx LIMIT 4),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cidx,
+             row_number() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv)
+                         / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cidx) AS rn
+      FROM base b CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, v, cidx AS centroid_id FROM scored WHERE rn = 1),
+    cand AS (SELECT a.vec_id, a.v FROM assigned a JOIN probe p ON a.centroid_id = p.cidx)
+    SELECT vec_id, round(list_cosine_similarity(cand.v, q.qv), 6) AS cos
+    FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: coarse-quantize to 16 centroids,
     probe the 4 nearest, exact cosine re-rank inside the probed partitions
-    (similarity.ivf_topk). The scale path pairs this with a table layout
-    partitioned by centroid_id for partition-pruned probes."""
+    (similarity.ivf_topk). Deterministic construction (centroids = 16 lowest
+    ids) -> the oracle replays assignment/probe/re-rank in SQL. The scale
+    path pairs this with a table layout partitioned by centroid_id for
+    partition-pruned probes."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return SIM.ivf_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)
 
 
-@_register("lsh_ann_topk")
+@_register(
+    "lsh_ann_topk",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+    planes AS (
+      SELECT p, list_transform(generate_series(0, 63),
+               j -> (CAST('0x' || substr(md5(p || ':' || j), 1, 8) AS BIGINT)
+                     / 4294967295.0) * 2.0 - 1.0) AS coeffs
+      FROM generate_series(0, 3) AS g(p)),
+    sides AS (
+      SELECT b.vec_id,
+             sum(CASE WHEN list_dot_product(b.v, pl.coeffs) >= 0
+                      THEN (1 << (3 - pl.p)) ELSE 0 END) AS bkt
+      FROM base b CROSS JOIN planes pl GROUP BY b.vec_id),
+    qb AS (SELECT bkt AS qbkt FROM sides WHERE vec_id = 0)
+    SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+    FROM base b JOIN sides s ON b.vec_id = s.vec_id, q, qb
+    WHERE s.bkt = qb.qbkt
+    ORDER BY cos DESC, b.vec_id LIMIT 10
+    """,
+)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path for ann_cosine_topk)."""
+    """LSH-bucketed approximate top-k (the scale path for ann_cosine_topk).
+    Hyperplanes are md5-derived -> the oracle reproduces the bucket
+    partition and re-rank exactly in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return SIM.lsh_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10, planes=4)
