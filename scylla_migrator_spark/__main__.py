@@ -40,7 +40,11 @@ def main(argv: list[str] | None = None) -> int:
                 and config.savepoints.path is not None
                 and config.source.type in ("parquet", "cql-fixture")
                 and config.target.type == "parquet"
-                and not config.source.preserve_timestamps
+                # the chunked loop appends; only overwrite-mode configs have
+                # identical semantics, and raw writer options are not
+                # replayed per chunk — fall back to migrate() for those
+                and config.target.mode == "overwrite"
+                and not config.target.options
             )
             out = (
                 migrate_resumable(spark, config) if resumable else migrate(spark, config)

@@ -197,6 +197,10 @@ class SourceSettings:
     table: str | None = None
     url: str | None = None  # jdbc connection url (redacted in rendered())
     where: str | None = None
+    # endpoint of the live store this run would talk to (CQL/DDB paths);
+    # validated host[:port] (HostValidation.scala posture). The fixture
+    # engine records it (and redacts nothing — endpoints are not secrets)
+    host: str | None = None
     # generic file-format reader options (csv/json/orc), e.g. header,
     # inferSchema, multiLine; at scale pass an explicit `schema` DDL string
     # instead of inferSchema (inference is an extra full pass over the data)
@@ -226,6 +230,8 @@ class SourceSettings:
             self.where = validate_where_filter(self.where)
         if self.url is not None:
             validate_jdbc_url(self.url)
+        if self.host is not None:
+            validate_host_port(self.host, default_port=9042)
         if self.type == "sql":
             if not self.query:
                 raise ConfigError("sql source requires a query")

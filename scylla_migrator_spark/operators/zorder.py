@@ -58,8 +58,9 @@ def zorder_by(
     task. Skew robustness is the same: equal-frequency buckets."""
     buckets = 1 << bits
     probs = [i / buckets for i in range(1, buckets)]
-    bounds_a = df.approxQuantile(col_a, probs, 0.001)
-    bounds_b = df.approxQuantile(col_b, probs, 0.001)
+    # one sampled pass computes both columns' boundaries (the per-column
+    # overload would scan the input twice)
+    bounds_a, bounds_b = df.approxQuantile([col_a, col_b], probs, 0.001)
     za = _quantile_bucket(F.col(col_a), bounds_a)
     zb = _quantile_bucket(F.col(col_b), bounds_b)
     zdf = df.withColumn("__z", _interleave_bits(za, zb, bits))

@@ -226,13 +226,15 @@ def migrate_resumable(
 
     The source's file list is split into chunks; each chunk is read,
     transformed (renames / where / null-PK drop), APPENDED to the target,
-    and only then recorded as complete. A `PeriodicDumper` snapshots
-    progress on an interval and SIGUSR2, and writes the terminal savepoint
-    on exit. Restart with the same config resumes from the last savepoint:
-    completed files are pruned from the work list BEFORE planning (partition
-    pruning, not runtime filtering), so a killed run never reprocesses
-    finished work and never produces duplicate rows (a chunk recorded =
-    a chunk fully committed to the target).
+    and only then recorded AND DUMPED — the savepoint on disk always
+    reflects exactly the chunks whose appends committed, so a hard kill
+    (SIGKILL, OOM) at any point never reprocesses finished work and never
+    produces duplicate rows. The per-chunk dump is a tiny atomic YAML
+    write, negligible next to the chunk's Spark job; the `PeriodicDumper`
+    additionally serves SIGUSR2 on-demand dumps and the terminal dump.
+    Restart with the same config resumes from the last savepoint:
+    completed files are pruned from the work list BEFORE planning
+    (partition pruning, not runtime filtering).
 
     ``stop_after_chunks`` simulates an interruption for tests.
     Unit-of-work granularity is the FILE (the reference's token range /
@@ -240,6 +242,7 @@ def migrate_resumable(
     executor-minutes — small enough to bound re-work on crash, large enough
     to amortize job-submission overhead."""
     from scylla_migrator_spark.savepoints import PeriodicDumper, SavepointsManager
+    from scylla_migrator_spark.sinks.parquet import write_parquet as _wp
     from scylla_migrator_spark.sources.parquet import list_parquet_files
 
     src, tgt = config.source, config.target
@@ -258,26 +261,48 @@ def migrate_resumable(
     all_files = list_parquet_files(src.path)
     todo = [f for f in all_files if f not in done and os.path.basename(f) not in done]
     fresh_start = not mgr.skip_files
-    if fresh_start and tgt.mode == "overwrite" and os.path.exists(tgt.path):
+    if fresh_start and todo and tgt.mode == "overwrite" and os.path.exists(tgt.path):
         import shutil
 
         shutil.rmtree(tgt.path)
 
-    chunk_cfg_src = src
-    with PeriodicDumper(mgr, interval, install_signal_handler=False):
+    with PeriodicDumper(mgr, interval, install_signal_handler=False) as dumper:
         for i in range(0, len(todo), files_per_chunk):
             if stop_after_chunks is not None and i // files_per_chunk >= stop_after_chunks:
                 break
             chunk = todo[i : i + files_per_chunk]
-            df = spark.read.parquet(*chunk)
+            reader = spark.read
+            if src.merge_schema:
+                reader = reader.option("mergeSchema", True)
+            df = reader.parquet(*chunk)
             if any(c.startswith(S.META_PREFIX) for c in df.columns):
                 df = S.strip_meta_prefix(df)
-            if chunk_cfg_src.type == "cql-fixture":
+            if src.type == "cql-fixture":
                 df = S.widen_timestamps(df)
-            df = apply_where(df, chunk_cfg_src.where)
+                if not src.preserve_timestamps:
+                    companions = [
+                        c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
+                    ]
+                    df = df.drop(*companions)
+            df = apply_where(df, src.where)
             df = apply_renames(df, config.renames)
-            if config.primary_key and auto_null_pk_filtering(chunk_cfg_src.type):
+            if config.primary_key and auto_null_pk_filtering(src.type):
                 df = drop_null_pk_rows(df, config.primary_key)
-            df.write.mode("append").option("compression", tgt.compression).parquet(tgt.path)
-            mgr.complete_files(chunk)  # recorded only after the append committed
+            out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
+            _wp(
+                out,
+                tgt.path,
+                mode="append",
+                compression=tgt.compression,
+                partition_by=tgt.partition_by,
+                repartition_columns=tgt.repartition_columns,
+            )
+            mgr.complete_files(chunk)
+            # dump IMMEDIATELY: the on-disk savepoint must never lag the
+            # committed appends, or a hard kill re-appends the gap on resume
+            dumper.dump_now()
+    if not os.path.exists(tgt.path):
+        raise ValueError(
+            f"nothing to migrate: no pending files under {src.path} and no existing target"
+        )
     return spark.read.parquet(tgt.path)

@@ -132,10 +132,13 @@ class PeriodicDumper:
 
     A daemon scheduler thread dumps every ``interval_seconds``; an optional
     SIGUSR2 handler dumps on demand; ``stop()`` joins the thread and writes
-    the terminal savepoint. All dumps serialize on one lock (the reference's
-    ``dumpLock``), so a signal landing mid-periodic-dump cannot interleave
-    writes — and the atomic tmp+rename in ``dump()`` means a crash mid-dump
-    never leaves a truncated savepoint."""
+    the terminal savepoint. All dumps serialize on one REENTRANT lock (the
+    reference's ``dumpLock``): the signal handler runs on the main thread
+    between bytecodes, so a SIGUSR2 landing while the main thread is itself
+    inside ``dump_now()`` re-enters the lock — a non-reentrant lock would
+    self-deadlock there. The atomic tmp+rename in ``dump()`` means a crash
+    mid-dump never leaves a truncated savepoint. The handler is installed in
+    ``start()`` and restored in ``stop()``."""
 
     def __init__(
         self,
@@ -147,21 +150,13 @@ class PeriodicDumper:
 
         self._mgr = manager
         self._interval = interval_seconds
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._stop = threading.Event()
         self._thread: Any = None
         self._prev_handler: Any = None
         self._signal_installed = False
+        self._want_signal = install_signal_handler
         self.dump_count = 0
-        if install_signal_handler:
-            import signal as _signal
-            import threading as _threading
-
-            if _threading.current_thread() is _threading.main_thread():
-                self._prev_handler = _signal.signal(
-                    _signal.SIGUSR2, lambda *_: self.dump_now()
-                )
-                self._signal_installed = True
 
     def dump_now(self) -> str:
         with self._lock:
@@ -171,6 +166,12 @@ class PeriodicDumper:
 
     def start(self) -> "PeriodicDumper":
         import threading
+
+        if self._want_signal and threading.current_thread() is threading.main_thread():
+            import signal as _signal
+
+            self._prev_handler = _signal.signal(_signal.SIGUSR2, lambda *_: self.dump_now())
+            self._signal_installed = True
 
         def loop() -> None:
             while not self._stop.wait(self._interval):

@@ -35,68 +35,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("new_events", T.LongType()),
-    ]
-)
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("seen_users", T.ArrayType(T.LongType())),
+        T.StructField("seen_keys", T.ArrayType(T.LongType())),
         T.StructField("seen_events", T.ArrayType(T.LongType())),
     ]
 )
 
 
-def _dedup_count(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    import numpy as np
+def _dedup_count_fn(key_col: str, event_col: str):
+    """Build the per-bucket dedup function; internal frames use the fixed
+    names ``__key``/``__event``, the output carries the caller's key name."""
 
-    # vectorized set arithmetic over the whole bucket — a per-row (or
-    # per-user-group) Python loop here costs ~6x the whole query at sf0.1
-    if state.exists:
-        su, se = state.get
-        seen_u = np.asarray(su, dtype="int64")
-        seen_e = np.asarray(se, dtype="int64")
-    else:
-        seen_u = seen_e = np.array([], dtype="int64")
-    frames = list(pdfs)
-    if frames:
-        bu = np.concatenate([f["user_id"].to_numpy(dtype="int64") for f in frames])
-        be = np.concatenate([f["event_id"].to_numpy(dtype="int64") for f in frames])
-    else:
-        bu = be = np.array([], dtype="int64")
-    # hash-dedup (user, event) pairs: state rows are already unique and come
-    # first, so every kept row past len(seen) is genuinely new
-    all_pairs = pd.DataFrame(
-        {"u": np.concatenate([seen_u, bu]), "e": np.concatenate([seen_e, be])}
-    )
-    kept = all_pairs.drop_duplicates()
-    new = kept.iloc[len(seen_u):]
-    state.update((kept["u"].tolist(), kept["e"].tolist()))
-    per_user = new.groupby("u", sort=False).size()
-    yield pd.DataFrame(
-        {
-            "user_id": per_user.index.to_numpy(dtype="int64"),
-            "new_events": per_user.to_numpy(dtype="int64"),
-        }
-    )
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # vectorized set arithmetic over the whole bucket — a per-row (or
+        # per-key-group) Python loop here costs ~6x the whole query at sf0.1
+        if state.exists:
+            su, se = state.get
+            seen_k = np.asarray(su, dtype="int64")
+            seen_e = np.asarray(se, dtype="int64")
+        else:
+            seen_k = seen_e = np.array([], dtype="int64")
+        frames = list(pdfs)
+        if frames:
+            bk = np.concatenate([f["__key"].to_numpy(dtype="int64") for f in frames])
+            be = np.concatenate([f["__event"].to_numpy(dtype="int64") for f in frames])
+        else:
+            bk = be = np.array([], dtype="int64")
+        # hash-dedup (key, event) pairs: state rows are already unique and
+        # come first, so every kept row past len(seen) is genuinely new
+        all_pairs = pd.DataFrame(
+            {"k": np.concatenate([seen_k, bk]), "e": np.concatenate([seen_e, be])}
+        )
+        kept = all_pairs.drop_duplicates()
+        new = kept.iloc[len(seen_k):]
+        state.update((kept["k"].tolist(), kept["e"].tolist()))
+        per_key = new.groupby("k", sort=False).size()
+        yield pd.DataFrame(
+            {
+                key_col: per_key.index.to_numpy(dtype="int64"),
+                "new_events": per_key.to_numpy(dtype="int64"),
+            }
+        )
+
+    return fn
 
 
 def stateful_distinct_counts(
-    stream: DataFrame, key_col: str = "user_id", buckets: int = 64
+    stream: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_id",
+    buckets: int = 64,
 ) -> DataFrame:
     """Bucketed cross-batch dedup counter (see module docstring). The
-    emitted rows are per USER (not per bucket); summing ``new_events`` per
-    user across batches gives exact distinct counts."""
+    emitted rows are per KEY (not per bucket); summing ``new_events`` per
+    key across batches gives exact distinct counts."""
     from pyspark.sql import functions as F
 
-    bucketed = stream.withColumn("__bucket", F.pmod(F.hash(key_col), F.lit(buckets)))
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.LongType()), T.StructField("new_events", T.LongType())]
+    )
+    bucketed = stream.select(
+        F.col(key_col).alias("__key"),
+        F.col(event_col).alias("__event"),
+        F.pmod(F.hash(key_col), F.lit(buckets)).alias("__bucket"),
+    )
     return bucketed.groupBy("__bucket").applyInPandasWithState(
-        _dedup_count,
-        outputStructType=OUTPUT_SCHEMA,
+        _dedup_count_fn(key_col, event_col),
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -197,3 +197,16 @@ def test_host_port_validation():
     for bad in ("host:", "host:0", "host:99999", "-bad-:9042", "h ost:9042"):
         with _pytest.raises(ConfigError):
             validate_host_port(bad, default_port=9042)
+
+
+def test_source_host_validated_at_decode():
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError, SourceSettings
+
+    ok = SourceSettings(type="cql-fixture", path="/tmp/x", host="scylla-1:9042")
+    assert ok.host == "scylla-1:9042"
+    with _pytest.raises(ConfigError):
+        SourceSettings(type="cql-fixture", path="/tmp/x", host="bad host:9042")
+    with _pytest.raises(ConfigError):
+        SourceSettings(type="cql-fixture", path="/tmp/x", host="h:99999")

@@ -82,3 +82,32 @@ def test_upsert_parquet_replaces_keys(spark, tmp_path):
     upsert_parquet(g2, path, ["k", "day"])
     rows = {(r["k"], r["day"]): r["total"] for r in spark.read.parquet(path).collect()}
     assert rows == {("a", 1): 15, ("b", 1): 20, ("c", 1): 30}
+
+
+def test_stateful_distinct_counts_custom_key(spark, tmp_path):
+    """The dedup counter must work with key/event columns of any name
+    (regression: the bucketed rewrite once hardcoded user_id/event_id)."""
+    import tempfile
+    import uuid
+
+    src_dir = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(7, 100), (7, 100), (7, 101), (9, 200)], "session_id long, click_id long"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("session_id long, click_id long").parquet(src_dir)
+
+    from scylla_migrator_spark.streaming.stateful import stateful_distinct_counts
+
+    counts = stateful_distinct_counts(stream, key_col="session_id", event_col="click_id")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["session_id"]: r["new_events"] for r in spark.table(name).collect()}
+    assert rows == {7: 2, 9: 1}
