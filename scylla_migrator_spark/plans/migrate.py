@@ -225,16 +225,27 @@ def migrate_resumable(
     (ScyllaMigrator.scala:47-133 with SavepointsManager running alongside).
 
     The source's file list is split into chunks; each chunk is read,
-    transformed (renames / where / null-PK drop), APPENDED to the target,
-    and only then recorded AND DUMPED — the savepoint on disk always
-    reflects exactly the chunks whose appends committed, so a hard kill
-    (SIGKILL, OOM) at any point never reprocesses finished work and never
-    produces duplicate rows. The per-chunk dump is a tiny atomic YAML
-    write, negligible next to the chunk's Spark job; the `PeriodicDumper`
-    additionally serves SIGUSR2 on-demand dumps and the terminal dump.
-    Restart with the same config resumes from the last savepoint:
-    completed files are pruned from the work list BEFORE planning
-    (partition pruning, not runtime filtering).
+    transformed (renames / where / null-PK drop), and committed to the
+    target, then recorded AND DUMPED. Commit protocol by layout:
+
+    * default (no partitionBy): EXACTLY-ONCE under hard kill. Each chunk is
+      fully written to a staging dir, then atomically renamed to
+      ``<target>/chunk-<sha(files)>`` — the directory's existence IS the
+      commit record. On resume, a chunk whose dir already exists (written
+      but killed before the savepoint dump) is recognized and recorded, not
+      re-run: no duplicates, no loss, regardless of where the kill landed.
+      (Chunk grouping is deterministic — sorted file list — so the resumed
+      run reproduces the crashed run's chunk boundaries.)
+    * hive-partitioned targets (partitionBy): chunk subdirs would break the
+      partition-directory layout, so chunks append in place; the savepoint
+      is dumped immediately after each append, leaving only a millisecond
+      window where a kill re-appends one chunk (at-least-once).
+
+    The per-chunk dump is a tiny atomic YAML write, negligible next to the
+    chunk's Spark job; the `PeriodicDumper` additionally serves SIGUSR2
+    on-demand dumps and the terminal dump. Restart with the same config
+    resumes from the last savepoint: completed files are pruned from the
+    work list BEFORE planning (partition pruning, not runtime filtering).
 
     ``stop_after_chunks`` simulates an interruption for tests.
     Unit-of-work granularity is the FILE (the reference's token range /
@@ -266,11 +277,21 @@ def migrate_resumable(
 
         shutil.rmtree(tgt.path)
 
+    import hashlib
+
+    atomic_chunks = not tgt.partition_by
     with PeriodicDumper(mgr, interval, install_signal_handler=False) as dumper:
         for i in range(0, len(todo), files_per_chunk):
             if stop_after_chunks is not None and i // files_per_chunk >= stop_after_chunks:
                 break
             chunk = todo[i : i + files_per_chunk]
+            chunk_id = hashlib.sha256("|".join(chunk).encode()).hexdigest()[:16]
+            chunk_dir = os.path.join(tgt.path, f"chunk-{chunk_id}")
+            if atomic_chunks and os.path.exists(chunk_dir):
+                # written by a previous run killed before its savepoint dump
+                mgr.complete_files(chunk)
+                dumper.dump_now()
+                continue
             reader = spark.read
             if src.merge_schema:
                 reader = reader.option("mergeSchema", True)
@@ -289,20 +310,33 @@ def migrate_resumable(
             if config.primary_key and auto_null_pk_filtering(src.type):
                 df = drop_null_pk_rows(df, config.primary_key)
             out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
-            _wp(
-                out,
-                tgt.path,
-                mode="append",
-                compression=tgt.compression,
-                partition_by=tgt.partition_by,
-                repartition_columns=tgt.repartition_columns,
-            )
+            if atomic_chunks:
+                staging = os.path.join(tgt.path, f".staging-{chunk_id}")
+                _wp(
+                    out,
+                    staging,
+                    mode="overwrite",
+                    compression=tgt.compression,
+                    repartition_columns=tgt.repartition_columns,
+                )
+                os.replace(staging, chunk_dir)  # atomic commit
+            else:
+                _wp(
+                    out,
+                    tgt.path,
+                    mode="append",
+                    compression=tgt.compression,
+                    partition_by=tgt.partition_by,
+                    repartition_columns=tgt.repartition_columns,
+                )
             mgr.complete_files(chunk)
             # dump IMMEDIATELY: the on-disk savepoint must never lag the
-            # committed appends, or a hard kill re-appends the gap on resume
+            # committed chunks, or a hard kill re-processes the gap on resume
             dumper.dump_now()
     if not os.path.exists(tgt.path):
         raise ValueError(
             f"nothing to migrate: no pending files under {src.path} and no existing target"
         )
+    if atomic_chunks:
+        return spark.read.option("recursiveFileLookup", "true").parquet(tgt.path)
     return spark.read.parquet(tgt.path)

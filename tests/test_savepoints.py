@@ -126,10 +126,10 @@ def test_migrate_resumable_survives_interruption(spark, sf_dir, tmp_path):
         }
     )
     # first run dies after 1 chunk (2 files)
-    migrate_resumable(spark, cfg, files_per_chunk=2, stop_after_chunks=1)
+    partial_df = migrate_resumable(spark, cfg, files_per_chunk=2, stop_after_chunks=1)
     mgr = SavepointsManager.resume(str(tmp_path / "sp"))
-    assert len(mgr.skip_files) == 2  # terminal savepoint recorded the chunk
-    partial = spark.read.parquet(str(tmp_path / "out")).count()
+    assert len(mgr.skip_files) == 2  # per-chunk savepoint recorded the chunk
+    partial = partial_df.count()
     assert 0 < partial < n_src
 
     # resume: completes the remaining 4 files, exact row parity, no dupes
@@ -138,3 +138,42 @@ def test_migrate_resumable_survives_interruption(spark, sf_dir, tmp_path):
     assert out.select("o_orderkey").distinct().count() == n_src
     mgr2 = SavepointsManager.resume(str(tmp_path / "sp"))
     assert len(mgr2.skip_files) == 6
+
+
+def test_migrate_resumable_chunk_committed_but_savepoint_lagging(spark, sf_dir, tmp_path):
+    """Worst-case kill: a chunk's atomic commit landed but the process died
+    BEFORE that chunk's savepoint dump (the savepoint on disk lags by one
+    chunk). The resumed run must recognize the committed chunk dir and not
+    duplicate its rows."""
+    import os
+
+    from scylla_migrator_spark.config import MigratorConfig
+    from scylla_migrator_spark.plans.migrate import migrate_resumable
+    from scylla_migrator_spark.savepoints import SavepointsManager
+
+    src_dir = str(tmp_path / "orders4")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(4).write.parquet(src_dir)
+    n_src = orders.count()
+
+    sp = str(tmp_path / "sp")
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_dir},
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+            "primaryKey": ["o_orderkey"],
+            "savepoints": {"path": sp, "intervalSeconds": 3600},
+        }
+    )
+    migrate_resumable(spark, cfg, files_per_chunk=2, stop_after_chunks=2)
+    # roll the savepoint back one chunk: delete every savepoint after the
+    # first — chunk 2's commit is now unrecorded, exactly the kill window
+    names = sorted(n for n in os.listdir(sp) if n.startswith("savepoint_"))
+    assert len(names) >= 2
+    for n in names[1:]:
+        os.remove(os.path.join(sp, n))
+    assert len(SavepointsManager.resume(sp).skip_files) == 2
+
+    out = migrate_resumable(spark, cfg, files_per_chunk=2)
+    assert out.count() == n_src
+    assert out.select("o_orderkey").distinct().count() == n_src
