@@ -2869,3 +2869,55 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.dense_rank().over(w).alias("dr"),
     )
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS cnt
+    FROM events GROUP BY event_type, k_mod
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column (C12 family, applied to the events
+    fixture's ``props``): schema-on-read with ``from_json`` — the parse
+    happens once per row inside codegen, the extracted field feeds a
+    normal aggregate. At scale prefer from_json with an explicit schema
+    over get_json_object chains (one parse vs one per field)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_register(
+    "division_all_years_customers",
+    """
+    SELECT o_custkey FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT year(o_orderdate)) =
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+    """,
+)
+def division_all_years_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers with at least one order in EVERY
+    year the table covers. Distinct-count-per-group vs broadcast scalar
+    total — the set-containment join rewritten as two aggregates (the
+    standard scale form; a per-year semi-join chain would be y joins)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    total = o.agg(F.count_distinct("yr").alias("n_years"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count_distinct("yr").alias("cust_years"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cust_years") == F.col("n_years"))
+        .select("o_custkey")
+    )
