@@ -76,6 +76,9 @@ HEADLINE = [
     "tpch_q20_promo_suppliers",
     "window_moving_avg",
     "window_rank_suite",
+    "json_props_extract",
+    "division_all_years_customers",
+    "unpivot_lineitem_metrics",
 ]
 
 

@@ -2921,3 +2921,34 @@ def division_all_years_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cust_years") == F.col("n_years"))
         .select("o_custkey")
     )
+
+
+@_register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT metric, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+    FROM (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE value)
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of pivot): wide metric columns to long
+    (metric, value) rows, then per-metric totals. Spark's unpivot is an
+    Expand node — rows multiply in-task, no shuffle until the aggregate;
+    partial aggregation collapses the 4x row blowup back to 4 rows per
+    task before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("total"),
+    )
