@@ -97,17 +97,28 @@ _DANGEROUS_JDBC_KEYS = (
 
 def validate_jdbc_url(url: str) -> str:
     """Reject JDBC URLs smuggling dangerous driver properties
-    (SourceSettings.scala:586-911 posture: blocklist checked on the decoded,
-    case-folded URL so `allowLoadLocalInfile`, `%61llow...`, and `ALLOW...`
-    spellings all fail)."""
+    (SourceSettings.scala:586-911 posture). The blocklist is matched against
+    PARSED PROPERTY KEYS — the `?`/`;`-delimited `key=value` section — after
+    percent-decoding, whitespace-stripping, and case-folding, so
+    `allowLoadLocalInfile`, `%61llow...`, and `ALLOW ...` spellings all
+    fail, while a database or user name that merely contains a blocked word
+    (e.g. `/socketfactory_audit`) stays configurable."""
     if not url.lower().startswith("jdbc:"):
         raise ConfigError("jdbc url must start with jdbc:")
     from urllib.parse import unquote
 
-    folded = unquote(url).replace(" ", "").lower()
-    for key in _DANGEROUS_JDBC_KEYS:
-        if key in folded:
-            raise ConfigError(f"jdbc url contains blocked property {key!r}")
+    decoded = unquote(url)
+    # properties follow the first '?' (mysql/postgres style) and/or ';'
+    # (sqlserver/derby style); both separators may nest further key=value
+    # pairs split by '&' or ';'
+    for lead in ("?", ";"):
+        head, sep, props = decoded.partition(lead)
+        if not sep:
+            continue
+        for pair in re.split(r"[&;]", props):
+            key = pair.partition("=")[0].strip().replace(" ", "").lower()
+            if key in _DANGEROUS_JDBC_KEYS:
+                raise ConfigError(f"jdbc url contains blocked property {key!r}")
     return url
 
 
@@ -115,17 +126,44 @@ _HOSTNAME = re.compile(r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9]
                        r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
 
 
-def validate_host_port(value: str, default_port: int | None = None) -> tuple[str, int]:
-    """Parse and validate a host[:port] endpoint (HostValidation.scala
-    posture: hostname/IP syntax, port 1-65535)."""
-    host, sep, port_s = value.partition(":")
-    if sep and not port_s.isdigit():
-        raise ConfigError(f"invalid port in {value!r}")
-    port = int(port_s) if sep else default_port
-    if port is None:
-        raise ConfigError(f"missing port in {value!r}")
+def _parse_port(value: str, port_s: str | None, default_port: int | None) -> int:
+    if port_s is None:
+        if default_port is None:
+            raise ConfigError(f"missing port in {value!r}")
+        return default_port
+    try:
+        port = int(port_s)
+    except ValueError:
+        raise ConfigError(f"invalid port in {value!r}") from None
     if not (1 <= port <= 65_535):
         raise ConfigError(f"port out of range in {value!r}")
+    return port
+
+
+def validate_host_port(value: str, default_port: int | None = None) -> tuple[str, int]:
+    """Parse and validate a host[:port] endpoint (HostValidation.scala
+    posture: hostname / IPv4 / IPv6 syntax, port 1-65535). IPv6 uses the
+    bracket form ``[::1]:9042``; a bare multi-colon value is taken as a
+    bracketless IPv6 host with the default port."""
+    import socket
+
+    def check_v6(host: str) -> str:
+        try:
+            socket.inet_pton(socket.AF_INET6, host)
+        except OSError:
+            raise ConfigError(f"invalid IPv6 host {host!r}") from None
+        return host
+
+    if value.startswith("["):
+        host, sep, rest = value[1:].partition("]")
+        if not sep:
+            raise ConfigError(f"unterminated IPv6 bracket in {value!r}")
+        port_s = rest[1:] if rest.startswith(":") else (None if not rest else "")
+        return check_v6(host), _parse_port(value, port_s, default_port)
+    if value.count(":") > 1:  # bracketless IPv6, no port component possible
+        return check_v6(value), _parse_port(value, None, default_port)
+    host, sep, port_s = value.partition(":")
+    port = _parse_port(value, port_s if sep else None, default_port)
     if not _HOSTNAME.match(host):
         raise ConfigError(f"invalid hostname {host!r}")
     return host, port

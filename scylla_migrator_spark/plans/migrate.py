@@ -30,25 +30,14 @@ class MigrationResult:
 
 def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     src = config.source
-    if src.type == "parquet":
+    if src.type in ("parquet", "cql-fixture"):
+        # cql-fixture = the fixture stand-in for the CQL token-range scan
+        # (SURVEY S1): parquet scan + timestamp widening normalization pass;
+        # companions arrive either bare (c_ttl/c_writetime) or __meta_-prefixed
         df = read_parquet(
             spark, src.path, skip_files=src.skip_files, merge_schema=src.merge_schema
         )
-        if any(c.startswith(S.META_PREFIX) for c in df.columns):
-            df = S.strip_meta_prefix(df)
-    elif src.type == "cql-fixture":
-        # fixture stand-in for the CQL token-range scan (SURVEY S1): parquet
-        # scan + timestamp widening normalization pass; companions arrive
-        # either bare (c_ttl/c_writetime) or __meta_-prefixed
-        df = read_parquet(spark, src.path, skip_files=src.skip_files)
-        if any(c.startswith(S.META_PREFIX) for c in df.columns):
-            df = S.strip_meta_prefix(df)
-        df = S.widen_timestamps(df)
-        if not src.preserve_timestamps:
-            companions = [
-                c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
-            ]
-            df = df.drop(*companions)
+        df = _normalize_file_frame(df, src)
     elif src.type in ("csv", "json", "orc"):
         # generic columnar/text file sources: same pipeline surface as
         # parquet. CSV/JSON get schema from `schemaDdl` when provided
@@ -107,9 +96,27 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     return apply_where(df, src.where)
 
 
-def build_plan(spark: SparkSession, config: MigratorConfig) -> DataFrame:
-    """The lazy migration DataFrame (no action executed)."""
-    df = read_source(spark, config)
+def _normalize_file_frame(df: DataFrame, src) -> DataFrame:
+    """Shared per-read normalization for parquet-family sources: strip
+    ``__meta_`` prefixes, and for CQL fixtures widen timestamps and drop
+    TTL/WRITETIME companions unless preserved. Used by both the one-shot
+    read path and the chunked resumable loop — keep them in lockstep."""
+    if any(c.startswith(S.META_PREFIX) for c in df.columns):
+        df = S.strip_meta_prefix(df)
+    if src.type == "cql-fixture":
+        df = S.widen_timestamps(df)
+        if not src.preserve_timestamps:
+            companions = [
+                c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
+            ]
+            df = df.drop(*companions)
+    return df
+
+
+def _apply_transforms(df: DataFrame, config: MigratorConfig) -> DataFrame:
+    """Shared post-read pipeline (renames / item-map renames / null-PK drop)
+    for batch frames. Both ``build_plan`` and ``migrate_resumable`` run
+    EXACTLY this — any new transform belongs here, not in either caller."""
     if "item" in df.columns:
         # schemaless item frame (DynamoDB model): renames are per-item key
         # renames (writers/DynamoDB.scala:121-129), and the canonical JSON
@@ -126,6 +133,11 @@ def build_plan(spark: SparkSession, config: MigratorConfig) -> DataFrame:
     if config.primary_key and auto_null_pk_filtering(config.source.type):
         df = drop_null_pk_rows(df, config.primary_key)
     return df
+
+
+def build_plan(spark: SparkSession, config: MigratorConfig) -> DataFrame:
+    """The lazy migration DataFrame (no action executed)."""
+    return _apply_transforms(read_source(spark, config), config)
 
 
 def migrate(spark: SparkSession, config: MigratorConfig) -> DataFrame:
@@ -266,21 +278,32 @@ def migrate_resumable(
         raise ValueError("migrate_resumable requires savepoints.path")
     interval = config.savepoints.interval_seconds if config.savepoints else 300
 
+    import glob as _glob
+    import hashlib
+
     mgr = SavepointsManager.resume(sp_dir)
-    mgr.config = config.rendered()
+    # chunk boundaries are part of the commit identity (chunk-dir sha is
+    # over the chunk's file list): a resume MUST re-chunk the same way, so
+    # the first run's files_per_chunk is recorded and overrides the param
+    recorded = mgr.config.get("__files_per_chunk") if isinstance(mgr.config, dict) else None
+    if recorded:
+        files_per_chunk = int(recorded)
+    mgr.config = {**config.rendered(), "__files_per_chunk": files_per_chunk}
     done = set(mgr.skip_files) | set(src.skip_files)
     all_files = list_parquet_files(src.path)
     todo = [f for f in all_files if f not in done and os.path.basename(f) not in done]
-    fresh_start = not mgr.skip_files
+    atomic_chunks = not tgt.partition_by
+    committed_dirs = set(_glob.glob(os.path.join(tgt.path, "chunk-*"))) if atomic_chunks else set()
+    # "fresh start" must also see no committed chunks: a kill after chunk 1's
+    # atomic commit but before ANY dump leaves an empty savepoint dir — the
+    # committed chunk is recognized below, not deleted and re-run
+    fresh_start = not mgr.skip_files and not committed_dirs
     if fresh_start and todo and tgt.mode == "overwrite" and os.path.exists(tgt.path):
         import shutil
 
         shutil.rmtree(tgt.path)
 
-    import hashlib
-
-    atomic_chunks = not tgt.partition_by
-    with PeriodicDumper(mgr, interval, install_signal_handler=False) as dumper:
+    with PeriodicDumper(mgr, interval, install_signal_handler=True) as dumper:
         for i in range(0, len(todo), files_per_chunk):
             if stop_after_chunks is not None and i // files_per_chunk >= stop_after_chunks:
                 break
@@ -295,20 +318,8 @@ def migrate_resumable(
             reader = spark.read
             if src.merge_schema:
                 reader = reader.option("mergeSchema", True)
-            df = reader.parquet(*chunk)
-            if any(c.startswith(S.META_PREFIX) for c in df.columns):
-                df = S.strip_meta_prefix(df)
-            if src.type == "cql-fixture":
-                df = S.widen_timestamps(df)
-                if not src.preserve_timestamps:
-                    companions = [
-                        c for c in df.columns if c.endswith((S.TTL_SUFFIX, S.WRITETIME_SUFFIX))
-                    ]
-                    df = df.drop(*companions)
-            df = apply_where(df, src.where)
-            df = apply_renames(df, config.renames)
-            if config.primary_key and auto_null_pk_filtering(src.type):
-                df = drop_null_pk_rows(df, config.primary_key)
+            df = _normalize_file_frame(reader.parquet(*chunk), src)
+            df = _apply_transforms(apply_where(df, src.where), config)
             out = S.add_meta_prefix(df) if S.has_timestamp_companions(df.columns) else df
             if atomic_chunks:
                 staging = os.path.join(tgt.path, f".staging-{chunk_id}")
@@ -337,6 +348,11 @@ def migrate_resumable(
         raise ValueError(
             f"nothing to migrate: no pending files under {src.path} and no existing target"
         )
+    final = spark.read
+    if src.merge_schema:
+        # chunk dirs can carry evolved (differing) schemas; without merging,
+        # the union schema would come from whichever dir lists first
+        final = final.option("mergeSchema", True)
     if atomic_chunks:
-        return spark.read.option("recursiveFileLookup", "true").parquet(tgt.path)
-    return spark.read.parquet(tgt.path)
+        return final.option("recursiveFileLookup", "true").parquet(tgt.path)
+    return final.parquet(tgt.path)

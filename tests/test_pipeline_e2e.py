@@ -210,3 +210,36 @@ def test_source_host_validated_at_decode():
         SourceSettings(type="cql-fixture", path="/tmp/x", host="bad host:9042")
     with _pytest.raises(ConfigError):
         SourceSettings(type="cql-fixture", path="/tmp/x", host="h:99999")
+
+
+def test_jdbc_blocklist_matches_keys_not_substrings():
+    """A db/user name containing a blocked word is fine; only property KEYS
+    are blocked (including %-encoded and ;-delimited spellings)."""
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError, validate_jdbc_url
+
+    assert validate_jdbc_url("jdbc:mysql://h/socketfactory_audit")
+    assert validate_jdbc_url("jdbc:mysql://h/db?user=autodeserialize_fan")
+    for bad in (
+        "jdbc:mysql://h/db?allowLoadLocalInfile=true",
+        "jdbc:sqlserver://h;autoDeserialize=true",
+        "jdbc:mysql://h/db?a=1&%73ocketFactory=evil",
+    ):
+        with _pytest.raises(ConfigError):
+            validate_jdbc_url(bad)
+
+
+def test_host_port_ipv6():
+    import pytest as _pytest
+
+    from scylla_migrator_spark.config import ConfigError, validate_host_port
+
+    assert validate_host_port("[::1]:9042") == ("::1", 9042)
+    assert validate_host_port("2001:db8::1", default_port=9042) == ("2001:db8::1", 9042)
+    with _pytest.raises(ConfigError):
+        validate_host_port("[::1", default_port=1)
+    with _pytest.raises(ConfigError):
+        validate_host_port("h:²", default_port=1)  # non-ASCII digit: ConfigError, not ValueError
+    with _pytest.raises(ConfigError):
+        validate_host_port("[zz]:1")
