@@ -42,7 +42,26 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _session_proof(spark: SparkSession) -> None:
+    """Pin the session confs every query assumes, at runtime.
+
+    The driver's harness builds a vanilla SparkSession (not ours from
+    ``session.build_session``), so any conf we rely on must be set here:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet stores ts as
+      TIMESTAMP(NANOS); without this flag the read dies with
+      PARQUET_TYPE_ILLEGAL. Runtime-settable (it is read at scan planning,
+      not session build).
+    - ``spark.sql.session.timeZone``: oracle hashes on timestamp-bearing
+      queries are computed under UTC; a non-UTC driver session would shift
+      rendered timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _session_proof(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1154,6 +1173,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time ops need TimestampType, so narrow nanos -> micros here."""
     import os
 
+    _session_proof(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file streaming source requires a *directory*; the fixture table is a
     # single file -> stage a symlink dir (testdata itself is read-only)
