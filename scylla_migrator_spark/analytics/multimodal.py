@@ -12,14 +12,17 @@ The Spark-side design is the real deliverable at 100 TB:
 * repartitioning by a size-aware key before heavy decode balances skew
   (one 4 GB video next to thousands of thumbnails)
 
-The actual codec libraries are not installed in this container, so the
-decode body is STUBBED: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (size-derived
-pseudo-pixels) exercises the full Spark plumbing — schema, batching,
-partitioning — for real."""
+Decode support: three container formats are decoded for REAL with stdlib
+``struct``/``zlib`` (public file-format specs — RIFF/WAVE, netpbm P6, PNG):
+header metadata (dimensions, sample rate, duration) plus raw-sample
+features for WAV (8/16-bit PCM) and PPM (raw pixels). Formats that need a
+full codec stack (JPEG, H.264, ...) raise NotImplementedError; ``fake=True``
+keeps the deterministic stand-in decoder for plumbing tests."""
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,6 +69,178 @@ def make_asset_table(df: DataFrame, id_col: str, data_col: str, kind: str, mime:
     )
 
 
+# --------------------------------------------------------------------------
+# Real decoders (public file-format specs, stdlib only)
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE container (PCM 8- or 16-bit) and decode samples.
+
+    Returns metadata (sample_rate, n_channels, bits, duration_ms, n_samples)
+    plus ``amp_sum`` — the exact integer sum of unsigned sample magnitudes —
+    and ``samples`` as floats in [0, 1] for featurization.
+    """
+    if len(data) < 44 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"only PCM 8/16-bit supported, got fmt={audio_format} bits={bits}")
+    if bits == 8:
+        raw = list(pcm)  # unsigned 8-bit
+        scale = 255.0
+    else:
+        raw = [abs(v) for v in struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2])]
+        scale = 32768.0
+    n_frames = len(raw) // max(n_channels, 1)
+    return {
+        "kind": "audio",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": len(raw),
+        "duration_ms": (n_frames * 1000) // sample_rate if sample_rate else 0,
+        "amp_sum": sum(raw),
+        "samples": [v / scale for v in raw],
+    }
+
+
+def encode_wav(samples: bytes, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Build a real 8-bit PCM RIFF/WAVE file from raw unsigned sample bytes."""
+    byte_rate = sample_rate * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    if len(samples) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_ppm(data: bytes) -> dict:
+    """Parse a binary netpbm P6 image: ASCII header, then raw RGB bytes."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens (comments starting with '#' allowed), then ONE whitespace byte.
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    pixels = data[pos : pos + width * height * 3]
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixel_sum": sum(pixels),
+        "samples": [b / maxval for b in pixels],
+    }
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Build a real P6 PPM from raw RGB bytes (len == width*height*3)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse PNG IHDR for dimensions; decompress IDAT and reverse per-row
+    filters for 8-bit grayscale/RGB(A) (the common training-data cases)."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, width = len(_PNG_MAGIC), None
+    idat = b""
+    while pos + 8 <= len(data):
+        size, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack_from(">IIBB", body, 0)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # size + type + crc
+    if width is None:
+        raise ValueError("missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    out = {"kind": "image", "width": width, "height": height, "bits": bit_depth}
+    if channels is None or bit_depth != 8 or not idat:
+        return out  # header-only for exotic color types
+    raw = zlib.decompress(idat)
+    stride, bpp = width * channels, channels
+    pixels = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype, row = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ftype == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ftype == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        pixels += row
+        prev = row
+    out["pixel_sum"] = sum(pixels)
+    out["samples"] = [v / 255.0 for v in pixels]
+    return out
+
+
+def decode_asset(data: bytes) -> dict:
+    """Sniff the container magic and dispatch to the matching real decoder."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    raise NotImplementedError(
+        "unsupported container (supported: WAV PCM, PPM P6, PNG); "
+        "JPEG/MP4/... need codec libraries not present in this environment"
+    )
+
+
+def _featurize(samples: list[float], dim: int = 8) -> list[float]:
+    """Banded mean-amplitude feature from decoded samples."""
+    if not samples:
+        return [0.0] * dim
+    return [
+        (sum(samples[i::dim]) / len(samples[i::dim])) if samples[i::dim] else 0.0
+        for i in range(dim)
+    ]
+
+
 def _fake_decode(data: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: dim pseudo-features from
     byte statistics. Replaces PIL/ffmpeg (not installed here)."""
@@ -77,23 +252,26 @@ def _fake_decode(data: bytes, dim: int = 8) -> list[float]:
 def extract_features(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> DataFrame:
     """Decode + featurize assets via mapInPandas (Arrow batches).
 
-    ``fake=False`` raises NotImplementedError inside the UDF — the container
-    has no codec libraries; the Spark plumbing (schema, batch iteration,
-    size-aware repartition) is real and tested with ``fake=True``."""
+    ``fake=False`` runs the REAL stdlib decoders (WAV PCM / PPM / PNG —
+    see :func:`decode_asset`) and featurizes the decoded samples; containers
+    needing a full codec stack raise NotImplementedError. ``fake=True`` keeps
+    the deterministic byte-statistics stand-in used by the plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libraries (PIL/ffmpeg); "
-                    "run with fake=True for the deterministic stub"
-                )
+            feats = []
+            for a in pdf["asset"]:
+                data = a["data"] or b""
+                if fake:
+                    feats.append(_fake_decode(data))
+                else:
+                    feats.append(_featurize(decode_asset(data).get("samples", [])))
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": [m["kind"] for m in pdf["asset"].map(lambda a: a["meta"])],
                     "n_bytes": [len(a["data"]) if a["data"] is not None else 0 for a in pdf["asset"]],
-                    "feature": [_fake_decode(a["data"] or b"") for a in pdf["asset"]],
+                    "feature": feats,
                 }
             )
             yield out
@@ -103,6 +281,77 @@ def extract_features(df: DataFrame, fake: bool = False, batch_hint: int = 256) -
         "__salt", (F.length(F.col("asset.data")) % F.lit(64)).cast("int")
     ).repartition(F.col("__salt")).drop("__salt")
     return salted.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def decode_assets_meta(df: DataFrame) -> DataFrame:
+    """Real header+sample decode to typed metadata columns (Arrow batches).
+
+    The output is fully columnar — downstream filters on e.g. duration or
+    dimensions run JVM-side with no further byte access. ``amp_sum`` is the
+    exact integer sum of decoded sample magnitudes (an oracle-checkable
+    witness that the PCM/pixel payload was actually decoded)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, a in zip(pdf["asset_id"], pdf["asset"]):
+                m = decode_asset(a["data"] or b"")
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "kind": m["kind"],
+                        "width": m.get("width"),
+                        "height": m.get("height"),
+                        "sample_rate": m.get("sample_rate"),
+                        "duration_ms": m.get("duration_ms"),
+                        "n_samples": m.get("n_samples", len(m.get("samples", [])) or None),
+                        "amp_sum": m.get("amp_sum", m.get("pixel_sum")),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_META_SCHEMA.fields])
+
+    return df.mapInPandas(run, DECODED_META_SCHEMA)
+
+
+def synth_wav_assets(df: DataFrame, id_col: str, payload_col: str, rate_col: str) -> DataFrame:
+    """Build REAL 8-bit PCM WAV containers from a binary payload column
+    (mapInPandas — file construction is imperative byte work). Used by tests
+    and the oracle-checked decode query to create genuine assets without
+    shipping media files in the repo."""
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "data": [
+                        encode_wav(bytes(p or b""), int(r))
+                        for p, r in zip(pdf[payload_col], pdf[rate_col])
+                    ],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col, rate_col
+    )
+    return src.mapInPandas(run, schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

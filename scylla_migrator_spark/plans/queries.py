@@ -1371,7 +1371,31 @@ def multimodal_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_fake_features")  # rows-only: fake decoder not SQL-expressible
+@_register(
+    "multimodal_fake_features",
+    # Full oracle: the fake decoder is deterministic byte arithmetic
+    # (sum of every-8th byte mod 997, see analytics/multimodal._fake_decode),
+    # replayed in DuckDB via hex-string byte extraction. The feature is
+    # emitted as the scaled integer (f0 * 997 rounds back exactly: values
+    # are n/997 with n in [0,996], well inside float32 precision).
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+      FROM documents
+    ), b AS (
+      SELECT doc_id, gs.i AS i,
+             CAST('0x' || substring(hx, 2*gs.i - 1, 2) AS INT) AS byte
+      FROM h, LATERAL (SELECT unnest(generate_series(1, nb)) AS i) gs
+    )
+    SELECT h.doc_id AS asset_id, 'image' AS kind,
+           CAST(h.nb AS BIGINT) AS n_bytes,
+           CAST(COALESCE(s.f0, 0) AS INT) AS f0_scaled
+    FROM h LEFT JOIN (
+      SELECT doc_id, sum(CASE WHEN (i-1)%8=0 THEN byte END) % 997 AS f0
+      FROM b GROUP BY doc_id
+    ) s USING (doc_id)
+    """,
+)
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode path: Arrow-batched mapInPandas feature extraction
     with the deterministic fake decoder (real codecs stubbed — not in this
@@ -1383,7 +1407,63 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = make_asset_table(docs, "doc_id", "data", kind="image", mime="image/png")
     feats = extract_features(assets, fake=True)
-    return feats.select("asset_id", "kind", "n_bytes", F.element_at("feature", 1).alias("f0"))
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1) * 997).cast("int").alias("f0_scaled"),
+    )
+
+
+@_register(
+    "multimodal_wav_decode",
+    # Oracle replays the deterministic construction: payload = UTF-8 text
+    # bytes (8-bit PCM samples), sample_rate = 8000 + (doc_id%3)*4000.
+    # The Spark side builds a REAL RIFF/WAVE container and parses it back
+    # with the stdlib decoder; amp_sum (exact integer sum of sample bytes)
+    # witnesses that the PCM payload was decoded, not just the header.
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST('0x' || substring(hx, 2*gs.i - 1, 2) AS INT) AS byte
+      FROM h, LATERAL (SELECT unnest(generate_series(1, nb)) AS i) gs
+    )
+    SELECT h.doc_id AS asset_id, 'audio' AS kind,
+           CAST(h.rate AS INT) AS sample_rate,
+           CAST((h.nb * 1000) // h.rate AS BIGINT) AS duration_ms,
+           CAST(h.nb AS BIGINT) AS n_samples,
+           CAST(COALESCE(s.total, 0) AS BIGINT) AS amp_sum
+    FROM h LEFT JOIN (SELECT doc_id, sum(byte) AS total FROM b GROUP BY doc_id) s
+      USING (doc_id)
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode: build genuine 8-bit PCM WAV files from
+    document bytes (mapInPandas), then parse container + samples back with
+    the stdlib RIFF/WAVE decoder (analytics/multimodal.decode_wav) — no
+    fake path anywhere in this query."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        synth_wav_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("int").alias("rate"),
+    )
+    wavs = synth_wav_assets(docs, "doc_id", "payload", "rate")
+    assets = make_asset_table(wavs, "asset_id", "data", kind="audio", mime="audio/wav")
+    meta = decode_assets_meta(assets)
+    return meta.select(
+        "asset_id", "kind", "sample_rate", "duration_ms", "n_samples", "amp_sum"
+    )
 
 
 @_register("approx_aggregates")  # rows-only: approximate by construction

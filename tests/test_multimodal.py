@@ -40,11 +40,135 @@ def test_fake_feature_extraction_deterministic(spark):
     assert rows[5]["feature"] == rows2[5]["feature"]
 
 
-def test_real_decode_is_stubbed(spark):
+def test_real_decode_unsupported_container_raises(spark):
+    # raw non-container bytes (no RIFF/P6/PNG magic) still raise
     assets = _assets(spark)
     with pytest.raises(Exception) as e:
         extract_features(assets, fake=False).collect()
-    assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
+    assert "NotImplementedError" in str(e.value) or "unsupported" in str(e.value)
+
+
+# --------------------------------------------------------------------------
+# Real stdlib decoders (WAV / PPM / PNG)
+# --------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_local():
+    from scylla_migrator_spark.analytics.multimodal import decode_wav, encode_wav
+
+    payload = bytes(range(200))
+    wav = encode_wav(payload, sample_rate=8000)
+    m = decode_wav(wav)
+    assert m["sample_rate"] == 8000 and m["n_channels"] == 1 and m["bits"] == 8
+    assert m["n_samples"] == 200
+    assert m["amp_sum"] == sum(payload)
+    assert m["duration_ms"] == 200 * 1000 // 8000
+    # odd-length payload exercises the word-alignment pad
+    m2 = decode_wav(encode_wav(b"\x01\x02\x03", 44100))
+    assert m2["n_samples"] == 3 and m2["amp_sum"] == 6
+
+
+def test_wav_16bit_pcm():
+    import struct
+
+    from scylla_migrator_spark.analytics.multimodal import decode_wav
+
+    samples = [-32768, -1, 0, 1, 1000]
+    pcm = struct.pack("<5h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    m = decode_wav(wav)
+    assert m["bits"] == 16 and m["sample_rate"] == 16000
+    assert m["amp_sum"] == sum(abs(s) for s in samples)
+
+
+def test_ppm_roundtrip_with_comment():
+    from scylla_migrator_spark.analytics.multimodal import decode_ppm, encode_ppm
+
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    m = decode_ppm(encode_ppm(2, 3, pixels))
+    assert (m["width"], m["height"]) == (2, 3)
+    assert m["pixel_sum"] == sum(pixels)
+    # comments in header are part of the netpbm spec
+    commented = b"P6\n# a comment\n2 3\n255\n" + pixels
+    assert decode_ppm(commented)["pixel_sum"] == sum(pixels)
+
+
+def _make_png(width, height, rows, color_type=2, filters=None):
+    """Hand-assemble a real PNG (8-bit) with chosen per-row filter types."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3}[color_type]
+    filters = filters or [0] * height
+    raw = b"".join(bytes([filters[y]]) + bytes(rows[y]) for y in range(height))
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    from scylla_migrator_spark.analytics.multimodal import decode_png
+
+    # 4x1-pixel RGB rows; filter types 0 (none), 1 (sub), 2 (up), 4 (paeth)
+    width, height = 4, 4
+    flat = [[(x * 17 + y * 31) % 256 for x in range(width * 3)] for y in range(height)]
+    # encode each row under its filter against the true previous row
+    enc = []
+    for y, ftype in enumerate([0, 1, 2, 4]):
+        row, out = flat[y], []
+        prev = flat[y - 1] if y else [0] * (width * 3)
+        for x in range(width * 3):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                out.append(row[x])
+            elif ftype == 1:
+                out.append((row[x] - a) % 256)
+            elif ftype == 2:
+                out.append((row[x] - b) % 256)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[x] - pred) % 256)
+        enc.append(out)
+    png = _make_png(width, height, enc, color_type=2, filters=[0, 1, 2, 4])
+    m = decode_png(png)
+    assert (m["width"], m["height"]) == (width, height)
+    assert m["pixel_sum"] == sum(sum(r) for r in flat)
+
+
+def test_real_decode_wav_in_spark(spark):
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        encode_wav,
+        make_asset_table,
+    )
+
+    rows = [(i, encode_wav(bytes([i % 7] * (50 + i)), 8000 + i * 100)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+    assets = make_asset_table(df, "id", "data", kind="audio", mime="audio/wav")
+    meta = {r["asset_id"]: r for r in decode_assets_meta(assets).collect()}
+    assert meta[3]["sample_rate"] == 8300
+    assert meta[3]["n_samples"] == 53
+    assert meta[3]["amp_sum"] == (3 % 7) * 53
+    # real-decode featurization path (fake=False) no longer raises on WAV
+    feats = extract_features(assets, fake=False)
+    got = {r["asset_id"]: r["feature"] for r in feats.collect()}
+    assert len(got) == 10 and len(got[0]) == 8
+    assert got[2][0] == pytest.approx((2 % 7) / 255.0)
 
 
 def test_frame_sampling_plan(spark):
