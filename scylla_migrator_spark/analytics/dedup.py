@@ -157,6 +157,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     block_col: str,
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all same-block pairs with >=1 shared shingle,
     via an inverted-index join (the scalable shape).
@@ -166,17 +167,41 @@ def ngram_jaccard_pairs(
     per-doc set sizes. Work is proportional to the number of (pair,
     shared-shingle) co-occurrences — NOT to all-pairs x array-intersect like
     a blocked array join, which also re-evaluates the intersect per projected
-    use. At 100 TB, prune stop-shingles (document frequency above a cap)
-    before the join to bound the hot-shingle skew; AQE skew-join splits the
-    rest."""
+    use.
+
+    ``max_doc_freq`` is the 100 TB skew guard: a shingle appearing in d docs
+    of one block contributes O(d^2) join rows, so one hot "stop shingle"
+    (boilerplate, license headers) makes the join quadratic. With the cap
+    set, shingles whose per-block document frequency exceeds it are pruned
+    BEFORE the self-join, and Jaccard is computed consistently over the
+    retained shingle universe (both set sizes recount retained shingles
+    only). The freq count, the prune semi-join, and the pair join all hash
+    on (block, shingle), so AQE reuses one shuffle partitioning across the
+    three."""
     sh = df.select(
         F.col(id_col),
         F.col(block_col).alias("__blk"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("__s"),
     )
-    ex = sh.select(
-        F.col(id_col), "__blk", F.size("__s").alias("__sz"), F.explode("__s").alias("__g")
-    )
+    if max_doc_freq is None:
+        ex = sh.select(
+            F.col(id_col), "__blk", F.size("__s").alias("__sz"), F.explode("__s").alias("__g")
+        )
+    else:
+        from pyspark.sql import Window
+
+        flat = sh.select(F.col(id_col), "__blk", F.explode("__s").alias("__g"))
+        keep = (
+            flat.groupBy("__blk", "__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__blk", "__g")
+        )
+        pruned = flat.join(keep, ["__blk", "__g"], "left_semi")
+        # retained-set size per doc, without collapsing the exploded rows
+        ex = pruned.withColumn(
+            "__sz", F.count("*").over(Window.partitionBy("__blk", F.col(id_col)))
+        )
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(
@@ -259,19 +284,27 @@ def simhash(col: Column, bits: int = 32) -> Column:
 
 
 def embedding_near_dup(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99, block_col: Column | None = None
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99, *, block_col: Column
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
-    For the fixture scale a blocked self-join is used; at 100 TB callers
-    should pass ``block_col`` (e.g. an LSH bucket from
-    similarity.lsh_bucket) so the self-join is bucket-local."""
+    ``block_col`` is REQUIRED: the self-join is equi-keyed on it, so the
+    caller must choose the blocking scheme (a label/partition column, or an
+    LSH bucket from similarity.lsh_bucket for unlabeled corpora). There is
+    deliberately no default — a silent single-block default would plan an
+    O(n^2) all-pairs cross join at 100 TB. Callers who truly want all pairs
+    on a small frame can pass ``F.lit(0)`` explicitly."""
     from scylla_migrator_spark.analytics.similarity import cosine
 
+    if block_col is None:
+        raise ValueError(
+            "block_col is required: pass a blocking column (e.g. "
+            "similarity.lsh_bucket(...)) or F.lit(0) explicitly for all-pairs"
+        )
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-        (block_col if block_col is not None else F.lit(0)).alias("blk"),
+        block_col.alias("blk"),
     )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -688,6 +688,44 @@ def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ngram_jaccard_capped_pairs",
+    # Oracle replays the stop-shingle prune: shingles with per-block document
+    # frequency > 2 are removed BEFORE pairing, and both set sizes recount
+    # retained shingles only (consistent Jaccard over the pruned universe).
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+             )) AS s
+      FROM documents),
+    ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    keep AS (SELECT source, g FROM ex GROUP BY source, g HAVING count(*) <= 2),
+    fx AS (SELECT ex.* FROM ex JOIN keep USING (source, g)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM fx GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM fx a JOIN fx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON inter.id_a = sa.doc_id
+    JOIN sz sb ON inter.id_b = sb.doc_id
+    """,
+)
+def ngram_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB skew-guard variant: stop-shingles (per-block document
+    frequency > 2) are pruned before the inverted-index self-join, bounding
+    the worst join key at O(cap^2) rows instead of O(hot_df^2)."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="source", n=3, max_doc_freq=2
+    )
+
+
+@_register(
     "simhash_docs",
     """
     WITH h AS (

@@ -192,3 +192,46 @@ def test_lag_lead_single_window_pass(spark, sf_dir):
     plan = plan_of(Q.QUERIES["window_lag_lead_gaps"](spark, sf_dir), mode="simple")
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_stop_shingle_cap_prunes_hot_shingles(spark):
+    """A shingle present in more docs than max_doc_freq must not produce any
+    pair rows — the O(hot_df^2) skew guard for the inverted-index join."""
+    from scylla_migrator_spark.analytics.dedup import ngram_jaccard_pairs
+
+    # 4 docs share the hot phrase; docs 0,1 additionally share a rare one
+    hot = "the quick brown"
+    rows = [
+        (0, "b", f"{hot} fox jumps alpha beta gamma"),
+        (1, "b", f"{hot} fox jumps alpha beta gamma"),
+        (2, "b", f"{hot} cat sits"),
+        (3, "b", f"{hot} dog runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", "source", n=3)
+    # every doc pairs with every other through the hot shingles
+    assert uncapped.count() == 6
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", "source", n=3, max_doc_freq=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # hot 3-grams (df=4) pruned -> only the twin pair survives, and its
+    # jaccard is over the retained universe (identical retained sets -> 1.0)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == 1.0
+
+
+def test_embedding_near_dup_requires_blocking(spark):
+    """block_col has no default: the silent all-pairs cross join is banned."""
+    import pytest as _pytest
+
+    from scylla_migrator_spark.analytics.dedup import embedding_near_dup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, v array<double>"
+    )
+    with _pytest.raises(TypeError):
+        embedding_near_dup(df, "id", "v", 0.99)  # no block_col
+    with _pytest.raises(ValueError):
+        embedding_near_dup(df, "id", "v", 0.99, block_col=None)
+    # explicit blocking still works and the join is equi-keyed on it
+    got = embedding_near_dup(df, "id", "v", threshold=0.99, block_col=F.lit(0))
+    assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
