@@ -76,12 +76,16 @@ def read_source(spark: SparkSession, config: MigratorConfig) -> DataFrame:
         # the file streaming source lists directories.
         import os
 
+        import hashlib
+
         path = src.path
         batch_schema = spark.read.parquet(path).schema
         if os.path.isfile(path):
-            stage = os.path.join(
-                "/tmp", f"sgs_stream_src_{abs(hash(os.path.abspath(path))) % 10**10}"
-            )
+            # stable digest, NOT built-in hash(): hash() is salted per process,
+            # so a restart of a checkpointed stream would stage a "new" dir,
+            # re-ingest the file as unseen, and leak /tmp staging dirs
+            digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+            stage = os.path.join("/tmp", f"sgs_stream_src_{digest}")
             os.makedirs(stage, exist_ok=True)
             link = os.path.join(stage, os.path.basename(path))
             if not os.path.exists(link):

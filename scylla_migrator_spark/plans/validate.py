@@ -245,11 +245,13 @@ def run_validation(spark: SparkSession, config) -> ValidationReport:
     """Config-driven validation (Validator.main analog, Validator.scala:40-105):
     load source and target per the config, validate with the configured
     tolerances, optionally repair missing rows into the target."""
-    from scylla_migrator_spark.operators.renames import apply_renames
-    from scylla_migrator_spark.plans.migrate import read_source
+    from scylla_migrator_spark.plans.migrate import build_plan
 
-    source = read_source(spark, config)
-    source = apply_renames(source, config.renames)
+    # the EXACT frame migrate writes (shared _apply_transforms pipeline):
+    # using read_source + renames here would falsely flag rows migrate
+    # deliberately drops (null-PK filtering) as MISSING_TARGET_ROW and
+    # mis-handle DynamoDB item frames whose renames are map-key renames
+    source = build_plan(spark, config)
     target = spark.read.parquet(config.target.path)
 
     def repair(missing: DataFrame) -> None:

@@ -28,17 +28,25 @@ BATCH_WRITE_LIMIT = 25  # BatchWriteItem max items
 
 
 class FileClient:
-    """Fixture client: appends operations as JSON lines into a directory
-    (one file per task attempt — idempotent under task retry because the
-    writer re-creates its file)."""
+    """Fixture client: writes operations as JSON lines into a directory,
+    one file per PARTITION — named deterministically from the task's
+    partition id, so a retried task truncates and rewrites the same file
+    instead of leaving the failed attempt's partial output beside a second
+    copy (idempotent under task retry, like BatchWriteItem replays)."""
 
     def __init__(self, directory: str):
         self.directory = directory
 
-    def open_for_partition(self):
+    def open_for_partition(self, prefix: str = "part"):
+        from pyspark import TaskContext
+
         os.makedirs(self.directory, exist_ok=True)
-        path = os.path.join(self.directory, f"part-{uuid.uuid4().hex}.jsonl")
-        return open(path, "w")
+        ctx = TaskContext.get()
+        if ctx is not None:
+            name = f"{prefix}-{ctx.partitionId():05d}.jsonl"
+        else:  # driver-side use (tests): fall back to a unique name
+            name = f"{prefix}-{uuid.uuid4().hex}.jsonl"
+        return open(os.path.join(self.directory, name), "w")
 
 
 @dataclass
@@ -84,7 +92,7 @@ def write_items(
 
     def write_partition(rows) -> None:
         bucket = TokenBucket(rate=rate) if rate else None
-        out = client.open_for_partition()
+        out = client.open_for_partition("put")
         batch = []
         try:
             for row in rows:
@@ -113,7 +121,7 @@ def delete_items(df: DataFrame, key_cols: list[str], directory: str) -> None:
     keys_df = df.select(*key_cols)
 
     def delete_partition(rows) -> None:
-        out = client.open_for_partition()
+        out = client.open_for_partition("del")
         try:
             for row in rows:
                 out.write(

@@ -116,3 +116,19 @@ def test_table_ddl_replication():
     assert replicate_table_definition(catalog, desc) is True
     assert replicate_table_definition(catalog, desc) is False  # idempotent
     assert catalog["t1"]["KeySchema"][0] == {"AttributeName": "pk", "KeyType": "HASH"}
+
+
+def test_write_items_idempotent_file_names(spark, tmp_path):
+    """Retried/replayed partition writes land on the SAME file (deterministic
+    per-partition name) — no duplicate operations accumulate."""
+    import os
+
+    from scylla_migrator_spark.sinks.dynamodb import write_items
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "pk bigint, v string")
+    out_dir = str(tmp_path / "idem")
+    write_items(df.repartition(2), out_dir)
+    first = sorted(os.listdir(out_dir))
+    write_items(df.repartition(2), out_dir)  # replay
+    assert sorted(os.listdir(out_dir)) == first
+    assert all(f.startswith("put-") for f in first)

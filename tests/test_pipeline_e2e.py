@@ -104,6 +104,60 @@ def test_config_driven_validation_with_repair(spark, sf_dir, tmp_path):
     assert report2.exit_code == 0
 
 
+def test_validation_matches_migrate_null_pk_drop(spark, tmp_path):
+    """run_validation must compare against the SAME transform pipeline
+    migrate uses: rows migrate deliberately drops (null PK components) are
+    not missing-target failures — a clean migration validates clean."""
+    src_path = str(tmp_path / "src_nulls")
+    spark.createDataFrame(
+        [(1, "a"), (None, "dropped"), (3, "c"), (None, "dropped2")],
+        "pk bigint, payload string",
+    ).write.parquet(src_path)
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_path},
+            "target": {"type": "parquet", "path": str(tmp_path / "tgt_nulls")},
+            "primaryKey": ["pk"],
+        }
+    )
+    out = migrate(spark, cfg)
+    assert out.count() == 2  # null-PK rows dropped on write
+    report = run_validation(spark, cfg)
+    assert report.total_failures == 0 and report.exit_code == 0
+
+
+def test_validation_handles_item_frame_renames(spark, tmp_path):
+    """DynamoDB item frames rename MAP KEYS, not columns: run_validation on a
+    migrated s3-export must go through the shared pipeline and validate
+    clean instead of crashing in column-level apply_renames."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.sinks.s3export import write_s3_export
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(50)
+    item_json = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
+            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+        )
+    )
+    src_root = str(tmp_path / "val_export_src")
+    write_s3_export(orders.select(item_json.alias("item_json")), "item_json", src_root)
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "dynamodb-s3-export", "path": src_root},
+            "target": {"type": "parquet", "path": str(tmp_path / "val_export_tgt")},
+            "renames": [{"from": "status", "to": "order_status"}],
+            "primaryKey": ["item_json"],
+        }
+    )
+    migrate(spark, cfg)
+    report = run_validation(spark, cfg)
+    assert report.total_failures == 0 and report.exit_code == 0
+
+
 def test_s3export_to_s3export_migration_with_rename(spark, tmp_path):
     """Full export->export migration through the config-driven dispatch:
     read a DynamoDB S3 export, rename an item attribute, write a new export
