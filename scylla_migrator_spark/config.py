@@ -220,6 +220,156 @@ def build_rename_map(renames: list[Rename], columns: list[str]) -> dict[str, str
 
 
 # --------------------------------------------------------------------------
+# Alternator settings (Z10 — reference config/AlternatorSettings.scala:1-120,
+# DynamoUtils.scala:64-155 for the job-conf round-trip)
+# --------------------------------------------------------------------------
+
+_ALTERNATOR_CONF_PREFIX = "scylla.migrator.alternator."
+
+
+def _camel(name: str) -> str:
+    head, *rest = name.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+@dataclass
+class AlternatorSettings:
+    """Alternator load-balancing client settings: rack/DC routing scope plus
+    connection-pool knobs. Validation mirrors AlternatorSettings.validate
+    (AlternatorSettings.scala:99-120); the job-conf round-trip mirrors
+    write/readAlternatorSettingsToConf (DynamoUtils.scala:88-154) — settings
+    must survive the driver -> executor hop as flat string conf entries."""
+
+    datacenter: str | None = None
+    rack: str | None = None
+    active_refresh_interval_ms: int | None = None
+    idle_refresh_interval_ms: int | None = None
+    compression: bool | None = None
+    optimize_headers: bool | None = None
+    max_connections: int | None = None
+    connection_max_idle_time_ms: int | None = None
+    connection_time_to_live_ms: int | None = None
+    connection_acquisition_timeout_ms: int | None = None
+    connection_timeout_ms: int | None = None
+    max_items_per_batch: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.rack is not None and self.datacenter is None:
+            raise ConfigError(
+                "'rack' is set without 'datacenter'. Please also set 'datacenter' when using 'rack'."
+            )
+        for name in ("max_connections", "max_items_per_batch"):
+            v = getattr(self, name)
+            if v is not None and v <= 0:
+                raise ConfigError(f"'{_camel(name)}' must be a positive integer.")
+        for name in ("active_refresh_interval_ms", "idle_refresh_interval_ms"):
+            v = getattr(self, name)
+            if v is not None and v <= 0:
+                raise ConfigError(f"'{_camel(name)}' must be a positive value.")
+        for name in (
+            "connection_max_idle_time_ms",
+            "connection_time_to_live_ms",
+            "connection_acquisition_timeout_ms",
+            "connection_timeout_ms",
+        ):
+            v = getattr(self, name)
+            if v is not None and v < 0:
+                raise ConfigError(f"'{_camel(name)}' must not be negative.")
+
+    def routing_scope(self) -> tuple[str, str | None, str | None]:
+        """(scope_kind, datacenter, rack) — the RoutingScope resolution of
+        applyAlternatorSettings (DynamoUtils.scala:137-147): rack scope when
+        both set, datacenter scope when only dc, whole-cluster otherwise."""
+        if self.datacenter and self.rack:
+            return ("rack", self.datacenter, self.rack)
+        if self.datacenter:
+            return ("datacenter", self.datacenter, None)
+        return ("cluster", None, None)
+
+    def to_job_conf(self) -> dict[str, str]:
+        """Flat string conf entries (scylla.migrator.alternator.*); unset
+        fields are omitted, matching setOptionalConf."""
+        out: dict[str, str] = {}
+        for name in self.__dataclass_fields__:
+            v = getattr(self, name)
+            if v is not None:
+                out[_ALTERNATOR_CONF_PREFIX + _camel(name)] = str(v).lower() if isinstance(
+                    v, bool
+                ) else str(v)
+        return out
+
+    @staticmethod
+    def from_job_conf(conf: dict[str, str]) -> "AlternatorSettings":
+        kwargs: dict[str, Any] = {}
+        for name, f in AlternatorSettings.__dataclass_fields__.items():
+            raw = conf.get(_ALTERNATOR_CONF_PREFIX + _camel(name))
+            if raw is None:
+                continue
+            if "bool" in str(f.type):
+                if raw.lower() not in ("true", "false"):
+                    raise ConfigError(f"invalid boolean for {_camel(name)}: {raw!r}")
+                kwargs[name] = raw.lower() == "true"
+            elif "int" in str(f.type):
+                try:
+                    kwargs[name] = int(raw)
+                except ValueError:
+                    raise ConfigError(f"invalid integer for {_camel(name)}: {raw!r}") from None
+            else:
+                kwargs[name] = raw
+        return AlternatorSettings(**kwargs)
+
+
+# camelCase spellings of every AlternatorSettings field, used to reject
+# Alternator-only keys under `type: dynamodb` (guardDynamoDBType,
+# AlternatorSettings.scala:36-75)
+ALTERNATOR_FIELD_NAMES = frozenset(
+    _camel(n) for n in AlternatorSettings.__dataclass_fields__
+)
+
+
+def guard_plain_dynamodb_keys(d: dict[str, Any], label: str = "Source") -> None:
+    """Reject Alternator-only keys in a non-alternator source/target dict
+    and point the user at `type: alternator` instead (guardDynamoDBType)."""
+    errors = []
+    if "alternator" in d:
+        errors.append(
+            f"{label} type 'dynamodb' contains a nested 'alternator' key. "
+            "Please change the type to 'alternator' and promote the nested "
+            "Alternator settings to top level."
+        )
+    if "removeConsumedCapacity" in d or "remove_consumed_capacity" in d:
+        errors.append(
+            f"{label} type 'dynamodb' does not support 'removeConsumedCapacity'. "
+            "This setting is only applicable to type 'alternator'."
+        )
+    bad = sorted(set(d) & ALTERNATOR_FIELD_NAMES)
+    if bad:
+        errors.append(
+            f"{label} type 'dynamodb' does not support Alternator-only fields: "
+            f"{', '.join(bad)}. Please change the type to 'alternator' if you "
+            "want to use these settings."
+        )
+    if errors:
+        raise ConfigError("; ".join(errors))
+
+
+def validate_alternator_decoding(
+    endpoint: str | None, settings: AlternatorSettings
+) -> None:
+    """Decode-time checks for an alternator-typed source/target
+    (AlternatorSettings.validateDecoding): endpoint required, with an
+    explicit http:// or https:// protocol prefix."""
+    if not endpoint:
+        raise ConfigError("alternator requires an 'endpoint' to be set.")
+    if not endpoint.lower().startswith(("http://", "https://")):
+        raise ConfigError(
+            "alternator endpoint host must include a protocol prefix "
+            "('http://' or 'https://')."
+        )
+    # settings themselves validate in __post_init__
+
+
+# --------------------------------------------------------------------------
 # Source / target / validation / savepoints settings
 # --------------------------------------------------------------------------
 
@@ -256,6 +406,10 @@ class SourceSettings:
     # resume skip sets (reference MigratorConfig.scala:43-57)
     skip_files: list[str] = field(default_factory=list)
     skip_segments: list[int] = field(default_factory=list)
+    # alternator endpoint + LB settings (Z10) — only meaningful for the
+    # DynamoDB-family source; endpoint must carry an http(s):// prefix
+    endpoint: str | None = None
+    alternator: AlternatorSettings | dict | None = None
 
     def __post_init__(self) -> None:
         allowed = {
@@ -282,6 +436,15 @@ class SourceSettings:
                 raise ConfigError("partitionColumn required when numPartitions is set")
             if (self.lower_bound is None) != (self.upper_bound is None):
                 raise ConfigError("lowerBound and upperBound must be set together")
+        if self.alternator is not None:
+            if self.type != "dynamodb-s3-export":
+                raise ConfigError(
+                    "alternator settings are only valid on the DynamoDB-family "
+                    f"source, not type {self.type!r}"
+                )
+            if isinstance(self.alternator, dict):
+                self.alternator = AlternatorSettings(**_snake_keys(self.alternator))
+            validate_alternator_decoding(self.endpoint, self.alternator)
 
 
 @dataclass

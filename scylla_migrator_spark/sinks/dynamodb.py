@@ -66,6 +66,83 @@ class TableDescription:
         }
 
 
+STREAM_VIEW_TYPES = frozenset({"NEW_IMAGE", "OLD_IMAGE", "NEW_AND_OLD_IMAGES", "KEYS_ONLY"})
+
+
+def update_table_stream_spec(
+    catalog: dict, table: str, view_type: str = "NEW_IMAGE", polls_until_enabled: int = 2
+) -> None:
+    """UpdateTable(StreamSpecification) analog on the fixture catalog (K9,
+    DynamoUtils.enableDynamoStream's update half, DynamoUtils.scala:337-368).
+
+    First call flips the table to ENABLING with a latest-stream ARN; a call
+    on an already-enabled/enabling stream with the SAME view type is an
+    idempotent no-op (re-running a migration must not reset the stream), and
+    with a DIFFERENT view type it errors like the live API does."""
+    if view_type not in STREAM_VIEW_TYPES:
+        raise ValueError(f"invalid stream view type {view_type!r}")
+    if table not in catalog:
+        raise KeyError(f"ResourceNotFound: table {table!r}")
+    desc = catalog[table]
+    spec = desc.get("StreamSpecification")
+    if spec and spec.get("StreamEnabled"):
+        if spec["StreamViewType"] != view_type:
+            raise ValueError(
+                f"stream already enabled with view type {spec['StreamViewType']!r}; "
+                "disable it before switching view types"
+            )
+        return
+    desc["StreamSpecification"] = {"StreamEnabled": True, "StreamViewType": view_type}
+    desc["LatestStreamArn"] = f"arn:fixture:dynamodb:{desc['TableName']}/stream/1"
+    desc["_StreamStatus"] = {"status": "ENABLING", "polls_left": polls_until_enabled}
+
+
+def describe_stream_status(catalog: dict, table: str) -> str:
+    """DescribeStream analog: each poll advances the fixture's ENABLING
+    countdown, reaching ENABLED after ``polls_until_enabled`` polls."""
+    desc = catalog.get(table)
+    if desc is None:
+        raise KeyError(f"ResourceNotFound: table {table!r}")
+    st = desc.get("_StreamStatus")
+    if st is None:
+        return "DISABLED"
+    if st["status"] == "ENABLING":
+        st["polls_left"] -= 1
+        if st["polls_left"] <= 0:
+            st["status"] = "ENABLED"
+    return st["status"]
+
+
+def enable_dynamo_stream(
+    catalog: dict,
+    table: str,
+    view_type: str = "NEW_IMAGE",
+    max_retries: int = 60,
+    wait=None,
+) -> str:
+    """Enable the table's change stream and poll until ENABLED (K9,
+    DynamoUtils.scala:337-401: UpdateTable(streamEnabled, NEW_IMAGE), then
+    DescribeTable -> DescribeStream every 5s up to 60 retries).
+
+    ``wait`` receives the inter-poll delay in seconds (None = don't sleep —
+    the fixture transitions on polls, not wall time). Returns the latest
+    stream ARN; raises TimeoutError after ``max_retries`` polls."""
+    update_table_stream_spec(catalog, table, view_type)
+    retries = 0
+    while True:
+        status = describe_stream_status(catalog, table)
+        if status == "ENABLED":
+            return catalog[table]["LatestStreamArn"]
+        retries += 1
+        if retries >= max_retries:
+            raise TimeoutError(
+                f"Timed out waiting for stream on table {table!r} to become ENABLED "
+                f"(last status: {status}). Gave up after {max_retries} retries."
+            )
+        if wait is not None:
+            wait(5)
+
+
 def replicate_table_definition(target_catalog: dict, desc: TableDescription) -> bool:
     """Create the target table from the source description if absent
     (DynamoUtils.scala:217-335). ``target_catalog`` is the fixture catalog

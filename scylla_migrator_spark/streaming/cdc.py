@@ -102,9 +102,22 @@ def snapshot_then_stream(
     replicator: CdcReplicator,
     checkpoint: str,
     skip_initial_snapshot: bool = False,
+    source_catalog: dict | None = None,
+    source_table: str | None = None,
 ):
-    """T5: batch snapshot write, then continuous replication
-    (AlternatorMigrator.scala:149-192)."""
+    """T5: enable the source change stream (K9), batch snapshot write, then
+    continuous replication (AlternatorMigrator.scala:149-192 — the stream is
+    enabled BEFORE the snapshot so changes during the copy are captured).
+
+    ``source_catalog``/``source_table`` identify the fixture table whose
+    stream must be ENABLED first (DynamoUtils.scala:337-401 poll loop);
+    omitted = file-backed source whose stream needs no enablement."""
+    if source_catalog is not None:
+        from scylla_migrator_spark.sinks.dynamodb import enable_dynamo_stream
+
+        if source_table is None:
+            raise ValueError("source_table required when source_catalog is given")
+        enable_dynamo_stream(source_catalog, source_table)
     if not skip_initial_snapshot:
         replicator.apply_batch(snapshot, batch_id=-1)
     return replicator.attach(stream, checkpoint)
