@@ -70,6 +70,17 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     return bucket
 
 
+def query_lsh_bucket(query_vec: list[float], planes: int = 6) -> int:
+    """The query vector's LSH bucket, computed driver-side with the SAME
+    deterministic hyperplanes as :func:`lsh_bucket`."""
+    qb = 0
+    for p in range(planes):
+        coeffs = _plane_coeff(p, len(query_vec))
+        side = 1 if sum(c * float(v) for c, v in zip(coeffs, query_vec)) >= 0 else 0
+        qb = qb * 2 + side
+    return qb
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -80,21 +91,57 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
-    At scale, write the table bucketed by ``lsh_bucket`` so this is a
-    single-partition read (partition pruning on bucket id)."""
+    This one-off form computes every row's bucket per query — fine for a
+    single ad-hoc probe. For repeated queries at scale, materialize the
+    layout once with :func:`write_lsh_bucketed` and probe with
+    :func:`lsh_topk_bucketed`, which partition-prunes to 1 of 2^planes
+    directories instead of rescanning the table."""
     dim = len(query_vec)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, planes).alias("bkt")
     )
-    import hashlib  # derive the query's bucket with the same planes
-
-    qb = 0
-    for p in range(planes):
-        coeffs = _plane_coeff(p, dim)
-        side = 1 if sum(c * float(v) for c, v in zip(coeffs, query_vec)) >= 0 else 0
-        qb = qb * 2 + side
-    candidates = bucketed.filter(F.col("bkt") == qb)
+    candidates = bucketed.filter(F.col("bkt") == query_lsh_bucket(query_vec, planes))
     return brute_force_topk(candidates, query_vec, id_col, vec_col, k)
+
+
+def write_lsh_bucketed(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus hive-partitioned by LSH bucket id.
+
+    One pass computes each vector's bucket and writes
+    ``path/bkt=<id>/...``; 2^planes directories. Repeated ANN probes then
+    read exactly one partition (see :func:`lsh_topk_bucketed`) — the
+    amortized layout that makes hyperplane LSH viable at 100 TB. The
+    pre-write repartition clusters each bucket into one file instead of
+    num_input_partitions small files per bucket dir."""
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, planes).alias("bkt")
+    )
+    bucketed.repartition(F.col("bkt")).write.mode("overwrite").partitionBy("bkt").parquet(path)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 6,
+) -> DataFrame:
+    """Probe a :func:`write_lsh_bucketed` layout: the bucket-id filter is a
+    PARTITION filter, so Catalyst prunes all but 1 of 2^planes directories
+    at planning time — no per-row bucket recompute, no full scan."""
+    df = spark.read.parquet(path).filter(
+        F.col("bkt") == query_lsh_bucket(query_vec, planes)
+    )
+    return brute_force_topk(df, query_vec, id_col, vec_col, k)
 
 
 def ivf_assign(

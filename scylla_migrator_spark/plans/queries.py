@@ -1018,6 +1018,50 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10, planes=4)
 
 
+@_register(
+    "lsh_ann_bucketed_topk",
+    # same result set as lsh_ann_topk — the bucketed layout is a physical
+    # optimization (partition-pruned probe), not a semantic change
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+    planes AS (
+      SELECT p, list_transform(generate_series(0, 63),
+               j -> (CAST('0x' || substr(md5(p || ':' || j), 1, 8) AS BIGINT)
+                     / 4294967295.0) * 2.0 - 1.0) AS coeffs
+      FROM generate_series(0, 3) AS g(p)),
+    sides AS (
+      SELECT b.vec_id,
+             sum(CASE WHEN list_dot_product(b.v, pl.coeffs) >= 0
+                      THEN (1 << (3 - pl.p)) ELSE 0 END) AS bkt
+      FROM base b CROSS JOIN planes pl GROUP BY b.vec_id),
+    qb AS (SELECT bkt AS qbkt FROM sides WHERE vec_id = 0)
+    SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+    FROM base b JOIN sides s ON b.vec_id = s.vec_id, q, qb
+    WHERE s.bkt = qb.qbkt
+    ORDER BY cos DESC, b.vec_id LIMIT 10
+    """,
+)
+def lsh_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized-layout LSH path: materialize the corpus partitioned by
+    bucket id once (write_lsh_bucketed), then probe with a partition filter
+    that prunes all but 1 of 2^planes directories. Identical results to the
+    compute-per-query form; the scan cost per repeated query drops from
+    full-table to one partition."""
+    import hashlib
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    head = emb.select("vec_id", "embedding").filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in head["embedding"]]
+    layout = os.path.join(
+        "/tmp", f"sgs_lsh_layout_{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        SIM.write_lsh_bucketed(emb, layout, dim=len(qv), planes=4)
+    return SIM.lsh_topk_bucketed(spark, layout, qv, k=10, planes=4)
+
+
 # ===========================================================================
 # Batch 3: scalar-function surface (C2/C3/C12) + skew-safe aggregation
 # ===========================================================================

@@ -235,3 +235,36 @@ def test_embedding_near_dup_requires_blocking(spark):
     # explicit blocking still works and the join is equi-keyed on it
     got = embedding_near_dup(df, "id", "v", threshold=0.99, block_col=F.lit(0))
     assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
+
+
+def test_lsh_bucketed_layout_prunes_partitions(spark, tmp_path):
+    """write_lsh_bucketed + lsh_topk_bucketed: the probe's bucket filter is a
+    partition filter — 1 of 2^planes directories read, results identical to
+    the compute-per-query form."""
+    from scylla_migrator_spark.analytics.similarity import (
+        lsh_topk,
+        lsh_topk_bucketed,
+        write_lsh_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    out = str(tmp_path / "lsh_layout")
+    write_lsh_bucketed(emb, out, dim=dim, planes=4)
+
+    qv = [float(x) for x in emb.head()["embedding"]]
+    probe = lsh_topk_bucketed(spark, out, qv, k=5, planes=4)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "bkt" in plan.split("PartitionFilters", 1)[1][:200]
+    # physical proof: the pruned scan reads exactly one bucket directory
+    from scylla_migrator_spark.analytics.similarity import query_lsh_bucket
+
+    pruned = spark.read.parquet(out).filter(F.col("bkt") == query_lsh_bucket(qv, 4))
+    scan_files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert scan_files, "probe bucket unexpectedly empty"
+    dirs = {f.split("/bkt=")[1].split("/")[0] for f in scan_files}
+    assert len(dirs) == 1
+    # parity with the compute-per-query form
+    expect = [(r["vec_id"], r["cos"]) for r in lsh_topk(emb, qv, k=5, planes=4).collect()]
+    got = [(r["vec_id"], r["cos"]) for r in probe.collect()]
+    assert got == expect
