@@ -120,6 +120,69 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 
 
+# PII patterns kept to the regex subset Java regex and RE2 (DuckDB) share,
+# so the redaction is oracle-checkable. Order matters: emails first (their
+# domain could otherwise part-match the IP pattern), then IPs, then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: emails / IPv4s / phone numbers
+    replaced by typed placeholders, with per-kind match counts for audit.
+
+    Pure chained ``regexp_replace`` + ``regexp_count`` column expressions —
+    whole-stage codegen, no shuffle, no UDF; the pattern subset is chosen to
+    behave identically under Java regex (Spark) and RE2 (DuckDB) so the
+    operator is oracle-checkable. Counts are computed on the ORIGINAL text
+    (before any replacement) so kinds don't mask each other."""
+    t = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(t, F.lit(pat)))
+    red = t
+    for _, pat, placeholder in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, placeholder)
+    return out.withColumn(out_col, red)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing for training: concatenate each shard's documents in
+    ``id_col`` order and chunk the token stream at ``capacity`` boundaries.
+
+    Output per document: ``bin_id`` (which training sequence it starts in)
+    and ``bin_offset`` (token offset within that bin). This is the
+    concat-and-chunk packing used for LLM pretraining batches (documents
+    flow across bin boundaries; no padding waste), not best-fit bin packing.
+
+    Scale shape: ONE window cumsum partitioned by shard — each shard packs
+    independently, so the window never globally sorts the corpus; shards
+    are the parallelism unit exactly as in a sharded tokenizer run."""
+    from pyspark.sql import Window
+
+    tok = token_count(F.col(text_col))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    offset_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        df.select(shard_col, id_col, tok.alias("n_tokens"))
+        .withColumn("bin_id", F.floor(offset_before / capacity).cast("long"))
+        .withColumn("bin_offset", (offset_before % capacity).cast("long"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: min md5-int over 3-word shingles (MinHash with a
     single hash function — a rolling-hash-style content fingerprint that is

@@ -662,6 +662,117 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inject_pii(txt, doc_id):
+    """Deterministic PII injection (the synthetic corpus carries none): a
+    doc_id-derived email / IPv4 / phone suffix, replayed verbatim in the
+    DuckDB oracle so the redaction is value-checkable end to end."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        txt,
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" contact u"), s(doc_id), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" from 10."), s(doc_id % 200), F.lit(".0."), s(doc_id % 250)),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                s(F.lit(100) + doc_id % 900),
+                F.lit("-"),
+                s(F.lit(1000) + doc_id % 9000),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_INJECT_SQL = """
+      text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                   || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE '' END
+"""
+
+
+@_register(
+    "pii_redaction",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+      len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+      len(regexp_extract_all(text, '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')) AS n_phone,
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+          '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '[PHONE]', 'g')
+      ) AS redacted_md5
+    FROM injected
+    """,
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus with per-kind audit counts. Counts use
+    regexp_count on the pre-redaction text; the redacted text is md5'd so the
+    oracle value-checks the full replacement chain, not just the counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _inject_pii(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    out = TXT.redact_pii(docs, "text", "text_redacted")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+@_register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+        COALESCE(sum(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ob
+      FROM toks)
+    SELECT source, doc_id, n_tokens,
+      CAST(floor(ob / 512) AS BIGINT) AS bin_id,
+      CAST(ob % 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for pretraining batches: per-shard
+    token-offset cumsum, bin = offset DIV capacity. One window, partitioned by
+    shard — no global sort at 100 TB."""
+    return TXT.pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=512, id_col="doc_id",
+        text_col="text", shard_col="source",
+    ).select(
+        "source", "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id", "bin_offset",
+    )
+
+
 @_register(
     "ngram_jaccard_block_pairs",
     """
