@@ -183,6 +183,45 @@ def pack_sequences(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", frac_cap: float = 0.2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a document's
+    word bigrams taken by its single most frequent bigram (Rae et al. 2021
+    use top-n-gram character fraction; this is the word-count analog), plus
+    an ``is_repetitive`` flag at ``frac_cap``.
+
+    Shape: posexplode tokens -> lead() window forms bigrams -> two
+    aggregations. Deliberately NOT a higher-order-function fold over the
+    token array: transform+element_at re-inlines the split() per lambda
+    element (O(n^2) re-evaluation — see simhash's history), while
+    explode+window does O(n) work per document and parallelizes across the
+    corpus. All three shuffles key on doc_id(+gram), so AQE coalesces them
+    and no single document's work exceeds one task."""
+    from pyspark.sql import Window
+
+    base = df.select(id_col, tokens(F.col(text_col)).alias("t")).select(
+        id_col, F.size("t").alias("n_tokens"), F.posexplode("t").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("gram"),
+        F.lead("tok").over(w).isNotNull().alias("complete"),
+    ).filter("complete")
+    counts = grams.groupBy(id_col, "n_tokens", "gram").agg(F.count("*").alias("cnt"))
+    frac = F.round(F.max("cnt") / (F.col("n_tokens") - 1), 6)
+    return (
+        counts.groupBy(id_col, "n_tokens")
+        .agg(
+            F.max("cnt").alias("top_bigram_count"),
+            frac.alias("top_bigram_frac"),
+        )
+        .withColumn("is_repetitive", F.col("top_bigram_frac") > F.lit(frac_cap))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: min md5-int over 3-word shingles (MinHash with a
     single hash function — a rolling-hash-style content fingerprint that is

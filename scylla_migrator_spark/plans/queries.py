@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.analytics import dedup as D
+from scylla_migrator_spark.analytics import sampling as SAMP
 from scylla_migrator_spark.analytics import similarity as SIM
 from scylla_migrator_spark.analytics import text as TXT
 from scylla_migrator_spark.config import Rename, Validation
@@ -770,6 +771,89 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "bin_id", "bin_offset",
+    )
+
+
+@_register(
+    "repetition_filter",
+    # Documents with < 2 tokens have no bigram and are excluded on both sides.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    g AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks WHERE len(t) >= 2),
+    c AS (
+      SELECT doc_id, n_tokens, gram, count(*) AS cnt
+      FROM g GROUP BY doc_id, n_tokens, gram)
+    SELECT doc_id, n_tokens,
+           max(cnt) AS top_bigram_count,
+           round(max(cnt) / (n_tokens - 1), 6) AS top_bigram_frac,
+           round(max(cnt) / (n_tokens - 1), 6) > 0.2 AS is_repetitive
+    FROM c GROUP BY doc_id, n_tokens
+    """,
+)
+def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-bigram fraction per document
+    (explode + lead window, not an O(n^2) HOF fold)."""
+    return TXT.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "corpus_mixing_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) AS BIGINT)
+          < CASE source
+              WHEN 'src0' THEN CAST(round(1.00 * 4294967296) AS BIGINT)
+              WHEN 'src1' THEN CAST(round(0.50 * 4294967296) AS BIGINT)
+              WHEN 'src2' THEN CAST(round(0.25 * 4294967296) AS BIGINT)
+              ELSE CAST(round(0.10 * 4294967296) AS BIGINT) END
+    """,
+)
+def corpus_mixing_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing downsample: per-source deterministic keep rates (e.g.
+    keep all of a curated source, 10% of crawl). Plans as one codegen'd CASE
+    filter inside the scan stage — no shuffle, no count pass, reproducible
+    under retries, and nested across rates (a 10% sample is a subset of the
+    50% sample), which is what progressive data-scaling runs need."""
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.weighted_mix(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        group_col="source",
+        key_col="doc_id",
+        default_rate=0.10,
+    ).select("doc_id", "source")
+
+
+@_register(
+    "train_val_test_split",
+    """
+    WITH h AS (
+      SELECT source,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT) AS hv
+      FROM documents)
+    SELECT source,
+      CASE WHEN hv < CAST(round(0.05 * 4294967296) AS BIGINT) THEN 'val'
+           WHEN hv < CAST(round(0.10 * 4294967296) AS BIGINT) THEN 'test'
+           ELSE 'train' END AS split,
+      count(*) AS n_docs
+    FROM h GROUP BY source, split
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test assignment (5/5/90): membership is a pure
+    function of doc_id, so adding/removing documents never reshuffles other
+    rows' splits, and val⊂larger-val nesting holds if fractions grow.
+    Aggregated per (source, split) to value-check the assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SAMP.assign_splits(docs, key_col="doc_id", val_frac=0.05, test_frac=0.05)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 
@@ -2554,6 +2638,69 @@ def tpch_q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(bal_dec).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@_register(
+    "tpch_q21_waiting_suppliers",
+    # Oracle keeps TPC-H's literal correlated EXISTS / NOT EXISTS pair — an
+    # independent derivation that cross-checks the Spark side's rewrite.
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    synthetic schema: l_returnflag='R' stands in for the late-receipt
+    predicate (no commit/receipt dates in the fixture lineitem).
+
+    Scale shape: the double correlated subquery (EXISTS other-supplier /
+    NOT EXISTS other-late-supplier) is rewritten as ONE per-order aggregate —
+    n_supp = distinct suppliers, n_r_supp = distinct suppliers with an 'R'
+    line — then a filter `n_supp > 1 AND n_r_supp = 1`. Two lineitem shuffles
+    total (agg + join, both on l_orderkey, AQE-coalesced) instead of the
+    literal plan's three self-join shuffles; the 'F'-orders semi join reuses
+    the l_orderkey partitioning, and only the small dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(
+            # NOT broadcast: orders is fact-sized at scale. The probe side is
+            # already hash-partitioned on l_orderkey from the agg+join above,
+            # so only the orders side shuffles (leftsemi keeps no columns).
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
 
 

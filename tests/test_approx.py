@@ -22,10 +22,11 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
 
 def test_fake_features_deterministic(spark, sf_dir):
     df = Q.QUERIES["multimodal_fake_features"](spark, sf_dir)
-    a = {r["asset_id"]: r["f0"] for r in df.collect()}
-    b = {r["asset_id"]: r["f0"] for r in df.collect()}
+    a = {r["asset_id"]: r["f0_scaled"] for r in df.collect()}
+    b = {r["asset_id"]: r["f0_scaled"] for r in df.collect()}
     assert a == b
-    assert all(0.0 <= v <= 1.0 for v in a.values())
+    # f0_scaled = round(f0 * 1e6): md5-derived unit-interval feature, scaled
+    assert all(0 <= v <= 1_000_000 for v in a.values())
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
