@@ -79,6 +79,13 @@ HEADLINE = [
     "json_props_extract",
     "division_all_years_customers",
     "unpivot_lineitem_metrics",
+    "tpch_q21_waiting_suppliers",
+    "pii_redaction",
+    "sequence_packing",
+    "repetition_filter",
+    "corpus_mixing_sample",
+    "train_val_test_split",
+    "multimodal_ppm_resize",
 ]
 
 

@@ -156,6 +156,7 @@ def decode_ppm(data: bytes) -> dict:
         "height": height,
         "maxval": maxval,
         "pixel_sum": sum(pixels),
+        "pixels": pixels,
         "samples": [b / maxval for b in pixels],
     }
 
@@ -352,6 +353,63 @@ def synth_wav_assets(df: DataFrame, id_col: str, payload_col: str, rate_col: str
         F.col(id_col).cast("long").alias(id_col), payload_col, rate_col
     )
     return src.mapInPandas(run, schema)
+
+
+def synth_ppm_assets(
+    df: DataFrame, id_col: str, payload_col: str, width: int, height: int
+) -> DataFrame:
+    """Build REAL P6 PPM images by tiling a binary payload to width*height*3
+    RGB bytes (mapInPandas). Like synth_wav_assets: genuine containers from
+    table data, no media files shipped in the repo."""
+    need = width * height * 3
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "data": [
+                        encode_ppm(
+                            width, height, (bytes(p or b"\x00") * (need // max(len(p or b"x"), 1) + 1))[:need]
+                        )
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
+        run, schema
+    )
+
+
+def resize_ppm_nn(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for P6 PPM assets: decode, sample source
+    pixel (x*W//out_w, y*H//out_h) per output pixel, re-encode. Imperative
+    byte work -> Arrow-batched mapInPandas; output is again an asset frame so
+    resize composes with decode_assets_meta / extract_features downstream."""
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for a in pdf["asset"]:
+                m = decode_ppm(a["data"])
+                pix, w, h = m["pixels"], m["width"], m["height"]
+                resized = bytearray()
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    for x in range(out_w):
+                        base = (sy * w + x * w // out_w) * 3
+                        resized += pix[base : base + 3]
+                out.append(encode_ppm(out_w, out_h, bytes(resized)))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "data": out})
+
+    return df.select("asset_id", "asset").mapInPandas(run, schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

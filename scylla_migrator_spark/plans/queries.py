@@ -1743,6 +1743,58 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_ppm_resize",
+    # Oracle replays the whole chain in SQL: payload tiled to 8*8*3 RGB
+    # bytes (byte i = payload[i % nb]), then nearest-neighbor 8x8 -> 4x4:
+    # output pixel (x,y,c) samples source index ((y*8//4)*8 + x*8//4)*3 + c.
+    # pixel_sum over the 48 resized bytes witnesses the real resample.
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), px AS (
+      SELECT h.doc_id, h.hx, h.nb, gs.p,
+             (((((gs.p // 3) // 4) * 8 // 4) * 8
+               + ((gs.p // 3) % 4) * 8 // 4) * 3 + gs.p % 3) AS src
+      FROM h, LATERAL (SELECT unnest(generate_series(0, 47)) AS p) gs
+    )
+    SELECT doc_id AS asset_id,
+           CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(sum(CAST('0x' || substring(hx, 2 * (src % nb) + 1, 2) AS INT))
+                AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize: build genuine P6 PPMs from document bytes, then
+    nearest-neighbor downsample 8x8 -> 4x4 with the stdlib codec
+    (analytics/multimodal.resize_ppm_nn), then decode the RESIZED container
+    back — pixel_sum proves the resampled payload round-trips."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        resize_ppm_nn,
+        synth_ppm_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    ppms = synth_ppm_assets(docs, "doc_id", "payload", width=8, height=8)
+    assets = make_asset_table(ppms, "asset_id", "data", kind="image", mime="image/x-portable-pixmap")
+    resized = resize_ppm_nn(assets, out_w=4, out_h=4)
+    small = make_asset_table(resized, "asset_id", "data", kind="image", mime="image/x-portable-pixmap")
+    meta = decode_assets_meta(small)
+    return meta.select(
+        "asset_id",
+        F.col("width").alias("out_w"),
+        F.col("height").alias("out_h"),
+        F.col("amp_sum").alias("pixel_sum"),
+    )
+
+
 @_register("approx_aggregates")  # rows-only: approximate by construction
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for the 100 TB path: HLL++ distinct count and
@@ -2669,28 +2721,38 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the double correlated subquery (EXISTS other-supplier /
     NOT EXISTS other-late-supplier) is rewritten as ONE per-order aggregate —
     n_supp = distinct suppliers, n_r_supp = distinct suppliers with an 'R'
-    line — then a filter `n_supp > 1 AND n_r_supp = 1`. Two lineitem shuffles
-    total (agg + join, both on l_orderkey, AQE-coalesced) instead of the
-    literal plan's three self-join shuffles; the 'F'-orders semi join reuses
-    the l_orderkey partitioning, and only the small dims broadcast."""
+    line — then a filter `n_supp > 1 AND n_r_supp = 1`. ONE full-width
+    lineitem shuffle total (the per-(order,supplier) partial agg, map-side
+    combined); everything downstream is the deduped pair frame, already
+    partitioned on l_orderkey. The 'F'-orders semi join reuses that
+    partitioning, and only the small dims broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    # Two-stage distinct instead of count_distinct: the dual-distinct agg
+    # plans a gid Expand (2x lineitem rows through the first shuffle) —
+    # per-(order,supplier) partial max/sum combines map-side and shuffles
+    # only distinct pairs.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_r_lines"),
     )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+    )
+    # l1's per-line contribution is already in per_os as n_r_lines, so the
+    # raw lineitem never joins back — only the deduped (order, supplier)
+    # frame flows forward, and numwait sums n_r_lines.
     return (
-        l1.join(per_order, "l_orderkey")
+        per_os.filter(F.col("has_r") == 1)
+        .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
         .join(
-            # NOT broadcast: orders is fact-sized at scale. The probe side is
-            # already hash-partitioned on l_orderkey from the agg+join above,
-            # so only the orders side shuffles (leftsemi keeps no columns).
+            # NOT broadcast: orders is fact-sized at scale. Both sides of the
+            # preceding join are hash-partitioned on l_orderkey, so only the
+            # orders side shuffles (leftsemi keeps no columns).
             orders.filter(F.col("o_orderstatus") == "F").select(
                 F.col("o_orderkey").alias("l_orderkey")
             ),
@@ -2700,7 +2762,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
     )
 
 

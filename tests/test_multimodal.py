@@ -179,3 +179,28 @@ def test_frame_sampling_plan(spark):
     )
     frames = sample_frames(video, every_ms=1000)
     assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_resize_ppm_nearest_neighbor_exact(spark):
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_nn,
+    )
+
+    # 2x2 image with distinct per-pixel colors; 2->1 keeps pixel (0,0)
+    pix = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    df = spark.createDataFrame([(1, encode_ppm(2, 2, pix))], "id bigint, data binary")
+    assets = make_asset_table(df, "id", "data", kind="image", mime="image/x-portable-pixmap")
+    out = resize_ppm_nn(assets, out_w=1, out_h=1).collect()[0]
+    m = decode_ppm(out["data"])
+    assert (m["width"], m["height"]) == (1, 1)
+    assert m["pixels"] == bytes([10, 11, 12])
+
+    # 2x2 -> 4x4 upsample replicates each source pixel into a 2x2 block
+    up = resize_ppm_nn(assets, out_w=4, out_h=4).collect()[0]
+    mu = decode_ppm(up["data"])
+    assert (mu["width"], mu["height"]) == (4, 4)
+    assert mu["pixels"][0:3] == bytes([10, 11, 12])      # top-left block
+    assert mu["pixels"][6:9] == bytes([20, 21, 22])      # right half row 0
+    assert mu["pixels"][-3:] == bytes([40, 41, 42])      # bottom-right
