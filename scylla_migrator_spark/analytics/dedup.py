@@ -316,3 +316,40 @@ def embedding_near_dup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def benchmark_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share >=
+    ``min_hits`` distinct word n-gram shingles with an evaluation/benchmark
+    set (the standard n-gram-overlap contamination check used before
+    training-data release).
+
+    Plan shape for 100 TB: the benchmark side is an eval set (thousands of
+    documents, millions of distinct shingles at most) while the corpus side
+    is the 100 TB table, so the distinct benchmark shingle set is explicitly
+    ``broadcast()`` and the corpus-side explode joins against it map-side —
+    no shuffle of corpus shingles at all. The output carries the distinct
+    hit-shingle count per contaminated document so callers can threshold by
+    severity.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+        .filter(F.col("n_hit_grams") >= min_hits)
+    )
+    return hits

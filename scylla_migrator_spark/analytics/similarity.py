@@ -220,3 +220,69 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("centroid_id").isin(probe))
     return brute_force_topk(candidates, query_vec, id_col, vec_col, k)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector scalar int8 quantization (asymmetric min/max): the standard
+    compression step before shipping embeddings to an ANN index — 4x smaller
+    than float32, reconstruction x ~= qmin + code * qscale / 255.
+
+    Codes are computed as floor((x - min) / (max - min) * 255 + 0.5), a pure
+    IEEE-double expression identical across engines (round-half-up without
+    any decimal-representation dependence). Constant vectors (max == min)
+    quantize to all-zero codes with qscale 0. One narrow projection: no
+    shuffle, no UDF; at 100 TB this fuses into the scan stage."""
+    v = F.col(vec_col).cast("array<double>")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = mx - mn
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.floor((x - mn) / scale * 255 + F.lit(0.5)).cast("int")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("qmin"),
+        F.round(scale, 6).alias("qscale"),
+        codes.alias("codes"),
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Blocked k-nearest-neighbor graph: for every vector, its top-k
+    neighbors by cosine within its block (IVF cell / LSH bucket / label) —
+    the candidate-generation step for graph-based ANN indexes (HNSW-style
+    construction) and for kNN-classifier features.
+
+    Blocking is the scale contract: the self-join is equi-keyed on
+    ``block_col`` so work is sum(block_size^2), never corpus^2 — the caller
+    chooses the blocking (coarse IVF cells from ivf_assign, or lsh_bucket).
+    Ranking uses the cosine ROUNDED to 6 dp with id tie-break, making the
+    neighbor order identical across engines (raw float ordering could flip
+    on summation-order ulps). Top-k per vector is a window row_number over
+    the pair frame — one shuffle on (block), one on (vec_id)."""
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.__blk") == F.col("b.__blk"), F.col(f"a.{id_col}") != F.col(f"b.{id_col}")],
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -229,3 +229,74 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     sh = shingles(F.col(text_col))
     hashes = F.transform(sh, _md5_int)
     return df.withColumn(out_col, F.array_min(hashes))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token chunks (context
+    windows for LLM training / retrieval indexing).
+
+    Chunks start at token offsets 1, 1+stride, 2*stride+1, ...; the final
+    chunk may be shorter than ``chunk_size``. A start is emitted only if it
+    is the first chunk or the previous chunk did not already reach the end
+    of the document, so a doc with n <= chunk_size tokens yields exactly one
+    chunk and no chunk is a suffix-duplicate of its predecessor.
+
+    Plan shape: one narrow projection (sequence -> slice -> posexplode) with
+    no shuffle and no Python; output rows ~= corpus_tokens / stride, each
+    carrying only its own chunk text. At 100 TB this is a scan-stage map —
+    chunking never becomes a bottleneck stage of its own."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    all_starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    starts = F.filter(
+        all_starts,
+        lambda s: (s == F.lit(1)) | (s - F.lit(stride) + F.lit(chunk_size) - F.lit(1) < n),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+        F.size("chunk_toks").alias("chunk_len"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-level vocabulary statistics: the top-k tokens by total
+    occurrence count with document frequency (tokenizer-training / corpus
+    inspection stats).
+
+    Plan shape: explode -> two-level aggregate. The per-(token, doc) count
+    collapses map-side (partial aggregation) before the token-level shuffle,
+    so the shuffle carries |vocab x docs-touched| rows, not corpus tokens;
+    the final top-k is TakeOrderedAndProject (no global sort). Determinism:
+    ties broken lexically by token."""
+    per_doc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        per_doc.join(dfreq, "tok")
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(k)
+    )

@@ -3454,3 +3454,134 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("total"),
     )
+
+
+# ===========================================================================
+# Corpus operators round 2: decontamination, chunking, vocab stats,
+# embedding quantization, kNN graph
+# ===========================================================================
+
+
+@_register(
+    "benchmark_decontam",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+             )) AS s
+      FROM documents),
+    bg AS (SELECT DISTINCT g FROM sh, unnest(s) AS u(g) WHERE source = 'src0'),
+    cg AS (SELECT doc_id, g FROM sh, unnest(s) AS u(g) WHERE source <> 'src0')
+    SELECT doc_id, count(*) AS n_hit_grams
+    FROM cg JOIN bg USING (g)
+    GROUP BY doc_id
+    """,
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >=1 distinct
+    3-gram shingle with the evaluation set (source 'src0' plays the eval
+    benchmark). The benchmark shingle set is broadcast — the 100 TB corpus
+    side never shuffles its shingles (the eval set is the small side by
+    construction)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = _fan(docs.filter(F.col("source") != "src0"))
+    return D.benchmark_decontaminate(corpus, bench, "text", "doc_id", n=3)
+
+
+@_register(
+    "doc_chunking",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 list_filter(generate_series(1, greatest(len(toks), 1), 24),
+                             st -> st = 1 OR st - 24 + 31 < len(toks)) AS starts
+          FROM t),
+    ch AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(starts)), i -> {
+                    idx: i - 1,
+                    txt: array_to_string(list_slice(toks, starts[i], starts[i] + 31), ' '),
+                    ln: len(list_slice(toks, starts[i], starts[i] + 31))
+                  })) AS c
+           FROM s)
+    SELECT doc_id, c.idx AS chunk_idx, c.txt AS chunk_text, c.ln AS chunk_len
+    FROM ch
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (32-token windows, stride 24)
+    — the context-window prep step for LLM training. One narrow
+    sequence->slice->posexplode projection; no shuffle, no Python."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.chunk_documents(docs, "text", "doc_id", chunk_size=32, stride=24)
+
+
+@_register(
+    "vocab_top20",
+    """
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                 FROM documents),
+    occ AS (SELECT tok, count(*) AS n_occurrences FROM tok GROUP BY tok),
+    dfq AS (SELECT tok, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY tok)
+    SELECT tok, n_occurrences, n_docs
+    FROM occ JOIN dfq USING (tok)
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-20 by occurrence count with document frequency
+    (tokenizer-training stats). Partial aggregation collapses token counts
+    map-side; the final top-k is TakeOrderedAndProject; ties broken
+    lexically."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.vocab_top_terms(docs, "text", k=20)
+
+
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_min(v), 6) AS qmin,
+           round(list_max(v) - list_min(v), 6) AS qscale,
+           array_to_string(list_transform(v, x ->
+             CASE WHEN list_max(v) = list_min(v) THEN 0
+                  ELSE CAST(floor((x - list_min(v)) / (list_max(v) - list_min(v)) * 255 + 0.5) AS INT)
+             END), ',') AS codes
+    FROM v
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column (4x
+    compression before ANN indexing). Codes rendered as a comma string so
+    the value hash is array-representation-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = SIM.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id", "qmin", "qscale", F.concat_ws(",", F.col("codes")).alias("codes")
+    )
+
+
+@_register(
+    "knn_graph_topk",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM pairs)
+    SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= 3
+    """,
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked 3-NN graph over the embedding table (the
+    candidate-generation step of graph-ANN index construction). Ranking on
+    round(cos, 6) with neighbor-id tie-break keeps the order engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, "vec_id", "embedding", "label", k=3)

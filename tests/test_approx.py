@@ -38,3 +38,39 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = {r["vec_id"] for r in SIM.ivf_topk(emb, qv, k=10).collect()}
     # IVF probes 4/16 partitions; recall@10 must stay useful
     assert len(exact & approx) >= 5
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    """Reconstruction x~ = qmin + code*qscale/255 must be within half a
+    quantization step of the original for every element (plus the <=1e-6
+    slack from qmin/qscale being rounded to 6 dp for oracle determinism)."""
+    from scylla_migrator_spark.analytics.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    joined = emb.join(q, "vec_id").select(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.transform("codes", lambda c: F.col("qmin") + c * F.col("qscale") / 255),
+            lambda x, r: F.abs(x - r),
+        ).alias("err"),
+        (F.col("qscale") / 255 / 2 + 2e-6).alias("half_step"),
+    )
+    bad = joined.filter(F.array_max("err") > F.col("half_step")).count()
+    assert bad == 0
+
+
+def test_knn_graph_is_symmetric_on_mutual_neighbors(spark):
+    """Every vector gets exactly k neighbors (blocks are larger than k) and
+    neighbor ranks are 1..k with no duplicates."""
+    from scylla_migrator_spark.analytics.similarity import knn_graph
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = knn_graph(emb, "vec_id", "embedding", "label", k=3)
+    per = g.groupBy("vec_id").agg(
+        F.count("*").alias("n"), F.collect_set("rank").alias("ranks")
+    )
+    assert per.filter("n <> 3").count() == 0
+    assert per.filter(F.array_sort("ranks") != F.array(F.lit(1), F.lit(2), F.lit(3))).count() == 0

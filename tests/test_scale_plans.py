@@ -268,3 +268,44 @@ def test_lsh_bucketed_layout_prunes_partitions(spark, tmp_path):
     expect = [(r["vec_id"], r["cos"]) for r in lsh_topk(emb, qv, k=5, planes=4).collect()]
     got = [(r["vec_id"], r["cos"]) for r in probe.collect()]
     assert got == expect
+
+
+def test_decontam_broadcasts_benchmark_side(spark, sf_dir):
+    """The eval-set shingle frame must broadcast: the 100 TB corpus side
+    never shuffles its shingles for the contamination join."""
+    plan = plan_of(Q.QUERIES["benchmark_decontam"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is a scan-stage map: sequence -> slice -> posexplode with no
+    Exchange (only the deliberate _fan repartition of the fixture scan)."""
+    from scylla_migrator_spark.analytics.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(chunk_documents(docs), mode="simple")
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["vocab_top20"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan  # no global Sort
+
+
+def test_quantize_is_narrow_projection(spark, sf_dir):
+    from scylla_migrator_spark.analytics.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(quantize_int8(emb), mode="simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_graph_joins_on_block_key(spark, sf_dir):
+    """The kNN self-join must be equi-keyed on the block column — never a
+    cartesian pair enumeration."""
+    plan = plan_of(Q.QUERIES["knn_graph_topk"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

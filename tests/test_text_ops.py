@@ -87,3 +87,53 @@ class TestPackSequences:
         # partitioned window: hashpartitioning on the shard, never a global Sort
         assert plan.count("Exchange") <= 1
         assert "rangepartitioning" not in plan.lower()
+
+
+def test_chunk_documents_boundaries(spark):
+    from scylla_migrator_spark.analytics.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(70))),  # 70 toks -> starts 1,25,49
+        (2, " ".join(f"w{i}" for i in range(32))),  # exactly one chunk
+        (3, " ".join(f"w{i}" for i in range(10))),  # short doc, one chunk
+        (4, " ".join(f"w{i}" for i in range(33))),  # 2nd chunk adds token 33
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", chunk_size=32, stride=24)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_len, r.chunk_text.split()[0]) for r in out.collect()}
+    assert got[(1, 0)] == (32, "w0")
+    assert got[(1, 1)] == (32, "w24")
+    assert got[(1, 2)] == (22, "w48")
+    assert (1, 3) not in got
+    # n <= chunk_size: exactly one chunk, no suffix-duplicate second chunk
+    assert got[(2, 0)][0] == 32 and (2, 1) not in got
+    assert got[(3, 0)][0] == 10 and (3, 1) not in got
+    assert got[(4, 1)] == (9, "w24")
+
+
+def test_vocab_top_terms_ties_and_counts(spark):
+    from scylla_migrator_spark.analytics.text import vocab_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "b c"), (3, "c b")], ["doc_id", "text"]
+    )
+    out = vocab_top_terms(df, "text", k=2).collect()
+    # b: 3 occurrences / 3 docs; a and c tie at 2 occurrences -> 'a' wins lexically
+    assert [(r.tok, r.n_occurrences, r.n_docs) for r in out] == [("b", 3, 3), ("a", 2, 1)]
+
+
+def test_benchmark_decontaminate_counts_distinct_hits(spark):
+    from scylla_migrator_spark.analytics.dedup import benchmark_decontaminate
+
+    bench = spark.createDataFrame([(100, "x y z w")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z q"),        # shares shingle "x y z"
+            (2, "q r s t"),        # clean
+            (3, "x y z w extra"),  # shares "x y z" and "y z w"
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_hit_grams for r in
+           benchmark_decontaminate(docs, bench, "text", "doc_id", n=3).collect()}
+    assert out == {1: 1, 3: 2}
