@@ -86,6 +86,14 @@ HEADLINE = [
     "corpus_mixing_sample",
     "train_val_test_split",
     "multimodal_ppm_resize",
+    "benchmark_decontam",
+    "doc_chunking",
+    "vocab_top20",
+    "embedding_quantize_int8",
+    "knn_graph_topk",
+    "scd2_event_history",
+    "near_dedup_corpus",
+    "stream_topk_trending",
 ]
 
 

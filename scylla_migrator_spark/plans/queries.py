@@ -3569,10 +3569,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "knn_graph_topk",
     """
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+               FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
     r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
           FROM pairs)
@@ -3585,3 +3587,135 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(cos, 6) with neighbor-id tie-break keeps the order engine-stable."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.knn_graph(emb, "vec_id", "embedding", "label", k=3)
+
+
+@_register(
+    "scd2_event_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t, event_id,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    changes AS (
+      SELECT user_id, event_type, t, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    hist AS (
+      SELECT user_id, event_type, t AS valid_from_us,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to_us
+      FROM changes)
+    SELECT user_id, event_type, valid_from_us,
+           coalesce(valid_to_us, -1) AS valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the event change log: consecutive
+    per-user runs of the same event_type collapse to one versioned row with
+    [valid_from, valid_to) nanosecond intervals (open version: valid_to -1).
+    The warehouse-side complement of the reference's last-writer-wins CDC
+    replication (DynamoStreamReplication.scala:42-114): same change feed,
+    history kept instead of overwritten. Both window passes share one
+    (user_id) partitioning — a single shuffle end to end. Intervals are
+    emitted in MICROseconds (nanos floor-divided) because the oracle's
+    timestamp type is µs-precision; ordering is unaffected."""
+    from scylla_migrator_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # integer DIV: a float division would lose µs precision at 1.7e18 ns
+        "ts_us", F.expr("ts DIV 1000")  # ts is epoch-nanos long
+    )
+    hist = scd2_history(ev, ["user_id"], "ts_us", ["event_type"], "event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@_register(
+    "near_dedup_corpus",
+    r"""
+    WITH RECURSIVE
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.source, count(*) AS n_docs,
+           count(*) FILTER (WHERE dr.doc_id IS NULL) AS n_survivors
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+)
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED near-dedup pipeline a training-data run actually executes:
+    simhash fingerprints -> hamming-bucket candidate pairs -> connected
+    components -> drop every non-canonical member (keep the min doc_id per
+    duplicate cluster) -> per-source survivor counts. Each stage is the
+    already-verified scale shape (aggregation-materialized fingerprints,
+    bucketed candidate join, O(log d) label propagation, left_anti drop)."""
+    comp = QUERIES["dedup_components"](spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    survivors = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            survivors.groupBy("source").agg(F.count("*").alias("n_survivors")),
+            "source",
+        )
+    )
+
+
+@_register(
+    "stream_topk_trending",
+    """
+    WITH wc AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, event_type) AS rnk
+          FROM wc)
+    SELECT window_start, event_type, cnt, rnk FROM r WHERE rnk <= 2
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k over a stream: watermarked tumbling-window counts
+    (pure streaming agg, bounded state) followed by a per-window top-2 rank
+    on the materialized result table — the standard two-layer split of a
+    non-incremental operator (rank) over an incremental one (count).
+    Batch-equivalent to the oracle's windowed rank."""
+    from pyspark.sql import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = _run_available_now(agg, "complete")
+    wc = out.select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    rw = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return wc.withColumn("rnk", F.row_number().over(rw)).filter(F.col("rnk") <= 2)

@@ -109,3 +109,56 @@ def test_range_join_rejects_ambiguity_and_bad_width(intervals_points):
     clash = pts.withColumnRenamed("p", "s")
     with pytest.raises(ValueError, match="ambiguous"):
         range_join_points(iv, clash, ["k"], "s", "e", "s", bucket_width=10)
+
+
+class TestScd2History:
+    def test_collapses_unchanged_runs(self, spark):
+        from scylla_migrator_spark.operators.scd import scd2_history
+
+        rows = [
+            # key, ts, attr, tie
+            (1, 10, "a", 1),
+            (1, 20, "a", 2),   # unchanged -> collapsed into the first run
+            (1, 30, "b", 3),   # change -> closes [10, 30)
+            (1, 40, "a", 4),   # change back -> a reappears as a NEW version
+            (2, 15, "x", 5),   # single-row key -> one open version
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "attr", "tie"])
+        out = scd2_history(df, ["k"], "ts", ["attr"], "tie")
+        got = sorted(
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in out.collect()
+        )
+        assert got == [
+            (1, "a", 10, 30, False),
+            (1, "a", 40, None, True),
+            (1, "b", 30, 40, False),
+            (2, "x", 15, None, True),
+        ]
+
+    def test_null_attr_transitions(self, spark):
+        from scylla_migrator_spark.operators.scd import scd2_history
+
+        rows = [(1, 10, None, 1), (1, 20, None, 2), (1, 30, "v", 3)]
+        df = spark.createDataFrame(rows, "k: bigint, ts: bigint, attr: string, tie: bigint")
+        out = scd2_history(df, ["k"], "ts", ["attr"], "tie")
+        got = sorted(
+            ((r.attr, r.valid_from, r.valid_to) for r in out.collect()),
+            key=lambda t: t[1],
+        )
+        # null==null is NOT a change (eqNullSafe); null->value is
+        assert got == [(None, 10, 30), ("v", 30, None)]
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        """Both window passes share one (key) hash partitioning — exactly
+        one Exchange in the whole plan."""
+        import io
+        from contextlib import redirect_stdout
+
+        from scylla_migrator_spark.plans import queries as Q
+
+        df = Q.QUERIES["scd2_event_history"](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("simple")
+        plan = buf.getvalue()
+        assert plan.count("Exchange") == 1
