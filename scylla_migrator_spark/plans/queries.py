@@ -1962,6 +1962,7 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.streaming.stateful import stateful_distinct_counts
 
+    _session_proof(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage = os.path.join(
         "/tmp", f"sgs_events2x_{os.path.basename(sf_dir.rstrip('/'))}"
@@ -3076,6 +3077,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.streaming.rollup import continuous_rollup
 
+    _session_proof(spark)
     day_ns = 86_400_000_000_000
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join("/tmp", f"sgs_events_halves_{tag}")
