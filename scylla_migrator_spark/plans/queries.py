@@ -49,21 +49,69 @@ def _session_proof(spark: SparkSession) -> None:
     The driver's harness builds a vanilla SparkSession (not ours from
     ``session.build_session``), so any conf we rely on must be set here:
 
-    - ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet stores ts as
-      TIMESTAMP(NANOS); without this flag the read dies with
-      PARQUET_TYPE_ILLEGAL. Runtime-settable (it is read at scan planning,
-      not session build).
+    - ``spark.sql.legacy.parquet.nanosAsLong``: when events.parquet stores
+      ts as TIMESTAMP(NANOS) (early fixture generations), without this flag
+      the read dies with PARQUET_TYPE_ILLEGAL. Runtime-settable (it is read
+      at scan planning, not session build). Harmless for micros fixtures.
     - ``spark.sql.session.timeZone``: oracle hashes on timestamp-bearing
       queries are computed under UTC; a non-UTC driver session would shift
-      rendered timestamps.
+      rendered timestamps, and the ntz->nanos normalization in
+      ``_ts_nanos`` relies on UTC wall-clock interpretation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize an event-time column to epoch-nanos BIGINT, whatever the
+    physical parquet type of the fixture generation.
+
+    The engine's internal convention for event time is epoch-nanos LongType
+    (the reference's widen-to-long rule taken one step further,
+    Cassandra.scala:191-208 — a 64-bit integer never overflows Spark's
+    µs-TimestampType range and compares exactly). Fixture generations have
+    stored ts as TIMESTAMP(NANOS) (surfaced as LongType under nanosAsLong)
+    and as timestamp[us] (surfaced as TIMESTAMP_NTZ); both, plus a tz-aware
+    TIMESTAMP, normalize to the same nanos long here. Column position is
+    preserved (withColumn replaces in place)."""
+    dt = dict(df.dtypes).get(col)
+    if dt in ("timestamp", "timestamp_ntz"):
+        # ntz -> timestamp is an identity reinterpretation under the UTC
+        # session timezone pinned by _session_proof.
+        df = df.withColumn(
+            col, (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).alias(col)
+        )
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _session_proof(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _ts_nanos(df)
+    return df
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with its on-disk schema (no ts normalization) — for
+    streaming sites that must pass the file's physical schema to
+    ``readStream.schema``."""
+    _session_proof(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _stage_tag(sf_dir: str, table: str = "events") -> str:
+    """Fingerprint a fixture table for /tmp staging-directory names.
+
+    Staged copies (symlink dirs, pre-split halves, bucketed layouts) persist
+    in /tmp across runs; when the driver regenerates testdata (new rows, new
+    physical ts type) a stale stage would silently serve old data. Keying
+    the stage path by (size, mtime) of the source file makes regeneration
+    auto-invalidate every stage."""
+    import os
+
+    st = os.stat(f"{sf_dir}/{table}.parquet")
+    return f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
 
 
 def _fan(df: DataFrame) -> DataFrame:
@@ -1243,15 +1291,12 @@ def lsh_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that prunes all but 1 of 2^planes directories. Identical results to the
     compute-per-query form; the scan cost per repeated query drops from
     full-table to one partition."""
-    import hashlib
     import os
 
     emb = _t(spark, sf_dir, "embeddings")
     head = emb.select("vec_id", "embedding").filter(F.col("vec_id") == 0).head()
     qv = [float(x) for x in head["embedding"]]
-    layout = os.path.join(
-        "/tmp", f"sgs_lsh_layout_{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
-    )
+    layout = os.path.join("/tmp", f"sgs_lsh_layout_{_stage_tag(sf_dir, 'embeddings')}")
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
         SIM.write_lsh_bucketed(emb, layout, dim=len(qv), planes=4)
     return SIM.lsh_topk_bucketed(spark, layout, qv, k=10, planes=4)
@@ -1391,7 +1436,7 @@ def s3export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
         )
     )
-    root = os.path.join("/tmp", f"spark_graft_s3export_{os.path.basename(sf_dir.rstrip('/'))}")
+    root = os.path.join("/tmp", f"spark_graft_s3export_{_stage_tag(sf_dir, 'orders')}")
     summary = write_s3_export(df.select(item_json.alias("item_json")), "item_json", root)
     assert summary["itemCount"] > 0
     it = F.col("item")
@@ -1444,17 +1489,28 @@ def ddb_deep_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Event-time ops (watermark/window) need TimestampType; convert from
+    whatever the source schema carries: epoch-nanos long (narrowed to µs),
+    TIMESTAMP_NTZ (reinterpreted as UTC), or TimestampType (kept)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. The fixture stores ts as
-    TIMESTAMP(NANOS), surfaced as epoch-nanos LongType (see session.py);
-    event-time ops need TimestampType, so narrow nanos -> micros here."""
+    """File-source stream over the events table, ts surfaced as
+    TimestampType regardless of the fixture's physical ts encoding."""
     import os
 
-    _session_proof(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _events_raw(spark, sf_dir)
     # the file streaming source requires a *directory*; the fixture table is a
-    # single file -> stage a symlink dir (testdata itself is read-only)
-    stage = os.path.join("/tmp", f"sgs_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    # single file -> stage a symlink dir (testdata itself is read-only),
+    # fingerprinted so a regenerated fixture invalidates the stage
+    stage = os.path.join("/tmp", f"sgs_events_{_stage_tag(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -1463,9 +1519,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         except FileExistsError:
             pass  # concurrent session staged it first
     stream = spark.readStream.schema(batch.schema).parquet(stage)
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return _ts_event_time(stream)
 
 
 from contextlib import contextmanager
@@ -1962,11 +2016,8 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.streaming.stateful import stateful_distinct_counts
 
-    _session_proof(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = os.path.join(
-        "/tmp", f"sgs_events2x_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    batch = _events_raw(spark, sf_dir)
+    stage = os.path.join("/tmp", f"sgs_events2x_{_stage_tag(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     for name in ("a_events.parquet", "b_events.parquet"):
@@ -2114,7 +2165,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
     )
-    stage = os.path.join("/tmp", f"sgs_events_split_{os.path.basename(sf_dir.rstrip('/'))}")
+    stage = os.path.join("/tmp", f"sgs_events_split_{_stage_tag(sf_dir)}")
     if not os.path.exists(os.path.join(stage, "_READY")):
         tmp = stage + ".build"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3079,12 +3130,14 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _session_proof(spark)
     day_ns = 86_400_000_000_000
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join("/tmp", f"sgs_events_halves_{tag}")
+    stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
     marker = os.path.join(stage, "_READY")
     if not os.path.exists(marker):
         tmp_stage = f"{stage}__build_{os.getpid()}"
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # halves are staged with ts already canonicalized to nanos long, so
+        # the streaming agg below buckets with integer DIV regardless of the
+        # fixture's physical ts type
+        ev = _t(spark, sf_dir, "events")
         for half in (0, 1):
             part_dir = os.path.join(tmp_stage, f"h{half}")
             ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
@@ -3100,7 +3153,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
         except OSError:
             shutil.rmtree(tmp_stage, ignore_errors=True)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)  # one half per micro-batch
