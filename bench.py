@@ -94,6 +94,9 @@ HEADLINE = [
     "scd2_event_history",
     "near_dedup_corpus",
     "stream_topk_trending",
+    "stream_tws_user_totals",
+    "udtf_sentence_split",
+    "semdedup_prune",
 ]
 
 
@@ -107,19 +110,25 @@ def main() -> None:
     rows = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in ("orders", "lineitem", "events", "documents", "embeddings")}
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        # one retry for fast queries: a single reading is exposed to GC /
-        # JIT / page-cache interference from the previous query (observed
-        # 10x outliers); min-of-two is stable. Slow queries (streaming
-        # setup, iterative) skip the retry to bound total bench time.
-        if dt < 8.0:
+        try:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = min(dt, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            # one retry for fast queries: a single reading is exposed to GC /
+            # JIT / page-cache interference from the previous query (observed
+            # 10x outliers); min-of-two is stable. Slow queries (streaming
+            # setup, iterative) skip the retry to bound total bench time.
+            if dt < 8.0:
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = min(dt, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCHMARK_ERROR | scenario={name} err={errors[name]!r}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         base_rows = rows["lineitem"] if "pricing" in name else rows["orders"]
         print(
@@ -142,15 +151,18 @@ def main() -> None:
             "primaryKey": ["order_id"],
         }
     )
-    t0 = time.perf_counter()
-    n = migrate(spark, cfg).count()
-    dt = time.perf_counter() - t0
-    timings["migrate_pipeline"] = round(dt, 3)
-    print(
-        f"BENCHMARK_RESULT | scenario=parquet_to_parquet_migration rows={n} "
-        f"durationMs={int(dt*1000)} rowsPerSec={int(n / dt) if dt > 0 else 0}",
-        file=sys.stderr,
-    )
+    try:
+        t0 = time.perf_counter()
+        n = migrate(spark, cfg).count()
+        dt = time.perf_counter() - t0
+        timings["migrate_pipeline"] = round(dt, 3)
+        print(
+            f"BENCHMARK_RESULT | scenario=parquet_to_parquet_migration rows={n} "
+            f"durationMs={int(dt*1000)} rowsPerSec={int(n / dt) if dt > 0 else 0}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["migrate_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ±timestamps scenario (cassandra->scylla with preserveTimestamps): the
     # source carries per-column TTL/WRITETIME companions; the sink explodes
@@ -184,28 +196,30 @@ def main() -> None:
             "primaryKey": ["o_orderkey"],
         }
     )
-    t0 = time.perf_counter()
-    n = migrate(spark, cfg_ts).count()
-    dt = time.perf_counter() - t0
-    timings["migrate_exploded_timestamps"] = round(dt, 3)
-    print(
-        f"BENCHMARK_RESULT | scenario=cql_to_scylla_preserve_timestamps rows={n} "
-        f"durationMs={int(dt*1000)} rowsPerSec={int(rows['orders'] / dt) if dt > 0 else 0}",
-        file=sys.stderr,
-    )
+    try:
+        t0 = time.perf_counter()
+        n = migrate(spark, cfg_ts).count()
+        dt = time.perf_counter() - t0
+        timings["migrate_exploded_timestamps"] = round(dt, 3)
+        print(
+            f"BENCHMARK_RESULT | scenario=cql_to_scylla_preserve_timestamps rows={n} "
+            f"durationMs={int(dt*1000)} rowsPerSec={int(rows['orders'] / dt) if dt > 0 else 0}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["migrate_exploded_timestamps"] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

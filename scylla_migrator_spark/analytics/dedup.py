@@ -353,3 +353,52 @@ def benchmark_decontaminate(
         .filter(F.col("n_hit_grams") >= min_hits)
     )
     return hits
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    tau: float = 0.25,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and pruning, within each cluster, every vector
+    that is cosine-similar (>= ``tau``) to a lower-id cluster member — one
+    survivor per semantic group, deterministic keeper rule.
+
+    Plan shape (the at-scale design): centroid assignment is a broadcast
+    argmax (ivf_assign — no shuffle), the candidate join is equi-keyed on
+    ``centroid_id`` so pair work is sum of squared CLUSTER sizes, never the
+    corpus square. At 100 TB: write assigned vectors partitioned by
+    centroid_id, run per-partition joins with AQE skew splitting; cluster
+    count scales with corpus size to bound cluster width (the paper uses
+    ~0.1%% of n).
+
+    Returns (id, centroid_id, kept): kept=false rows are the prune list."""
+    from scylla_migrator_spark.analytics.similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "centroid_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            on=[
+                F.col("a.centroid_id") == F.col("b.centroid_id"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= tau)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned.withColumn("__pruned", F.lit(True)), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+        )
+    )

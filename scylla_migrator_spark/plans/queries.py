@@ -1501,6 +1501,39 @@ def _ts_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as TWO parquet files (event_id parity halves)
+    so a maxFilesPerTrigger=1 file stream replays it as two micro-batches.
+    ts is canonicalized to nanos long before writing, so stream consumers
+    bucket with integer DIV regardless of the fixture's physical ts type.
+    Build is write-to-temp + atomic-rename publish (concurrent sessions:
+    one wins, losers clean up); the fingerprinted name invalidates the
+    stage when the fixture is regenerated."""
+    import os
+    import shutil
+
+    stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(stage, "_READY")):
+        tmp_stage = f"{stage}__build_{os.getpid()}"
+        ev = _t(spark, sf_dir, "events")
+        for half in (0, 1):
+            part_dir = os.path.join(tmp_stage, f"h{half}")
+            ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
+            )
+            shutil.rmtree(part_dir)
+        open(os.path.join(tmp_stage, "_READY"), "w").close()
+        try:
+            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp_stage, ignore_errors=True)
+    return stage
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, ts surfaced as
     TimestampType regardless of the fixture's physical ts encoding."""
@@ -3130,29 +3163,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _session_proof(spark)
     day_ns = 86_400_000_000_000
-    stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
-    marker = os.path.join(stage, "_READY")
-    if not os.path.exists(marker):
-        tmp_stage = f"{stage}__build_{os.getpid()}"
-        # halves are staged with ts already canonicalized to nanos long, so
-        # the streaming agg below buckets with integer DIV regardless of the
-        # fixture's physical ts type
-        ev = _t(spark, sf_dir, "events")
-        for half in (0, 1):
-            part_dir = os.path.join(tmp_stage, f"h{half}")
-            ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
-            )
-            shutil.rmtree(part_dir)
-        open(os.path.join(tmp_stage, "_READY"), "w").close()
-        try:
-            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp_stage, ignore_errors=True)
+    stage = _events_halves_stage(spark, sf_dir)
     batch_schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -3774,3 +3785,146 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = out.select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     rw = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
     return wc.withColumn("rnk", F.row_number().over(rw)).filter(F.col("rnk") <= 2)
+
+
+# ===========================================================================
+# Round 3 additions: Spark-4 stateful API, Python UDTF surface, SemDedup
+# ===========================================================================
+
+
+@_register(
+    "stream_tws_user_totals",
+    """
+    WITH t AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_micros
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events, sum_micros FROM t
+    """,
+)
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 via the Spark 4 ``transformWithStateInPandas`` API (typed
+    ValueState on a RocksDB store): per-user running totals accumulated
+    across TWO micro-batches (event-id parity halves); the final state must
+    equal the batch GROUP BY. Values are quantized to integer micros before
+    the stateful op so cross-batch accumulation is associative-exact (see
+    streaming/stateful.py::RunningTotalsProcessor)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from scylla_migrator_spark.streaming.stateful import running_user_totals
+
+    stage = _events_halves_stage(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one half per micro-batch
+        .parquet(stage)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+        )
+    )
+    from scylla_migrator_spark.streaming.stateful import has_transform_with_state_runtime
+
+    totals = running_user_totals(stream, "user_id")
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    use_rocksdb = has_transform_with_state_runtime()  # TWS requires RocksDB store
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        with _stream_shuffle_partitions(spark):
+            q = (
+                totals.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_tws_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if use_rocksdb:
+            if old is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("upd"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_micros")
+    )
+
+
+@_register(
+    "udtf_sentence_split",
+    """
+    WITH parts AS (SELECT doc_id, string_split(text, '.') AS ps FROM documents),
+    ex AS (SELECT doc_id, unnest(generate_series(1, len(ps)))::INT - 1 AS sent_idx,
+                  unnest(ps) AS sentence
+           FROM parts)
+    SELECT doc_id, sent_idx, sentence, length(sentence)::INT AS n_chars
+    FROM ex WHERE trim(sentence) <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 UDTF surface (Spark 4 Python UDTF, Arrow-batched): documents
+    LATERAL-joined to a sentence-splitting table function — the declarative
+    form of the reference's flatMap explosion (Cassandra.scala:113-169).
+    The UDTF runs inside the scanning task (no shuffle); Catalyst prunes
+    the document columns around it like any relation."""
+    from scylla_migrator_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
+
+
+@_register(
+    "semdedup_prune",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+             FROM base ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cidx,
+             row_number() OVER (PARTITION BY b.vec_id
+                ORDER BY list_dot_product(b.v, c.cv)
+                         / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cidx) AS rn
+      FROM base b CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, v, cidx AS centroid_id FROM scored WHERE rn = 1),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.25)
+    SELECT a.vec_id, a.centroid_id::INT AS centroid_id,
+           (p.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (semantic dedup, arXiv:2303.09540): cluster embeddings by
+    nearest centroid (broadcast argmax, no shuffle), prune every vector
+    cosine-similar (>= 0.25) to a lower-id member of its cluster. The pair
+    join is equi-keyed on centroid_id — work is sum of squared cluster
+    sizes, never corpus^2. Centroids are the 16 lowest-id vectors
+    (deterministic stand-in for a k-means pass) so the oracle replays the
+    assignment exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return D.semdedup(emb, "vec_id", "embedding", centroids, tau=0.25)

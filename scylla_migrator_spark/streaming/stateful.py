@@ -196,3 +196,108 @@ def stateful_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API): running per-key totals
+# ---------------------------------------------------------------------------
+
+TOTALS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("upd", T.LongType()),  # per-key batch counter; max = final
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_micros", T.LongType()),
+    ]
+)
+
+
+class RunningTotalsProcessor:
+    """``StatefulProcessor`` keeping per-key running (count, sum) across
+    micro-batches via ``ValueState`` — the modern typed-state replacement
+    for ``applyInPandasWithState`` (timers, TTL and List/Map state live on
+    the same handle; RocksDB-backed, checkpointed with the query).
+
+    Values are pre-quantized to integer micro-units upstream so the
+    cross-batch accumulation is associative-exact (a float running sum
+    would depend on batch split). Emits the running totals with a per-key
+    update counter; the row with max ``upd`` per key is the final answer.
+    At 100 TB: state is two longs per key, partitioned by the grouping key
+    across executors; the state store scales with distinct keys, not
+    events."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "upd BIGINT, n BIGINT, s BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._totals.get()
+        upd, n, s = prev if prev is not None else (0, 0, 0)
+        for pdf in rows:
+            n += int(len(pdf))
+            s += int(pdf["value_micros"].sum())
+        upd += 1
+        self._totals.update((upd, n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _totals_fallback_fn():
+    """applyInPandasWithState twin of RunningTotalsProcessor — identical
+    state transition and emissions, for environments without the protobuf
+    dependency the transformWithState state-server protocol needs."""
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState):
+        upd, n, s = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += int(pdf["value_micros"].sum())
+        upd += 1
+        state.update((upd, n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
+        )
+
+    return fn
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithStateInPandas drives typed state over a protobuf
+    state-server protocol; without the protobuf package the Python driver
+    worker crashes at init, so fall back when it is absent."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Cross-batch running totals per key over a ``value_micros`` column.
+
+    Prefers the Spark 4 ``transformWithStateInPandas`` typed-state API
+    (RunningTotalsProcessor); falls back to an identical-semantics
+    ``applyInPandasWithState`` plan when the protobuf runtime it requires
+    is unavailable. Both emit (key, upd, n_events, sum_micros) per batch;
+    max-``upd`` row per key is the final state."""
+    if has_transform_with_state_runtime():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc = type("_Proc", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__))()
+        return stream.groupBy(key_col).transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TOTALS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _totals_fallback_fn(),
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        stateStructType="upd BIGINT, n BIGINT, s BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

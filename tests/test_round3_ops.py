@@ -1,0 +1,121 @@
+"""Round-3 operators: SemDedup, the Python UDTF surface, and the
+transformWithStateInPandas running-totals processor (+ its fallback)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics.dedup import semdedup
+from scylla_migrator_spark.streaming.stateful import (
+    has_transform_with_state_runtime,
+    running_user_totals,
+)
+
+
+def test_semdedup_prunes_near_identical_within_cluster(spark):
+    # two near-identical vectors (1 keeps, 2 pruned), one orthogonal survivor
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # cos ~1 with id 1 -> pruned
+        (3, [0.0, 1.0, 0.0, 0.0]),  # different cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r["vec_id"]: r for r in semdedup(df, "vec_id", "embedding", centroids, tau=0.9).collect()}
+    assert out[1]["kept"] and out[3]["kept"] and not out[2]["kept"]
+    assert out[1]["centroid_id"] == out[2]["centroid_id"] != out[3]["centroid_id"]
+
+
+def test_semdedup_keeper_is_lowest_id(spark):
+    # a chain of three near-identical vectors: only the lowest id survives
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "vec_id", "embedding", [[1.0, 0.0]], tau=0.99)
+    kept = sorted(r["vec_id"] for r in out.filter("kept").collect())
+    assert kept == [7]
+
+
+def test_udtf_sentence_split_lateral(spark):
+    from scylla_migrator_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "Alpha. Beta.. Gamma"), (2, None), (3, "...")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("__udtf_test_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM __udtf_test_docs d, LATERAL split_sentences(d.text) s"
+    ).collect()
+    got = {(r["doc_id"], r["sent_idx"]): (r["sentence"], r["n_chars"]) for r in rows}
+    # doc 1 splits to ['Alpha', ' Beta', '', ' Gamma']; blank part dropped
+    assert got == {
+        (1, 0): ("Alpha", 5),
+        (1, 1): (" Beta", 5),
+        (1, 3): (" Gamma", 6),
+    }
+
+
+def _run_totals(spark, tmp_path, frames):
+    """Feed frames as separate micro-batches through running_user_totals."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, pdf in enumerate(frames):
+        pd.DataFrame(pdf).to_parquet(src / f"b{i}.parquet")
+    schema = "user_id long, value_micros long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = running_user_totals(stream, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("totals_test").collect()
+
+
+def test_running_totals_accumulates_across_batches(spark, tmp_path):
+    rows = _run_totals(
+        spark,
+        tmp_path,
+        [
+            {"user_id": [1, 1, 2], "value_micros": [10, 20, 5]},
+            {"user_id": [1, 2], "value_micros": [-7, 5]},
+        ],
+    )
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["upd"] > final[r["user_id"]]["upd"]:
+            final[r["user_id"]] = r
+    assert final[1]["n_events"] == 3 and final[1]["sum_micros"] == 23
+    assert final[2]["n_events"] == 2 and final[2]["sum_micros"] == 10
+
+
+@pytest.mark.skipif(
+    not has_transform_with_state_runtime(),
+    reason="transformWithStateInPandas needs the protobuf runtime",
+)
+def test_running_totals_uses_transform_with_state(spark, tmp_path):
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = _run_totals(
+            spark, tmp_path, [{"user_id": [5], "value_micros": [100]}]
+        )
+        assert rows[0]["n_events"] == 1 and rows[0]["sum_micros"] == 100
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
