@@ -117,18 +117,22 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            # one retry for fast queries: a single reading is exposed to GC /
-            # JIT / page-cache interference from the previous query (observed
-            # 10x outliers); min-of-two is stable. Slow queries (streaming
-            # setup, iterative) skip the retry to bound total bench time.
-            if dt < 8.0:
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                dt = min(dt, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCHMARK_ERROR | scenario={name} err={errors[name]!r}", file=sys.stderr)
             continue
+        # one retry for fast queries: a single reading is exposed to GC /
+        # JIT / page-cache interference from the previous query (observed
+        # 10x outliers); min-of-two is stable. Slow queries (streaming
+        # setup, iterative) skip the retry to bound total bench time. A
+        # retry failure keeps the successful first measurement.
+        if dt < 8.0:
+            try:
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = min(dt, time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001
+                pass
         timings[name] = round(dt, 3)
         base_rows = rows["lineitem"] if "pricing" in name else rows["orders"]
         print(

@@ -378,9 +378,12 @@ def semdedup(
     Returns (id, centroid_id, kept): kept=false rows are the prune list."""
     from scylla_migrator_spark.analytics.similarity import cosine, ivf_assign
 
+    # persisted: the frame is referenced three times below (both self-join
+    # sides + the final kept-join); uncached, each reference re-runs the
+    # scan and the per-row centroid argmax
     assigned = ivf_assign(df, centroids, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "centroid_id"
-    )
+    ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     pruned = (
         a.join(
@@ -399,6 +402,6 @@ def semdedup(
         .select(
             F.col(id_col),
             F.col("centroid_id"),
-            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+            F.col("__pruned").isNull().alias("kept"),
         )
     )

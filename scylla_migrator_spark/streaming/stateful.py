@@ -202,17 +202,29 @@ def stateful_sessionize(
 # transformWithStateInPandas (Spark 4 stateful API): running per-key totals
 # ---------------------------------------------------------------------------
 
-TOTALS_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("upd", T.LongType()),  # per-key batch counter; max = final
-        T.StructField("n_events", T.LongType()),
-        T.StructField("sum_micros", T.LongType()),
-    ]
-)
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 
-class RunningTotalsProcessor:
+def _totals_schema(key_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("upd", T.LongType()),  # per-key batch counter; max = final
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_micros", T.LongType()),
+        ]
+    )
+
+
+def _batch_sum(pdf: pd.DataFrame, value_col: str) -> int:
+    """NULL-tolerant exact integer sum: Arrow surfaces a nullable long
+    column as float64-with-NaN in pandas; dropna + int64 cast keeps the
+    accumulation exact (and matches SQL sum semantics — NULLs skipped,
+    count(*) still counts the row)."""
+    return int(pdf[value_col].dropna().astype("int64").sum())
+
+
+class RunningTotalsProcessor(StatefulProcessor):
     """``StatefulProcessor`` keeping per-key running (count, sum) across
     micro-batches via ``ValueState`` — the modern typed-state replacement
     for ``applyInPandasWithState`` (timers, TTL and List/Map state live on
@@ -222,9 +234,13 @@ class RunningTotalsProcessor:
     cross-batch accumulation is associative-exact (a float running sum
     would depend on batch split). Emits the running totals with a per-key
     update counter; the row with max ``upd`` per key is the final answer.
-    At 100 TB: state is two longs per key, partitioned by the grouping key
-    across executors; the state store scales with distinct keys, not
+    At 100 TB: state is three longs per key, partitioned by the grouping
+    key across executors; the state store scales with distinct keys, not
     events."""
+
+    def __init__(self, key_col: str = "user_id", value_col: str = "value_micros"):
+        self._key_col = key_col
+        self._value_col = value_col
 
     def init(self, handle) -> None:
         self._totals = handle.getValueState("totals", "upd BIGINT, n BIGINT, s BIGINT")
@@ -234,18 +250,18 @@ class RunningTotalsProcessor:
         upd, n, s = prev if prev is not None else (0, 0, 0)
         for pdf in rows:
             n += int(len(pdf))
-            s += int(pdf["value_micros"].sum())
+            s += _batch_sum(pdf, self._value_col)
         upd += 1
         self._totals.update((upd, n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
+            {self._key_col: [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
         )
 
     def close(self) -> None:
         pass
 
 
-def _totals_fallback_fn():
+def _totals_fallback_fn(key_col: str, value_col: str):
     """applyInPandasWithState twin of RunningTotalsProcessor — identical
     state transition and emissions, for environments without the protobuf
     dependency the transformWithState state-server protocol needs."""
@@ -254,11 +270,11 @@ def _totals_fallback_fn():
         upd, n, s = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += int(len(pdf))
-            s += int(pdf["value_micros"].sum())
+            s += _batch_sum(pdf, value_col)
         upd += 1
         state.update((upd, n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
+            {key_col: [key[0]], "upd": [upd], "n_events": [n], "sum_micros": [s]}
         )
 
     return fn
@@ -276,8 +292,10 @@ def has_transform_with_state_runtime() -> bool:
         return False
 
 
-def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """Cross-batch running totals per key over a ``value_micros`` column.
+def running_user_totals(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value_micros"
+) -> DataFrame:
+    """Cross-batch running totals per key over an integer ``value_col``.
 
     Prefers the Spark 4 ``transformWithStateInPandas`` typed-state API
     (RunningTotalsProcessor); falls back to an identical-semantics
@@ -285,18 +303,15 @@ def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFram
     is unavailable. Both emit (key, upd, n_events, sum_micros) per batch;
     max-``upd`` row per key is the final state."""
     if has_transform_with_state_runtime():
-        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-        proc = type("_Proc", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__))()
         return stream.groupBy(key_col).transformWithStateInPandas(
-            statefulProcessor=proc,
-            outputStructType=TOTALS_OUTPUT_SCHEMA,
+            statefulProcessor=RunningTotalsProcessor(key_col, value_col),
+            outputStructType=_totals_schema(key_col),
             outputMode="Update",
             timeMode="None",
         )
     return stream.groupBy(key_col).applyInPandasWithState(
-        _totals_fallback_fn(),
-        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        _totals_fallback_fn(key_col, value_col),
+        outputStructType=_totals_schema(key_col),
         stateStructType="upd BIGINT, n BIGINT, s BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
