@@ -97,6 +97,9 @@ HEADLINE = [
     "stream_tws_user_totals",
     "udtf_sentence_split",
     "semdedup_prune",
+    "token_budget_allocation",
+    "sharded_shuffle",
+    "dedup_keep_best",
 ]
 
 

@@ -83,3 +83,67 @@ def assign_splits(
         .when(h < t_test, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def allocate_token_budget(
+    counts: DataFrame, group_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer token budget
+    across groups, proportional to each group's token count — the corpus
+    mixing step that decides how many tokens each source contributes to a
+    training run.
+
+    All-arithmetic and integer-exact: share = budget*toks, base = share DIV
+    total, leftover seats go to the largest share-remainders (ties broken by
+    group name) — so sum(alloc) == budget exactly and the result is
+    reproducible across engines. The windows are over the GROUP frame (one
+    row per source — tiny at any corpus scale; the heavy token count
+    aggregation upstream is the distributed part)."""
+    from pyspark.sql.window import Window
+
+    total_w = Window.partitionBy()
+    rank_w = Window.partitionBy().orderBy(F.desc("__rem"), F.asc(group_col))
+    share = F.col(tokens_col).cast("long") * F.lit(int(budget))
+    with_total = counts.withColumn("__total", F.sum(F.col(tokens_col).cast("long")).over(total_w))
+    # integer-exact floor division: (share - share % total) / total — both
+    # operands stay in long arithmetic (a double `/` could round the
+    # quotient across an integer boundary before floor)
+    rem = share % F.col("__total")
+    based = with_total.withColumn("__rem", rem).withColumn(
+        "__base", ((share - rem) / F.col("__total")).cast("long")
+    )
+    extra = based.withColumn("__extra_total", F.lit(int(budget)) - F.sum("__base").over(total_w))
+    return (
+        extra.withColumn("__rank", F.row_number().over(rank_w))
+        .withColumn(
+            "alloc_tokens",
+            F.col("__base") + F.when(F.col("__rank") <= F.col("__extra_total"), 1).otherwise(0),
+        )
+        .select(group_col, F.col(tokens_col), "alloc_tokens")
+    )
+
+
+def shard_layout(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` shards: shard id and
+    intra-shard position both derive from a salted md5 of the key, so the
+    layout is reproducible, uniform, and independent of input order — the
+    "shuffle the corpus once, stream shards sequentially" layout training
+    jobs read.
+
+    The only shuffle is the hash partition by shard id; position is a
+    per-shard window (each shard sorts independently — no global sort, no
+    single-partition bottleneck). At 100 TB: write with
+    partitionBy(shard)/sortWithinPartitions(pos) so readers stream in
+    order."""
+    from pyspark.sql.window import Window
+
+    h = _unit_hash(F.col(key_col), salt)
+    pos_w = Window.partitionBy("shard").orderBy(F.asc("__h"), F.asc(key_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(pos_w).cast("long"))
+        .drop("__h")
+    )

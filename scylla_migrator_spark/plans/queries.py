@@ -3928,3 +3928,133 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     return D.semdedup(emb, "vec_id", "embedding", centroids, tau=0.25)
+
+
+@_register(
+    "token_budget_allocation",
+    """
+    WITH counts AS (
+      SELECT source, sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS toks
+      FROM documents GROUP BY source),
+    t AS (SELECT sum(toks)::BIGINT AS total, sum(1) AS n FROM counts),
+    based AS (
+      SELECT source, toks,
+             (toks * 100000) // total AS base,
+             (toks * 100000) % total AS rem
+      FROM counts, t),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+             (SELECT 100000 - sum(base) FROM based) AS extra
+      FROM based)
+    SELECT source, toks, (base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END)::BIGINT
+             AS alloc_tokens
+    FROM ranked
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing apportionment: split a 100k-token training budget
+    across sources proportionally to their token counts with
+    largest-remainder rounding (sum(alloc) == budget exactly). The
+    distributed stage is the per-source token aggregation; the
+    apportionment windows run on the one-row-per-source frame
+    (analytics/sampling.py::allocate_token_budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(TXT.tokens(F.col("text")))).cast("long").alias("toks")
+    )
+    return SAMP.allocate_token_budget(counts, "source", "toks", budget=100_000)
+
+
+@_register(
+    "sharded_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8) AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, (hv % 8)::INT AS shard,
+           row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)::BIGINT AS pos
+    FROM h
+    """,
+)
+def sharded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle layout: md5-derived shard id + intra-
+    shard position (analytics/sampling.py::shard_layout). Reproducible and
+    input-order-independent; per-shard windows avoid any global sort. The
+    100 TB write is partitionBy(shard) + sortWithinPartitions(pos)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return SAMP.shard_layout(docs, "doc_id", n_shards=8).select("doc_id", "shard", "pos")
+
+
+@_register(
+    "dedup_keep_best",
+    r"""
+    WITH RECURSIVE
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs UNION SELECT id_b, id_a FROM prs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+    full_assign AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM full_assign)
+    SELECT component::BIGINT AS component, doc_id AS keeper_id,
+           n_chars AS keeper_n_chars,
+           (SELECT count(*) FROM full_assign f WHERE f.component = ranked.component)::BIGINT
+             AS n_members
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RETENTION POLICY: given near-dup components (simhash graph,
+    same as dedup_components), keep the highest-quality member of each
+    group — here max n_chars, ties to the lowest doc_id — instead of the
+    arbitrary min-id. Isolated documents form their own singleton
+    component. This is the keep-best step of a production dedup pipeline
+    (components -> policy join -> survivors); one extra shuffle on the
+    component key beyond the fixpoint itself."""
+    from pyspark.sql.window import Window
+
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -119,3 +119,43 @@ def test_running_totals_uses_transform_with_state(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_allocate_token_budget_sums_exactly(spark):
+    from scylla_migrator_spark.analytics.sampling import allocate_token_budget
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 1)], "source string, toks long"
+    )
+    out = {r["source"]: r["alloc_tokens"] for r in
+           allocate_token_budget(counts, "source", "toks", budget=10).collect()}
+    # shares 30/30/10 over total 7: bases 4/4/1, remainders 2/2/3 — the one
+    # leftover seat goes to c (largest remainder)
+    assert out == {"a": 4, "b": 4, "c": 2}
+    assert sum(out.values()) == 10
+
+
+def test_allocate_token_budget_zero_group(spark):
+    from scylla_migrator_spark.analytics.sampling import allocate_token_budget
+
+    counts = spark.createDataFrame([("a", 10), ("b", 0)], "source string, toks long")
+    out = {r["source"]: r["alloc_tokens"] for r in
+           allocate_token_budget(counts, "source", "toks", budget=7).collect()}
+    assert out == {"a": 7, "b": 0}
+
+
+def test_shard_layout_positions_contiguous(spark):
+    from scylla_migrator_spark.analytics.sampling import shard_layout
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = shard_layout(df, "doc_id", n_shards=4).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same layout on re-run
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in shard_layout(df, "doc_id", 4).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
