@@ -43,6 +43,7 @@ def test_no_python_eval_in_hot_paths(spark, sf_dir):
     codegen); Python appears only in the explicitly-Arrow multimodal path."""
     skip = {
         "multimodal_fake_features",  # mapInPandas by design
+        "udtf_sentence_split",  # the Python UDTF surface, by design
         "stream_windowed_counts",  # executes a stream on call
         "stream_dedup_watermark",
         "s3export_roundtrip",  # writes an export on call
@@ -309,3 +310,29 @@ def test_knn_graph_joins_on_block_key(spark, sf_dir):
     plan = plan_of(Q.QUERIES["knn_graph_topk"](spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_join_is_equi_keyed_no_cartesian(spark, sf_dir):
+    """The SemDedup pair join must be hash-keyed on centroid_id — a
+    Cartesian/BNL join would be corpus^2 at scale."""
+    plan = plan_of(Q.QUERIES["semdedup_prune"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sharded_shuffle_single_exchange(spark, sf_dir):
+    """Shard layout = one hash partition by shard + per-shard sort; a global
+    sort (RangePartitioning/singlePartition window) would bottleneck on one
+    task at scale."""
+    plan = plan_of(Q.QUERIES["sharded_shuffle"](spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_heavy_agg_precedes_tiny_window(spark, sf_dir):
+    """The distributed work is the per-source token aggregation; the
+    apportionment windows run over the one-row-per-source frame after it."""
+    plan = plan_of(Q.QUERIES["token_budget_allocation"](spark, sf_dir), mode="simple")
+    assert "HashAggregate" in plan  # token count partials
+    assert "Window" in plan
