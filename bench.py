@@ -100,6 +100,8 @@ HEADLINE = [
     "token_budget_allocation",
     "sharded_shuffle",
     "dedup_keep_best",
+    "quality_percentile_filter",
+    "stratified_eval_sample",
 ]
 
 

@@ -4058,3 +4058,70 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@_register(
+    "quality_percentile_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    thr AS (SELECT quantile_cont(n_tokens, 0.5) AS t FROM toks)
+    SELECT source, count(*) AS n_kept, min(n_tokens)::BIGINT AS min_tokens
+    FROM toks, thr WHERE n_tokens >= t GROUP BY source
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above the corpus
+    median token count. The threshold is a scalar aggregate broadcast into
+    the filter (the q11/q22 pattern) — one pass to compute it, one
+    filtered pass to apply it; no global sort, no per-row window. At
+    100 TB swap the exact percentile for approx_percentile and the plan
+    shape is unchanged."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(TXT.tokens(F.col("text"))).alias("n_tokens")
+    )
+    thr = toks.agg(F.percentile("n_tokens", F.lit(0.5)).alias("t"))
+    return (
+        toks.join(F.broadcast(thr))
+        .filter(F.col("n_tokens") >= F.col("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+        )
+    )
+
+
+@_register(
+    "stratified_eval_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, source, lang,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || 'eval'), 1, 8) AS BIGINT) AS hv
+      FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source, lang
+                                       ORDER BY hv, doc_id) AS rn FROM h)
+    SELECT doc_id, source, lang, rn::BIGINT AS rn FROM r WHERE rn <= 5
+    """,
+)
+def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval-set construction: exactly 5 documents per
+    (source, lang) stratum, chosen by a salted md5 rank — deterministic
+    and engine-reproducible for a given corpus. One hash-partitioned
+    window per stratum; no global sort. The companion rate-based sampler
+    (sampling.deterministic_sample) is the scan-stage filter for
+    proportional samples and is the one that stays stable under corpus
+    growth; fixed-N rank selection necessarily re-ranks when rows are
+    added."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    h = SAMP._unit_hash(F.col("doc_id"), "eval")
+    w = Window.partitionBy("source", "lang").orderBy(F.asc("hv"), F.asc("doc_id"))
+    return (
+        docs.withColumn("hv", h)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", "lang", "rn")
+    )
