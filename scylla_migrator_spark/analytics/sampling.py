@@ -98,16 +98,20 @@ def allocate_token_budget(
     group name) — so sum(alloc) == budget exactly and the result is
     reproducible across engines. The windows are over the GROUP frame (one
     row per source — tiny at any corpus scale; the heavy token count
-    aggregation upstream is the distributed part)."""
+    aggregation upstream is the distributed part).
+
+    Arithmetic is decimal(38,0): share = toks*budget overflows a long at
+    ~1e14 tokens x 100k budget (a real 100 TB corpus), and a double `/`
+    rounds quotients above 2^53 across integer boundaries before a floor.
+    Base is recovered as (share - rem)/total — an exactly-divisible decimal
+    ratio, so the division is exact at any magnitude."""
     from pyspark.sql.window import Window
 
     total_w = Window.partitionBy()
     rank_w = Window.partitionBy().orderBy(F.desc("__rem"), F.asc(group_col))
-    share = F.col(tokens_col).cast("long") * F.lit(int(budget))
-    with_total = counts.withColumn("__total", F.sum(F.col(tokens_col).cast("long")).over(total_w))
-    # integer-exact floor division: (share - share % total) / total — both
-    # operands stay in long arithmetic (a double `/` could round the
-    # quotient across an integer boundary before floor)
+    toks_dec = F.col(tokens_col).cast("decimal(38,0)")
+    share = toks_dec * F.lit(int(budget)).cast("decimal(38,0)")
+    with_total = counts.withColumn("__total", F.sum(toks_dec).over(total_w))
     rem = share % F.col("__total")
     based = with_total.withColumn("__rem", rem).withColumn(
         "__base", ((share - rem) / F.col("__total")).cast("long")
@@ -145,5 +149,31 @@ def shard_layout(
         df.withColumn("__h", h)
         .withColumn("shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
         .withColumn("pos", F.row_number().over(pos_w).cast("long"))
+        .drop("__h")
+    )
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n: int,
+    salt: str = "eval",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by salted md5 rank of the key
+    — deterministic and engine-reproducible for a given input (fixed-N
+    selection necessarily re-ranks when rows are added; use
+    ``deterministic_sample`` when growth-stability matters more than exact
+    counts). One hash-partitioned window per stratum, no global sort; at
+    scale each stratum ranks independently across executors."""
+    from pyspark.sql.window import Window
+
+    h = _unit_hash(F.col(key_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(F.asc("__h"), F.asc(key_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n)
         .drop("__h")
     )

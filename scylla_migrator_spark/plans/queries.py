@@ -4113,15 +4113,8 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sampling.deterministic_sample) is the scan-stage filter for
     proportional samples and is the one that stays stable under corpus
     growth; fixed-N rank selection necessarily re-ranks when rows are
-    added."""
-    from pyspark.sql.window import Window
-
+    added (analytics/sampling.py::stratified_topn)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    h = SAMP._unit_hash(F.col("doc_id"), "eval")
-    w = Window.partitionBy("source", "lang").orderBy(F.asc("hv"), F.asc("doc_id"))
-    return (
-        docs.withColumn("hv", h)
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
-        .select("doc_id", "source", "lang", "rn")
+    return SAMP.stratified_topn(docs, ["source", "lang"], "doc_id", n=5, salt="eval").select(
+        "doc_id", "source", "lang", "rn"
     )

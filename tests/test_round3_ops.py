@@ -159,3 +159,31 @@ def test_shard_layout_positions_contiguous(spark):
     # deterministic: same layout on re-run
     again = {(r["doc_id"], r["shard"], r["pos"]) for r in shard_layout(df, "doc_id", 4).collect()}
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+
+
+def test_allocate_token_budget_no_long_overflow(spark):
+    """share = toks*budget at 100 TB corpus scale (1e14 tokens) must not
+    overflow long arithmetic — decimal(38,0) path."""
+    from scylla_migrator_spark.analytics.sampling import allocate_token_budget
+
+    counts = spark.createDataFrame(
+        [("web", 10**14), ("code", 3 * 10**13), ("books", 7 * 10**12)],
+        "source string, toks long",
+    )
+    out = {r["source"]: r["alloc_tokens"] for r in
+           allocate_token_budget(counts, "source", "toks", budget=100_000).collect()}
+    assert sum(out.values()) == 100_000
+    assert out["web"] > out["code"] > out["books"] > 0
+
+
+def test_stratified_topn_exact_counts(spark):
+    from scylla_migrator_spark.analytics.sampling import stratified_topn
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "doc_id long, source string"
+    )
+    out = stratified_topn(df, ["source"], "doc_id", n=4)
+    per = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        per[r["source"]] += 1
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
