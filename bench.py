@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_keep_best",
     "quality_percentile_filter",
     "stratified_eval_sample",
+    "ddb_variant_type_extract",
 ]
 
 

@@ -4118,3 +4118,42 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SAMP.stratified_topn(docs, ["source", "lang"], "doc_id", n=5, salt="eval").select(
         "doc_id", "source", "lang", "rn"
     )
+
+
+@_register(
+    "ddb_variant_type_extract",
+    """
+    SELECT o_orderstatus AS status, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ddb_variant_type_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 on Spark 4's native VARIANT type: DynamoDB-JSON items (the
+    reference's DdbValue model, DdbValue.scala:20-31 / S3-export codec)
+    parsed once with ``parse_json`` into a VariantType column, fields
+    extracted with ``try_variant_get`` path expressions, numbers recovered
+    exactly through decimal casts. Variant keeps the item schemaless (any
+    attribute set per row) while the binary encoding stays columnar-friendly
+    — the modern alternative to the fixed-depth struct codec in
+    functions/ddb_variant.py, which remains the comparison/canonicalization
+    path. The parse is one codegen'd expression per row; the aggregate is an
+    ordinary partial-agg shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    item_json = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
+            F.struct(price.alias("N")).alias("price"),
+            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+        )
+    )
+    items = orders.select(F.parse_json(item_json).alias("item"))
+    extracted = items.select(
+        F.try_variant_get("item", "$.status.S", "string").alias("status"),
+        F.try_variant_get("item", "$.price.N", "string").cast("decimal(18,2)").alias("price"),
+    )
+    return extracted.groupBy("status").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
