@@ -7,6 +7,13 @@ JSON line:
 
 Also prints the reference's own BENCHMARK_RESULT lines (ThroughputReporter
 format, tests/.../ThroughputReporter.scala:10-15) for direct comparability.
+
+Timing semantics for the near-dedup suite: `simhash_hamming_pairs` measures
+pair DETECTION (always computed fresh); `dedup_components`,
+`dedup_keep_best`, and `near_dedup_corpus` measure their own downstream
+stage reading the staged pair table (the production decomposition — pair
+detection writes an intermediate table, policies consume it). The pipeline
+total is the sum of detection + the downstream stage.
 """
 
 from __future__ import annotations

@@ -1406,6 +1406,21 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _orders_ddb_item_json() -> "F.Column":
+    """DynamoDB-JSON item encoding of an orders row (k/N, price/N,
+    status/S, price canonicalized through decimal(18,2)) — the single
+    definition shared by the S3-export codec path and the VARIANT path so
+    the two C12 surfaces cannot diverge."""
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    return F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
+            F.struct(price.alias("N")).alias("price"),
+            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
+        )
+    )
+
+
 @_register(
     "s3export_roundtrip",
     """
@@ -1428,14 +1443,7 @@ def s3export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.sources.s3export import read_s3_export
 
     df = _fan(_t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"))
-    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
-    item_json = F.to_json(
-        F.struct(
-            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
-            F.struct(price.alias("N")).alias("price"),
-            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
-        )
-    )
+    item_json = _orders_ddb_item_json()
     root = os.path.join("/tmp", f"spark_graft_s3export_{_stage_tag(sf_dir, 'orders')}")
     summary = write_s3_export(df.select(item_json.alias("item_json")), "item_json", root)
     assert summary["itemCount"] > 0
@@ -1501,6 +1509,37 @@ def _ts_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _publish_stage(stage: str, build) -> str:
+    """Build-and-atomically-publish a /tmp stage directory (shared by every
+    staging site: events halves, split files, simhash pairs).
+
+    ``build(tmp_dir)`` writes the stage content into a private tmp dir; on
+    success a ``_READY`` marker is added and the dir is renamed into place
+    (atomic — readers only ever see a complete stage). A failed build
+    removes its tmp dir instead of leaking it; a failed rename is tolerated
+    only when a concurrent winner already published the stage — any other
+    rename error propagates rather than deleting the only good copy and
+    masking the cause."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(stage, "_READY")):
+        return stage
+    tmp_stage = f"{stage}__build_{os.getpid()}"
+    try:
+        build(tmp_stage)
+        open(os.path.join(tmp_stage, "_READY"), "w").close()
+        os.replace(tmp_stage, stage)
+    except OSError:
+        shutil.rmtree(tmp_stage, ignore_errors=True)
+        if not os.path.exists(os.path.join(stage, "_READY")):
+            raise
+    except Exception:
+        shutil.rmtree(tmp_stage, ignore_errors=True)
+        raise
+    return stage
+
+
 def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as TWO parquet files (event_id parity halves)
     so a maxFilesPerTrigger=1 file stream replays it as two micro-batches.
@@ -1513,8 +1552,8 @@ def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
-    if not os.path.exists(os.path.join(stage, "_READY")):
-        tmp_stage = f"{stage}__build_{os.getpid()}"
+
+    def build(tmp_stage: str) -> None:
         ev = _t(spark, sf_dir, "events")
         for half in (0, 1):
             part_dir = os.path.join(tmp_stage, f"h{half}")
@@ -1526,12 +1565,8 @@ def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
             )
             shutil.rmtree(part_dir)
-        open(os.path.join(tmp_stage, "_READY"), "w").close()
-        try:
-            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp_stage, ignore_errors=True)
-    return stage
+
+    return _publish_stage(stage, build)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,21 +2234,16 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
     )
     stage = os.path.join("/tmp", f"sgs_events_split_{_stage_tag(sf_dir)}")
-    if not os.path.exists(os.path.join(stage, "_READY")):
-        tmp = stage + ".build"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
+
+    def build(tmp: str) -> None:
         for name, pred in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
             part_dir = os.path.join(tmp, f"_{name}")
             base.filter(pred).select("user_id", "ts_ms").coalesce(1).write.parquet(part_dir)
             (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
             shutil.move(part_file, os.path.join(tmp, f"{name}.parquet"))
             shutil.rmtree(part_dir)
-        open(os.path.join(tmp, "_READY"), "w").close()
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent session built it
+
+    _publish_stage(stage, build)
     schema = "user_id long, ts_ms long"
     stream = (
         spark.readStream.schema(schema)
@@ -2969,20 +2999,29 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard production shape (pair detection writes an intermediate table,
     downstream policies read it). Atomic tmp+rename publish, fingerprinted
     path so a regenerated fixture invalidates the stage."""
+    import hashlib
+    import inspect
     import os
-    import shutil
 
-    stage = os.path.join("/tmp", f"sgs_simhash_pairs_{_stage_tag(sf_dir, 'documents')}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        tmp_stage = f"{stage}__build_{os.getpid()}"
+    from scylla_migrator_spark.analytics import dedup as _D
+
+    # the stage caches COMPUTED results, so its key covers the code that
+    # computes them (fingerprint + pair query source), not just the fixture
+    # — an edit to the simhash pipeline invalidates the cache
+    code = inspect.getsource(QUERIES["simhash_hamming_pairs"]) + inspect.getsource(
+        _D.simhash_fingerprints
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_simhash_pairs_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
         QUERIES["simhash_hamming_pairs"](spark, sf_dir).select("id_a", "id_b").write.mode(
             "overwrite"
         ).parquet(tmp_stage)
-        try:
-            os.replace(tmp_stage, stage)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp_stage, ignore_errors=True)
-    return spark.read.parquet(stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
 
 
 
@@ -4165,16 +4204,10 @@ def ddb_variant_type_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/ddb_variant.py, which remains the comparison/canonicalization
     path. The parse is one codegen'd expression per row; the aggregate is an
     ordinary partial-agg shuffle."""
-    orders = _t(spark, sf_dir, "orders")
-    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
-    item_json = F.to_json(
-        F.struct(
-            F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("k"),
-            F.struct(price.alias("N")).alias("price"),
-            F.struct(F.col("o_orderstatus").alias("S")).alias("status"),
-        )
+    orders = _fan(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
-    items = orders.select(F.parse_json(item_json).alias("item"))
+    items = orders.select(F.parse_json(_orders_ddb_item_json()).alias("item"))
     extracted = items.select(
         F.try_variant_get("item", "$.status.S", "string").alias("status"),
         F.try_variant_get("item", "$.price.N", "string").cast("decimal(18,2)").alias("price"),
