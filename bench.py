@@ -110,6 +110,7 @@ HEADLINE = [
     "quality_percentile_filter",
     "stratified_eval_sample",
     "ddb_variant_type_extract",
+    "sketch_merge_distinct",
 ]
 
 

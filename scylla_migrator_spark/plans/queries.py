@@ -4216,3 +4216,27 @@ def ddb_variant_type_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("price").cast("double").alias("sum_price"),
     )
+
+
+@_register("sketch_merge_distinct")  # rows-only: sketch estimates are engine-specific
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE 100 TB aggregation pattern:
+    each source builds a constant-size HLL sketch of its users (partial
+    aggregation, no shuffle of raw ids), the sketches union into a global
+    estimate (bytes merged, not rows). This is how cross-partition /
+    cross-day / cross-table distinct counts compose at scale without a
+    re-scan: persist the per-group sketch column, union-agg on demand.
+    Accuracy vs exact distinct is asserted within tolerance in
+    tests/test_approx.py; the estimate itself is engine-specific (DuckDB's
+    HLL differs), so this is a declared rows-only entry like
+    approx_aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    per_source = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return per_source.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_events").alias("total_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_users"),
+    )

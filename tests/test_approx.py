@@ -74,3 +74,12 @@ def test_knn_graph_is_symmetric_on_mutual_neighbors(spark):
     )
     assert per.filter("n <> 3").count() == 0
     assert per.filter(F.array_sort("ranks") != F.array(F.lit(1), F.lit(2), F.lit(3))).count() == 0
+
+
+def test_sketch_merge_distinct_within_tolerance(spark, sf_dir):
+    row = Q.QUERIES["sketch_merge_distinct"](spark, sf_dir).head()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = events.select("user_id").distinct().count()
+    assert row["n_groups"] == events.select("event_type").distinct().count()
+    assert row["total_events"] == events.count()
+    assert abs(row["approx_distinct_users"] - exact) <= max(2, 0.03 * exact)
