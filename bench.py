@@ -111,6 +111,7 @@ HEADLINE = [
     "stratified_eval_sample",
     "ddb_variant_type_extract",
     "sketch_merge_distinct",
+    "point_in_time_features",
 ]
 
 

@@ -43,8 +43,16 @@ def asof_join(
     right_ts: str,
     tiebreak: str | Column | None = None,
     how: str = "inner",
+    strict: bool = False,
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Backward as-of join: inclusive (``right_ts <= left_ts``) by default,
+    strict (``right_ts < left_ts``) with ``strict=True``.
+
+    Strict mode is the leakage-safe variant for point-in-time feature
+    lookups: a feature recorded at exactly the prediction instant is NOT
+    visible (same-instant data is "the future" for training purposes). The
+    plan is identical — only the sort order of the two sides at equal
+    timestamps flips.
 
     Returns the left columns plus every right column (except the key columns)
     from the as-of matched right row. ``how='left'`` keeps unmatched left rows
@@ -56,12 +64,17 @@ def asof_join(
     right_payload = [c for c in right.columns if c not in on]
     left_cols = list(left.columns)
 
+    # inclusive: rights sort BEFORE lefts at equal ts (right side 0, left 1)
+    # => a same-instant right is visible. strict: the order flips, so a
+    # left row at ts t only sees rights with ts strictly below t.
+    right_side, left_side = (1, 0) if strict else (0, 1)
+
     r = right.select(
         *on,
         F.col(right_ts).alias(_TS),
         (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak or F.lit(0)).alias(_TIE),
         F.struct(*[F.col(c) for c in right_payload]).alias(_PAYLOAD),
-        F.lit(0).alias(_SIDE),
+        F.lit(right_side).alias(_SIDE),
     ).withColumns({c: F.lit(None) for c in left_cols if c not in on})
 
     l = left.select(
@@ -69,10 +82,9 @@ def asof_join(
         F.col(left_ts).alias(_TS),
         F.lit(None).cast("long").alias(_TIE),
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
-        F.lit(1).alias(_SIDE),
+        F.lit(left_side).alias(_SIDE),
     )
 
-    # rights sort before lefts at equal ts (side 0 < 1) => inclusive <=;
     # among equal-ts rights the LAST one (max tiebreak) is carried forward
     w = (
         Window.partitionBy(*on)
@@ -83,7 +95,7 @@ def asof_join(
         _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
     )
 
-    matched = merged.filter(F.col(_SIDE) == 1)
+    matched = merged.filter(F.col(_SIDE) == left_side)
     if how == "inner":
         matched = matched.filter(F.col(_PAYLOAD).isNotNull())
     return matched.select(

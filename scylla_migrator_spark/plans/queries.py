@@ -4240,3 +4240,67 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("total_events"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_users"),
     )
+
+
+@_register(
+    "point_in_time_features",
+    """
+    WITH c AS (SELECT event_id AS click_event_id, user_id, epoch_us(ts)::BIGINT AS click_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts)::BIGINT AS feat_us, event_id AS feat_event_id,
+                 value AS feat_value
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.click_event_id, c.user_id, c.click_us, p.feat_us, p.feat_event_id,
+             p.feat_value,
+             row_number() OVER (PARTITION BY c.click_event_id
+                                ORDER BY p.feat_us DESC, p.feat_event_id DESC) AS rn
+      FROM c JOIN p ON c.user_id = p.user_id AND p.feat_us < c.click_us)
+    SELECT click_event_id, user_id, click_us, feat_us, feat_event_id,
+           round(feat_value, 6) AS feat_value
+    FROM cand WHERE rn = 1
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe point-in-time feature join (the feature-store
+    correctness primitive for training data): each click gets the same
+    user's most recent purchase feature STRICTLY BEFORE it — a feature
+    recorded at the prediction instant is future information and must not
+    leak. Same single-shuffle union-sort plan as the inclusive as-of
+    (operators/asof.py, strict=True); only the equal-timestamp sort order
+    of the two sides differs."""
+    from scylla_migrator_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    ev_v = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts DIV 1000").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    clicks = ev_v.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts_us").alias("click_us"),
+    )
+    purchases = ev_v.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("feat_us"),
+        F.col("event_id").alias("feat_event_id"),
+        F.col("value").alias("feat_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_us",
+        right_ts="feat_us",
+        tiebreak="feat_event_id",
+        how="inner",
+        strict=True,
+    )
+    return out.select(
+        "click_event_id",
+        "user_id",
+        "click_us",
+        "feat_us",
+        "feat_event_id",
+        F.round("feat_value", 6).alias("feat_value"),
+    )

@@ -162,3 +162,19 @@ class TestScd2History:
             df.explain("simple")
         plan = buf.getvalue()
         assert plan.count("Exchange") == 1
+
+
+def test_asof_join_strict_excludes_same_instant(spark):
+    from scylla_migrator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 100, "at-100"), (1, 150, "at-150")], "k long, rt long, tag string"
+    )
+    incl = {r["lt"]: r["tag"] for r in asof_join(
+        left, right, ["k"], "lt", "rt", how="left").collect()}
+    strict = {r["lt"]: r["tag"] for r in asof_join(
+        left, right, ["k"], "lt", "rt", how="left", strict=True).collect()}
+    # inclusive: the lt=100 row sees the rt=100 feature; strict: it must not
+    assert incl == {100: "at-100", 200: "at-150"}
+    assert strict == {100: None, 200: "at-150"}
