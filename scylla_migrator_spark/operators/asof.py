@@ -3,15 +3,16 @@
 no built-in for; part of the engine's analytics extension surface.
 
 Semantics: for each left row, attach the right row with the greatest
-``right_ts <= left_ts`` within the same key group (inclusive backward as-of).
-Ties on ``right_ts`` resolve to the greatest ``tiebreak`` value, making the
-result deterministic.
+``right_ts <= left_ts`` (inclusive backward as-of, the default) or
+``right_ts < left_ts`` (``strict=True`` — the leakage-safe point-in-time
+variant) within the same key group. Ties on ``right_ts`` resolve to the
+greatest ``tiebreak`` value, making the result deterministic.
 
 Scale design — the union-sort plan, NOT a range-exploded join:
 
 * both sides are tagged and unioned, then sorted within each key partition by
-  ``(ts, side, tiebreak)`` with rights (side=0) ordered before lefts (side=1)
-  at equal timestamps (inclusive semantics);
+  ``(ts, side, tiebreak)``; at equal timestamps rights order before lefts
+  for inclusive semantics, after them for strict (the side constants flip);
 * one running ``last(right_payload, ignorenulls=True)`` window carries the
   most recent right struct forward; left rows then just read it.
 

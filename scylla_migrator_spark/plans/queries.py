@@ -4271,7 +4271,6 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two sides differs."""
     from scylla_migrator_spark.operators.asof import asof_join
 
-    ev = _events_us(spark, sf_dir)
     ev_v = _t(spark, sf_dir, "events").select(
         "event_id", F.expr("ts DIV 1000").alias("ts_us"), "user_id", "event_type", "value"
     )
