@@ -112,6 +112,7 @@ HEADLINE = [
     "ddb_variant_type_extract",
     "sketch_merge_distinct",
     "point_in_time_features",
+    "stream_scd2_history",
 ]
 
 

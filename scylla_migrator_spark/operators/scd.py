@@ -28,6 +28,7 @@ def scd2_history(
     ts_col: str,
     attr_cols: list[str],
     tie_col: str,
+    tie_out: str | None = None,
 ) -> DataFrame:
     """Collapse a change log into SCD2 rows.
 
@@ -35,6 +36,11 @@ def scd2_history(
     ``tie_col``) records whose ``attr_cols`` are unchanged (null-safe
     comparison); ``valid_from`` is the run's first timestamp, ``valid_to``
     the next run's first timestamp (null for the current version).
+
+    ``tie_out`` additionally carries the run-opening row's tie value in the
+    output under that name — the incremental maintainer needs it so a
+    served history row can be turned back into its change-log row
+    ((valid_from, tie, attrs) is a sufficient statistic for re-collapse).
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
     is_first = F.lag(ts_col).over(w).isNull()
@@ -45,9 +51,11 @@ def scd2_history(
     changes = df.withColumn("__chg", is_first | changed).filter(F.col("__chg")).drop("__chg")
     # same partitioning+ordering as w: Catalyst reuses the exchange/sort
     w2 = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
+    extra = [F.col(tie_col).alias(tie_out)] if tie_out else []
     return changes.select(
         *key_cols,
         *attr_cols,
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
+        *extra,
     ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1569,6 +1569,33 @@ def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     return _publish_stage(stage, build)
 
 
+def _events_time_halves_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as TWO parquet files split at the MEDIAN event time
+    (ts canonicalized to nanos long): a maxFilesPerTrigger=1 replay then
+    delivers every second-half event after every first-half event — the
+    per-key cross-batch monotonicity a CDC log provides — while each half
+    remains arbitrarily disordered internally."""
+    import os
+    import shutil
+
+    stage = os.path.join("/tmp", f"sgs_events_thalves_{_stage_tag(sf_dir)}")
+
+    def build(tmp_stage: str) -> None:
+        ev = _t(spark, sf_dir, "events")
+        m = ev.agg(F.percentile("ts", F.lit(0.5)).alias("m")).head()["m"]
+        split = int(m)
+        for half, pred in (("0", F.col("ts") <= split), ("1", F.col("ts") > split)):
+            part_dir = os.path.join(tmp_stage, f"h{half}")
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
+            )
+            shutil.rmtree(part_dir)
+
+    return _publish_stage(stage, build)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, ts surfaced as
     TimestampType regardless of the fixture's physical ts encoding."""
@@ -4302,4 +4329,74 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat_us",
         "feat_event_id",
         F.round("feat_value", 6).alias("feat_value"),
+    )
+
+
+@_register(
+    "stream_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t, event_id,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    changes AS (
+      SELECT user_id, event_type, t, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    hist AS (
+      SELECT user_id, event_type, t AS valid_from_us,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to_us
+      FROM changes)
+    SELECT user_id, event_type, valid_from_us,
+           coalesce(valid_to_us, -1) AS valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY-maintained SCD2 (streaming/scd_cdc.py): the change
+    feed arrives as TWO micro-batches split at the median event time —
+    arbitrary disorder inside each batch, per-key monotone across batches
+    (the CDC log-offset property the maintainer requires; see
+    scd_cdc.py) — and foreachBatch folds each into the served history by
+    re-collapsing only the affected keys' prior versions with the new
+    rows. After the replay the serving table must equal the batch
+    scd2_event_history exactly (same oracle) — the incremental
+    maintenance invariant."""
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.scd_cdc import incremental_scd2
+
+    stage = _events_time_halves_stage(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one half per micro-batch
+        .parquet(stage)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts DIV 1000").alias("ts_us"),  # staged ts is nanos long
+            "event_id",
+        )
+    )
+    serving = tempfile.mkdtemp(prefix="sgs_scd2_") + f"/serving_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = incremental_scd2(
+            stream,
+            serving,
+            ["user_id"],
+            "ts_us",
+            ["event_type"],
+            "event_id",
+            tempfile.mkdtemp(prefix="sgs_scd2_ckpt_"),
+        )
+        q.awaitTermination()
+    return spark.read.parquet(serving).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to_us"),
+        "is_current",
     )

@@ -187,3 +187,32 @@ def test_stratified_topn_exact_counts(spark):
     for r in out.collect():
         per[r["source"]] += 1
     assert per == {"s0": 4, "s1": 4, "s2": 4}
+
+
+def test_incremental_scd2_matches_batch(spark, tmp_path):
+    """Tail-append batches (intra-batch disorder allowed) fold into the
+    same history the batch collapse produces: a same-type later event
+    extends the open run instead of opening a version."""
+    from scylla_migrator_spark.streaming.scd_cdc import scd2_upsert_batch
+
+    serving = str(tmp_path / "scd2")
+    b1 = spark.createDataFrame(
+        [(1, "A", 10, 2), (1, "B", 5, 1)],  # disordered within the batch
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "A", 15, 3), (1, "C", 20, 4), (2, "X", 7, 5)],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    for b in (b1, b2):
+        scd2_upsert_batch(b, serving, ["user_id"], "ts_us", ["event_type"], "event_id")
+    rows = {
+        (r["user_id"], r["valid_from"]): (r["event_type"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(serving).collect()
+    }
+    assert rows == {
+        (1, 5): ("B", 10, False),
+        (1, 10): ("A", 20, False),  # the t=15 'A' extended this run
+        (1, 20): ("C", None, True),
+        (2, 7): ("X", None, True),
+    }
