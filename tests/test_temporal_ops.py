@@ -178,3 +178,53 @@ def test_asof_join_strict_excludes_same_instant(spark):
     # inclusive: the lt=100 row sees the rt=100 feature; strict: it must not
     assert incl == {100: "at-100", 200: "at-150"}
     assert strict == {100: None, 200: "at-150"}
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized equivalence vs an O(n^2) reference across all four mode
+    combinations (inclusive/strict x inner/left), seeded for determinism.
+    Covers duplicate timestamps, tie-breaks, keys with no rights."""
+    import random
+
+    from scylla_migrator_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    for trial in range(4):
+        lefts = [
+            (rng.randint(1, 4), rng.randint(0, 20), i)  # key, ts, lid
+            for i in range(rng.randint(3, 12))
+        ]
+        rights = [
+            (rng.randint(1, 5), rng.randint(0, 20), 100 + i)  # key, ts, rid
+            for i in range(rng.randint(3, 12))
+        ]
+        ldf = spark.createDataFrame(lefts, "k long, lt long, lid long")
+        rdf = spark.createDataFrame(rights, "k long, rt long, rid long")
+
+        def brute(strict):
+            out = {}
+            for k, lt, lid in lefts:
+                cand = [
+                    (rt, rid)
+                    for (rk, rt, rid) in rights
+                    if rk == k and (rt < lt if strict else rt <= lt)
+                ]
+                out[lid] = max(cand) if cand else None  # (rt, rid): max ts then max tie
+            return out
+
+        for strict in (False, True):
+            expect = brute(strict)
+            got_left = {
+                r["lid"]: (None if r["rt"] is None else (r["rt"], r["rid"]))
+                for r in asof_join(
+                    ldf, rdf, ["k"], "lt", "rt", tiebreak="rid", how="left", strict=strict
+                ).collect()
+            }
+            assert got_left == expect, f"trial={trial} strict={strict}"
+            got_inner = {
+                r["lid"]: (r["rt"], r["rid"])
+                for r in asof_join(
+                    ldf, rdf, ["k"], "lt", "rt", tiebreak="rid", how="inner", strict=strict
+                ).collect()
+            }
+            assert got_inner == {k: v for k, v in expect.items() if v is not None}
