@@ -111,3 +111,53 @@ def test_stateful_distinct_counts_custom_key(spark, tmp_path):
     q.awaitTermination()
     rows = {r["session_id"]: r["new_events"] for r in spark.table(name).collect()}
     assert rows == {7: 2, 9: 1}
+
+
+def test_stream_observed_metrics_per_batch(spark, sf_dir, tmp_path):
+    """A3 for streams: observed metrics arrive per micro-batch through the
+    listener and sum to the exact batch totals."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.streaming.observability import (
+        MetricsListener,
+        observe_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import pandas as pd
+
+    pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"k": [4, 5], "v": [5, 5]}).to_parquet(src / "b.parquet")
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        observed = observe_stream(
+            stream, "cdc", n_rows=F.count(F.lit(1)), sum_v=F.sum("v")
+        )
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously on the bus thread
+        deadline = time.time() + 20
+        while time.time() < deadline and len(listener.metrics.get("cdc", [])) < 2:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    rows = listener.metrics["cdc"]
+    assert len(rows) == 2
+    assert sum(r["n_rows"] for r in rows) == 5
+    assert sum(r["sum_v"] for r in rows) == 70
+    assert {r["n_rows"] for r in rows} == {3, 2}
