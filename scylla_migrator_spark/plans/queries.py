@@ -1552,46 +1552,59 @@ def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
+    ev = _t(spark, sf_dir, "events")
+    return _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", ev.filter(F.col("event_id") % 2 == 0)),
+                ("1", ev.filter(F.col("event_id") % 2 == 1)),
+            ],
+        ),
+    )
 
-    def build(tmp_stage: str) -> None:
-        ev = _t(spark, sf_dir, "events")
-        for half in (0, 1):
-            part_dir = os.path.join(tmp_stage, f"h{half}")
-            ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
-            )
-            shutil.rmtree(part_dir)
 
-    return _publish_stage(stage, build)
+def _write_half_files(tmp_stage: str, halves: list[tuple[str, DataFrame]]) -> None:
+    """Write each (suffix, slice) DataFrame as one parquet FILE
+    ``half<suffix>.parquet`` directly under ``tmp_stage`` — the layout the
+    maxFilesPerTrigger=1 file stream replays one slice per micro-batch
+    (suffix order = delivery order: equal mtimes fall back to path order)."""
+    import os
+    import shutil
+
+    for suffix, sdf in halves:
+        part_dir = os.path.join(tmp_stage, f"h{suffix}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        os.replace(
+            os.path.join(part_dir, data[0]),
+            os.path.join(tmp_stage, f"half{suffix}.parquet"),
+        )
+        shutil.rmtree(part_dir)
 
 
 def _events_time_halves_stage(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events as TWO parquet files split at the MEDIAN event time
-    (ts canonicalized to nanos long): a maxFilesPerTrigger=1 replay then
-    delivers every second-half event after every first-half event — the
-    per-key cross-batch monotonicity a CDC log provides — while each half
-    remains arbitrarily disordered internally."""
+    """Stage events as TWO parquet files split at the MEDIAN event time:
+    a maxFilesPerTrigger=1 replay then delivers every second-half event
+    after every first-half event — the per-key cross-batch monotonicity a
+    CDC log provides — while each half remains arbitrarily disordered
+    internally. The split point is computed in epoch-MICROS, the same
+    granularity the SCD2 collapse orders on: a nanos-granular split could
+    put two same-microsecond events in different batches, breaking the
+    monotonicity the consumer requires."""
     import os
-    import shutil
 
     stage = os.path.join("/tmp", f"sgs_events_thalves_{_stage_tag(sf_dir)}")
 
     def build(tmp_stage: str) -> None:
         ev = _t(spark, sf_dir, "events")
-        m = ev.agg(F.percentile("ts", F.lit(0.5)).alias("m")).head()["m"]
-        split = int(m)
-        for half, pred in (("0", F.col("ts") <= split), ("1", F.col("ts") > split)):
-            part_dir = os.path.join(tmp_stage, f"h{half}")
-            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
-            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, data[0]), os.path.join(tmp_stage, f"half{half}.parquet")
-            )
-            shutil.rmtree(part_dir)
+        ts_us = F.expr("ts DIV 1000")
+        m = int(ev.agg(F.percentile(ts_us, F.lit(0.5)).alias("m")).head()["m"])
+        _write_half_files(
+            tmp_stage,
+            [("0", ev.filter(ts_us <= m)), ("1", ev.filter(ts_us > m))],
+        )
 
     return _publish_stage(stage, build)
 

@@ -34,19 +34,32 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-def upsert_parquet(batch_df: DataFrame, path: str, keys: list[str]) -> None:
+def upsert_parquet(
+    batch_df: DataFrame, path: str, keys: list[str], existing: DataFrame | None = None
+) -> None:
     """Replace rows matching ``keys`` with the batch's rows (last-writer-wins
     upsert, K7 semantics). The new table generation is fully materialized to
     a side directory BEFORE the swap, so readers never observe a partial
-    table and a mid-upsert crash leaves the previous generation intact."""
+    table and a mid-upsert crash leaves the previous generation intact.
+
+    The anti-join is NULL-SAFE: group/dimension keys can legitimately be
+    null, and a null-unsafe condition would never match an existing
+    null-key row — every upsert would duplicate it instead of replacing
+    it. Callers that already read the current table pass it as
+    ``existing`` to avoid a second scan."""
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
-        if os.path.exists(path):
+        if existing is None and os.path.exists(path):
             existing = spark.read.parquet(path)
-            merged = existing.join(batch_df.select(*keys), on=keys, how="left_anti").unionByName(
-                batch_df
-            )
+        if existing is not None:
+            new_keys = batch_df.select(*keys).dropDuplicates(keys).alias("nk")
+            ex = existing.alias("ex")
+            cond = None
+            for k in keys:
+                c = ex[k].eqNullSafe(new_keys[k])
+                cond = c if cond is None else (cond & c)
+            merged = ex.join(new_keys, on=cond, how="left_anti").unionByName(batch_df)
         else:
             merged = batch_df
         tmp = f"{path}__gen_{uuid.uuid4().hex[:8]}"

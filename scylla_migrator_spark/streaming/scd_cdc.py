@@ -57,23 +57,33 @@ def scd2_upsert_batch(
 
     spark = batch_df.sparkSession
     new_rows = batch_df.select(*key_cols, *attr_cols, ts_col, tie_col)
+    served = None
     if os.path.exists(serving_path):
-        affected = new_rows.select(*key_cols).distinct()
-        served = spark.read.parquet(serving_path)
-        prior = (
-            served.join(affected, on=key_cols, how="left_semi")
-            .select(
-                *key_cols,
-                *attr_cols,
-                F.col("valid_from").alias(ts_col),
-                F.col(_TIE_OUT).alias(tie_col),
-            )
+        # single scan of the serving table, reused by the prior-fetch here
+        # and the anti-join inside upsert_parquet
+        served = spark.read.parquet(serving_path).persist()
+        affected = new_rows.select(*key_cols).distinct().alias("af")
+        sv = served.alias("sv")
+        # null-safe semi join: a null key must still find its own history
+        cond = None
+        for k in key_cols:
+            c = sv[k].eqNullSafe(affected[k])
+            cond = c if cond is None else (cond & c)
+        prior = sv.join(affected, on=cond, how="left_semi").select(
+            *key_cols,
+            *attr_cols,
+            F.col("valid_from").alias(ts_col),
+            F.col(_TIE_OUT).alias(tie_col),
         )
         union = new_rows.unionByName(prior)
     else:
         union = new_rows
     hist = scd2_history(union, key_cols, ts_col, attr_cols, tie_col, tie_out=_TIE_OUT)
-    upsert_parquet(hist, serving_path, key_cols)
+    try:
+        upsert_parquet(hist, serving_path, key_cols, existing=served)
+    finally:
+        if served is not None:
+            served.unpersist()
 
 
 def incremental_scd2(

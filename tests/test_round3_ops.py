@@ -216,3 +216,25 @@ def test_incremental_scd2_matches_batch(spark, tmp_path):
         (1, 20): ("C", None, True),
         (2, 7): ("X", None, True),
     }
+
+
+def test_incremental_scd2_null_key_replaced_not_duplicated(spark, tmp_path):
+    """Null grouping keys must match their own history (null-safe joins):
+    a second batch for the null key replaces its version instead of
+    duplicating it."""
+    from scylla_migrator_spark.streaming.scd_cdc import scd2_upsert_batch
+
+    serving = str(tmp_path / "scd2_null")
+    b1 = spark.createDataFrame(
+        [(None, "A", 5, 1)], "user_id long, event_type string, ts_us long, event_id long"
+    )
+    b2 = spark.createDataFrame(
+        [(None, "B", 10, 2)], "user_id long, event_type string, ts_us long, event_id long"
+    )
+    for b in (b1, b2):
+        scd2_upsert_batch(b, serving, ["user_id"], "ts_us", ["event_type"], "event_id")
+    rows = sorted(
+        (r["valid_from"], r["event_type"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(serving).collect()
+    )
+    assert rows == [(5, "A", 10, False), (10, "B", None, True)]

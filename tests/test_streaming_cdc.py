@@ -113,7 +113,7 @@ def test_stateful_distinct_counts_custom_key(spark, tmp_path):
     assert rows == {7: 2, 9: 1}
 
 
-def test_stream_observed_metrics_per_batch(spark, sf_dir, tmp_path):
+def test_stream_observed_metrics_per_batch(spark, tmp_path):
     """A3 for streams: observed metrics arrive per micro-batch through the
     listener and sum to the exact batch totals."""
     import time
