@@ -113,6 +113,7 @@ HEADLINE = [
     "sketch_merge_distinct",
     "point_in_time_features",
     "stream_scd2_history",
+    "unigram_nll_score",
 ]
 
 

@@ -300,3 +300,33 @@ def vocab_top_terms(
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(k)
     )
+
+
+def unigram_nll(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram negative-log-likelihood quality score: each document's mean
+    -ln p(w) under the corpus's own unigram distribution — the simplest
+    member of the perplexity-filter family (documents that "surprise" the
+    corpus LM are outliers: boilerplate, noise, wrong language).
+
+    Plan: explode tokens once; the count table joins back to the token
+    stream on the token itself (broadcast at any realistic vocab size);
+    total-count is a broadcast scalar. Per-token terms are truncated to
+    DECIMAL(18,9) BEFORE the per-document sum so the reduction is
+    associative-exact and cross-engine stable (ln differs by ulps between
+    libms; 9 dp is far above ulp noise and far below any meaningful score
+    difference)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(cnt), "w")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("c") / F.col("total"))).cast("decimal(18,9)").alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
+    )

@@ -4413,3 +4413,28 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit(-1)).alias("valid_to_us"),
         "is_current",
     )
+
+
+@_register(
+    "unigram_nll_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    t AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+    scored AS (
+      SELECT doc_id, CAST(-ln(c / total) AS DECIMAL(18,9)) AS nll
+      FROM toks JOIN cnt USING (w), t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-family quality gate: mean unigram -ln p(w) per document
+    under the corpus's own distribution (analytics/text.py::unigram_nll).
+    Per-token terms truncate to decimal(18,9) before the sum — the
+    order-independent-reduction trick (embedding_centroids) applied to a
+    transcendental, so the score is batch/shuffle/engine stable."""
+    return TXT.unigram_nll(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id")
