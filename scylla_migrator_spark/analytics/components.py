@@ -19,7 +19,9 @@ shallow — cliques and short chains, typically <= ~6 rounds). For
 adversarially long chains at 100 TB, switch to the large-star/small-star
 variant (Kiveris et al., "Connected Components in MapReduce and Beyond",
 SoCC'14) which converges in O(log^2 n) rounds with the same join-per-round
-plan shape; the fixture graphs converge faster with plain propagation.
+plan shape — implemented below as ``connected_components_two_phase`` and
+pinned equivalent to propagation in tests/test_components.py; the fixture
+graphs converge faster with plain propagation.
 
 Scale notes:
 - labels are localCheckpoint()ed each round: the iterative plan would
@@ -97,3 +99,70 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-depth fallback named in this module's docstring: converges
+    in O(log^2 n) rounds on ANY graph shape, where plain label propagation
+    needs O(diameter) (with path-halving, O(log diameter)) rounds. Use it
+    when duplicate chains can be pathologically long (crawl mirror chains);
+    the per-round plan is the same shuffle-join shape as the propagation
+    variant, so the choice is rounds-vs-constant-factor only.
+
+    Each round:
+      large-star: every node u links its STRICTLY-GREATER neighbors to
+        m(u) = min(N(u) ∪ {u});
+      small-star: every node u links its NOT-GREATER neighbors (and
+        itself) to that minimum.
+    The edge multiset reaches a fixpoint whose edges form stars rooted at
+    each component's minimum — read off (node, root) directly. Convergence
+    is detected on the (count, xor-of-hashes) signature of the canonical
+    edge set — a cheap aggregate over the already-materialized frame."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(frame: DataFrame, large: bool) -> DataFrame:
+        und = frame.select("u", "v").union(frame.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        nbrs = und.join(m, "u")
+        kept = nbrs.filter(F.col("v") > F.col("u")) if large else nbrs.filter(F.col("v") <= F.col("u"))
+        linked = kept.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            linked.union(self_link)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    def signature(frame: DataFrame):
+        # xor-fold (not sum): never overflows long arithmetic under ANSI
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges are (node, component-min) stars; roots map to themselves
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn("comp", F.col("id"))
+    return members.union(roots).groupBy("id").agg(F.min("comp").alias("comp"))

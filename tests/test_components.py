@@ -78,3 +78,28 @@ def test_random_graph_matches_union_find(spark):
 
     got = _cc(spark, edges)
     assert got == truth
+
+
+def test_two_phase_matches_label_propagation_random(spark):
+    """large-star/small-star equals min-label propagation on random graphs,
+    long chains (the adversarial case it exists for), and cliques."""
+    import random
+
+    from scylla_migrator_spark.analytics.components import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(40)],  # one long chain
+        [(0, i) for i in range(1, 12)] + [(100, 101)],  # star + island
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # clique
+        [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(40)],
+    ]
+    for i, pairs in enumerate(cases):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        lp = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+        tp = {r["id"]: r["comp"] for r in connected_components_two_phase(df).collect()}
+        assert tp == lp, f"case {i}: two-phase diverged from propagation"
