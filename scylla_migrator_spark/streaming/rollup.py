@@ -14,11 +14,27 @@ changed, and the upsert replaces those keys in the serving table. After any
 prefix of the stream, the serving table equals the batch aggregate over the
 events seen so far — the correctness invariant the oracle checks.
 
-Scale notes:
-- the upsert here is read-merge-atomic-swap on a parquet dir (fixture
-  scale); on a real lakehouse the foreachBatch body becomes a
-  ``MERGE INTO serving USING batch ON keys`` against Delta/Iceberg —
-  same batch DataFrame, same keys, one line.
+Scale design — partition-scoped upsert:
+- the serving table is laid out hive-partitioned by a deterministic
+  key-hash bucket (``__bucket=N/``, N = pmod(xxhash64(keys), n_buckets)).
+  A micro-batch touches only the buckets its keys hash into: the merge
+  reads existing rows for THOSE buckets only (partition pruning prunes the
+  scan to the affected directories) and atomically swaps ONLY those bucket
+  directories. Per-batch cost is O(affected buckets), not O(table) — the
+  property the reference's streaming writer has (it touches only the
+  batch's items, DynamoStreamReplication.scala:42-114). Untouched bucket
+  directories are never read or rewritten (byte-identical across batches,
+  pinned by test).
+- at 100 TB, raise ``n_buckets`` (e.g. 4096) so each bucket directory stays
+  a few GB; a micro-batch with K distinct keys rewrites ≤K buckets. On a
+  real lakehouse the foreachBatch body becomes ``MERGE INTO serving USING
+  batch ON keys`` against Delta/Iceberg — same batch DataFrame, same keys.
+- crash semantics: each bucket-directory swap is an atomic ``os.replace``;
+  a crash mid-upsert leaves some buckets on the new generation and some on
+  the old. The checkpointed foreachBatch replays the micro-batch, and the
+  upsert is idempotent per bucket (last-writer-wins replace of the batch's
+  keys), so the replay reconverges every bucket — the at-least-once +
+  idempotent-upsert contract (T4).
 - sums use DECIMAL so merged results are bit-identical regardless of how
   the stream was chopped into batches (double sums are order-dependent).
 - state is bounded by adding a watermark on the event-time column when
@@ -27,32 +43,82 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+DEFAULT_BUCKETS = 16  # fixture scale; thousands at 100 TB
+_META_FILE = "_sgs_upsert_meta.json"  # leading "_": ignored by Spark listing
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    # xxhash64 is null-tolerant and deterministic; cast to int to match the
+    # type partition discovery infers for the directory values.
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def _table_buckets(path: str, n_buckets: int) -> int:
+    """Pin n_buckets at table creation so later upserts can't silently use a
+    different modulus (which would mis-prune)."""
+    meta = os.path.join(path, _META_FILE)
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["n_buckets"])
+    return n_buckets
+
+
+def _write_meta(path: str, n_buckets: int) -> None:
+    meta = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
 
 
 def upsert_parquet(
-    batch_df: DataFrame, path: str, keys: list[str], existing: DataFrame | None = None
+    batch_df: DataFrame,
+    path: str,
+    keys: list[str],
+    existing: DataFrame | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Replace rows matching ``keys`` with the batch's rows (last-writer-wins
-    upsert, K7 semantics). The new table generation is fully materialized to
-    a side directory BEFORE the swap, so readers never observe a partial
-    table and a mid-upsert crash leaves the previous generation intact.
+    upsert, K7 semantics), rewriting ONLY the key-hash bucket partitions the
+    batch touches (see module docstring). Each affected bucket's new
+    generation is fully materialized to a side directory BEFORE its atomic
+    swap, so readers never observe a partial bucket and a mid-upsert crash
+    leaves replaced-or-previous generations only (reconverged on replay).
 
     The anti-join is NULL-SAFE: group/dimension keys can legitimately be
     null, and a null-unsafe condition would never match an existing
-    null-key row — every upsert would duplicate it instead of replacing
-    it. Callers that already read the current table pass it as
-    ``existing`` to avoid a second scan."""
+    null-key row — every upsert would duplicate it instead of replacing it.
+    Callers that already read the current table pass it as ``existing``;
+    it is pruned to the affected buckets before the merge."""
     spark = batch_df.sparkSession
-    batch_df = batch_df.persist()
+    exists = os.path.isdir(path) and any(
+        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(path)
+    )
+    n_buckets = _table_buckets(path, n_buckets) if exists else n_buckets
+    batch_df = batch_df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).persist()
     try:
-        if existing is None and os.path.exists(path):
-            existing = spark.read.parquet(path)
-        if existing is not None:
+        affected = sorted(
+            r[0] for r in batch_df.select(BUCKET_COL).distinct().collect()
+        )
+        if exists:
+            if existing is None:
+                existing = spark.read.parquet(path)
+            elif BUCKET_COL not in existing.columns:
+                existing = existing.withColumn(
+                    BUCKET_COL, _bucket_expr(keys, n_buckets)
+                )
+            # partition pruning: only the affected bucket dirs are scanned
+            existing = existing.filter(F.col(BUCKET_COL).isin(affected))
             new_keys = batch_df.select(*keys).dropDuplicates(keys).alias("nk")
             ex = existing.alias("ex")
             cond = None
@@ -63,23 +129,44 @@ def upsert_parquet(
         else:
             merged = batch_df
         tmp = f"{path}__gen_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.replace(path, old)
-            os.replace(tmp, path)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        os.makedirs(path, exist_ok=True)
+        _write_meta(path, n_buckets)
+        for b in affected:
+            src = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            dst = os.path.join(path, f"{BUCKET_COL}={b}")
+            if not os.path.isdir(src):
+                continue  # batch rows all superseded (cannot happen today)
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dst):
+                os.replace(dst, old)
+            os.replace(src, dst)
             shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.replace(tmp, path)
+        shutil.rmtree(tmp, ignore_errors=True)
     finally:
         batch_df.unpersist()
+
+
+def affected_buckets(
+    batch_df: DataFrame, keys: list[str], path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> tuple[list[int], int]:
+    """The bucket ids a batch's keys hash into under the table's pinned
+    modulus — callers use this to prune their own reads of the serving
+    table to the affected partitions (e.g. the SCD2 prior-version fetch)."""
+    n = _table_buckets(path, n_buckets)
+    rows = (
+        batch_df.select(_bucket_expr(keys, n).alias(BUCKET_COL))
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in rows), n
 
 
 def continuous_rollup(
     stream_agg: DataFrame, target_path: str, keys: list[str], checkpoint: str
 ):
     """Drive an update-mode streaming aggregate into a parquet serving table
-    via foreachBatch upserts; returns the started query."""
+    via partition-scoped foreachBatch upserts; returns the started query."""
     return (
         stream_agg.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)

@@ -27,8 +27,11 @@ Scale notes:
   is proportional to its number of VERSIONS (the collapsed change log), not
   its event count — the sufficient-statistic property of SCD2 rows under
   tail appends.
-- the serving upsert is the same read-merge-atomic-swap as
-  streaming/rollup.py at fixture scale; on a lakehouse it becomes a
+- the serving table is hash-bucket-partitioned (streaming/rollup.py):
+  BOTH the prior-version fetch here AND the upsert rewrite touch only the
+  bucket partitions the batch's keys hash into (partition pruning on the
+  read, per-directory atomic swap on the write) — per-batch cost is
+  O(affected buckets), never O(table). On a lakehouse this becomes a
   ``MERGE`` with a delete-then-insert of the affected keys' partitions.
 """
 
@@ -38,7 +41,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.operators.scd import scd2_history
-from scylla_migrator_spark.streaming.rollup import upsert_parquet
+from scylla_migrator_spark.streaming.rollup import (
+    BUCKET_COL,
+    affected_buckets,
+    upsert_parquet,
+)
 
 _TIE_OUT = "__tie"
 
@@ -57,11 +64,17 @@ def scd2_upsert_batch(
 
     spark = batch_df.sparkSession
     new_rows = batch_df.select(*key_cols, *attr_cols, ts_col, tie_col)
-    served = None
-    if os.path.exists(serving_path):
-        # single scan of the serving table, reused by the prior-fetch here
-        # and the anti-join inside upsert_parquet
-        served = spark.read.parquet(serving_path).persist()
+    if os.path.isdir(serving_path) and any(
+        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(serving_path)
+    ):
+        # prune the serving scan to the bucket partitions the batch's keys
+        # hash into — the prior-fetch never reads untouched buckets
+        buckets, _n = affected_buckets(new_rows, key_cols, serving_path)
+        served = (
+            spark.read.parquet(serving_path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
+            .drop(BUCKET_COL)
+        )
         affected = new_rows.select(*key_cols).distinct().alias("af")
         sv = served.alias("sv")
         # null-safe semi join: a null key must still find its own history
@@ -79,11 +92,7 @@ def scd2_upsert_batch(
     else:
         union = new_rows
     hist = scd2_history(union, key_cols, ts_col, attr_cols, tie_col, tie_out=_TIE_OUT)
-    try:
-        upsert_parquet(hist, serving_path, key_cols, existing=served)
-    finally:
-        if served is not None:
-            served.unpersist()
+    upsert_parquet(hist, serving_path, key_cols)
 
 
 def incremental_scd2(

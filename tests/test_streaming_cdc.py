@@ -161,3 +161,56 @@ def test_stream_observed_metrics_per_batch(spark, tmp_path):
     assert sum(r["n_rows"] for r in rows) == 5
     assert sum(r["sum_v"] for r in rows) == 70
     assert {r["n_rows"] for r in rows} == {3, 2}
+
+
+def test_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """Partition-scoped upsert: a batch touching one key's bucket must leave
+    every other bucket directory's files byte-identical (never read, never
+    rewritten) — the O(affected)-not-O(table) serving-path contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.streaming.rollup import (
+        BUCKET_COL,
+        _bucket_expr,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "serving_bkt")
+    g1 = spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "k int, total int"
+    )
+    upsert_parquet(g1, path, ["k"])
+    buckets = {
+        r["k"]: r["b"]
+        for r in g1.select("k", _bucket_expr(["k"], 16).alias("b")).collect()
+    }
+    # pick a key, then a bucket that no key of the second batch hashes into
+    touch_key = 0
+    untouched = next(
+        b for k, b in buckets.items() if b != buckets[touch_key]
+    )
+    untouched_dir = os.path.join(path, f"{BUCKET_COL}={untouched}")
+
+    def snapshot(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = (os.stat(p).st_mtime_ns, fh.read())
+        return out
+
+    before = snapshot(untouched_dir)
+    assert before, "untouched bucket must exist and hold files"
+    g2 = spark.createDataFrame([(touch_key, 999)], "k int, total int")
+    upsert_parquet(g2, path, ["k"])
+    assert snapshot(untouched_dir) == before
+    rows = {r["k"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert rows[touch_key] == 999 and len(rows) == 40
+    # the pinned modulus survives a caller passing a different n_buckets
+    g3 = spark.createDataFrame([(1, 111)], "k int, total int")
+    upsert_parquet(g3, path, ["k"], n_buckets=7)
+    rows = {r["k"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert rows[1] == 111 and len(rows) == 40
