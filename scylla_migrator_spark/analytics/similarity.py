@@ -186,6 +186,57 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column, fully
+    deterministic so an oracle can replay it:
+
+    - seed: the ``n_centroids`` lowest-id vectors (reproducible, no RNG);
+    - assignment: :func:`ivf_assign` (argmax dot/|c|, the cosine argmax);
+    - update: per-(centroid, dim) mean with DECIMAL(18,9) partial sums —
+      an associative-exact reduction, so the result is independent of
+      shuffle order — rounded to 6 places (the cross-engine-stable form
+      used throughout, cf. ``embedding_centroids``); empty clusters keep
+      their previous centroid.
+
+    Per iteration: one pass over the data (the per-dimension sums are one
+    map-side-combined aggregation — no explode, no extra shuffle beyond
+    the 16-group agg) and a collect of ``n_centroids`` rows. At 100 TB,
+    ``iters`` passes is the genuine cost of IVF training; train on a
+    deterministic sample (``pmod(xxhash64(id), s) = 0``) if even that is
+    too much."""
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    dim = len(centroids[0])
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        aggs = [
+            F.round(
+                F.sum(F.col("__v")[i].cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ]
+        rows = (
+            assigned.select(F.col("centroid_id"), v.alias("__v"))
+            .groupBy("centroid_id")
+            .agg(*aggs)
+            .collect()
+        )
+        means = {r["centroid_id"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        centroids = [means.get(c, centroids[c]) for c in range(n_centroids)]
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -194,19 +245,19 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` centroid partitions
     nearest to the query, exact cosine re-rank inside them.
 
-    Centroids are taken deterministically from the table itself (the
-    ``n_centroids`` lowest ids) — a stand-in for a k-means pass; the plan
-    shape (assign -> partition-prune -> re-rank) is the production path."""
+    Centroids come from :func:`kmeans_centroids` (deterministic Lloyd's,
+    seeded from the ``n_centroids`` lowest ids); the plan shape
+    (assign -> partition-prune -> re-rank) is the production path — at
+    100 TB, write the table partitioned by ``centroid_id`` once and the
+    probe filter prunes to ``nprobe`` directories."""
     import math
 
-    cent_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    centroids = kmeans_centroids(df, n_centroids, iters, id_col, vec_col)
 
     def cos_py(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))

@@ -1197,34 +1197,70 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "ivf_ann_topk",
-    """
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
-    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
-             FROM base ORDER BY vec_id LIMIT 16),
-    probe AS (SELECT cidx FROM cent, q
-              ORDER BY list_cosine_similarity(cv, qv) DESC, cidx LIMIT 4),
-    scored AS (
-      SELECT b.vec_id, b.v, c.cidx,
-             row_number() OVER (PARTITION BY b.vec_id
-                ORDER BY list_dot_product(b.v, c.cv)
-                         / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cidx) AS rn
-      FROM base b CROSS JOIN cent c),
-    assigned AS (SELECT vec_id, v, cidx AS centroid_id FROM scored WHERE rn = 1),
-    cand AS (SELECT a.vec_id, a.v FROM assigned a JOIN probe p ON a.centroid_id = p.cidx)
+def _ivf_kmeans_sql(iters: int = 2, n: int = 16, nprobe: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of the deterministic Lloyd's k-means IVF: seed =
+    lowest-``n`` ids, then ``iters`` unrolled (assign -> decimal-exact
+    per-dim mean) rounds, then probe + re-rank with the final centroids.
+    Mirrors similarity.kmeans_centroids / ivf_topk expression for
+    expression."""
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, v, cidx AS centroid_id FROM (
+        SELECT b.vec_id, b.v, c.cidx,
+               row_number() OVER (PARTITION BY b.vec_id
+                  ORDER BY list_dot_product(b.v, c.cv)
+                           / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cidx) AS rn
+        FROM base b CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+    parts = [
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM base WHERE vec_id = 0)",
+        f"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+             FROM base ORDER BY vec_id LIMIT {n})""",
+    ]
+    for t in range(iters):
+        parts.append(assign(f"assign{t}", f"cent{t}"))
+        parts.append(
+            f"""upd{t + 1} AS (
+      SELECT a.centroid_id AS cidx, gs.i AS pos,
+             round(CAST(sum(CAST(a.v[gs.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m
+      FROM assign{t} a CROSS JOIN generate_series(1, {dim}) AS gs(i)
+      GROUP BY a.centroid_id, gs.i)"""
+        )
+        parts.append(
+            f"cent{t + 1}l AS (SELECT cidx, list(m ORDER BY pos) AS cv FROM upd{t + 1} GROUP BY cidx)"
+        )
+        parts.append(
+            f"""cent{t + 1} AS (SELECT p.cidx, coalesce(u.cv, p.cv) AS cv
+      FROM cent{t} p LEFT JOIN cent{t + 1}l u USING (cidx))"""
+        )
+    final = f"cent{iters}"
+    parts.append(
+        f"""probe AS (SELECT cidx FROM {final}, q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cidx LIMIT {nprobe})"""
+    )
+    parts.append(assign("assigned", final))
+    parts.append(
+        "cand AS (SELECT a.vec_id, a.v FROM assigned a JOIN probe p ON a.centroid_id = p.cidx)"
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
     SELECT vec_id, round(list_cosine_similarity(cand.v, q.qv), 6) AS cos
-    FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10
-    """,
-)
+    FROM cand, q ORDER BY cos DESC, vec_id LIMIT {k}"""
+    )
+
+
+@_register("ivf_ann_topk", _ivf_kmeans_sql())
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbours: coarse-quantize to 16 centroids,
-    probe the 4 nearest, exact cosine re-rank inside the probed partitions
-    (similarity.ivf_topk). Deterministic construction (centroids = 16 lowest
-    ids) -> the oracle replays assignment/probe/re-rank in SQL. The scale
-    path pairs this with a table layout partitioned by centroid_id for
-    partition-pruned probes."""
+    """IVF approximate nearest neighbours: coarse-quantize to 16 k-means
+    centroids (similarity.kmeans_centroids — deterministic Lloyd's, seeded
+    from the 16 lowest ids, decimal-exact mean updates), probe the 4
+    nearest, exact cosine re-rank inside the probed partitions
+    (similarity.ivf_topk). The oracle replays seed, both Lloyd's rounds,
+    assignment, probe and re-rank in SQL. The scale path pairs this with a
+    table layout partitioned by centroid_id for partition-pruned probes."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return SIM.ivf_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)

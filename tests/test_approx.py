@@ -83,3 +83,49 @@ def test_sketch_merge_distinct_within_tolerance(spark, sf_dir):
     assert row["n_groups"] == events.select("event_type").distinct().count()
     assert row["total_events"] == events.count()
     assert abs(row["approx_distinct_users"] - exact) <= max(2, 0.03 * exact)
+
+
+def test_ivf_kmeans_recall_beats_seed_standin(spark):
+    """The Lloyd's-trained centroids (iters=2) must give average recall@10
+    at least as good as the old lowest-16-id stand-in (iters=0) over a
+    fixed query panel — the honesty check for the IVF training step.
+    Deterministic: no RNG anywhere in seeding, assignment, or updates."""
+    import math
+
+    from scylla_migrator_spark.analytics import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    queries = [0, 7, 42, 123, 200, 314, 400, 451]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(queries)).collect()
+    }
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    def total_recall(iters):
+        cents = SIM.kmeans_centroids(emb, 16, iters)
+        assigned = SIM.ivf_assign(emb, cents).cache()
+        hits = 0
+        for q in queries:
+            qv = qvecs[q]
+            probe = sorted(range(16), key=lambda i: -cos_py(cents[i], qv))[:4]
+            exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in SIM.brute_force_topk(
+                    assigned.filter(F.col("centroid_id").isin(probe)), qv, k=10
+                ).collect()
+            }
+            hits += len(exact & approx)
+        assigned.unpersist()
+        return hits
+
+    standin, kmeans = total_recall(0), total_recall(2)
+    assert kmeans >= standin
+    assert kmeans >= 0.65 * 10 * len(queries)  # avg recall@10 >= 6.5
+    emb.unpersist()
