@@ -15,16 +15,22 @@ Our engine replaces the reference's SparkListener/accumulator machinery with
 segment, range) is fully written, the driver records it. The Z1 lifecycle
 (periodic scheduler + SIGUSR2 on-demand dumps + terminal dump) lives in
 ``PeriodicDumper`` below, serialized on one lock like the reference's
-``dumpLock``."""
+``dumpLock``.
+
+Every filesystem touch goes through ``pathio.for_path`` (PathIO.scala
+parity): the savepoint directory may live on the local FS or a remote
+object store (``memory://`` in tests); the manager never calls ``os``
+directly."""
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
 
 import yaml
+
+from scylla_migrator_spark import pathio
 
 SAVEPOINT_PREFIX = "savepoint"
 
@@ -57,7 +63,8 @@ class SavepointsManager:
     skip_token_ranges: set[tuple[int, int]] = field(default_factory=set)
 
     def __post_init__(self) -> None:
-        os.makedirs(self.directory, exist_ok=True)
+        self._io = pathio.for_path(self.directory)
+        self._io.create_directories(self.directory)
 
     # -- progress recording (replaces accumulators A3/Z2-Z5) ---------------
     def complete_files(self, files: list[str]) -> None:
@@ -81,7 +88,11 @@ class SavepointsManager:
         return _encode_name(now, seq)
 
     def latest_name(self) -> str | None:
-        names = sorted(n for n in os.listdir(self.directory) if _decode_name(n) is not None)
+        names = sorted(
+            n
+            for n in self._io.list_file_names(self.directory)
+            if _decode_name(n) is not None
+        )
         return names[-1] if names else None
 
     def dump(self) -> str:
@@ -94,11 +105,11 @@ class SavepointsManager:
             "skipTokenRanges": sorted(list(r) for r in self.skip_token_ranges),
         }
         name = self._next_name()
-        path = os.path.join(self.directory, name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            yaml.safe_dump(payload, f, sort_keys=True)
-        os.replace(tmp, path)  # atomic rename (Z1)
+        path = self._io.join(self.directory, name)
+        # staged write + atomic rename (Z1, PathIO.scala:74-118)
+        self._io.write_utf8_atomically(
+            path, yaml.safe_dump(payload, sort_keys=True).encode("utf-8")
+        )
         return path
 
     @classmethod
@@ -109,8 +120,7 @@ class SavepointsManager:
         latest = mgr.latest_name()
         if latest is None:
             return mgr
-        with open(os.path.join(directory, latest)) as f:
-            payload = yaml.safe_load(f) or {}
+        payload = yaml.safe_load(mgr._io.read_utf8(mgr._io.join(directory, latest))) or {}
         mgr.config = payload.get("config", {})
         mgr.skip_files = set(payload.get("skipFiles", []))
         mgr.skip_segments = set(payload.get("skipSegments", []))
