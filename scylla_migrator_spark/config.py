@@ -370,6 +370,195 @@ def validate_alternator_decoding(
 
 
 # --------------------------------------------------------------------------
+# Credentials / SSL / secure-connect bundle settings
+# (reference config/Credentials.scala, config/AWSCredentials.scala,
+#  config/SSLOptions.scala, config/CloudConfig.scala)
+# --------------------------------------------------------------------------
+
+_REDACTED = "<redacted>"
+_ARN_ROLE = re.compile(r"^arn:aws[a-zA-Z-]*:iam::\d{12}:role/[\w+=,.@/-]+$")
+# STS RoleSessionName constraint: 2-64 chars of [\w+=,.@-]
+_SESSION_NAME = re.compile(r"^[\w+=,.@-]{2,64}$")
+
+
+@dataclass
+class Credentials:
+    """CQL username/password (Credentials.scala:1-12); the password never
+    appears in logs — ``rendered()`` redacts it like the reference's
+    ``toString``."""
+
+    username: str
+    password: str
+
+    def __post_init__(self) -> None:
+        if not self.username:
+            raise ConfigError("credentials.username must not be empty")
+        if not self.password:
+            raise ConfigError("credentials.password must not be empty")
+
+    def rendered(self) -> dict[str, Any]:
+        return {"username": self.username, "password": _REDACTED}
+
+
+@dataclass
+class AWSAssumeRole:
+    """STS assume-role hop of the AWS credential chain
+    (AWSCredentials.scala:16-26)."""
+
+    arn: str
+    session_name: str | None = None
+
+    DEFAULT_SESSION_NAME = "scylla-migrator"
+
+    def __post_init__(self) -> None:
+        if not _ARN_ROLE.match(self.arn or ""):
+            raise ConfigError(
+                f"assumeRole.arn {self.arn!r} is not an IAM role ARN "
+                "(arn:aws:iam::<account-id>:role/<name>)"
+            )
+        if self.session_name is not None and not _SESSION_NAME.match(self.session_name):
+            raise ConfigError(
+                f"assumeRole.sessionName {self.session_name!r} must be 2-64 chars "
+                "of [A-Za-z0-9+=,.@_-]"
+            )
+
+    def get_session_name(self) -> str:
+        return self.session_name or self.DEFAULT_SESSION_NAME
+
+    def rendered(self) -> dict[str, Any]:
+        return {"arn": self.arn, "sessionName": self.get_session_name()}
+
+
+@dataclass
+class AWSCredentials:
+    """Static access key pair, optionally chained through an assume-role hop
+    (AWSCredentials.scala:1-14): base credentials authenticate the STS call,
+    the assumed role's temporary credentials sign the actual requests. Both
+    key halves are redacted in every rendering, matching the reference's
+    ``toString`` override."""
+
+    access_key: str
+    secret_key: str
+    assume_role: AWSAssumeRole | dict | None = None
+
+    def __post_init__(self) -> None:
+        if not self.access_key:
+            raise ConfigError("awsCredentials.accessKey must not be empty")
+        if not self.secret_key:
+            raise ConfigError("awsCredentials.secretKey must not be empty")
+        if isinstance(self.assume_role, dict):
+            self.assume_role = AWSAssumeRole(**_snake_keys(self.assume_role))
+
+    def rendered(self) -> dict[str, Any]:
+        return {
+            "accessKey": _REDACTED,
+            "secretKey": _REDACTED,
+            "assumeRole": self.assume_role.rendered() if self.assume_role else None,
+        }
+
+
+@dataclass
+class SSLOptions:
+    """TLS settings for the CQL connection (SSLOptions.scala:1-52).
+    Defaults mirror the reference's shared constants: JKS stores, TLS
+    protocol, and the two CBC suites chosen for old-cluster compatibility
+    (GCM suites opt-in via ``enabled_algorithms``). Store passwords are
+    redacted in every rendering; store *paths* are not secrets."""
+
+    enabled: bool = False
+    client_auth_enabled: bool = False
+    enabled_algorithms: list[str] | None = None
+    key_store_password: str | None = None
+    key_store_path: str | None = None
+    key_store_type: str | None = None
+    protocol: str | None = None
+    trust_store_password: str | None = None
+    trust_store_path: str | None = None
+    trust_store_type: str | None = None
+
+    DEFAULT_TRUST_STORE_TYPE = "JKS"
+    DEFAULT_KEY_STORE_TYPE = "JKS"
+    DEFAULT_PROTOCOL = "TLS"
+    DEFAULT_ENABLED_ALGORITHMS = (
+        "TLS_RSA_WITH_AES_128_CBC_SHA",
+        "TLS_RSA_WITH_AES_256_CBC_SHA",
+    )
+
+    def __post_init__(self) -> None:
+        if self.client_auth_enabled and not self.enabled:
+            raise ConfigError("sslOptions.clientAuthEnabled requires enabled: true")
+        if self.client_auth_enabled and not self.key_store_path:
+            raise ConfigError(
+                "sslOptions.clientAuthEnabled requires a keyStorePath (the "
+                "client certificate lives in the keystore)"
+            )
+        if self.key_store_password is not None and self.key_store_path is None:
+            raise ConfigError("sslOptions.keyStorePassword is set without keyStorePath")
+        if self.trust_store_password is not None and self.trust_store_path is None:
+            raise ConfigError(
+                "sslOptions.trustStorePassword is set without trustStorePath"
+            )
+
+    def rendered(self) -> dict[str, Any]:
+        out = {**self.__dict__}
+        for k in ("key_store_password", "trust_store_password"):
+            if out[k] is not None:
+                out[k] = _REDACTED
+        return out
+
+
+@dataclass
+class CloudConfig:
+    """Secure-connect bundle (Astra) configuration (CloudConfig.scala:1-100):
+    when present, contact points / TLS / SNI come from the bundle, so
+    ``host`` and ``sslOptions`` must NOT also be specified. The decode-time
+    path validation mirrors the reference's decoder: absolute local path,
+    bare ``--files`` filename, or https/s3/s3a/file URL; plain http and
+    URLs embedding user-info or query-string credentials are rejected."""
+
+    secure_bundle_path: str
+
+    _REMOTE_SCHEMES = ("https", "s3", "s3a", "file")
+    _BARE = re.compile(r"^[a-zA-Z0-9][a-zA-Z0-9._-]*$")
+
+    def __post_init__(self) -> None:
+        from urllib.parse import urlparse
+
+        path = (self.secure_bundle_path or "").strip()
+        self.secure_bundle_path = path
+        if not path:
+            raise ConfigError("cloud.secureBundlePath must not be empty.")
+        if path.startswith("/") or (self._BARE.match(path) and "/" not in path):
+            return
+        u = urlparse(path)
+        scheme = (u.scheme or "").lower()
+        if scheme == "http":
+            raise ConfigError(
+                "cloud.secureBundlePath must not use plain HTTP; use an absolute "
+                "local path, an https://, s3://, or s3a:// URL, or a bare "
+                "filename for --files."
+            )
+        if scheme in self._REMOTE_SCHEMES:
+            if "@" in (u.netloc or ""):
+                raise ConfigError(
+                    "cloud.secureBundlePath must not include URL user-info credentials."
+                )
+            if u.query:
+                raise ConfigError(
+                    "cloud.secureBundlePath must not include query string credentials."
+                )
+            return
+        raise ConfigError(
+            "cloud.secureBundlePath must be an absolute local path, an https://, "
+            "s3://, or s3a:// URL, or a bare filename (for Spark --files "
+            "distribution)."
+        )
+
+    def rendered(self) -> dict[str, Any]:
+        return {"secureBundlePath": self.secure_bundle_path}
+
+
+# --------------------------------------------------------------------------
 # Source / target / validation / savepoints settings
 # --------------------------------------------------------------------------
 
@@ -410,6 +599,11 @@ class SourceSettings:
     # DynamoDB-family source; endpoint must carry an http(s):// prefix
     endpoint: str | None = None
     alternator: AlternatorSettings | dict | None = None
+    # auth/TLS surface (decode-time validated, redacted in rendered())
+    credentials: Credentials | dict | None = None
+    aws_credentials: AWSCredentials | dict | None = None
+    ssl_options: SSLOptions | dict | None = None
+    cloud: CloudConfig | dict | None = None
 
     def __post_init__(self) -> None:
         allowed = {
@@ -445,6 +639,38 @@ class SourceSettings:
             if isinstance(self.alternator, dict):
                 self.alternator = AlternatorSettings(**_snake_keys(self.alternator))
             validate_alternator_decoding(self.endpoint, self.alternator)
+        _decode_auth(self)
+
+
+def _decode_auth(settings) -> None:
+    """Shared auth/TLS decode + combination-legality rules for source and
+    target settings (the reference applies the same circe decoders to both
+    sides of the config)."""
+    if isinstance(settings.credentials, dict):
+        settings.credentials = Credentials(**_snake_keys(settings.credentials))
+    if isinstance(settings.aws_credentials, dict):
+        settings.aws_credentials = AWSCredentials(**_snake_keys(settings.aws_credentials))
+    if isinstance(settings.ssl_options, dict):
+        settings.ssl_options = SSLOptions(**_snake_keys(settings.ssl_options))
+    if isinstance(settings.cloud, dict):
+        settings.cloud = CloudConfig(**_snake_keys(settings.cloud))
+    if settings.cloud is not None:
+        # the bundle supplies contact points + TLS (CloudConfig.scala:14-22)
+        if settings.host is not None:
+            raise ConfigError(
+                "cloud.secureBundlePath and host are mutually exclusive: the "
+                "secure-connect bundle supplies the contact points"
+            )
+        if settings.ssl_options is not None:
+            raise ConfigError(
+                "cloud.secureBundlePath and sslOptions are mutually exclusive: "
+                "the secure-connect bundle supplies the TLS configuration"
+            )
+        if settings.credentials is None:
+            raise ConfigError(
+                "cloud.secureBundlePath requires credentials: the bundle does "
+                "not embed database credentials"
+            )
 
 
 @dataclass
@@ -466,6 +692,12 @@ class TargetSettings:
     # (ttl, writetime) group before writing (reference cassandraExplodedWrite,
     # ScyllaMigrator.scala:28-33)
     exploded_timestamp_write: bool = False
+    # auth/TLS surface — same decode/validation/redaction as the source side
+    host: str | None = None
+    credentials: Credentials | dict | None = None
+    aws_credentials: AWSCredentials | dict | None = None
+    ssl_options: SSLOptions | dict | None = None
+    cloud: CloudConfig | dict | None = None
 
     def __post_init__(self) -> None:
         allowed = {"parquet", "csv", "json", "orc", "scylla-fixture", "dynamodb-s3-export"}
@@ -473,6 +705,9 @@ class TargetSettings:
             raise ConfigError(f"unknown target type {self.type!r}; allowed: {sorted(allowed)}")
         if self.mode not in {"overwrite", "append", "error", "ignore"}:
             raise ConfigError(f"invalid write mode {self.mode!r}")
+        if self.host is not None:
+            validate_host_port(self.host, default_port=9042)
+        _decode_auth(self)  # same decode+legality rules as the source side
 
 
 @dataclass
@@ -569,7 +804,17 @@ class MigratorConfig:
             out["source"]["where"] = "<redacted>"
         if self.source.url is not None:
             out["source"]["url"] = "<redacted>"  # urls can embed credentials
-        for key in list(out["source"]):
-            if any(s in key.lower() for s in ("password", "secret", "credential", "token")):
-                out["source"][key] = "<redacted>"
+        for side in ("source", "target"):
+            d = out[side]
+            for key in list(d):
+                # nested auth/TLS objects render through their own redaction
+                # (Credentials/AWSCredentials/SSLOptions/CloudConfig.rendered)
+                if hasattr(d[key], "rendered"):
+                    d[key] = d[key].rendered()
+                elif any(
+                    s in key.lower()
+                    for s in ("password", "secret", "credential", "token")
+                ):
+                    if d[key] is not None:
+                        d[key] = "<redacted>"
         return out
