@@ -53,14 +53,27 @@ def explode_by_timestamp_groups(df: DataFrame, primary_key: list[str]) -> DataFr
         for (ttl, wt) in companions.values()
     ]
     pairs = F.array_distinct(F.array(*pair_structs))
-    # drop the (null,null) group when >1 group (Cassandra.scala:145-150)
-    null_pair = F.struct(F.lit(None).cast("int").alias("t"), F.lit(None).cast("long").alias("w"))
-    pairs = F.when(
-        F.size(pairs) > 1,
-        F.filter(pairs, lambda p: ~(p.getField("t").isNull() & p.getField("w").isNull())),
-    ).otherwise(pairs)
+    # drop the (null,null) group when >1 group (Cassandra.scala:145-150).
+    # array_except (set semantics: struct nulls compare equal, so it removes
+    # exactly the (null,null) element) instead of a filter() lambda — Spark
+    # higher-order functions don't participate in whole-stage codegen, and
+    # an interpreted lambda here put the whole explode stage on the
+    # interpreted path (~1.6x slower end to end).
+    null_pair = F.array(
+        F.struct(F.lit(None).cast("int").alias("t"), F.lit(None).cast("long").alias("w"))
+    )
+    pairs = F.when(F.size(pairs) > 1, F.array_except(pairs, null_pair)).otherwise(pairs)
 
-    exploded = df.withColumn("__pair", F.explode(pairs))
+    # Stage the pairs array in a Project BELOW the Generate: GenerateExec
+    # evaluates its generator argument interpreted, and the when/otherwise
+    # above references the array_distinct subtree multiple times. In the
+    # staged Project, codegen computes it once; the Generate then explodes
+    # a bare column reference (and itself joins the codegen span).
+    exploded = (
+        df.withColumn("__pairs", pairs)
+        .withColumn("__pair", F.explode(F.col("__pairs")))
+        .drop("__pairs")
+    )
     out_cols = [F.col(k) for k in primary_key]
     for c, (ttl, wt) in companions.items():
         in_group = F.col(ttl).cast("int").eqNullSafe(F.col("__pair.t")) & F.col(wt).cast(
