@@ -218,6 +218,68 @@ def decode_png(data: bytes) -> dict:
     return out
 
 
+def decode_jpeg(data: bytes) -> dict:
+    """Parse a JPEG stream's marker segments for header metadata (public
+    ITU T.81 / JFIF spec, stdlib only): walk FFxx segments to the first
+    start-of-frame (SOF0-SOF15 minus DHT/JPG/DAC), which carries sample
+    precision, dimensions and component count; SOF2 marks progressive
+    encoding. Entropy-coded pixel decode (the DCT/Huffman stack) is out of
+    scope without a codec library — this intentionally covers the metadata
+    path (dimensions/components/progressive), the part a 100 TB curation
+    filter needs before deciding to ship bytes to a GPU decode stage."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    _SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        size = struct.unpack_from(">H", data, pos + 2)[0]
+        if marker in _SOF:
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", data, pos + 4
+            )
+            return {
+                "kind": "image",
+                "width": width,
+                "height": height,
+                "bits": precision,
+                "n_components": n_comp,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        pos += 2 + size
+    raise ValueError("no SOF marker found")
+
+
+def encode_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
+    """Build a structurally valid baseline-JPEG prefix (SOI + JFIF APP0 +
+    SOF0 + EOI) for the given geometry — a genuine T.81 marker stream the
+    header decoder parses, without an entropy-coded scan (tests/oracles
+    need the metadata path, not pixels)."""
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)
+    sof_comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, n_components) + sof_comps
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
 def decode_asset(data: bytes) -> dict:
     """Sniff the container magic and dispatch to the matching real decoder."""
     if data[:4] == b"RIFF":
@@ -226,9 +288,12 @@ def decode_asset(data: bytes) -> dict:
         return decode_ppm(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "unsupported container (supported: WAV PCM, PPM P6, PNG); "
-        "JPEG/MP4/... need codec libraries not present in this environment"
+        "unsupported container (supported: WAV PCM, PPM P6, PNG, JPEG "
+        "headers); MP4/... need codec libraries not present in this "
+        "environment"
     )
 
 
@@ -294,6 +359,7 @@ DECODED_META_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("amp_sum", T.LongType()),
+        T.StructField("n_components", T.IntegerType()),
     ]
 )
 
@@ -321,6 +387,7 @@ def decode_assets_meta(df: DataFrame) -> DataFrame:
                         "duration_ms": m.get("duration_ms"),
                         "n_samples": m.get("n_samples", len(m.get("samples", [])) or None),
                         "amp_sum": m.get("amp_sum", m.get("pixel_sum")),
+                        "n_components": m.get("n_components"),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_META_SCHEMA.fields])
@@ -383,6 +450,34 @@ def synth_ppm_assets(
     return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
         run, schema
     )
+
+
+def synth_jpeg_assets(
+    df: DataFrame, id_col: str, w_col: str, h_col: str, comp_col: str
+) -> DataFrame:
+    """Build REAL baseline-JPEG marker streams (SOI/APP0/SOF0/EOI) from
+    integer geometry columns (mapInPandas). Same posture as
+    synth_wav_assets: genuine containers from table data, no media files in
+    the repo."""
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "data": [
+                        encode_jpeg_header(int(w), int(h), int(c))
+                        for w, h, c in zip(pdf[w_col], pdf[h_col], pdf[comp_col])
+                    ],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), w_col, h_col, comp_col
+    ).mapInPandas(run, schema)
 
 
 def resize_ppm_nn(df: DataFrame, out_w: int, out_h: int) -> DataFrame:

@@ -1942,6 +1942,44 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_jpeg_meta",
+    # Oracle replays the deterministic geometry the Spark side encodes into
+    # REAL baseline-JPEG marker streams and then parses back out of the SOF0
+    # segment (analytics/multimodal.decode_jpeg): width/height/components
+    # survive a genuine T.81 encode->decode round-trip.
+    """
+    SELECT doc_id AS asset_id, 'image' AS kind,
+           CAST(16 + doc_id % 17 AS INT) AS width,
+           CAST(16 + doc_id % 13 AS INT) AS height,
+           CAST(1 + (doc_id % 2) * 2 AS INT) AS n_components
+    FROM documents
+    """,
+)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG header decode: build genuine baseline-JPEG marker streams
+    (SOI/APP0 JFIF/SOF0/EOI) per document, then parse dimensions and
+    component count back with the stdlib T.81 marker walker
+    (analytics/multimodal.decode_jpeg) — the curation-filter metadata path
+    for the most common training-image container."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        synth_jpeg_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 17).cast("int").alias("w"),
+        (F.lit(16) + F.col("doc_id") % 13).cast("int").alias("h"),
+        (F.lit(1) + (F.col("doc_id") % 2) * 2).cast("int").alias("c"),
+    )
+    jpegs = synth_jpeg_assets(docs, "doc_id", "w", "h", "c")
+    assets = make_asset_table(jpegs, "asset_id", "data", kind="image", mime="image/jpeg")
+    meta = decode_assets_meta(assets)
+    return meta.select("asset_id", "kind", "width", "height", "n_components")
+
+
+@_register(
     "multimodal_ppm_resize",
     # Oracle replays the whole chain in SQL: payload tiled to 8*8*3 RGB
     # bytes (byte i = payload[i % nb]), then nearest-neighbor 8x8 -> 4x4:

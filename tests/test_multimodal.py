@@ -204,3 +204,41 @@ def test_resize_ppm_nearest_neighbor_exact(spark):
     assert mu["pixels"][0:3] == bytes([10, 11, 12])      # top-left block
     assert mu["pixels"][6:9] == bytes([20, 21, 22])      # right half row 0
     assert mu["pixels"][-3:] == bytes([40, 41, 42])      # bottom-right
+
+
+def test_jpeg_header_roundtrip_and_marker_walk():
+    """decode_jpeg parses a genuine T.81 marker stream: geometry round-trips
+    through SOF0, fill bytes and standalone markers are skipped, progressive
+    (SOF2) is flagged, and junk input is rejected."""
+    import struct as _s
+
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_asset,
+        decode_jpeg,
+        encode_jpeg_header,
+    )
+
+    m = decode_jpeg(encode_jpeg_header(640, 480, 3))
+    assert (m["width"], m["height"], m["n_components"]) == (640, 480, 3)
+    assert m["bits"] == 8 and m["kind"] == "image" and m["progressive"] is False
+    # dispatch through the sniffing decoder too
+    assert decode_asset(encode_jpeg_header(31, 7, 1))["width"] == 31
+
+    # hand-build: SOI, fill bytes, a COM segment, then SOF2 (progressive)
+    sof = _s.pack(">BHHB", 8, 33, 44, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xff"  # fill byte before marker
+        + b"\xff\xfe" + _s.pack(">H", 2 + 5) + b"hello"  # COM
+        + b"\xff\xc2" + _s.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    m2 = decode_jpeg(data)
+    assert (m2["width"], m2["height"], m2["progressive"]) == (44, 33, True)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+    with _pt.raises(ValueError, match="no SOF"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
