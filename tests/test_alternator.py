@@ -205,3 +205,90 @@ def test_snapshot_then_stream_enables_source_stream(spark, tmp_path):
     q.awaitTermination()
     assert describe_stream_status(cat, "t1") == "ENABLED"
     assert rep.current(spark).count() == 1
+
+
+def test_discovery_refresh_node_added_and_removed():
+    """Refresh state machine (DynamoUtils.scala:104-155): a node added to the
+    /localnodes response enters the rotation at the next active-interval
+    re-poll; a removed node drains. Time is injected — no sleeps."""
+    from scylla_migrator_spark.sources.alternator import AlternatorFixtureClient
+
+    topology = [
+        AlternatorNode("n1", "dc1", "r1"),
+        AlternatorNode("n2", "dc1", "r1"),
+    ]
+    client = AlternatorFixtureClient(
+        None,
+        AlternatorSettings(datacenter="dc1", active_refresh_interval_ms=1000,
+                           idle_refresh_interval_ms=5000),
+        discover=lambda: list(topology),
+        now_ms=0,
+    )
+    assert [client.next_node(10).host, client.next_node(20).host] == ["n1", "n2"]
+
+    # node added: visible only after the active interval elapses
+    topology.append(AlternatorNode("n3", "dc1", "r2"))
+    assert client.next_node(500).host == "n1"  # interval not elapsed yet
+    hosts = [client.next_node(1100 + i).host for i in range(3)]
+    assert "n3" in hosts and set(hosts) == {"n1", "n2", "n3"}
+
+    # node removed: drains from the rotation at the next refresh
+    removed = topology.pop(0)  # n1
+    hosts = [client.next_node(2300 + i).host for i in range(4)]
+    assert "n1" not in hosts
+    assert removed in client.drained
+
+
+def test_discovery_refresh_idle_vs_active_interval():
+    """With no requests routed since the last refresh, the longer idle
+    interval applies; routing a request switches to the active interval."""
+    from scylla_migrator_spark.sources.alternator import AlternatorFixtureClient
+
+    calls = {"n": 0}
+
+    def discover():
+        calls["n"] += 1
+        return [AlternatorNode("n1", "dc1", "r1")]
+
+    client = AlternatorFixtureClient(
+        None,
+        AlternatorSettings(datacenter="dc1", active_refresh_interval_ms=1000,
+                           idle_refresh_interval_ms=60000),
+        discover=discover,
+        now_ms=0,
+    )
+    assert calls["n"] == 1
+    # idle: 2s < idle interval, no re-poll
+    assert client.maybe_refresh(2000) is False
+    client.next_node()  # route one request -> active cadence
+    assert client.maybe_refresh(2000) is True
+    assert calls["n"] == 2
+
+
+def test_discovery_refresh_keeps_last_known_good():
+    """A failed or empty-scoped re-poll must not empty the rotation."""
+    from scylla_migrator_spark.sources.alternator import AlternatorFixtureClient
+
+    state = {"mode": "ok"}
+
+    def discover():
+        if state["mode"] == "raise":
+            raise OSError("discovery endpoint down")
+        if state["mode"] == "empty":
+            return []
+        return [AlternatorNode("n1", "dc1", "r1")]
+
+    client = AlternatorFixtureClient(
+        None,
+        AlternatorSettings(datacenter="dc1", active_refresh_interval_ms=100,
+                           idle_refresh_interval_ms=100),
+        discover=discover,
+        now_ms=0,
+    )
+    state["mode"] = "raise"
+    assert client.maybe_refresh(200) is True
+    assert client.next_node().host == "n1"
+    state["mode"] = "empty"
+    assert client.maybe_refresh(400) is True
+    assert client.next_node().host == "n1"
+    assert client.failed_refreshes == 2
