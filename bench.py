@@ -240,7 +240,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # durable copy: the driver's BENCH_r{N}.json keeps only a stdout tail,
+    # which truncates the per-query dict — persist the full line so every
+    # round's numbers stay diffable
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -148,20 +148,34 @@ def connected_components_two_phase(
         )
 
     def signature(frame: DataFrame):
-        # xor-fold (not sum): never overflows long arithmetic under ANSI
+        # (count, xor-of-hashes, sum-of-hashes): xor never overflows long
+        # arithmetic under ANSI; the decimal sum is an independent second
+        # fold, so a collision needs xor AND sum to agree at equal count —
+        # negligible (~2^-127) vs xor alone
         row = frame.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).head()
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["s"])
 
     sig = signature(e)
+    converged = False
     for _ in range(max_iter):
         e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
         new_sig = signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-fixpoint edge set reads off WRONG component labels — never
+        # return silently (SoCC'14 bounds rounds by O(log^2 n); hitting this
+        # means max_iter was configured far too low for the graph)
+        raise RuntimeError(
+            f"connected_components_two_phase did not reach the star fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter"
+        )
     # fixpoint edges are (node, component-min) stars; roots map to themselves
     members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn("comp", F.col("id"))

@@ -397,11 +397,21 @@ def semdedup(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return (
-        assigned.join(pruned.withColumn("__pruned", F.lit(True)), on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            F.col("centroid_id"),
-            F.col("__pruned").isNull().alias("kept"),
+    try:
+        # materialize eagerly so the cached frame can be RELEASED before
+        # returning: a bare .persist() left here accumulates blocks across
+        # every caller in a long session (the bench runs dozens of queries
+        # in one). localCheckpoint blocks are GC'd with the returned frame.
+        return (
+            assigned.join(
+                pruned.withColumn("__pruned", F.lit(True)), on=id_col, how="left"
+            )
+            .select(
+                F.col(id_col),
+                F.col("centroid_id"),
+                F.col("__pruned").isNull().alias("kept"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        assigned.unpersist()

@@ -31,7 +31,10 @@ class SplitSentences:
         if text is None:
             return
         for i, part in enumerate(text.split(".")):
-            if part.strip():
+            # blank = ASCII space/tab/CR/LF only — the same character set the
+            # oracle's trim(sentence, ' \t\n\r') uses; bare str.strip() would
+            # also strip Unicode whitespace (e.g. NBSP) and diverge from SQL
+            if part.strip(" \t\n\r"):
                 yield i, part, len(part)
 
 

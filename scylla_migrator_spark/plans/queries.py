@@ -3120,10 +3120,18 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics import dedup as _D
 
     # the stage caches COMPUTED results, so its key covers the code that
-    # computes them (fingerprint + pair query source), not just the fixture
-    # — an edit to the simhash pipeline invalidates the cache
-    code = inspect.getsource(QUERIES["simhash_hamming_pairs"]) + inspect.getsource(
-        _D.simhash_fingerprints
+    # computes them — including TRANSITIVE helpers (tokens/_md5_int/_fan and
+    # everything else the fingerprint path calls): hashing only the two
+    # top-level functions once served stale staged pairs after a helper
+    # edit. The whole dedup/text modules + the local _fan are in the key;
+    # coarser invalidation than strictly needed, never stale.
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
+    code = (
+        inspect.getsource(QUERIES["simhash_hamming_pairs"])
+        + inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
@@ -4051,7 +4059,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   unnest(ps) AS sentence
            FROM parts)
     SELECT doc_id, sent_idx, sentence, length(sentence)::INT AS n_chars
-    FROM ex WHERE trim(sentence) <> ''
+    FROM ex WHERE trim(sentence, ' ' || chr(9) || chr(10) || chr(13)) <> ''
     """,
 )
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,7 @@ per key; the fixture keeps exact sets, the plumbing is identical.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 from typing import Any
 
@@ -34,6 +35,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# which running-totals API actually executed last ("transformWithStateInPandas"
+# or "applyInPandasWithState"); None until running_user_totals is called
+LAST_TOTALS_PATH: str | None = None
 
 STATE_SCHEMA = T.StructType(
     [
@@ -301,14 +306,24 @@ def running_user_totals(
     (RunningTotalsProcessor); falls back to an identical-semantics
     ``applyInPandasWithState`` plan when the protobuf runtime it requires
     is unavailable. Both emit (key, upd, n_events, sum_micros) per batch;
-    max-``upd`` row per key is the final state."""
+    max-``upd`` row per key is the final state.
+
+    The chosen path is recorded in the module-level ``LAST_TOTALS_PATH``
+    and printed to stderr, so test/bench output states explicitly which
+    API actually executed (in environments without protobuf, the headline
+    TWS path never runs — don't let a green run imply it was exercised)."""
+    global LAST_TOTALS_PATH
     if has_transform_with_state_runtime():
+        LAST_TOTALS_PATH = "transformWithStateInPandas"
+        print(f"STATEFUL_PATH | {LAST_TOTALS_PATH}", file=sys.stderr)
         return stream.groupBy(key_col).transformWithStateInPandas(
             statefulProcessor=RunningTotalsProcessor(key_col, value_col),
             outputStructType=_totals_schema(key_col),
             outputMode="Update",
             timeMode="None",
         )
+    LAST_TOTALS_PATH = "applyInPandasWithState"
+    print(f"STATEFUL_PATH | {LAST_TOTALS_PATH} (protobuf absent)", file=sys.stderr)
     return stream.groupBy(key_col).applyInPandasWithState(
         _totals_fallback_fn(key_col, value_col),
         outputStructType=_totals_schema(key_col),
