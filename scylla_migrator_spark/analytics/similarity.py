@@ -273,6 +273,56 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, id_col, vec_col, k)
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus hive-partitioned by ``centroid_id`` — the IVF
+    index layout the ad-hoc :func:`ivf_topk` docstring promises at scale:
+    assignment runs ONCE at build time, and every subsequent probe
+    partition-prunes to ``nprobe`` of ``n_centroids`` directories instead of
+    recomputing the argmax over the whole table. The pre-write repartition
+    clusters each cell into one file (vs num_input_partitions small files
+    per cell dir)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_partitioned` layout: the centroid-id filter
+    is a PARTITION filter, so Catalyst prunes all but ``nprobe`` cell
+    directories at planning time — no per-row assignment, no full scan.
+    ``centroids`` must be the same list the layout was built with (persist
+    them next to the index in production)."""
+    import math
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec)
+    )[:nprobe]
+    cand = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    return brute_force_topk(cand, query_vec, id_col, vec_col, k)
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -336,3 +336,51 @@ def test_token_budget_heavy_agg_precedes_tiny_window(spark, sf_dir):
     plan = plan_of(Q.QUERIES["token_budget_allocation"](spark, sf_dir), mode="simple")
     assert "HashAggregate" in plan  # token count partials
     assert "Window" in plan
+
+
+def test_ivf_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """write_ivf_partitioned + ivf_topk_partitioned: the probe's centroid
+    filter is a partition filter — nprobe of n_centroids directories read,
+    results identical to the assign-per-query form (same k-means
+    centroids)."""
+    from scylla_migrator_spark.analytics.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        kmeans_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2)
+    out = str(tmp_path / "ivf_layout")
+    write_ivf_partitioned(emb, out, cents)
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    probe = ivf_topk_partitioned(spark, out, cents, qv, k=5, nprobe=2)
+    plan = plan_of(probe)
+    assert (
+        "PartitionFilters" in plan
+        and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+    )
+    # physical proof: the pruned scan reads at most nprobe cell directories
+    # (input_file_name on the scan frame itself, before the top-k exchange)
+    import math
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    probe_ids = sorted(range(8), key=lambda i: -cos_py(cents[i], qv))[:2]
+    pruned = spark.read.parquet(out).filter(F.col("centroid_id").isin(probe_ids))
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files, "probe cells unexpectedly empty"
+    dirs = {f.split("/centroid_id=")[1].split("/")[0] for f in files}
+    assert 1 <= len(dirs) <= 2
+    # parity with the assign-per-query form (same centroids => same answer)
+    expect = [
+        (r["vec_id"], r["cos"])
+        for r in ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=2, iters=2).collect()
+    ]
+    assert [(r["vec_id"], r["cos"]) for r in probe.collect()] == expect
