@@ -87,6 +87,7 @@ def upsert_parquet(
     keys: list[str],
     existing: DataFrame | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    affected: list[int] | None = None,
 ) -> None:
     """Replace rows matching ``keys`` with the batch's rows (last-writer-wins
     upsert, K7 semantics), rewriting ONLY the key-hash bucket partitions the
@@ -99,7 +100,10 @@ def upsert_parquet(
     null, and a null-unsafe condition would never match an existing
     null-key row — every upsert would duplicate it instead of replacing it.
     Callers that already read the current table pass it as ``existing``;
-    it is pruned to the affected buckets before the merge."""
+    it is pruned to the affected buckets before the merge. Callers that
+    already know the batch's bucket set (e.g. the SCD2 maintainer, whose
+    output keys are exactly its input batch's keys) pass ``affected`` to
+    skip the distinct-buckets job over the batch frame."""
     spark = batch_df.sparkSession
     exists = os.path.isdir(path) and any(
         e.startswith(f"{BUCKET_COL}=") for e in os.listdir(path)
@@ -107,10 +111,11 @@ def upsert_parquet(
     n_buckets = _table_buckets(path, n_buckets) if exists else n_buckets
     batch_df = batch_df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).persist()
     try:
-        affected = sorted(
-            r[0] for r in batch_df.select(BUCKET_COL).distinct().collect()
-        )
         if exists:
+            if affected is None:
+                affected = sorted(
+                    r[0] for r in batch_df.select(BUCKET_COL).distinct().collect()
+                )
             if existing is None:
                 existing = spark.read.parquet(path)
             elif BUCKET_COL not in existing.columns:
@@ -127,16 +132,24 @@ def upsert_parquet(
                 cond = c if cond is None else (cond & c)
             merged = ex.join(new_keys, on=cond, how="left_anti").unionByName(batch_df)
         else:
-            merged = batch_df
+            merged = batch_df  # first generation: no prune list needed
         tmp = f"{path}__gen_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        # cluster each bucket into one task/file: without this, every
+        # shuffle partition opens a writer per bucket it touches
+        # (tasks x buckets small files) and the dynamic-partition sort
+        # runs per task
+        merged.repartition(F.col(BUCKET_COL)).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(tmp)
         os.makedirs(path, exist_ok=True)
         _write_meta(path, n_buckets)
-        for b in affected:
-            src = os.path.join(tmp, f"{BUCKET_COL}={b}")
-            dst = os.path.join(path, f"{BUCKET_COL}={b}")
-            if not os.path.isdir(src):
-                continue  # batch rows all superseded (cannot happen today)
+        # the swap set is read off the written generation: exactly the
+        # buckets the batch touched (no extra distinct job needed)
+        for entry in os.listdir(tmp):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            src = os.path.join(tmp, entry)
+            dst = os.path.join(path, entry)
             old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
             if os.path.isdir(dst):
                 os.replace(dst, old)

@@ -64,12 +64,16 @@ def scd2_upsert_batch(
 
     spark = batch_df.sparkSession
     new_rows = batch_df.select(*key_cols, *attr_cols, ts_col, tie_col)
+    buckets = None
     if os.path.isdir(serving_path) and any(
         e.startswith(f"{BUCKET_COL}=") for e in os.listdir(serving_path)
     ):
+        # one cheap distinct over the raw batch (not the windowed hist)
+        # gives the affected bucket set for BOTH the prior-fetch prune and
+        # the upsert; the first generation needs neither
+        buckets, _n = affected_buckets(new_rows, key_cols, serving_path)
         # prune the serving scan to the bucket partitions the batch's keys
         # hash into — the prior-fetch never reads untouched buckets
-        buckets, _n = affected_buckets(new_rows, key_cols, serving_path)
         served = (
             spark.read.parquet(serving_path)
             .filter(F.col(BUCKET_COL).isin(buckets))
@@ -92,7 +96,10 @@ def scd2_upsert_batch(
     else:
         union = new_rows
     hist = scd2_history(union, key_cols, ts_col, attr_cols, tie_col, tie_out=_TIE_OUT)
-    upsert_parquet(hist, serving_path, key_cols)
+    # hist's key set == the batch's key set (prior rows share the batch's
+    # keys), so its bucket set is exactly the one computed for the
+    # prior-fetch prune — pass it through to skip a distinct job over hist
+    upsert_parquet(hist, serving_path, key_cols, affected=buckets)
 
 
 def incremental_scd2(
