@@ -517,6 +517,46 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_ingest_dedup",
+    """
+    WITH d AS (SELECT source, doc_id, sha256(text) AS dg FROM documents),
+    idx AS (SELECT DISTINCT dg FROM d WHERE doc_id % 2 = 0),
+    nb AS (SELECT source, dg, dg IN (SELECT dg FROM idx) AS hit
+           FROM d WHERE doc_id % 2 = 1)
+    SELECT source, count(*) AS n_new,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_index,
+           count(DISTINCT CASE WHEN NOT hit THEN dg END) AS new_unique
+    FROM nb GROUP BY source
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: a NEW batch (odd doc_ids) is
+    deduped against the digest INDEX of the already-ingested corpus (even
+    doc_ids) — the standing-pipeline form of exact dedup, where every
+    ingestion run anti-joins its batch against the persisted digest table
+    and appends only the survivors' digests.
+
+    Scale shape: the index carries 32-byte digests, never documents; the
+    probe is a digest-keyed join (broadcast when the batch's digest set is
+    small, shuffle otherwise), and per-source ingestion stats come out of
+    the same pass — at 100 TB this is one scan of the new batch plus a
+    digest-table join, independent of corpus text volume."""
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
+        "source", "doc_id", F.sha2(F.col("text"), 256).alias("dg")
+    )
+    index = docs.filter(F.col("doc_id") % 2 == 0).select("dg").distinct()
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    hit = batch.join(
+        index.withColumn("__hit", F.lit(True)), on="dg", how="left"
+    ).withColumn("hit", F.col("__hit").isNotNull())
+    return hit.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("dup_vs_index"),
+        F.count_distinct(F.when(~F.col("hit"), F.col("dg"))).alias("new_unique"),
+    )
+
+
+@_register(
     "text_quality",
     """
     WITH toks AS (

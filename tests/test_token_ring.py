@@ -114,3 +114,43 @@ def test_migrate_token_ranges_kill_resume(spark, sf_dir, tmp_path):
     assert out.count() == n_src
     assert out.select("o_orderkey").distinct().count() == n_src
     assert len(SavepointsManager.resume(str(tmp_path / "sp")).skip_token_ranges) == 8
+
+
+def test_migrate_token_ranges_append_never_rewrites_done_ranges(spark, sf_dir, tmp_path):
+    """Resume must not touch files of already-committed range partitions:
+    the target is partitioned by __range and chunks append disjoint
+    partitions (the token-range twin of the streaming upsert's
+    byte-identical-untouched-buckets contract)."""
+    import os
+
+    from scylla_migrator_spark.config import MigratorConfig
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+            "primaryKey": ["o_orderkey"],
+            "savepoints": {"path": str(tmp_path / "sp"), "intervalSeconds": 3600},
+        }
+    )
+    migrate_token_ranges(spark, cfg, n_ranges=6, ranges_per_chunk=3, stop_after_chunks=1)
+
+    def snapshot(root):
+        out = {}
+        for r, _d, files in os.walk(root):
+            for f in files:
+                p = os.path.join(r, f)
+                out[p] = (os.stat(p).st_mtime_ns, os.stat(p).st_size)
+        return out
+
+    done_dirs = [
+        os.path.join(str(tmp_path / "out"), e)
+        for e in os.listdir(str(tmp_path / "out"))
+        if e.startswith("__range=")
+    ]
+    assert done_dirs
+    before = {d: snapshot(d) for d in done_dirs}
+    out = migrate_token_ranges(spark, cfg, n_ranges=6, ranges_per_chunk=3)
+    assert {d: snapshot(d) for d in done_dirs} == before
+    n_src = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert out.count() == n_src
