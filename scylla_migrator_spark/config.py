@@ -590,6 +590,10 @@ class SourceSettings:
     num_partitions: int | None = None
     # cql-fixture settings
     preserve_timestamps: bool = False
+    # token-range planning: number of ring splits for the CQL scan
+    # (reference SourceSettings.Cassandra splitCount, SourceSettings.scala:74;
+    # consumed by sources/token_ring.migrate_token_ranges)
+    split_count: int | None = None
     # schema evolution across parquet files (union schema, absent cols null)
     merge_schema: bool = False
     # resume skip sets (reference MigratorConfig.scala:43-57)
@@ -623,6 +627,8 @@ class SourceSettings:
                 raise ConfigError("sql source requires a query")
             if not self.tables:
                 raise ConfigError("sql source requires a tables mapping {view: path}")
+        if self.split_count is not None and self.split_count < 1:
+            raise ConfigError("splitCount must be >= 1")
         if self.num_partitions is not None:
             if self.num_partitions < 1:
                 raise ConfigError("numPartitions must be >= 1")

@@ -222,7 +222,7 @@ def assign_token_ranges(
 def migrate_token_ranges(
     spark,
     config,
-    n_ranges: int = 8,
+    n_ranges: int | None = None,
     ranges_per_chunk: int = 2,
     stop_after_chunks: int | None = None,
 ) -> DataFrame:
@@ -243,6 +243,10 @@ def migrate_token_ranges(
     if not config.primary_key:
         raise ValueError("migrate_token_ranges requires a primaryKey")
 
+    if n_ranges is None:
+        # reference splitCount posture: configured ring splits, defaulting
+        # to a multiple of the parallelism so stragglers rebalance
+        n_ranges = config.source.split_count or 8
     ranges = full_ring_ranges(n_ranges)
     mgr = SavepointsManager.resume(sp_dir)
     todo = [r for r in ranges if tuple(r) not in mgr.skip_token_ranges]

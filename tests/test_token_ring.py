@@ -154,3 +154,35 @@ def test_migrate_token_ranges_append_never_rewrites_done_ranges(spark, sf_dir, t
     assert {d: snapshot(d) for d in done_dirs} == before
     n_src = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert out.count() == n_src
+
+
+def test_split_count_config_drives_ring(spark, sf_dir, tmp_path):
+    """source.splitCount (SourceSettings.scala:74) sets the ring split count
+    when the caller doesn't override n_ranges."""
+    from scylla_migrator_spark.config import ConfigError, MigratorConfig
+    from scylla_migrator_spark.savepoints import SavepointsManager
+
+    cfg = MigratorConfig.from_dict(
+        {
+            "source": {
+                "type": "parquet",
+                "path": f"{sf_dir}/orders.parquet",
+                "splitCount": 4,
+            },
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+            "primaryKey": ["o_orderkey"],
+            "savepoints": {"path": str(tmp_path / "sp"), "intervalSeconds": 3600},
+        }
+    )
+    migrate_token_ranges(spark, cfg, ranges_per_chunk=4)
+    assert len(SavepointsManager.resume(str(tmp_path / "sp")).skip_token_ranges) == 4
+
+    import pytest as _pt
+
+    with _pt.raises(ConfigError, match="splitCount"):
+        MigratorConfig.from_dict(
+            {
+                "source": {"type": "parquet", "path": "/x", "splitCount": 0},
+                "target": {"type": "parquet", "path": "/y"},
+            }
+        )
