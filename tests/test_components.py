@@ -103,3 +103,18 @@ def test_two_phase_matches_label_propagation_random(spark):
         lp = {r["id"]: r["comp"] for r in connected_components(df).collect()}
         tp = {r["id"]: r["comp"] for r in connected_components_two_phase(df).collect()}
         assert tp == lp, f"case {i}: two-phase diverged from propagation"
+
+
+def test_two_phase_raises_when_fixpoint_not_reached(spark):
+    """Exhausting max_iter without the star fixpoint must raise, never
+    silently return wrong labels (a non-fixpoint edge set reads off
+    garbage components)."""
+    import pytest as _pt
+
+    from scylla_migrator_spark.analytics.components import (
+        connected_components_two_phase,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with _pt.raises(RuntimeError, match="max_iter"):
+        connected_components_two_phase(df, max_iter=0).collect()
