@@ -557,6 +557,57 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixing_temperature_weights",
+    """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    p AS (SELECT source, n_docs, n_tokens,
+                 CAST(pow(n_tokens, 0.5) AS DECIMAL(28,9)) AS pw FROM per),
+    t AS (SELECT sum(pw) AS total FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(pw AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
+           round(CAST(pw AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 / n_tokens, 6)
+             AS epochs_at_1m_budget
+    FROM p, t
+    """,
+)
+def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing temperature weights (the multi-source sampling op of
+    LLM pretraining): per-source sampling weight ∝ n_tokens^alpha with
+    alpha=0.5 — upweights small sources relative to proportional sampling —
+    plus the implied epochs over each source at a fixed token budget
+    (epochs > 1 = the source will repeat).
+
+    Shape: one partial-agg pass for per-source token counts (map-side
+    combined), a DECIMAL sum of the 4-ish pow terms broadcast back as a
+    scalar (order-independent — a double sum of the pows would be
+    engine/order-dependent in the last bit), then pure arithmetic. At
+    100 TB the whole query is the token-count scan; everything after is
+    constant-size."""
+    per = (
+        _fan(_t(spark, sf_dir, "documents"))
+        .select("source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("pw", F.pow(F.col("n_tokens"), 0.5).cast("decimal(28,9)"))
+    )
+    total = per.agg(F.sum("pw").alias("total"))
+    w = F.col("pw").cast("double") / F.col("total").cast("double")
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w * 1_000_000 / F.col("n_tokens"), 6).alias("epochs_at_1m_budget"),
+    )
+
+
+@_register(
     "text_quality",
     """
     WITH toks AS (
