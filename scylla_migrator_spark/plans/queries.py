@@ -698,6 +698,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)
 
 
+@_register(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label,
+        round(
+          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM embeddings, q WHERE label <> q.ql)
+    SELECT vec_id, label, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): the top-k most
+    query-similar vectors whose LABEL DIFFERS from the query's — exactly
+    the near-miss negatives a retrieval/embedding trainer wants. Same
+    TakeOrdered no-global-sort shape as ann_cosine_topk; the label filter
+    lands in the scan stage (predicate pushdown), so at 100 TB the mining
+    pass costs one pruned scan per query batch — and batches of queries
+    share it via a block-keyed join (knn_graph's shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    negatives = emb.filter(F.col("label") != qrow["label"])
+    scored = negatives.select(
+        "vec_id",
+        "label",
+        F.round(
+            SIM.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(x) for x in qv]),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
