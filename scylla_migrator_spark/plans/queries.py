@@ -608,6 +608,55 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "vocab_coverage_oov",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 20),
+    marked AS (
+      SELECT t.doc_id, (t.w IN (SELECT w FROM vocab)) AS known FROM toks t)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM marked GROUP BY doc_id
+    """,
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage gate: per-document out-of-vocabulary rate against
+    the corpus's own top-20 token vocabulary (the garbled-text /
+    wrong-tokenizer detector of curation pipelines — high OOV = drop or
+    re-tokenize).
+
+    Shape: the vocabulary is a TakeOrdered top-k over partial-agg token
+    counts, then BROADCAST into the per-token membership pass — the corpus
+    tokens never shuffle for the join. Integer OOV counts; the rate divides
+    once per doc (engine-stable)."""
+    toks = (
+        _fan(_t(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(20)
+        .select("w")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("__known", F.lit(True))), on="w", how="left"
+    )
+    oov = F.when(F.col("__known").isNull(), 1).otherwise(0)
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+@_register(
     "text_quality",
     """
     WITH toks AS (
