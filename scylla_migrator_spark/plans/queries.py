@@ -608,6 +608,63 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "span_corruption_plan",
+    """
+    WITH d AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens,
+             greatest(1, CAST(floor(n_tokens * 0.15 / 3) AS INT)) AS n_spans
+      FROM d WHERE n_tokens >= 3),
+    s AS (
+      SELECT doc_id, n_tokens, gs.i AS span_id,
+             CAST(CAST('0x' || substr(md5(doc_id || ':' || gs.i), 1, 8) AS BIGINT)
+                  % (n_tokens - 2) AS INT) AS start
+      FROM p, generate_series(0, 63) AS gs(i) WHERE gs.i < n_spans)
+    SELECT doc_id, span_id, start, CAST(3 AS INT) AS span_len, n_tokens
+    FROM s
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: for each document, deterministic mask
+    spans covering ~15% of tokens in length-3 spans — span starts derive
+    from md5(doc_id:span_id), so the same document always gets the same
+    masks (reproducible pretraining batches without an RNG state to ship).
+    Overlapping spans are allowed (the standard implementations merge at
+    apply time). Pure column arithmetic + one bounded explode — no shuffle,
+    fuses into the scan; the apply step composes with doc_chunking's
+    slice machinery."""
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    planned = docs.filter(F.col("n_tokens") >= 3).withColumn(
+        "n_spans",
+        F.greatest(F.lit(1), F.floor(F.col("n_tokens") * 0.15 / 3).cast("int")),
+    )
+    sp = planned.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_id"),
+    )
+    start = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("span_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n_tokens") - 2)
+    ).cast("int")
+    return sp.select(
+        "doc_id",
+        "span_id",
+        start.alias("start"),
+        F.lit(3).cast("int").alias("span_len"),
+        "n_tokens",
+    )
+
+
+@_register(
     "vocab_coverage_oov",
     """
     WITH toks AS (
