@@ -114,6 +114,12 @@ HEADLINE = [
     "point_in_time_features",
     "stream_scd2_history",
     "unigram_nll_score",
+    "multimodal_jpeg_meta",
+    "incremental_ingest_dedup",
+    "mixing_temperature_weights",
+    "hard_negative_mining",
+    "vocab_coverage_oov",
+    "span_corruption_plan",
 ]
 
 
