@@ -398,20 +398,23 @@ def semdedup(
         .distinct()
     )
     try:
-        # materialize eagerly so the cached frame can be RELEASED before
-        # returning: a bare .persist() left here accumulates blocks across
-        # every caller in a long session (the bench runs dozens of queries
-        # in one). localCheckpoint blocks are GC'd with the returned frame.
-        return (
-            assigned.join(
-                pruned.withColumn("__pruned", F.lit(True)), on=id_col, how="left"
-            )
-            .select(
-                F.col(id_col),
-                F.col("centroid_id"),
-                F.col("__pruned").isNull().alias("kept"),
-            )
-            .localCheckpoint(eager=True)
+        # materialize the PRUNE LIST eagerly (it is small — pruned ids
+        # only), so the cached full frame can be RELEASED before returning:
+        # a bare .persist() left here accumulates blocks across every
+        # caller in a long session, and checkpointing the full output
+        # would write the whole corpus to block storage. The final join
+        # recomputes the cheap scan+argmax once against the materialized
+        # list; localCheckpoint blocks are GC'd with the returned frame.
+        pruned = pruned.withColumn("__pruned", F.lit(True)).localCheckpoint(
+            eager=True
         )
     finally:
         assigned.unpersist()
+    fresh = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col), "centroid_id"
+    )
+    return fresh.join(pruned, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.col("__pruned").isNull().alias("kept"),
+    )
