@@ -214,3 +214,24 @@ def test_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     upsert_parquet(g3, path, ["k"], n_buckets=7)
     rows = {r["k"]: r["total"] for r in spark.read.parquet(path).collect()}
     assert rows[1] == 111 and len(rows) == 40
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    """The crash-recovery contract of the partition-scoped upsert: replaying
+    the SAME micro-batch (what a checkpointed foreachBatch does after a
+    mid-swap crash) must leave the table state exactly as a single
+    application — last-writer-wins replace is idempotent per bucket."""
+    from scylla_migrator_spark.streaming.rollup import upsert_parquet
+
+    path = str(tmp_path / "serving_replay")
+    g1 = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k int, total int"
+    )
+    upsert_parquet(g1, path, ["k"])
+    g2 = spark.createDataFrame([(3, 333), (21, 210)], "k int, total int")
+    upsert_parquet(g2, path, ["k"])
+    once = {(r["k"], r["total"]) for r in spark.read.parquet(path).collect()}
+    upsert_parquet(g2, path, ["k"])  # replay after simulated crash
+    twice = {(r["k"], r["total"]) for r in spark.read.parquet(path).collect()}
+    assert once == twice
+    assert (3, 333) in twice and (21, 210) in twice and len(twice) == 21
