@@ -384,3 +384,15 @@ def test_ivf_partitioned_layout_prunes_partitions(spark, tmp_path):
         for r in ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=2, iters=2).collect()
     ]
     assert [(r["vec_id"], r["cos"]) for r in probe.collect()] == expect
+
+
+def test_ingest_dedup_and_oov_probe_joins_broadcast(spark, sf_dir):
+    """The digest-index probe (incremental_ingest_dedup) and the vocab
+    membership join (vocab_coverage_oov) must be broadcast hash joins —
+    the corpus side never shuffles for either probe."""
+    from scylla_migrator_spark.plans import queries as Q
+
+    for name in ("incremental_ingest_dedup", "vocab_coverage_oov"):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
