@@ -261,6 +261,75 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), *carry, sh.alias("sh"))
 
 
+def simhash_banded_pairs(
+    fp: DataFrame,
+    id_col: str,
+    sh_col: str = "sh",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Band-prefix LSH blocking for SimHash — the 100 TB candidate
+    generator: split each ``bits``-bit fingerprint into ``bands`` equal
+    bands; by pigeonhole, two fingerprints within hamming distance
+    ``max_hamming < bands`` agree EXACTLY on at least one band, so the
+    candidate set is a union of per-band equi-joins on (band_id, band
+    value) — bucketed shuffle keys, never an all-pairs or whole-corpus
+    block self-join. Candidates are then verified with the exact popcount.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    Plan shape: one explode to (id, band_id, band_val), one equi-join on
+    the band key, distinct on the pair, exact verify — the same
+    bucket-then-verify shape as MinHash LSH (``lsh_pairs``)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole guarantee needs bands > max_hamming (got {bands} <= {max_hamming})"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+    banded = fp.select(
+        F.col(id_col),
+        F.col(sh_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col(sh_col), b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, sh_col, "bb.band_id", "bb.band_val")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sh_col}").alias("sh_a"),
+            F.col(f"b.{sh_col}").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over word tokens: per-bit vote of token hashes.
 
