@@ -120,6 +120,8 @@ HEADLINE = [
     "hard_negative_mining",
     "vocab_coverage_oov",
     "span_corruption_plan",
+    "simhash_banded_pairs",
+    "funnel_conversion",
 ]
 
 

@@ -517,6 +517,63 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+               AND t_purchase IS NOT NULL AND t_purchase > t_click AS s3
+      FROM stages)
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase,
+           round(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0), 6) AS conversion
+    FROM flags
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user reaches a
+    stage only if its FIRST occurrence strictly follows the first occurrence
+    of the previous stage — the sequence-constrained conversion the events
+    product teams query daily. One conditional-min aggregation per user
+    (map-side combined, single shuffle on user_id), then pure flag
+    arithmetic and a scalar rollup — no self-joins, no window over the raw
+    event stream, so at 100 TB the cost is one pass over events."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    flags = stages.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    one = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        one("s1").alias("reached_view"),
+        one("s2").alias("reached_click"),
+        one("s3").alias("reached_purchase"),
+        F.round(
+            one("s3") * 1.0 / F.nullif(one("s1").cast("double"), F.lit(0.0)), 6
+        ).alias("conversion"),
+    )
+
+
+@_register(
     "incremental_ingest_dedup",
     """
     WITH d AS (SELECT source, doc_id, sha256(text) AS dg FROM documents),
