@@ -369,6 +369,35 @@ def validate_alternator_decoding(
     # settings themselves validate in __post_init__
 
 
+# CQL consistency levels (the driver's DefaultConsistencyLevel set;
+# reference ConsistencyLevelUtils.scala:11-20)
+CONSISTENCY_LEVELS = (
+    "ANY",
+    "ONE",
+    "TWO",
+    "THREE",
+    "QUORUM",
+    "ALL",
+    "LOCAL_ONE",
+    "LOCAL_QUORUM",
+    "EACH_QUORUM",
+    "SERIAL",
+    "LOCAL_SERIAL",
+)
+
+
+def parse_consistency_level(configured: str) -> str:
+    """Parse-or-fail with the valid set in the error, case-normalized
+    (ConsistencyLevelUtils.parseConsistencyLevel)."""
+    level = configured.strip().upper()
+    if level not in CONSISTENCY_LEVELS:
+        raise ConfigError(
+            f"Invalid consistency level {configured!r}. Valid values are: "
+            + ", ".join(CONSISTENCY_LEVELS)
+        )
+    return level
+
+
 # --------------------------------------------------------------------------
 # Credentials / SSL / secure-connect bundle settings
 # (reference config/Credentials.scala, config/AWSCredentials.scala,
@@ -594,6 +623,10 @@ class SourceSettings:
     # (reference SourceSettings.Cassandra splitCount, SourceSettings.scala:74;
     # consumed by sources/token_ring.migrate_token_ranges)
     split_count: int | None = None
+    # CQL consistency level for the source connection (reference
+    # ConsistencyLevelUtils.scala:11-20: parse-or-fail with the valid set in
+    # the error). Recorded for the live path; validated at decode time.
+    consistency_level: str | None = None
     # schema evolution across parquet files (union schema, absent cols null)
     merge_schema: bool = False
     # resume skip sets (reference MigratorConfig.scala:43-57)
@@ -629,6 +662,8 @@ class SourceSettings:
                 raise ConfigError("sql source requires a tables mapping {view: path}")
         if self.split_count is not None and self.split_count < 1:
             raise ConfigError("splitCount must be >= 1")
+        if self.consistency_level is not None:
+            self.consistency_level = parse_consistency_level(self.consistency_level)
         if self.num_partitions is not None:
             if self.num_partitions < 1:
                 raise ConfigError("numPartitions must be >= 1")

@@ -168,3 +168,18 @@ def test_cloud_exclusivity_rules():
     )
     assert isinstance(cfg.source.cloud, CloudConfig)
     assert cfg.rendered()["source"]["cloud"] == {"secureBundlePath": "/b.zip"}
+
+
+def test_consistency_level_parse():
+    """ConsistencyLevelUtils parity: case-normalized parse-or-fail with the
+    valid set listed in the error."""
+    from scylla_migrator_spark.config import parse_consistency_level
+
+    assert parse_consistency_level("local_quorum") == "LOCAL_QUORUM"
+    assert parse_consistency_level(" ONE ") == "ONE"
+    with pytest.raises(ConfigError, match="Valid values are: ANY, ONE"):
+        parse_consistency_level("QUORUMM")
+    cfg = _cfg(source_extra={"consistencyLevel": "local_one"})
+    assert cfg.source.consistency_level == "LOCAL_ONE"
+    with pytest.raises(ConfigError, match="Invalid consistency level"):
+        _cfg(source_extra={"consistencyLevel": "nope"})
