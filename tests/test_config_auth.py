@@ -183,3 +183,39 @@ def test_consistency_level_parse():
     assert cfg.source.consistency_level == "LOCAL_ONE"
     with pytest.raises(ConfigError, match="Invalid consistency level"):
         _cfg(source_extra={"consistencyLevel": "nope"})
+
+
+def test_compute_final_credentials_chain():
+    """AwsUtils.computeFinalCredentials parity: static pass-through,
+    assume-role exchange via an injected STS client, secrets never in
+    repr."""
+    from scylla_migrator_spark.functions.aws_creds import (
+        ResolvedCredentials,
+        compute_final_credentials,
+    )
+
+    assert compute_final_credentials(None) is None
+    static = compute_final_credentials(AWSCredentials("AK", "SK"))
+    assert static == ResolvedCredentials("AK", "SK", None)
+
+    calls = []
+
+    class FakeSts:
+        def assume_role(self, role_arn, session_name, base):
+            calls.append((role_arn, session_name, base.access_key))
+            return {
+                "AccessKeyId": "ASIA_TEMP",
+                "SecretAccessKey": "TEMP_SK",
+                "SessionToken": "TOKEN",
+            }
+
+    chained = compute_final_credentials(
+        AWSCredentials("AK", "SK", {"arn": ARN}), FakeSts()
+    )
+    # base pair authenticated the STS call; session creds are the result
+    assert calls == [(ARN, "scylla-migrator", "AK")]
+    assert chained.session_token == "TOKEN" and chained.access_key == "ASIA_TEMP"
+    assert "TEMP_SK" not in repr(chained) and "ASIA_TEMP" not in repr(chained)
+
+    with pytest.raises(ValueError, match="no STS client"):
+        compute_final_credentials(AWSCredentials("AK", "SK", {"arn": ARN}))
