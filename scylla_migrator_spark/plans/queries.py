@@ -224,6 +224,37 @@ def validation_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "validation_failure_breakdown",
+    """
+    WITH src AS (SELECT * FROM orders)
+    SELECT '' AS col, 'MissingTargetRow' AS kind, count(*)::BIGINT AS cnt
+      FROM src WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'o_totalprice' AS col, 'DifferingFieldValues' AS kind, count(*)::BIGINT
+      FROM src WHERE o_orderkey % 97 <> 0 AND o_orderkey % 13 = 0
+    UNION ALL
+    SELECT 'o_orderstatus' AS col, 'DifferingFieldValues' AS kind, count(*)::BIGINT
+      FROM src WHERE o_orderkey % 97 <> 0 AND o_orderkey % 31 = 0
+    """,
+)
+def validation_failure_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN failure histogram (V3 drill-down): the same join-diff as
+    validation_diff_counts, but grouped by (column, kind) — the report an
+    operator actually acts on ("o_totalprice diverges on 5k rows" names the
+    broken transform; a kind-only total doesn't). Same single-shuffle diff
+    plan; the breakdown is one extra narrow aggregation over the exploded
+    failure entries."""
+    src = _t(spark, sf_dir, "orders")
+    tgt = _perturbed_target(src)
+    diff, _ = V.joined_diff(src, tgt, ["o_orderkey"], Validation())
+    return (
+        diff.select(F.explode(V.FAILURES_COL).alias("f"))
+        .groupBy(F.col("f.column").alias("col"), F.col("f.kind").alias("kind"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_register(
     "extra_target_rows",
     """
     SELECT o_orderkey + 10000000 AS o_orderkey FROM orders WHERE o_orderkey % 101 = 0
