@@ -122,6 +122,7 @@ HEADLINE = [
     "span_corruption_plan",
     "simhash_banded_pairs",
     "funnel_conversion",
+    "validation_failure_breakdown",
 ]
 
 
