@@ -123,6 +123,8 @@ HEADLINE = [
     "simhash_banded_pairs",
     "funnel_conversion",
     "validation_failure_breakdown",
+    "boilerplate_prefix_groups",
+    "weekly_event_drift",
 ]
 
 

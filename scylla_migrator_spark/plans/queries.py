@@ -605,6 +605,82 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "boilerplate_prefix_groups",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' ')
+               AS prefix
+      FROM documents)
+    SELECT prefix, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS keeper_id
+    FROM p GROUP BY prefix HAVING count(*) > 1
+    """,
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: documents sharing an identical 8-token PREFIX
+    (site headers, license banners, template intros — the highest-yield
+    cheap dedup signal after exact hashing). Groups with >1 member get a
+    deterministic keeper; the shuffle key is the short prefix string, not
+    the document. At 100 TB swap the prefix string for its xxhash64 to
+    shrink the shuffle further — same plan shape."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+    )
+    return (
+        docs.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@_register(
+    "weekly_event_drift",
+    """
+    WITH w AS (
+      SELECT event_type, (epoch_us(ts) // 604800000000)::BIGINT AS week,
+             count(*) AS n
+      FROM events GROUP BY event_type, week)
+    SELECT event_type, week, n,
+           coalesce(n - lag(n) OVER (PARTITION BY event_type ORDER BY week), 0)::BIGINT
+             AS wow_change
+    FROM w
+    """,
+)
+def weekly_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift monitor: weekly event counts per type with
+    week-over-week change — the distribution-shift alarm a training-data
+    ingest pipeline watches (a collapsing event type upstream means a
+    skewed corpus downstream). One partial-agg shuffle to (type, week)
+    grains, then a lag window over the TINY aggregated frame — the window
+    never sees raw events."""
+    from pyspark.sql.window import Window
+
+    week_ns = 604_800_000_000_000  # 7 days in nanos (fixture ts is nanos)
+    w = (
+        _fan(_t(spark, sf_dir, "events"))
+        .groupBy("event_type", F.expr(f"ts DIV {week_ns}").alias("week"))
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("event_type").orderBy("week")
+    return w.select(
+        "event_type",
+        "week",
+        "n",
+        F.coalesce(F.col("n") - F.lag("n").over(win), F.lit(0))
+        .cast("bigint")
+        .alias("wow_change"),
+    )
+
+
+@_register(
     "incremental_ingest_dedup",
     """
     WITH d AS (SELECT source, doc_id, sha256(text) AS dg FROM documents),
