@@ -125,6 +125,8 @@ HEADLINE = [
     "validation_failure_breakdown",
     "boilerplate_prefix_groups",
     "weekly_event_drift",
+    "join_key_skew_stats",
+    "column_completeness_profile",
 ]
 
 

@@ -605,6 +605,85 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "join_key_skew_stats",
+    """
+    WITH per AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
+    SELECT count(*) AS n_keys,
+           max(c)::BIGINT AS max_per_key,
+           min(c)::BIGINT AS min_per_key,
+           round(avg(c), 6) AS avg_per_key,
+           round(max(c) * 1.0 / avg(c), 6) AS skew_factor
+    FROM per
+    """,
+)
+def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key cardinality stats + the
+    max/avg skew factor for the orders.o_custkey join key — the number an
+    engineer checks BEFORE choosing broadcast/salting/AQE-skew-join for a
+    big join. One partial-agg pass to per-key counts, then a scalar rollup
+    over the (already tiny) key-count frame."""
+    per = (
+        _fan(_t(spark, sf_dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.agg(
+        F.count("*").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_per_key"),
+        F.min("c").cast("bigint").alias("min_per_key"),
+        F.round(F.avg("c"), 6).alias("avg_per_key"),
+        F.round(F.max("c") * 1.0 / F.avg("c"), 6).alias("skew_factor"),
+    )
+
+
+@_register(
+    "column_completeness_profile",
+    """
+    SELECT 'o_orderdate' AS col,
+           count(*) AS n_rows,
+           count(o_orderdate) AS n_present,
+           round(1.0 - count(o_orderdate) * 1.0 / count(*), 6) AS null_rate
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           round(1.0 - count(o_totalprice) * 1.0 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           round(1.0 - count(o_orderstatus) * 1.0 / count(*), 6)
+    FROM orders
+    """,
+)
+def column_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile (schema-drift detector): per-column
+    present/null rates in ONE aggregation pass — count(col) skips nulls, so
+    the whole profile is a single scan with one conditional count per
+    column, unpivoted to the reporting shape afterwards (the tiny 1-row
+    frame, not the table)."""
+    o = _fan(_t(spark, sf_dir, "orders"))
+    cols = ["o_orderdate", "o_totalprice", "o_orderstatus"]
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.count(c).alias(f"p_{c}") for c in cols
+    ]
+    one = o.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"p_{c}").alias("n_present"),
+            F.round(1.0 - F.col(f"p_{c}") * 1.0 / F.col("n_rows"), 6).alias(
+                "null_rate"
+            ),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_register(
     "boilerplate_prefix_groups",
     """
     WITH p AS (
