@@ -6,6 +6,7 @@ from __future__ import annotations
 import base64
 import json
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -150,3 +151,82 @@ def test_where_sanitizer_total_and_consistent(s):
         assert bad not in out
     for kw in ("drop ", "delete ", "insert ", "update ", "grant "):
         assert kw not in lowered
+
+
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.lists(st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_ring_ranges_partition_every_token(n, tokens):
+    """full_ring_ranges(n): any token in (MIN, MAX] is owned by exactly one
+    range, for any split count."""
+    from scylla_migrator_spark.sources.token_ring import (
+        full_ring_ranges,
+        range_index_of,
+    )
+
+    ranges = full_ring_ranges(n)
+    assert len(ranges) == n
+    for t in tokens:
+        owners = [i for i, (s, e) in enumerate(ranges) if s < t <= e]
+        assert owners == [range_index_of(t, ranges)]
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_murmur3_token_total_and_stable(data):
+    """murmur3_token is total over arbitrary bytes, in-range, and
+    deterministic (the signed-byte tail quirk must not raise on high-bit
+    inputs of any length/alignment)."""
+    from scylla_migrator_spark.sources.token_ring import (
+        MAX_TOKEN,
+        MIN_TOKEN,
+        murmur3_token,
+    )
+
+    t = murmur3_token(data)
+    assert MIN_TOKEN < t <= MAX_TOKEN  # reserved minimum never produced
+    assert murmur3_token(data) == t
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(-5, 5)), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_upsert_sequence_equals_dict_semantics(spark_prop, batches):
+    """Any sequence of partition-scoped upserts equals last-writer-wins dict
+    application (the serving-table contract, independent of bucketing)."""
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.rollup import upsert_parquet
+
+    path = tempfile.mkdtemp(prefix="sgs_prop_upsert_") + f"/t_{uuid.uuid4().hex[:6]}"
+    expected: dict[int, int] = {}
+    for batch in batches:
+        # last occurrence of a key within a batch wins deterministically:
+        # dedupe batch-side first (the streaming agg emits one row per key)
+        dedup = {k: v for k, v in batch}
+        upsert_parquet(
+            spark_prop.createDataFrame(
+                [(k, v) for k, v in dedup.items()], "k int, v int"
+            ),
+            path,
+            ["k"],
+            n_buckets=4,
+        )
+        expected.update(dedup)
+    got = {r["k"]: r["v"] for r in spark_prop.read.parquet(path).collect()}
+    assert got == expected
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    return spark
