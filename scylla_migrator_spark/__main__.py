@@ -3,10 +3,13 @@
 
     python -m scylla_migrator_spark migrate  config.yaml
     python -m scylla_migrator_spark validate config.yaml
+    python -m scylla_migrator_spark compact  /path/to/dataset [target_file_mb]
 
 Exit codes: 0 on success; validate exits non-zero when any failure category
 is non-empty (Validator.scala:67-104). The rendered (secret-redacted) config
 is logged before execution (MigratorConfig.scala:134-153 posture).
+``compact`` is the maintenance entry point for accreted small files
+(sinks/parquet.py::compact_parquet — atomic generation swap).
 """
 
 from __future__ import annotations
@@ -17,9 +20,28 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 2 or argv[0] not in {"migrate", "validate"}:
+    if (
+        len(argv) < 2
+        or argv[0] not in {"migrate", "validate", "compact"}
+        or (argv[0] != "compact" and len(argv) != 2)
+        or (argv[0] == "compact" and len(argv) > 3)
+    ):
         print(__doc__, file=sys.stderr)
         return 2
+    if argv[0] == "compact":
+        from scylla_migrator_spark.session import get_spark
+        from scylla_migrator_spark.sinks.parquet import compact_parquet
+
+        target_mb = int(argv[2]) if len(argv) == 3 else 256
+        spark = get_spark("scylla-migrator-spark-compact")
+        try:
+            stats = compact_parquet(
+                spark, argv[1], target_file_bytes=target_mb * 1024 * 1024
+            )
+            print(json.dumps(stats))
+            return 0
+        finally:
+            spark.stop()
     command, config_path = argv
 
     from scylla_migrator_spark.config import MigratorConfig

@@ -95,3 +95,23 @@ def test_cli_migrate_resumable_selected(tmp_path):
     out = json.loads(mig.stdout.strip().splitlines()[-1])
     assert out["resumable"] is True and out["migrated_rows"] == 1500
     assert any(n.startswith("savepoint_") for n in os.listdir(tmp_path / "sp"))
+
+
+def test_cli_compact(spark, tmp_path):
+    """compact subcommand: merges small files, prints JSON stats, exit 0
+    (subprocess — the session lifecycle must not disturb the shared one)."""
+    path = str(tmp_path / "frag_cli")
+    spark.range(0, 2000).repartition(16).write.parquet(path)
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "8"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "scylla_migrator_spark", "compact", path, "8"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["files_before"] >= 16 and stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == 2000
+    # bad usage exits 2 without starting a session
+    from scylla_migrator_spark.__main__ import main
+
+    assert main(["compact"]) == 2
