@@ -169,6 +169,15 @@ def connected_components_two_phase(
             break
         sig = new_sig
     if not converged:
+        # the signature can only OBSERVE a fixpoint one round after it is
+        # reached — a graph converging exactly on round max_iter would look
+        # unconverged. One verification round disambiguates (idempotent on
+        # a true fixpoint) before declaring failure.
+        verify = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        if signature(verify) == sig:
+            converged = True
+            e = verify
+    if not converged:
         # a non-fixpoint edge set reads off WRONG component labels — never
         # return silently (SoCC'14 bounds rounds by O(log^2 n); hitting this
         # means max_iter was configured far too low for the graph)

@@ -186,6 +186,28 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the same left-to-right summation order as the
+    engine-side fold — shared by every probe-selection path so they can
+    never diverge."""
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def _probe_centroids(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid indices nearest the query (cosine, ties by
+    index) — the single probe-selection rule for both IVF paths."""
+    return sorted(
+        range(len(centroids)), key=lambda i: -_cos_py(centroids[i], query_vec)
+    )[:nprobe]
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -255,19 +277,8 @@ def ivf_topk(
     (assign -> partition-prune -> re-rank) is the production path — at
     100 TB, write the table partitioned by ``centroid_id`` once and the
     probe filter prunes to ``nprobe`` directories."""
-    import math
-
     centroids = kmeans_centroids(df, n_centroids, iters, id_col, vec_col)
-
-    def cos_py(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec)
-    )[:nprobe]
+    probe = _probe_centroids(centroids, query_vec, nprobe)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("centroid_id").isin(probe))
     return brute_force_topk(candidates, query_vec, id_col, vec_col, k)
@@ -308,17 +319,7 @@ def ivf_topk_partitioned(
     directories at planning time — no per-row assignment, no full scan.
     ``centroids`` must be the same list the layout was built with (persist
     them next to the index in production)."""
-    import math
-
-    def cos_py(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec)
-    )[:nprobe]
+    probe = _probe_centroids(centroids, query_vec, nprobe)
     cand = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)
 

@@ -858,7 +858,8 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     p AS (
       SELECT doc_id, n_tokens,
-             greatest(1, CAST(floor(n_tokens * 0.15 / 3) AS INT)) AS n_spans
+             least(64, greatest(1, CAST(floor(n_tokens * 0.15 / 3) AS INT)))
+               AS n_spans
       FROM d WHERE n_tokens >= 3),
     s AS (
       SELECT doc_id, n_tokens, gs.i AS span_id,
@@ -875,15 +876,20 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from md5(doc_id:span_id), so the same document always gets the same
     masks (reproducible pretraining batches without an RNG state to ship).
     Overlapping spans are allowed (the standard implementations merge at
-    apply time). Pure column arithmetic + one bounded explode — no shuffle,
-    fuses into the scan; the apply step composes with doc_chunking's
-    slice machinery."""
+    apply time); spans per document cap at 64 (= docs of ~1280+ tokens —
+    chunk longer documents first), the SAME cap the oracle's
+    generate_series bound applies. Pure column arithmetic + one bounded
+    explode — no shuffle, fuses into the scan; the apply step composes
+    with doc_chunking's slice machinery."""
     docs = _fan(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
     planned = docs.filter(F.col("n_tokens") >= 3).withColumn(
         "n_spans",
-        F.greatest(F.lit(1), F.floor(F.col("n_tokens") * 0.15 / 3).cast("int")),
+        F.least(
+            F.lit(64),
+            F.greatest(F.lit(1), F.floor(F.col("n_tokens") * 0.15 / 3).cast("int")),
+        ),
     )
     sp = planned.select(
         "doc_id",

@@ -37,21 +37,7 @@ def write_parquet(
     writer.parquet(path)
 
 
-def compact_parquet(
-    spark, path: str, target_file_bytes: int = 256 * 1024 * 1024
-) -> dict:
-    """Small-files compaction: rewrite a parquet dataset into
-    ceil(total_bytes / target_file_bytes) files, atomically (full new
-    generation staged to a side dir, then one directory swap — readers see
-    old or new, never a mix; a crash leaves the old generation intact).
-
-    This is the maintenance op every long-running append/streaming sink
-    needs: micro-batches and chunked migrations accrete many small files,
-    and at 100 TB the file-open + footer-read overhead of millions of tiny
-    files dominates scan time. Sizing uses the dataset's ACTUAL on-disk
-    bytes (compressed), so the output file count tracks the configured
-    target regardless of schema width. Returns {files_before, files_after,
-    bytes} for operability."""
+def _compact_flat(spark, path: str, target_file_bytes: int) -> dict:
     files_before = 0
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -76,3 +62,41 @@ def compact_parquet(
         1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
     return {"files_before": files_before, "files_after": files_after, "bytes": total}
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_file_bytes) files, atomically (each new
+    generation staged to a side dir, then a directory swap — readers see
+    old or new, never a mix; a crash leaves the old generation intact).
+
+    Hive-partitioned datasets (``col=value`` subdirectories — the upsert
+    serving tables, token-range targets, partitionBy layouts) are compacted
+    PER PARTITION DIRECTORY: each partition's files merge within it, the
+    directory structure, partition values and any ``_``-prefixed metadata
+    files (e.g. the upsert's bucket-pinning meta) survive untouched. A
+    whole-table read-and-rewrite here would flatten the partition column
+    into the data files and destroy the layout downstream readers prune on.
+
+    This is the maintenance op every long-running append/streaming sink
+    needs: micro-batches and chunked migrations accrete many small files,
+    and at 100 TB the file-open + footer-read overhead of millions of tiny
+    files dominates scan time. Sizing uses the dataset's ACTUAL on-disk
+    bytes (compressed). Returns {files_before, files_after, bytes}."""
+    part_dirs = [
+        e
+        for e in os.listdir(path)
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    if not part_dirs:
+        return _compact_flat(spark, path, target_file_bytes)
+    totals = {"files_before": 0, "files_after": 0, "bytes": 0}
+    for entry in sorted(part_dirs):
+        sub = os.path.join(path, entry)
+        # one level of nesting handled per-branch; deeper layouts recurse
+        stats = compact_parquet(spark, sub, target_file_bytes)
+        for k in totals:
+            totals[k] += stats[k]
+    return totals

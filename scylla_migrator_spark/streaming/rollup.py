@@ -77,8 +77,21 @@ def _table_buckets(path: str, n_buckets: int) -> int:
 def _write_meta(path: str, n_buckets: int) -> None:
     meta = os.path.join(path, _META_FILE)
     if not os.path.exists(meta):
-        with open(meta, "w") as f:
+        # atomic tmp+rename: a crash mid-write must never leave a truncated
+        # meta file (a later _table_buckets would die on it before any merge)
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"n_buckets": n_buckets}, f)
+        os.replace(tmp, meta)
+
+
+def table_exists(path: str) -> bool:
+    """Whether ``path`` holds a bucketed serving table (a ``__bucket=`` dir
+    present). The single source of truth for the layout probe — the SCD2
+    maintainer and the upsert must agree on it."""
+    return os.path.isdir(path) and any(
+        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(path)
+    )
 
 
 def upsert_parquet(
@@ -105,9 +118,7 @@ def upsert_parquet(
     output keys are exactly its input batch's keys) pass ``affected`` to
     skip the distinct-buckets job over the batch frame."""
     spark = batch_df.sparkSession
-    exists = os.path.isdir(path) and any(
-        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(path)
-    )
+    exists = table_exists(path)
     n_buckets = _table_buckets(path, n_buckets) if exists else n_buckets
     batch_df = batch_df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).persist()
     try:
@@ -150,7 +161,10 @@ def upsert_parquet(
                 continue
             src = os.path.join(tmp, entry)
             dst = os.path.join(path, entry)
-            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            # stage the displaced generation OUTSIDE the table dir: a name
+            # containing '=' inside it would be listed by Spark partition
+            # discovery if a crash (or failed rmtree) left it behind
+            old = f"{path}__old_{entry.split('=', 1)[1]}_{uuid.uuid4().hex[:8]}"
             if os.path.isdir(dst):
                 os.replace(dst, old)
             os.replace(src, dst)

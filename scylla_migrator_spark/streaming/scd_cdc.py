@@ -44,6 +44,7 @@ from scylla_migrator_spark.operators.scd import scd2_history
 from scylla_migrator_spark.streaming.rollup import (
     BUCKET_COL,
     affected_buckets,
+    table_exists,
     upsert_parquet,
 )
 
@@ -60,14 +61,11 @@ def scd2_upsert_batch(
 ) -> None:
     """foreachBatch body: fold one micro-batch of change rows into the
     served SCD2 table (see module docstring)."""
-    import os
 
     spark = batch_df.sparkSession
     new_rows = batch_df.select(*key_cols, *attr_cols, ts_col, tie_col)
     buckets = None
-    if os.path.isdir(serving_path) and any(
-        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(serving_path)
-    ):
+    if table_exists(serving_path):
         # one cheap distinct over the raw batch (not the windowed hist)
         # gives the affected bucket set for BOTH the prior-fetch prune and
         # the upsert; the first generation needs neither
