@@ -127,6 +127,7 @@ HEADLINE = [
     "weekly_event_drift",
     "join_key_skew_stats",
     "column_completeness_profile",
+    "multimodal_mp4_meta",
 ]
 
 

@@ -2504,6 +2504,43 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_mp4_meta",
+    # Oracle replays the deterministic duration/geometry the Spark side
+    # encodes into REAL ISO BMFF box streams and parses back out of
+    # mvhd/tkhd (analytics/multimodal.decode_mp4).
+    """
+    SELECT doc_id AS asset_id, 'video' AS kind,
+           CAST(1000 + (doc_id % 50) * 250 AS BIGINT) AS duration_ms,
+           CAST(320 + (doc_id % 4) * 320 AS INT) AS width,
+           CAST(240 + (doc_id % 4) * 240 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4/ISO-BMFF header decode: build genuine box streams
+    (ftyp + moov{mvhd, trak{tkhd}}) per document, then parse duration and
+    presentation dimensions back with the stdlib 14496-12 box walker
+    (analytics/multimodal.decode_mp4) — the curation metadata path for the
+    dominant training-video container."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        synth_mp4_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") % 50) * 250).cast("long").alias("dur"),
+        (F.lit(320) + (F.col("doc_id") % 4) * 320).cast("int").alias("w"),
+        (F.lit(240) + (F.col("doc_id") % 4) * 240).cast("int").alias("h"),
+    )
+    mp4s = synth_mp4_assets(docs, "doc_id", "dur", "w", "h")
+    assets = make_asset_table(mp4s, "asset_id", "data", kind="video", mime="video/mp4")
+    meta = decode_assets_meta(assets)
+    return meta.select("asset_id", "kind", "duration_ms", "width", "height")
+
+
+@_register(
     "multimodal_ppm_resize",
     # Oracle replays the whole chain in SQL: payload tiled to 8*8*3 RGB
     # bytes (byte i = payload[i % nb]), then nearest-neighbor 8x8 -> 4x4:

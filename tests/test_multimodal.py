@@ -242,3 +242,43 @@ def test_jpeg_header_roundtrip_and_marker_walk():
         decode_jpeg(b"\x89PNG")
     with _pt.raises(ValueError, match="no SOF"):
         decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_mp4_header_roundtrip_and_v1_boxes():
+    """decode_mp4 parses genuine 14496-12 box streams: v0 round-trip via the
+    builder, hand-built v1 mvhd/tkhd (64-bit times), largesize boxes, and
+    junk rejection."""
+    import struct as _s
+
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_asset,
+        decode_mp4,
+        encode_mp4_header,
+    )
+
+    m = decode_mp4(encode_mp4_header(90_500, 1280, 720))
+    assert (m["duration_ms"], m["width"], m["height"]) == (90500, 1280, 720)
+    assert decode_asset(encode_mp4_header(10, 2, 2))["kind"] == "video"
+
+    def box(btype, body):
+        return _s.pack(">I4s", 8 + len(body), btype) + body
+
+    # version-1 mvhd: 64-bit ctime/mtime/duration, 32-bit timescale
+    mvhd1 = box(b"mvhd", _s.pack(">B3xQQIQ", 1, 0, 0, 90000, 90000 * 7) + b"\x00" * 80)
+    # version-1 tkhd: width at body offset 88
+    # body: 36 (times/id/duration) + 8 reserved + 8 layer/alt/vol/rsv
+    # + 36 matrix = 88, width/height close it at 96
+    tkhd1_body = _s.pack(">B3xQQI4xQ", 1, 0, 0, 1, 0) + b"\x00" * 52 + _s.pack(
+        ">II", 640 << 16, 480 << 16
+    )
+    trak1 = box(b"trak", box(b"tkhd", tkhd1_body))
+    data = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd1 + trak1)
+    m1 = decode_mp4(data)
+    assert (m1["duration_ms"], m1["width"], m1["height"]) == (7000, 640, 480)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ftyp"):
+        decode_mp4(b"\x00\x00\x00\x08free")
+    with _pt.raises(ValueError, match="no moov"):
+        decode_mp4(box(b"ftyp", b"isom") + box(b"free", b""))
