@@ -128,6 +128,7 @@ HEADLINE = [
     "join_key_skew_stats",
     "column_completeness_profile",
     "multimodal_mp4_meta",
+    "multimodal_frame_sample_plan",
 ]
 
 

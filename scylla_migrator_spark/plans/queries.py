@@ -2541,6 +2541,47 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_frame_sample_plan",
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id,
+             1000 + (doc_id % 50) * 250 AS duration_ms
+      FROM documents)
+    SELECT asset_id, CAST(gs.t AS BIGINT) AS frame_ts_ms
+    FROM m, LATERAL (SELECT unnest(generate_series(0, duration_ms, 1000)) AS t) gs
+    """,
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over REAL decoded durations: synthesize MP4
+    containers, parse duration out of mvhd (decode_mp4), then emit the
+    1-second frame-timestamp grid per asset WITHOUT touching sample data —
+    the plan that lets the expensive GPU frame decode partition per frame
+    downstream (sample_frames' contract, now fed by a genuine container
+    parse instead of trusted metadata)."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        synth_mp4_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") % 50) * 250).cast("long").alias("dur"),
+        F.lit(320).alias("w"),
+        F.lit(240).alias("h"),
+    )
+    mp4s = synth_mp4_assets(docs, "doc_id", "dur", "w", "h")
+    assets = make_asset_table(mp4s, "asset_id", "data", kind="video", mime="video/mp4")
+    meta = decode_assets_meta(assets)
+    return meta.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(1000).cast("long"))
+        ).alias("frame_ts_ms"),
+    )
+
+
+@_register(
     "multimodal_ppm_resize",
     # Oracle replays the whole chain in SQL: payload tiled to 8*8*3 RGB
     # bytes (byte i = payload[i % nb]), then nearest-neighbor 8x8 -> 4x4:
