@@ -230,3 +230,35 @@ def test_upsert_sequence_equals_dict_semantics(spark_prop, batches):
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+@given(
+    st.integers(min_value=1, max_value=65535),
+    st.integers(min_value=1, max_value=65535),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_jpeg_header_roundtrip_property(w, h, c):
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_jpeg,
+        encode_jpeg_header,
+    )
+
+    m = decode_jpeg(encode_jpeg_header(w, h, c))
+    assert (m["width"], m["height"], m["n_components"]) == (w, h, c)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=32767),
+    st.integers(min_value=1, max_value=32767),
+)
+@settings(max_examples=200, deadline=None)
+def test_mp4_header_roundtrip_property(dur, w, h):
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_mp4,
+        encode_mp4_header,
+    )
+
+    m = decode_mp4(encode_mp4_header(dur, w, h))
+    assert (m["duration_ms"], m["width"], m["height"]) == (dur, w, h)
