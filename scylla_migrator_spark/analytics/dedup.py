@@ -307,7 +307,15 @@ def simhash_banded_pairs(
         ).alias("bb"),
     ).select(id_col, sh_col, "bb.band_id", "bb.band_val")
     a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
+    ham = F.bit_count(F.col(f"a.{sh_col}").bitwiseXOR(F.col(f"b.{sh_col}"))).cast(
+        "int"
+    )
+    # verify with the popcount BEFORE the pair-dedup: the filter is a cheap
+    # per-candidate expression inside the join stage, and it shrinks the
+    # rows entering the dropDuplicates exchange to the true matches (a pair
+    # can surface from up to `bands` buckets); hamming is functional on the
+    # pair so deduping after the filter is equivalent
+    return (
         a.join(
             b_,
             on=[
@@ -319,14 +327,10 @@ def simhash_banded_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{sh_col}").alias("sh_a"),
-            F.col(f"b.{sh_col}").alias("sh_b"),
+            ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
