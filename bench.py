@@ -129,6 +129,41 @@ HEADLINE = [
     "column_completeness_profile",
     "multimodal_mp4_meta",
     "multimodal_frame_sample_plan",
+    # full-registry sweep: every remaining declared query (BENCH covers 100%
+    # of queries() so per-round history exists for each)
+    "null_pk_drop",
+    "extra_target_rows",
+    "missing_rows_repair",
+    "semi_join_probe",
+    "except_setop",
+    "distinct_supp_per_flag",
+    "lang_id",
+    "bpe_token_count",
+    "ngram_jaccard_capped_pairs",
+    "simhash_docs",
+    "events_sessionization",
+    "median_value_by_event_type",
+    "sorted_status_sets",
+    "embedding_near_dup_pairs",
+    "lsh_ann_topk",
+    "lsh_ann_bucketed_topk",
+    "widen_timestamps_orders",
+    "strip_trailing_zeros",
+    "ddb_number_canon",
+    "stream_dedup_watermark",
+    "multimodal_asset_meta",
+    "multimodal_fake_features",
+    "multimodal_wav_decode",
+    "approx_aggregates",
+    "meta_prefix_roundtrip",
+    "training_data_pipeline",
+    "stream_stateful_sessionize",
+    "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_wealthy_inactive",
+    "intersect_fulfilled_pending_custs",
 ]
 
 
