@@ -1635,7 +1635,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, F.size("v") - 1)
         ).alias("v"),
     )
-    doubled = emb.unionByName(twin)
+    # fan BOTH join inputs: the probe side of the (broadcast) block join
+    # inherits the single-file scan's 1-2 partitions otherwise, serializing
+    # the O(sum block^2) pair work on two cores
+    doubled = _fan(emb.unionByName(twin))
     return D.embedding_near_dup(
         doubled, "vec_id", "v", threshold=0.99, block_col=F.col("label")
     ).select("id_a", "id_b")
