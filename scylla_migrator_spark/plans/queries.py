@@ -4443,7 +4443,7 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked 3-NN graph over the embedding table (the
     candidate-generation step of graph-ANN index construction). Ranking on
     round(cos, 6) with neighbor-id tie-break keeps the order engine-stable."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     return SIM.knn_graph(emb, "vec_id", "embedding", "label", k=3)
 
 
@@ -4716,7 +4716,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, never corpus^2. Centroids are the 16 lowest-id vectors
     (deterministic stand-in for a k-means pass) so the oracle replays the
     assignment exactly."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     cent_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     return D.semdedup(emb, "vec_id", "embedding", centroids, tau=0.25)
