@@ -164,6 +164,7 @@ HEADLINE = [
     "tpch_q19_disjunctive",
     "tpch_q22_wealthy_inactive",
     "intersect_fulfilled_pending_custs",
+    "cross_source_dup_matrix",
 ]
 
 

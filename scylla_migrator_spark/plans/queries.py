@@ -684,6 +684,41 @@ def column_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cross_source_dup_matrix",
+    """
+    WITH d AS (SELECT doc_id, source, sha256(text) AS dg FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS dup_pairs,
+           count(DISTINCT a.dg) AS dup_texts
+    FROM d a JOIN d b ON a.dg = b.dg AND a.doc_id < b.doc_id
+    WHERE a.source <= b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    exact-duplicate document pairs (and distinct duplicated texts) they
+    share — the report that decides which feed is re-crawling which (and
+    whether a source should be dropped before mixing). Digest-keyed
+    self-join: the shuffle carries 32-byte digests, never text; the join
+    explodes only within duplicate groups (work ∝ sum dup-group²)."""
+    d = _fan(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("dg")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, on=[F.col("a.dg") == F.col("b.dg"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .filter(F.col("a.source") <= F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count("*").alias("dup_pairs"),
+            F.count_distinct(F.col("a.dg")).alias("dup_texts"),
+        )
+    )
+
+
+@_register(
     "boilerplate_prefix_groups",
     """
     WITH p AS (
