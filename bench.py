@@ -165,6 +165,10 @@ HEADLINE = [
     "tpch_q22_wealthy_inactive",
     "intersect_fulfilled_pending_custs",
     "cross_source_dup_matrix",
+    "bpe_pair_stats",
+    "bpe_train_merges",
+    "substring_dup_fraction",
+    "dsir_importance_weights",
 ]
 
 

@@ -495,3 +495,48 @@ def semdedup(
         F.col("centroid_id"),
         F.col("__pruned").isNull().alias("kept"),
     )
+
+
+def substring_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal (the window-granular form of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    for each document, the fraction of its n-token windows that also occur
+    verbatim in at least one OTHER document.
+
+    Output: (id, n_windows, dup_windows, dup_frac) where dup_frac is rounded
+    to 6 dp. Documents shorter than ``n`` tokens contribute their whole text
+    as a single window (the shingles() short-doc rule), so every document
+    gets a score.
+
+    Scale shape: one shingle pass -> window-key aggregation with map-side
+    combine (the distinct-doc count per window collapses to (window, doc)
+    partials before the shuffle) -> equi-join back on the window key. The
+    join key is the md5-int of the window, so the big shuffle carries an
+    8-byte key + counts, never the window text; no pair table is ever
+    formed, unlike the Jaccard/MinHash family — this detects VERBATIM
+    cross-document substrings, the suffix-array use case, at equi-join
+    cost."""
+    wins = (
+        df.select(F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram"))
+        .select(id_col, "pos", _md5_int(F.col("gram")).alias("wh"))
+    )
+    # distinct docs per window hash; windows seen in >= 2 docs are "shared"
+    freq = (
+        wins.select("wh", id_col)
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    scored = wins.join(freq, "wh").select(
+        F.col(id_col), (F.col("n_docs") >= 2).cast("int").alias("is_dup")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.sum("is_dup").alias("dup_windows"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+    )

@@ -1,0 +1,97 @@
+"""Data-selection operators: importance-resampling scores for targeted
+corpus selection.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") scores raw-pool documents by the log importance weight
+log p_target(x) / log p_raw(x) under cheap hashed n-gram bag-of-words
+models of a small target corpus and the raw pool, then samples proportional
+to the weights. This module implements the unigram form (the hashed-feature
+generalization changes only the token -> feature-id projection).
+
+Scale shape: ONE explode pass over the corpus; the per-word count table is
+broadcast back to the token stream (vocab-sized, not corpus-sized); the
+per-document score is a decimal-truncated associative sum, so it is exact
+under any shuffle order and replayable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics.text import tokens
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight under add-one-smoothed
+    unigram LMs of the target slice vs the raw remainder.
+
+    ``is_target`` is a boolean Column splitting the input into the target
+    corpus (what we want more of) and the raw pool (what we are selecting
+    from). Every document is scored; callers filter to the raw pool for
+    selection. For each word w:
+
+        lw(w) = ln((c_t(w)+1) / (T_t+V)) - ln((c_r(w)+1) / (T_r+V))
+
+    with V the union vocabulary size — add-one smoothing keeps words unseen
+    on one side finite. Document score = sum of lw over its token stream
+    (with multiplicity), each term truncated to DECIMAL(18,9) pre-sum (the
+    order-independent-reduction discipline, cf. text.unigram_nll).
+
+    Output: (id, is_target, n_tokens, log_weight[6 dp])."""
+    toks = df.select(
+        F.col(id_col), is_target.cast("boolean").alias("__tgt"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.col("__tgt").cast("long")).alias("c_t"),
+        F.sum((~F.col("__tgt")).cast("long")).alias("c_r"),
+    )
+    scalars = counts.agg(
+        F.sum("c_t").alias("t_t"),
+        F.sum("c_r").alias("t_r"),
+        F.count("*").alias("v"),
+    )
+    term = (
+        F.log((F.col("c_t") + 1) / (F.col("t_t") + F.col("v")))
+        - F.log((F.col("c_r") + 1) / (F.col("t_r") + F.col("v")))
+    ).cast("decimal(18,9)")
+    scored = (
+        toks.join(F.broadcast(counts), "w")
+        .join(F.broadcast(scalars))
+        .select(F.col(id_col), F.col("__tgt"), term.alias("lw"))
+    )
+    return scored.groupBy(id_col, "__tgt").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("lw").cast("double"), 6).alias("log_weight"),
+    ).select(
+        F.col(id_col),
+        F.col("__tgt").alias("is_target"),
+        "n_tokens",
+        "log_weight",
+    )
+
+
+def dsir_select_topk(
+    df: DataFrame,
+    is_target: Column,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The k raw-pool documents most resembling the target slice by DSIR
+    log weight (ties by id). Deterministic top-k selection — the greedy
+    form of DSIR's weighted sampling (replace with Gumbel-top-k on
+    log_weight + g_i for the sampled form; the score column is the same).
+    TakeOrderedAndProject; no global sort."""
+    w = dsir_log_weights(df, is_target, text_col, id_col)
+    return (
+        w.filter(~F.col("is_target"))
+        .select(id_col, "n_tokens", "log_weight")
+        .orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(k)
+    )

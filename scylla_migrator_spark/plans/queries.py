@@ -5160,3 +5160,114 @@ def unigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent-reduction trick (embedding_centroids) applied to a
     transcendental, so the score is batch/shuffle/engine stable."""
     return TXT.unigram_nll(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round-4b: tokenizer training, exact-substring duplication, DSIR selection
+
+
+@_register(
+    "bpe_pair_stats",
+    """
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+      WHERE length(w) > 0 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) AS p1, substr(w, i + 1, 1) AS p2, cnt
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i))
+    SELECT p1, p2, sum(cnt)::BIGINT AS pair_count
+    FROM pairs GROUP BY p1, p2
+    ORDER BY pair_count DESC, p1, p2 LIMIT 20
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training round 0 observable: the top-20 adjacent character pairs
+    by frequency-weighted count over the word table (the argmax of round 1
+    is this table's first row). The corpus collapses to the distinct-word
+    frequency table before any pair work — the compression that makes BPE
+    training tractable at corpus scale (analytics/tokenizer.py)."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    words = TOK.word_frequency_table(_fan(_t(spark, sf_dir, "documents")))
+    return TOK.top_pairs(words, 20)
+
+
+@_register("bpe_train_merges")  # rows-only: 8 iterative argmax+merge rounds
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merge rules (rank, pair, count) — the iterative
+    trainer (analytics/tokenizer.py::train_bpe). No SQL oracle: each round's
+    input is the previous round's merged symbol table, which a recursive CTE
+    cannot express with aggregation over the recursive reference; instead
+    the trainer is pinned by a pure-Python reference implementation on the
+    same fixture (tests/test_tokenizer.py) — merge-for-merge equality."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return TOK.train_bpe_df(_fan(_t(spark, sf_dir, "documents")), 8)
+
+
+@_register(
+    "substring_dup_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 8
+             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 8) AS BIGINT)
+             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 8) AS BIGINT)
+        END AS wh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)),
+    freq AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wh)
+    SELECT doc_id, count(*) AS n_windows,
+           sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows,
+           round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+    FROM wins JOIN freq USING (wh)
+    GROUP BY doc_id
+    """,
+)
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal: per-document fraction of 8-token
+    windows shared verbatim with another document (Lee et al. 2022 at window
+    granularity; analytics/dedup.py::substring_duplication). Equi-join on an
+    8-byte window hash — never a pair table."""
+    return D.substring_duplication(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id", 8)
+
+
+@_register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (
+      SELECT w,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS c_t,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS c_r
+      FROM toks GROUP BY w),
+    s AS (SELECT sum(c_t)::BIGINT AS t_t, sum(c_r)::BIGINT AS t_r,
+                 count(*)::BIGINT AS v FROM cnt),
+    scored AS (
+      SELECT doc_id, tgt,
+             CAST(ln((c_t + 1) / (t_t + v)) - ln((c_r + 1) / (t_r + v))
+                  AS DECIMAL(18,9)) AS lw
+      FROM toks JOIN cnt USING (w), s)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(lw) AS DOUBLE), 6) AS log_weight
+    FROM scored WHERE NOT tgt GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id ASC LIMIT 20
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): the 20 non-English-slice
+    documents whose unigram distribution most resembles the lang='en' target
+    slice, by add-one-smoothed log importance weight
+    (analytics/selection.py). Decimal-truncated per-token terms make the
+    transcendental sum shuffle-order exact."""
+    from scylla_migrator_spark.analytics import selection as SEL
+
+    return SEL.dsir_select_topk(
+        _fan(_t(spark, sf_dir, "documents")), F.col("lang") == "en", 20
+    )

@@ -1,0 +1,147 @@
+"""BPE tokenizer training, exact-substring duplication, and DSIR selection.
+
+The BPE trainer has no SQL oracle (iterative state), so its pin is a pure-
+Python reference implementation of the Sennrich et al. 2016 algorithm run on
+the same fixture — merge-for-merge equality including tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics import dedup as D
+from scylla_migrator_spark.analytics import selection as SEL
+from scylla_migrator_spark.analytics import tokenizer as TOK
+
+
+# --- pure-Python reference BPE (dict loop, the classic implementation) ----
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # max count, ties lexicographic on (p1, p2) — the trainer's contract
+        (p1, p2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((p1, p2, cnt))
+        new_vocab: Counter[tuple[str, ...]] = Counter()
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == p1 and s == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = _ref_bpe(texts, 8)
+    got, _ = TOK.train_bpe(docs, 8)
+    assert got == expected
+
+
+def test_merge_pair_greedy_left_to_right(spark):
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ab",), ("ba",)], ["w"])
+    out = df.select(
+        "w", TOK.merge_pair(TOK._chars(F.col("w")), "a", "a").alias("m")
+    ).collect()
+    got = {r["w"]: r["m"] for r in out}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["ab"] == ["a", "b"]
+    assert got["ba"] == ["b", "a"]
+
+
+def test_merge_pair_with_merged_symbol(spark):
+    # after (e, r) -> "er", a rule (m, er) must match the MERGED symbol only
+    df = spark.createDataFrame([("mer",), ("mre",)], ["w"])
+    first = TOK.merge_pair(TOK._chars(F.col("w")), "e", "r")
+    second = TOK.merge_pair(first, "m", "er")
+    got = {r["w"]: r["m"] for r in df.select("w", second.alias("m")).collect()}
+    assert got["mer"] == ["mer"]
+    assert got["mre"] == ["m", "r", "e"]
+
+
+def test_train_bpe_empty_and_zero_rounds(spark):
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    merges, words = TOK.train_bpe(df, 0)
+    assert merges == []
+    # single-char words: no pairs exist, trainer stops early
+    merges2, _ = TOK.train_bpe(df, 3)
+    assert merges2 == []
+    with pytest.raises(ValueError):
+        TOK.train_bpe(df, -1)
+
+
+def test_segment_with_merges_compression(spark):
+    df = spark.createDataFrame([(1, "merge merge mergers")], ["doc_id", "text"])
+    base = TOK.segment_with_merges(df, [], "text", "doc_id").collect()[0]
+    assert base["n_words"] == 3
+    assert base["n_pieces"] == len("merge") * 2 + len("mergers")
+    merges, _ = TOK.train_bpe(df, 4)
+    seg = TOK.segment_with_merges(df, merges, "text", "doc_id").collect()[0]
+    assert seg["n_pieces"] < base["n_pieces"]
+
+
+# --- exact-substring duplication ------------------------------------------
+
+
+def test_substring_duplication_shared_window(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, shared + " tail1 tail2"),   # 3 windows, 1 shared
+        (2, "head0 " + shared),          # 2 windows, 1 shared
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8"),  # unique
+        (4, "short doc"),                # < 8 tokens -> whole-doc window
+        (5, "short doc"),                # exact dup of 4 at whole-doc level
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_duplication(df, "text", "doc_id", 8).collect()
+    }
+    assert out[1]["n_windows"] == 3 and out[1]["dup_windows"] == 1
+    assert out[2]["n_windows"] == 2 and out[2]["dup_windows"] == 1
+    assert out[3]["dup_windows"] == 0
+    assert out[4]["n_windows"] == 1 and out[4]["dup_frac"] == 1.0
+    assert out[5]["dup_frac"] == 1.0
+
+
+# --- DSIR ------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),   # target
+        (2, "alpha beta gamma beta alpha", "en"),   # target
+        (3, "alpha beta gamma alpha gamma", "xx"),  # raw, target-like
+        (4, "zeta eta theta iota kappa", "xx"),     # raw, divergent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = SEL.dsir_select_topk(df, F.col("lang") == "en", 10)
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == [3, 4]
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in SEL.dsir_log_weights(df, F.col("lang") == "en").collect()
+    }
+    assert w[3] > w[4]
+    assert w[1] > 0  # target doc under its own LM
