@@ -396,3 +396,31 @@ def test_ingest_dedup_and_oov_probe_joins_broadcast(spark, sf_dir):
         plan = plan_of(Q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_dsir_count_table_broadcasts(spark, sf_dir):
+    """DSIR joins the vocab count table and the scalar totals back to the
+    token stream — both must broadcast (vocab-sized, not corpus-sized)."""
+    plan = plan_of(Q.QUERIES["dsir_importance_weights"](spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dup_is_equi_join_on_window_hash(spark, sf_dir):
+    """Exact-substring detection must stay an equi-join on the 8-byte window
+    hash — never a pair table or cartesian explosion."""
+    plan = plan_of(Q.QUERIES["substring_dup_fraction"](spark, sf_dir), mode="formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "wh" in plan  # joined on the hash key, not the gram text
+
+
+def test_bpe_top_pairs_is_take_ordered(spark, sf_dir):
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(TOK.top_pairs(TOK.word_frequency_table(docs), 20), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
