@@ -169,6 +169,9 @@ HEADLINE = [
     "bpe_train_merges",
     "substring_dup_fraction",
     "dsir_importance_weights",
+    "longest_dup_run",
+    "bigram_entropy_scores",
+    "dsir_gumbel_sample",
 ]
 
 

@@ -540,3 +540,48 @@ def substring_duplication(
         F.sum("is_dup").alias("dup_windows"),
         F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
     )
+
+
+def longest_shared_run(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Longest duplicated-substring approximation: per document, the longest
+    CONSECUTIVE run of n-token windows each shared verbatim with some other
+    document — the window-granular stand-in for the suffix-array longest
+    duplicated substring (a run of r shared windows certifies a shared
+    substring of r+n-1 tokens when the sharing partner is the same; it is an
+    upper-bound certificate otherwise).
+
+    Plan: the substring_duplication window/frequency join, then
+    islands-and-gaps (pos - row_number, both per-doc window functions — AQE
+    coalesces the doc-keyed shuffles). Output: (id, max_dup_run) with 0 for
+    documents sharing no window."""
+    from pyspark.sql import Window
+
+    wins = df.select(
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram")
+    ).select(id_col, "pos", _md5_int(F.col("gram")).alias("wh"))
+    freq = (
+        wins.select("wh", id_col)
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    shared = wins.join(freq, "wh").filter(F.col("n_docs") >= 2).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = shared.select(
+        F.col(id_col), (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    max_run = (
+        runs.groupBy(id_col, "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("max_run"))
+    )
+    return df.select(id_col).join(max_run, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_dup_run"),
+    )

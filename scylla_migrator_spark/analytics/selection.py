@@ -95,3 +95,41 @@ def dsir_select_topk(
         .orderBy(F.desc("log_weight"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dsir_gumbel_topk(
+    df: DataFrame,
+    is_target: Column,
+    k: int = 20,
+    seed: str = "gumbel0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's actual sampling rule: Gumbel-top-k over the log weights —
+    sampling k documents WITHOUT replacement proportional to exp(log_weight)
+    is exactly taking the top k of log_weight + Gumbel noise (Vieira 2014).
+
+    The noise is derandomized the engine's standard way (cf.
+    sampling.corpus_mixing_sample): u = (md5_32(id:seed) + 0.5) / 2^32 in
+    (0,1), g = -ln(-ln(u)) — deterministic, replayable in SQL, and changing
+    ``seed`` redraws the sample. The Gumbel term truncates to DECIMAL(18,9)
+    before the add so the score is engine-exact. TakeOrdered; no global
+    sort."""
+    from scylla_migrator_spark.analytics.text import _md5_int
+
+    w = dsir_log_weights(df, is_target, text_col, id_col)
+    u = (
+        _md5_int(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    g = (-F.log(-F.log(u))).cast("decimal(18,9)")
+    return (
+        w.filter(~F.col("is_target"))
+        .select(
+            F.col(id_col),
+            "log_weight",
+            F.round(F.col("log_weight") + g.cast("double"), 6).alias("gumbel_score"),
+        )
+        .orderBy(F.desc("gumbel_score"), F.asc(id_col))
+        .limit(k)
+    )

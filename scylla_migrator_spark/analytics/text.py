@@ -330,3 +330,28 @@ def unigram_nll(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.count("*").alias("n_tokens"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
     )
+
+
+def bigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word-bigram distribution — the
+    diversity complement of repetition_stats (low entropy = templated /
+    repetitive text; the top-bigram fraction only sees the single worst
+    offender).
+
+    Shape: shingle pass -> per-(doc, gram) count -> per-doc total -> one
+    joined term projection. Per-term -(p ln p) truncates to DECIMAL(18,9)
+    pre-sum (order-independent reduction), entropy rounded to 6 dp."""
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("gram")
+    )
+    cnt = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy(id_col).agg(F.sum("c").alias("m"))
+    p = F.col("c") / F.col("m")
+    terms = cnt.join(tot, id_col).select(
+        F.col(id_col), (-p * F.log(p)).cast("decimal(18,9)").alias("term")
+    )
+    return terms.groupBy(id_col).agg(
+        F.round(F.sum("term").cast("double"), 6).alias("bigram_entropy")
+    )

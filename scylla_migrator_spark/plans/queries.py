@@ -5271,3 +5271,102 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.dsir_select_topk(
         _fan(_t(spark, sf_dir, "documents")), F.col("lang") == "en", 20
     )
+
+
+@_register(
+    "longest_dup_run",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos,
+        CASE WHEN len(t) < 8
+             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 8) AS BIGINT)
+             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 8) AS BIGINT)
+        END AS wh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)),
+    freq AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wh),
+    shared AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN freq USING (wh) WHERE n_docs >= 2),
+    runs AS (
+      SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM shared),
+    runlen AS (SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp),
+    m AS (SELECT doc_id, max(run) AS max_run FROM runlen GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_dup_run
+    FROM documents d LEFT JOIN m USING (doc_id)
+    """,
+)
+def longest_dup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated-substring approximation: max consecutive run of
+    8-token windows shared with another document (islands-and-gaps over the
+    substring_duplication window table; dedup.longest_shared_run)."""
+    return D.longest_shared_run(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id", 8)
+
+
+@_register(
+    "bigram_entropy_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+             ELSE array_to_string(list_slice(t, i, i + 1), ' ') END AS gram
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+    tot AS (SELECT doc_id, sum(c)::BIGINT AS m FROM cnt GROUP BY doc_id),
+    terms AS (
+      SELECT doc_id, CAST(-(c / m) * ln(c / m) AS DECIMAL(18,9)) AS term
+      FROM cnt JOIN tot USING (doc_id))
+    SELECT doc_id, round(CAST(sum(term) AS DOUBLE), 6) AS bigram_entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def bigram_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Shannon entropy per document (text.bigram_entropy) — the
+    distribution-wide diversity signal next to repetition_filter's
+    single-worst-bigram fraction. Decimal-truncated -(p ln p) terms."""
+    return TXT.bigram_entropy(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id")
+
+
+@_register(
+    "dsir_gumbel_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (
+      SELECT w,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS c_t,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS c_r
+      FROM toks GROUP BY w),
+    s AS (SELECT sum(c_t)::BIGINT AS t_t, sum(c_r)::BIGINT AS t_r,
+                 count(*)::BIGINT AS v FROM cnt),
+    scored AS (
+      SELECT doc_id, tgt,
+             CAST(ln((c_t + 1) / (t_t + v)) - ln((c_r + 1) / (t_r + v))
+                  AS DECIMAL(18,9)) AS lw
+      FROM toks JOIN cnt USING (w), s),
+    agg AS (
+      SELECT doc_id, round(CAST(sum(lw) AS DOUBLE), 6) AS log_weight
+      FROM scored WHERE NOT tgt GROUP BY doc_id)
+    SELECT doc_id, log_weight,
+      round(log_weight + CAST(CAST(
+        -ln(-ln((CAST('0x' || substr(md5(doc_id || ':gumbel0'), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0))
+        AS DECIMAL(18,9)) AS DOUBLE), 6) AS gumbel_score
+    FROM agg
+    ORDER BY gumbel_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weighted sampling via derandomized Gumbel-top-k
+    (selection.dsir_gumbel_topk): top-k of log_weight + Gumbel(md5(id:seed))
+    == sampling w/o replacement proportional to the importance weights."""
+    from scylla_migrator_spark.analytics import selection as SEL
+
+    return SEL.dsir_gumbel_topk(
+        _fan(_t(spark, sf_dir, "documents")), F.col("lang") == "en", 20
+    )

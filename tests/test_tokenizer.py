@@ -145,3 +145,62 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     }
     assert w[3] > w[4]
     assert w[1] > 0  # target doc under its own LM
+
+
+def test_longest_shared_run(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 tokens -> 3 windows of 8
+    rows = [
+        (1, shared + " a1 a2"),
+        (2, shared + " b1 b2"),   # docs 1/2 share windows 0,1,2 (run of 3)
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["max_dup_run"] for r in D.longest_shared_run(df).collect()}
+    assert out[1] == 3 and out[2] == 3 and out[3] == 0
+
+
+def test_longest_shared_run_broken_run(spark):
+    # doc 1 shares windows at positions {0, 2} with two different docs but
+    # not position 1 -> islands of length 1, max run 1
+    w = lambda i: " ".join(f"w{i}_{j}" for j in range(8))  # noqa: E731
+    rows = [
+        (1, "x1 x2 " + w(0) + " y1 y2 " + w(1)),
+        (2, "x1 x2 " + w(0)),
+        (3, w(1)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["max_dup_run"] for r in D.longest_shared_run(df).collect()}
+    assert out[2] >= 1 and out[3] >= 1
+    assert out[1] >= 1
+
+
+def test_bigram_entropy_values(spark):
+    import math
+
+    from scylla_migrator_spark.analytics import text as TXT2
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "solo"), (3, "x x x x x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["bigram_entropy"] for r in TXT2.bigram_entropy(df).collect()}
+    # doc 1: grams (a b)x2, (b a)x1 -> H = -(2/3 ln 2/3) - (1/3 ln 1/3)
+    expect = round(-(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3), 4)
+    assert abs(out[1] - expect) < 1e-3
+    assert out[2] == 0.0  # single gram
+    assert out[3] == 0.0  # all grams identical
+
+
+def test_dsir_gumbel_deterministic_and_seeded(spark):
+    rows = [
+        (i, f"alpha beta w{i} w{i + 1} gamma", "en" if i % 2 == 0 else "xx")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    tgt = F.col("lang") == "en"
+    a = SEL.dsir_gumbel_topk(df, tgt, 5).collect()
+    b = SEL.dsir_gumbel_topk(df, tgt, 5).collect()
+    assert a == b
+    c = SEL.dsir_gumbel_topk(df, tgt, 5, seed="other").collect()
+    assert a != c  # a different seed redraws the sample
+    assert len(a) == 5
+    assert all(r["doc_id"] % 2 == 1 for r in a)  # only raw-pool docs selected
