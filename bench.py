@@ -172,6 +172,7 @@ HEADLINE = [
     "longest_dup_run",
     "bigram_entropy_scores",
     "dsir_gumbel_sample",
+    "multimodal_gif_meta",
 ]
 
 

@@ -362,6 +362,89 @@ def encode_mp4_header(duration_ms: int, width: int, height: int) -> bytes:
     return ftyp + moov
 
 
+def decode_gif(data: bytes) -> dict:
+    """Parse a GIF87a/GIF89a stream for header metadata (public GIF spec,
+    stdlib only): logical-screen dimensions from the screen descriptor and
+    the ANIMATION FRAME COUNT by walking the block structure (extensions'
+    length-prefixed sub-blocks skipped, one frame per image descriptor,
+    local color tables sized from the packed field). LZW pixel decode is out
+    of scope — like JPEG/MP4 this covers the curation-filter metadata path
+    (a frame-sampling plan needs n_frames, not pixels)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a stream")
+    width, height, packed = struct.unpack_from("<HHB", data, 6)
+    pos = 13  # header(6) + logical screen descriptor(7)
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data) and data[p] != 0:
+            p += 1 + data[p]
+        return p + 1  # past the 0x00 terminator
+
+    n_frames = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: introducer + label, then sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            ipacked = data[pos + 9]
+            pos += 10  # separator + left/top/w/h (4x u16 LE) + packed
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos = skip_subblocks(pos + 1)  # LZW min-code byte, then data
+            n_frames += 1
+        else:
+            raise ValueError(f"corrupt GIF block 0x{block:02x} at {pos}")
+    return {"kind": "image", "width": width, "height": height, "n_frames": n_frames}
+
+
+def encode_gif(width: int, height: int, n_frames: int) -> bytes:
+    """Build a structurally valid GIF89a stream with ``n_frames`` frames —
+    real header + screen descriptor + per-frame graphic-control extension
+    and image descriptor with a minimal LZW data block (tests/oracles need
+    the block-walk metadata path, not pixels)."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x00, 0, 0)  # no GCT
+    for i in range(n_frames):
+        # graphic control extension: delay varies per frame (structural
+        # realism; the decoder skips it as sub-blocks)
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", 10 * (i + 1)) + bytes([0x00, 0x00])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height) + bytes([0x00])
+        out += bytes([0x02, 0x02, 0x44, 0x01, 0x00])  # LZW min code + 1 sub-block
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def synth_gif_assets(
+    df: DataFrame, id_col: str, w_col: str, h_col: str, frames_col: str
+) -> DataFrame:
+    """Build REAL GIF89a streams from integer geometry/frame-count columns
+    (mapInPandas) — genuine containers from table data, no media files in
+    the repo."""
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "data": [
+                        encode_gif(int(w), int(h), int(n))
+                        for w, h, n in zip(pdf[w_col], pdf[h_col], pdf[frames_col])
+                    ],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), w_col, h_col, frames_col
+    ).mapInPandas(run, schema)
+
+
 def decode_asset(data: bytes) -> dict:
     """Sniff the container magic and dispatch to the matching real decoder."""
     if data[:4] == b"RIFF":
@@ -372,11 +455,13 @@ def decode_asset(data: bytes) -> dict:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return decode_mp4(data)
     raise NotImplementedError(
         "unsupported container (supported: WAV PCM, PPM P6, PNG, JPEG "
-        "headers, MP4/ISO-BMFF headers); sample/frame decode needs codec "
+        "headers, MP4/ISO-BMFF headers, GIF headers); sample/frame decode needs codec "
         "libraries not present in this environment"
     )
 
@@ -444,6 +529,7 @@ DECODED_META_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("amp_sum", T.LongType()),
         T.StructField("n_components", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
     ]
 )
 
@@ -472,6 +558,7 @@ def decode_assets_meta(df: DataFrame) -> DataFrame:
                         "n_samples": m.get("n_samples", len(m.get("samples", [])) or None),
                         "amp_sum": m.get("amp_sum", m.get("pixel_sum")),
                         "n_components": m.get("n_components"),
+                        "n_frames": m.get("n_frames"),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_META_SCHEMA.fields])

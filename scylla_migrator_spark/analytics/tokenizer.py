@@ -37,10 +37,14 @@ def _chars(col: Column) -> Column:
     """Split a string into an array of single characters.
 
     Explicit substr-by-index rather than ``split(col, '')`` so the semantics
-    can't drift with regex-engine edge cases around zero-width matches."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: col.substr(i, F.lit(1)),
+    can't drift with regex-engine edge cases around zero-width matches.
+    The empty string maps to an empty array — ``sequence(1, 0)`` would step
+    BACKWARD ([1, 0]), so it must be guarded, not relied on."""
+    return F.when(F.length(col) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: col.substr(i, F.lit(1)),
+        )
     )
 
 
@@ -90,7 +94,7 @@ def top_pairs(words: DataFrame, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
-def merge_pair(sym_col: Column, p1: str, p2: str) -> Column:
+def merge_pair(sym_col: Column, p1: str | Column, p2: str | Column) -> Column:
     """Apply one BPE merge rule to a symbol array: greedy left-to-right
     replacement of every adjacent (p1, p2) with the concatenated symbol,
     non-overlapping — e.g. rule (a, a) on [a,a,a] yields [aa, a], matching
@@ -99,13 +103,17 @@ def merge_pair(sym_col: Column, p1: str, p2: str) -> Column:
     A single ``F.aggregate`` fold: append each symbol unless the previous
     output symbol is exactly p1 and the current is p2, in which case the
     tail is replaced by the merged token. ``try_element_at`` keeps the
-    empty-accumulator probe null-safe under ANSI mode."""
-    merged = F.lit(p1 + p2)
+    empty-accumulator probe null-safe under ANSI mode. The pair may be
+    given as Columns (per-row rules) or strings (one rule, the trainer's
+    case)."""
+    c1 = F.lit(p1) if isinstance(p1, str) else p1
+    c2 = F.lit(p2) if isinstance(p2, str) else p2
+    merged = F.concat(c1, c2)
     return F.aggregate(
         sym_col,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
-            (F.try_element_at(acc, F.lit(-1)) == F.lit(p1)) & (s == F.lit(p2)),
+            (F.try_element_at(acc, F.lit(-1)) == c1) & (s == c2),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1),
                 F.array(merged),

@@ -5370,3 +5370,41 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.dsir_gumbel_topk(
         _fan(_t(spark, sf_dir, "documents")), F.col("lang") == "en", 20
     )
+
+
+@_register(
+    "multimodal_gif_meta",
+    # Oracle replays the deterministic geometry/frame counts the Spark side
+    # encodes into REAL GIF89a block streams and parses back by walking the
+    # block structure (analytics/multimodal.decode_gif).
+    """
+    SELECT doc_id AS asset_id, 'image' AS kind,
+           CAST(8 + doc_id % 31 AS INT) AS width,
+           CAST(8 + doc_id % 23 AS INT) AS height,
+           CAST(1 + doc_id % 12 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF header decode: build genuine GIF89a block streams (screen
+    descriptor + per-frame graphic-control extension and image descriptor)
+    per document, then parse dimensions and animation frame count back with
+    the stdlib block walker (analytics/multimodal.decode_gif) — n_frames is
+    the input a video-style frame-sampling plan needs for animated
+    training images."""
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_assets_meta,
+        make_asset_table,
+        synth_gif_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 31).cast("int").alias("w"),
+        (F.lit(8) + F.col("doc_id") % 23).cast("int").alias("h"),
+        (F.lit(1) + F.col("doc_id") % 12).cast("int").alias("n"),
+    )
+    gifs = synth_gif_assets(docs, "doc_id", "w", "h", "n")
+    assets = make_asset_table(gifs, "asset_id", "data", kind="image", mime="image/gif")
+    meta = decode_assets_meta(assets)
+    return meta.select("asset_id", "kind", "width", "height", "n_frames")

@@ -282,3 +282,47 @@ def test_mp4_header_roundtrip_and_v1_boxes():
         decode_mp4(b"\x00\x00\x00\x08free")
     with _pt.raises(ValueError, match="no moov"):
         decode_mp4(box(b"ftyp", b"isom") + box(b"free", b""))
+
+
+def test_gif_header_roundtrip_and_block_walk():
+    from scylla_migrator_spark.analytics.multimodal import (
+        decode_asset,
+        decode_gif,
+        encode_gif,
+    )
+
+    m = decode_gif(encode_gif(640, 480, 1))
+    assert (m["width"], m["height"], m["n_frames"]) == (640, 480, 1)
+    # multi-frame animation: one frame per image descriptor
+    assert decode_gif(encode_gif(12, 7, 9))["n_frames"] == 9
+    # zero frames: header + trailer only is structurally valid
+    assert decode_gif(encode_gif(5, 5, 0))["n_frames"] == 0
+    # magic dispatch
+    assert decode_asset(encode_gif(3, 4, 2))["n_frames"] == 2
+    # GIF87a accepted, wrong magic rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF90a" + b"\x00" * 16)
+    hdr87 = bytearray(encode_gif(2, 2, 1))
+    hdr87[3:6] = b"87a"
+    assert decode_gif(bytes(hdr87))["width"] == 2
+
+
+def test_gif_with_global_and_local_color_tables():
+    import struct as _s
+
+    from scylla_migrator_spark.analytics.multimodal import decode_gif
+
+    # hand-build: GCT of 4 entries (packed 0x81), one frame with an LCT of
+    # 2 entries (packed 0x80), interleaved with a comment extension
+    buf = bytearray(b"GIF89a")
+    buf += _s.pack("<HHBBB", 10, 11, 0x81, 0, 0)
+    buf += b"\x00" * (3 * 4)  # global color table
+    buf += bytes([0x21, 0xFE, 0x03]) + b"abc" + bytes([0x00])  # comment ext
+    buf += bytes([0x2C]) + _s.pack("<HHHH", 0, 0, 10, 11) + bytes([0x80])
+    buf += b"\x00" * (3 * 2)  # local color table
+    buf += bytes([0x02, 0x01, 0x44, 0x00])  # lzw min + 1 sub-block + term
+    buf += bytes([0x3B])
+    m = decode_gif(bytes(buf))
+    assert (m["width"], m["height"], m["n_frames"]) == (10, 11, 1)

@@ -262,3 +262,19 @@ def test_mp4_header_roundtrip_property(dur, w, h):
 
     m = decode_mp4(encode_mp4_header(dur, w, h))
     assert (m["duration_ms"], m["width"], m["height"]) == (dur, w, h)
+
+
+# --- GIF codec round-trip (pure Python, no Spark) --------------------------
+
+
+@given(
+    w=st.integers(min_value=0, max_value=65535),
+    h=st.integers(min_value=0, max_value=65535),
+    n=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_gif_roundtrip_property(w, h, n):
+    from scylla_migrator_spark.analytics.multimodal import decode_gif, encode_gif
+
+    m = decode_gif(encode_gif(w, h, n))
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)

@@ -204,3 +204,38 @@ def test_dsir_gumbel_deterministic_and_seeded(spark):
     assert a != c  # a different seed redraws the sample
     assert len(a) == 5
     assert all(r["doc_id"] % 2 == 1 for r in a)  # only raw-pool docs selected
+
+
+def test_merge_pair_randomized_vs_python_fold(spark):
+    """One Spark job covering 300 randomized (word, pair) cases: the
+    aggregate-fold must equal the reference greedy left-to-right dict-loop
+    merge on every case (per-row Column rules exercise the general form)."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abc"
+    cases = []
+    for i in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
+        p1, p2 = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, word, p1, p2))
+
+    def py_merge(word, p1, p2):
+        out = []
+        for s in word:
+            if out and out[-1] == p1 and s == p2:
+                out[-1] = p1 + p2
+            else:
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(cases, ["i", "w", "p1", "p2"])
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            TOK.merge_pair(TOK._chars(F.col("w")), F.col("p1"), F.col("p2")).alias("m"),
+        ).collect()
+    }
+    for i, word, p1, p2 in cases:
+        assert got[i] == py_merge(word, p1, p2), (word, p1, p2)
