@@ -173,6 +173,7 @@ HEADLINE = [
     "bigram_entropy_scores",
     "dsir_gumbel_sample",
     "multimodal_gif_meta",
+    "bigram_nll_score",
 ]
 
 

@@ -355,3 +355,48 @@ def bigram_entropy(
     return terms.groupBy(id_col).agg(
         F.round(F.sum("term").cast("double"), 6).alias("bigram_entropy")
     )
+
+
+def bigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Conditional bigram-LM negative log likelihood per document: mean
+    -ln p(w_i | w_{i-1}) under the corpus's own add-one-smoothed bigram LM —
+    the next step up from unigram_nll toward the KenLM-style perplexity
+    filters used in corpus curation (documents whose word TRANSITIONS
+    surprise the corpus LM: shuffled text, spam, wrong language).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with c(w1,·) the count of
+    bigrams starting with w1 and V the unigram vocabulary size. Documents
+    with fewer than 2 tokens have no bigrams and are excluded.
+
+    Shape: one zipped-shifted-slices bigram pass (no per-element tokenizer
+    re-evaluation); the bigram count table joins back broadcast (vocab²-ish
+    but bounded by observed transitions); per-term DECIMAL(18,9) truncation
+    keeps the transcendental sum shuffle-order exact."""
+    toks = tokens(F.col(text_col))
+    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
+    )
+    bg = df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cp"))
+    vocab = df.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    term = (-F.log((F.col("c") + 1) / (F.col("cp") + F.col("v")))).cast(
+        "decimal(18,9)"
+    )
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(vocab))
+        .select(F.col(id_col), term.alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_bigram_nll"),
+    )

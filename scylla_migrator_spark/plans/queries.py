@@ -5408,3 +5408,30 @@ def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = make_asset_table(gifs, "asset_id", "data", kind="image", mime="image/gif")
     meta = decode_assets_meta(assets)
     return meta.select("asset_id", "kind", "width", "height", "n_frames")
+
+
+@_register(
+    "bigram_nll_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c)::BIGINT AS cp FROM c2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w)::BIGINT AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+      SELECT doc_id, CAST(-ln((c + 1) / (cp + v)) AS DECIMAL(18,9)) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_bigram_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM perplexity-family gate (text.bigram_nll):
+    mean -ln p(w_i | w_{i-1}) under the corpus's own smoothed bigram LM —
+    transition-level surprise vs unigram_nll_score's token-level."""
+    return TXT.bigram_nll(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id")

@@ -239,3 +239,23 @@ def test_merge_pair_randomized_vs_python_fold(spark):
     }
     for i, word, p1, p2 in cases:
         assert got[i] == py_merge(word, p1, p2), (word, p1, p2)
+
+
+def test_bigram_nll_shuffled_text_scores_worse(spark):
+    from scylla_migrator_spark.analytics import text as TXT3
+
+    natural = "the cat sat on the mat and the cat ran to the mat"
+    rows = [
+        (1, natural),
+        (2, natural),
+        (3, natural),
+        (4, "mat the to ran cat sat the on and mat cat the the sat"),  # shuffled
+        (5, "xy"),  # single token -> no bigrams, excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TXT3.bigram_nll(df).collect()}
+    assert 5 not in out
+    assert out[1]["avg_bigram_nll"] == out[2]["avg_bigram_nll"]
+    # the shuffled doc's transitions surprise the LM trained mostly on the
+    # natural ordering
+    assert out[4]["avg_bigram_nll"] > out[1]["avg_bigram_nll"]
