@@ -174,6 +174,7 @@ HEADLINE = [
     "dsir_gumbel_sample",
     "multimodal_gif_meta",
     "bigram_nll_score",
+    "intra_doc_dup_windows",
 ]
 
 

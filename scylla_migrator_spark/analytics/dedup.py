@@ -585,3 +585,28 @@ def longest_shared_run(
         F.col(id_col),
         F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_dup_run"),
     )
+
+
+def intra_doc_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """WITHIN-document duplication: the fraction of a document's n-token
+    windows that are repeats of an earlier window in the SAME document
+    (copy-paste boilerplate, looping generations) — the intra-doc complement
+    of substring_duplication's cross-doc signal.
+
+    intra_dup_frac = 1 - distinct_windows / total_windows. Pure per-document
+    column expression (array_distinct over the shingle array) — no shuffle,
+    no join; runs in the scan stage at any scale."""
+    sh = shingles(F.col(text_col), n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_windows"),
+        distinct.cast("long").alias("n_distinct_windows"),
+        F.round(F.lit(1) - distinct / total, 6).alias("intra_dup_frac"),
+    )

@@ -5435,3 +5435,29 @@ def bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean -ln p(w_i | w_{i-1}) under the corpus's own smoothed bigram LM —
     transition-level surprise vs unigram_nll_score's token-level."""
     return TXT.bigram_nll(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id")
+
+
+@_register(
+    "intra_doc_dup_windows",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 8
+             THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 7),
+                                 i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        END AS w
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_windows,
+           round(1 - len(list_distinct(w)) / len(w), 6) AS intra_dup_frac
+    FROM wins
+    """,
+)
+def intra_doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document window repetition (dedup.intra_doc_duplication):
+    boilerplate/looping-text signal as a pure scan-stage projection."""
+    return D.intra_doc_duplication(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id", 8)

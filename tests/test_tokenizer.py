@@ -259,3 +259,17 @@ def test_bigram_nll_shuffled_text_scores_worse(spark):
     # the shuffled doc's transitions surprise the LM trained mostly on the
     # natural ordering
     assert out[4]["avg_bigram_nll"] > out[1]["avg_bigram_nll"]
+
+
+def test_intra_doc_duplication(spark):
+    w8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [
+        (1, w8 + " " + w8),      # 16 tokens: windows repeat at offset 8
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # all windows distinct
+        (3, "tiny doc"),          # short doc: one whole-doc window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.intra_doc_duplication(df).collect()}
+    assert out[1]["n_windows"] == 9 and out[1]["n_distinct_windows"] == 8
+    assert out[2]["intra_dup_frac"] == 0.0
+    assert out[3]["n_windows"] == 1 and out[3]["intra_dup_frac"] == 0.0
