@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_gif_meta",
     "bigram_nll_score",
     "intra_doc_dup_windows",
+    "embedding_top_pc",
 ]
 
 

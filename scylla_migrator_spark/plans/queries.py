@@ -5461,3 +5461,37 @@ def intra_doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document window repetition (dedup.intra_doc_duplication):
     boilerplate/looping-text signal as a pure scan-stage projection."""
     return D.intra_doc_duplication(_fan(_t(spark, sf_dir, "documents")), "text", "doc_id", 8)
+
+
+@_register(
+    "embedding_top_pc",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    p1 AS (SELECT vec_id, i, CAST(x[i] * 1.0 AS DECIMAL(18,9)) AS p
+           FROM e, unnest(generate_series(1, 64)) AS u(i)),
+    d1 AS (SELECT vec_id, sum(p) AS dot FROM p1 GROUP BY vec_id),
+    t1 AS (SELECT u.i, sum(CAST(e.x[u.i] * CAST(d1.dot AS DOUBLE) AS DECIMAL(18,9))) AS t
+           FROM e JOIN d1 USING (vec_id), unnest(generate_series(1, 64)) AS u(i)
+           GROUP BY u.i),
+    n1 AS (SELECT sqrt(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))) AS nrm FROM t1),
+    v1 AS (SELECT i, round(CAST(t AS DOUBLE) / nrm, 6) AS v FROM t1, n1),
+    p2 AS (SELECT e.vec_id, v1.i, CAST(e.x[v1.i] * v1.v AS DECIMAL(18,9)) AS p
+           FROM e, v1),
+    d2 AS (SELECT vec_id, sum(p) AS dot FROM p2 GROUP BY vec_id),
+    t2 AS (SELECT u.i, sum(CAST(e.x[u.i] * CAST(d2.dot AS DOUBLE) AS DECIMAL(18,9))) AS t
+           FROM e JOIN d2 USING (vec_id), unnest(generate_series(1, 64)) AS u(i)
+           GROUP BY u.i),
+    n2 AS (SELECT sqrt(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE))) AS nrm FROM t2)
+    SELECT t2.i AS dim_idx, round(CAST(t2.t AS DOUBLE) / n2.nrm, 6) AS pc
+    FROM t2, n2
+    """,
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding Gram matrix by two
+    distributed power iterations (analytics/linalg.py): all-ones start,
+    per-iteration one corpus pass of 64 decimal-truncated aggregates, 6-dp
+    normalize between iterations — every arithmetic step replayed exactly
+    by the SQL oracle."""
+    from scylla_migrator_spark.analytics import linalg as LA
+
+    return LA.top_pc_df(_fan(_t(spark, sf_dir, "embeddings")), "embedding", 2, 64)

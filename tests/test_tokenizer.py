@@ -273,3 +273,56 @@ def test_intra_doc_duplication(spark):
     assert out[1]["n_windows"] == 9 and out[1]["n_distinct_windows"] == 8
     assert out[2]["intra_dup_frac"] == 0.0
     assert out[3]["n_windows"] == 1 and out[3]["intra_dup_frac"] == 0.0
+
+
+# --- distributed linear algebra -------------------------------------------
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from scylla_migrator_spark.analytics import linalg as LA
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64)
+    # reference: the same deterministic recipe in numpy (ones start, 6 dp
+    # renormalize per iteration) -- decimal truncation differs at <=1e-9 per
+    # term, far under the comparison tolerance
+    v = np.ones(X.shape[1])
+    for _ in range(2):
+        t = X.T @ (X @ v)
+        v = np.round(t / np.linalg.norm(t), 6)
+    got = np.array(LA.power_iteration_top_pc(emb, "embedding", 2))
+    assert np.abs(got - v).max() < 1e-4
+    # with more iterations the direction approaches the true dominant
+    # eigenvector (the fixture's spectrum is nearly flat - 14.4 vs 13.5 -
+    # so 2 iterations are far from converged; 25 gets cos ~0.88)
+    w, V = np.linalg.eigh(X.T @ X)
+    deep = np.array(LA.power_iteration_top_pc(emb, "embedding", 25))
+    top = V[:, -1]
+    cos = abs(float(deep @ top)) / (np.linalg.norm(deep) * np.linalg.norm(top))
+    assert cos > 0.85
+
+
+def test_projection_scores(spark):
+    from scylla_migrator_spark.analytics import linalg as LA
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["vec_id"]: r["projection"] for r in LA.project_onto(df, [1.0, 1.0]).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 7.0}
+
+
+def test_power_iteration_empty_and_zero(spark):
+    from scylla_migrator_spark.analytics import linalg as LA
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError):
+        LA.power_iteration_top_pc(empty, "embedding", 1)
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError):
+        LA.power_iteration_top_pc(zeros, "embedding", 1)
