@@ -176,6 +176,7 @@ HEADLINE = [
     "bigram_nll_score",
     "intra_doc_dup_windows",
     "embedding_top_pc",
+    "curation_pipeline_report",
 ]
 
 

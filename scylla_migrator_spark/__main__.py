@@ -4,6 +4,7 @@
     python -m scylla_migrator_spark migrate  config.yaml
     python -m scylla_migrator_spark validate config.yaml
     python -m scylla_migrator_spark compact  /path/to/dataset [target_file_mb]
+    python -m scylla_migrator_spark curate   curation.yaml
 
 Exit codes: 0 on success; validate exits non-zero when any failure category
 is non-empty (Validator.scala:67-104). The rendered (secret-redacted) config
@@ -22,12 +23,23 @@ def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if (
         len(argv) < 2
-        or argv[0] not in {"migrate", "validate", "compact"}
+        or argv[0] not in {"migrate", "validate", "compact", "curate"}
         or (argv[0] != "compact" and len(argv) != 2)
         or (argv[0] == "compact" and len(argv) > 3)
     ):
         print(__doc__, file=sys.stderr)
         return 2
+    if argv[0] == "curate":
+        from scylla_migrator_spark.plans.curate import CurationConfig, run_curation
+        from scylla_migrator_spark.session import get_spark
+
+        ccfg = CurationConfig.load(argv[1])
+        spark = get_spark("scylla-migrator-spark-curate")
+        try:
+            print(json.dumps({"stage_counts": run_curation(spark, ccfg)}))
+            return 0
+        finally:
+            spark.stop()
     if argv[0] == "compact":
         from scylla_migrator_spark.session import get_spark
         from scylla_migrator_spark.sinks.parquet import compact_parquet

@@ -5495,3 +5495,55 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics import linalg as LA
 
     return LA.top_pc_df(_fan(_t(spark, sf_dir, "embeddings")), "embedding", 2, 64)
+
+
+@_register(
+    "curation_pipeline_report",
+    """
+    WITH s0 AS (SELECT doc_id, text, lang FROM documents),
+    s1 AS (SELECT * FROM s0
+           WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20),
+    s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es')),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM s2),
+    bg AS (SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS gram
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM bg GROUP BY doc_id, n, gram),
+    rep AS (SELECT doc_id, round(max(c) / (any_value(n) - 1.0), 6) AS frac
+            FROM cnt GROUP BY doc_id),
+    s3 AS (SELECT s2.* FROM s2 JOIN rep USING (doc_id) WHERE frac <= 0.2),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id IN (SELECT min(doc_id) FROM s3 GROUP BY sha256(text)))
+    SELECT stage, rows_after FROM (VALUES
+      ('stage00_input',             (SELECT count(*) FROM s0)),
+      ('stage01_length_filter',     (SELECT count(*) FROM s1)),
+      ('stage02_lang_filter',       (SELECT count(*) FROM s2)),
+      ('stage03_repetition_filter', (SELECT count(*) FROM s3)),
+      ('stage04_exact_dedup',       (SELECT count(*) FROM s4))
+    ) AS v(stage, rows_after)
+    """,
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-driven curation pipeline (plans/curate.py) end-to-end:
+    YAML-shaped stage list -> one composed plan -> per-stage survivor
+    counts OBSERVED on a single action (pyspark Observation riding the
+    output count — auditing costs zero extra passes). The oracle recomputes
+    every stage's surviving set in SQL."""
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate
+
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "stages": [
+                {"op": "length_filter", "minTokens": 20},
+                {"op": "lang_filter", "allow": ["en", "es"]},
+                {"op": "repetition_filter", "maxTopBigramFrac": 0.2},
+                {"op": "exact_dedup"},
+            ],
+        }
+    )
+    result = curate(spark, cfg)
+    result.df.count()  # the single action the observations ride
+    counts = result.counts()
+    return spark.createDataFrame(
+        sorted(counts.items()), "stage STRING, rows_after BIGINT"
+    )

@@ -1,0 +1,146 @@
+"""Config-driven curation pipeline (plans/curate.py): composition, per-stage
+observed counts riding a single action, decode-time validation, CLI."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scylla_migrator_spark.config import ConfigError
+from scylla_migrator_spark.plans.curate import CurationConfig, curate, run_curation
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    long = " ".join(f"tok{i}" for i in range(25))
+    rows = [
+        (1, long + " alpha", "en"),
+        (2, long + " alpha", "en"),            # exact dup of 1 (keeper = 1)
+        (3, long + " beta mail me a@b.com", "en"),   # PII
+        (4, "short doc", "en"),                # fails length_filter
+        (5, long + " gamma", "fr"),            # fails lang_filter
+        (6, " ".join(["loop loop"] * 20), "en"),  # repetitive bigrams
+        (7, long + " delta 123 456 789 000 111", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    return path
+
+
+BASE = {
+    "source": {"type": "parquet", "path": "PLACEHOLDER"},
+    "stages": [
+        {"op": "length_filter", "minTokens": 20},
+        {"op": "lang_filter", "allow": ["en"]},
+        {"op": "pii_redact"},
+        {"op": "repetition_filter", "maxTopBigramFrac": 0.4},
+        {"op": "exact_dedup"},
+    ],
+}
+
+
+def test_curate_pipeline_counts_and_output(spark, corpus):
+    raw = dict(BASE, source={"type": "parquet", "path": corpus})
+    cfg = CurationConfig.from_dict(raw)
+    result = curate(spark, cfg)
+    rows = {r["doc_id"]: r for r in result.df.collect()}
+    counts = result.counts()
+    assert counts["stage00_input"] == 7
+    assert counts["stage01_length_filter"] == 6   # drops 4
+    assert counts["stage02_lang_filter"] == 5     # drops 5
+    assert counts["stage03_pii_redact"] == 5      # transform, no drop
+    assert counts["stage04_repetition_filter"] == 4  # drops 6
+    assert counts["stage05_exact_dedup"] == 3     # drops 2 (dup of 1)
+    assert sorted(rows) == [1, 3, 7]
+    assert "[EMAIL]" in rows[3]["text"] and "a@b.com" not in rows[3]["text"]
+
+
+def test_curate_counts_ride_single_action(spark, corpus):
+    raw = dict(BASE, source={"type": "parquet", "path": corpus})
+    result = curate(spark, CurationConfig.from_dict(raw))
+    n_jobs_marker = result.df.count()  # ONE action; counts must now resolve
+    assert n_jobs_marker == 3
+    assert len(result.counts()) == 6
+
+
+def test_run_curation_writes_target(spark, corpus, tmp_path):
+    out = str(tmp_path / "curated")
+    raw = dict(
+        BASE,
+        source={"type": "parquet", "path": corpus},
+        target={"type": "parquet", "path": out},
+    )
+    counts = run_curation(spark, CurationConfig.from_dict(raw))
+    assert counts["stage05_exact_dedup"] == 3
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_intra_doc_repetition_stage(spark, corpus):
+    raw = {
+        "source": {"type": "parquet", "path": corpus},
+        "stages": [
+            {"op": "intra_doc_repetition_filter", "maxDupFrac": 0.5, "windowTokens": 2}
+        ],
+    }
+    result = curate(spark, CurationConfig.from_dict(raw))
+    ids = {r["doc_id"] for r in result.df.collect()}
+    assert 6 not in ids  # "loop loop loop ..." windows repeat heavily
+    assert 1 in ids
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda r: r.update(stages=[]), "non-empty"),
+        (lambda r: r.update(stages=[{"op": "nope"}]), "unknown op"),
+        (lambda r: r.update(stages=[{"op": "length_filter"}]), "minTokens"),
+        (
+            lambda r: r.update(stages=[{"op": "quality_filter", "minAlphaRatio": 2}]),
+            "minAlphaRatio",
+        ),
+        (lambda r: r.update(stages=[{"op": "lang_filter", "allow": []}]), "allow"),
+        (lambda r: r.update(stages=[{"op": "exact_dedup", "x": 1}]), "unexpected"),
+        (lambda r: r.update(source={"type": "jdbc"}), "source"),
+        (lambda r: r.update(target={"type": "csv", "path": "x"}), "target"),
+    ],
+)
+def test_config_validation_errors(mutate, msg, corpus):
+    raw = dict(BASE, source={"type": "parquet", "path": corpus})
+    raw["stages"] = list(BASE["stages"])
+    mutate(raw)
+    with pytest.raises(ConfigError, match=msg):
+        CurationConfig.from_dict(raw)
+
+
+def test_curate_cli(spark, corpus, tmp_path):
+    """curate subcommand in a SUBPROCESS (its spark.stop() must not disturb
+    the shared test session — same posture as test_cli_compact)."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    out = str(tmp_path / "cli_out")
+    cfg_path = tmp_path / "curation.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            dict(
+                BASE,
+                source={"type": "parquet", "path": corpus},
+                target={"type": "parquet", "path": out},
+            )
+        )
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "8"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "scylla_migrator_spark", "curate", str(cfg_path)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert payload["stage_counts"]["stage05_exact_dedup"] == 3
+    assert spark.read.parquet(out).count() == 3
