@@ -144,3 +144,16 @@ def test_curate_cli(spark, corpus, tmp_path):
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
     assert payload["stage_counts"]["stage05_exact_dedup"] == 3
     assert spark.read.parquet(out).count() == 3
+
+
+def test_curation_yaml_example_decodes(tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = CurationConfig.load(os.path.join(repo, "curation.yaml.example"))
+    assert [s["op"] for s in cfg.stages] == [
+        "length_filter", "quality_filter", "lang_filter", "pii_redact",
+        "repetition_filter", "intra_doc_repetition_filter", "exact_dedup",
+    ]
+    assert cfg.target_path == "/tmp/curated_documents"
+    assert cfg.stages[5]["n"] == 8
