@@ -177,6 +177,7 @@ HEADLINE = [
     "intra_doc_dup_windows",
     "embedding_top_pc",
     "curation_pipeline_report",
+    "stream_curation_gate",
 ]
 
 

@@ -254,3 +254,31 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
     else:
         result.df.count()
     return result.counts()
+
+
+def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """The streaming form of the curation gate: apply the config's ROW-LEVEL
+    stages (predicates + pii_redact) to a streaming DataFrame — the same
+    stage definitions gate a batch corpus and a live ingest feed (batch/
+    stream unification; cf. streaming/cdc.py for the sink half).
+
+    Join stages (repetition_filter, exact_dedup) need corpus-global state
+    and are rejected at compose time — streaming dedup is the watermarked
+    dropDuplicates path (stream_dedup_watermark), not a silent no-op here."""
+    out = stream_df
+    for st in cfg.stages:
+        pred = _stage_predicate(cfg, st)
+        if pred is not None:
+            out = out.filter(pred)
+        elif st["op"] == "pii_redact":
+            red = TXT.redact_pii(out, cfg.text_column, "__redacted")
+            out = red.withColumn(cfg.text_column, F.col("__redacted")).drop(
+                "__redacted", "n_email", "n_ipv4", "n_phone"
+            )
+        else:
+            raise ConfigError(
+                f"stage {st['op']!r} needs corpus-global state and cannot run "
+                "on a stream (use the batch pipeline, or watermarked "
+                "dropDuplicates for streaming dedup)"
+            )
+    return out

@@ -5547,3 +5547,52 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(counts.items()), "stage STRING, rows_after BIGINT"
     )
+
+
+@_register(
+    "stream_curation_gate",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+      AND lang IN ('en', 'es')
+    """,
+)
+def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate on a LIVE FEED: the same config stage list that
+    curates a batch corpus (plans/curate.py) applied to a file stream of the
+    documents table delivered as two micro-batches — after the replay, the
+    gated stream equals the batch filter (batch/stream unification)."""
+    import os
+
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    docs = _t(spark, sf_dir, "documents")
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", docs.filter(F.col("doc_id") % 2 == 0)),
+                ("1", docs.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": stage},  # schema source
+            "stages": [
+                {"op": "length_filter", "minTokens": 20},
+                {"op": "lang_filter", "allow": ["en", "es"]},
+            ],
+        }
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    gated = curate_stream(stream, cfg).select("doc_id", "lang")
+    return _run_available_now(gated, "append")

@@ -157,3 +157,45 @@ def test_curation_yaml_example_decodes(tmp_path):
     ]
     assert cfg.target_path == "/tmp/curated_documents"
     assert cfg.stages[5]["n"] == 8
+
+
+def test_curate_stream_rejects_join_stages(spark, corpus):
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    cfg = CurationConfig.from_dict(
+        dict(BASE, source={"type": "parquet", "path": corpus})
+    )
+    schema = spark.read.parquet(corpus).schema
+    stream = spark.readStream.schema(schema).parquet(corpus)
+    with pytest.raises(ConfigError, match="corpus-global state"):
+        curate_stream(stream, cfg)
+
+
+def test_curate_stream_gates_rows(spark, corpus, tmp_path):
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": corpus},
+            "stages": [
+                {"op": "length_filter", "minTokens": 20},
+                {"op": "lang_filter", "allow": ["en"]},
+                {"op": "pii_redact"},
+            ],
+        }
+    )
+    schema = spark.read.parquet(corpus).schema
+    stream = spark.readStream.schema(schema).parquet(corpus)
+    gated = curate_stream(stream, cfg)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curate_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curate_gate_test").collect()}
+    assert sorted(rows) == [1, 2, 3, 6, 7]  # length+lang survivors
+    assert "a@b.com" not in rows[3]["text"] and "[EMAIL]" in rows[3]["text"]
