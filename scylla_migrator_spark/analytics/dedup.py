@@ -497,6 +497,36 @@ def semdedup(
     )
 
 
+def _md5_long60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a bigint — 60 bits of entropy, needed
+    where hash EQUALITY is treated as content equality across a large
+    window population (the 32-bit _md5_int birthday-collides from ~77k
+    distinct values — fine for MinHash minima, fatal for verbatim-dup
+    keys). 15 hex digits stay inside signed-64 range on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shared_windows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, wh, n_docs) for every n-token window position: wh is the
+    60-bit window hash, n_docs the number of DISTINCT documents containing
+    that window — the shared substrate of substring_duplication and
+    longest_shared_run. One shingle pass; the distinct-doc count collapses
+    to (window, doc) partials map-side; the join back carries an 8-byte
+    key + a count, never window text."""
+    wins = df.select(
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram")
+    ).select(id_col, "pos", _md5_long60(F.col("gram")).alias("wh"))
+    freq = (
+        wins.select("wh", id_col)
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return wins.join(freq, "wh")
+
+
 def substring_duplication(
     df: DataFrame,
     text_col: str = "text",
@@ -513,26 +543,11 @@ def substring_duplication(
     as a single window (the shingles() short-doc rule), so every document
     gets a score.
 
-    Scale shape: one shingle pass -> window-key aggregation with map-side
-    combine (the distinct-doc count per window collapses to (window, doc)
-    partials before the shuffle) -> equi-join back on the window key. The
-    join key is the md5-int of the window, so the big shuffle carries an
-    8-byte key + counts, never the window text; no pair table is ever
-    formed, unlike the Jaccard/MinHash family — this detects VERBATIM
-    cross-document substrings, the suffix-array use case, at equi-join
-    cost."""
-    wins = (
-        df.select(F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram"))
-        .select(id_col, "pos", _md5_int(F.col("gram")).alias("wh"))
-    )
-    # distinct docs per window hash; windows seen in >= 2 docs are "shared"
-    freq = (
-        wins.select("wh", id_col)
-        .distinct()
-        .groupBy("wh")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    scored = wins.join(freq, "wh").select(
+    Scale shape: see _shared_windows — equi-join on a 60-bit window hash;
+    no pair table is ever formed, unlike the Jaccard/MinHash family. This
+    detects VERBATIM cross-document substrings, the suffix-array use case,
+    at equi-join cost."""
+    scored = _shared_windows(df, text_col, id_col, n).select(
         F.col(id_col), (F.col("n_docs") >= 2).cast("int").alias("is_dup")
     )
     return scored.groupBy(id_col).agg(
@@ -555,22 +570,16 @@ def longest_shared_run(
     substring of r+n-1 tokens when the sharing partner is the same; it is an
     upper-bound certificate otherwise).
 
-    Plan: the substring_duplication window/frequency join, then
-    islands-and-gaps (pos - row_number, both per-doc window functions — AQE
-    coalesces the doc-keyed shuffles). Output: (id, max_dup_run) with 0 for
-    documents sharing no window."""
+    Plan: _shared_windows, then islands-and-gaps (pos - row_number, both
+    per-doc window functions — AQE coalesces the doc-keyed shuffles).
+    Output: (id, max_dup_run) with 0 for documents sharing no window."""
     from pyspark.sql import Window
 
-    wins = df.select(
-        F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("pos", "gram")
-    ).select(id_col, "pos", _md5_int(F.col("gram")).alias("wh"))
-    freq = (
-        wins.select("wh", id_col)
-        .distinct()
-        .groupBy("wh")
-        .agg(F.count("*").alias("n_docs"))
+    shared = (
+        _shared_windows(df, text_col, id_col, n)
+        .filter(F.col("n_docs") >= 2)
+        .select(id_col, "pos")
     )
-    shared = wins.join(freq, "wh").filter(F.col("n_docs") >= 2).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = shared.select(
         F.col(id_col), (F.col("pos") - F.row_number().over(w)).alias("grp")

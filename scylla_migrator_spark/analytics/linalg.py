@@ -60,12 +60,21 @@ def power_iteration_top_pc(
     x = F.col(vec_col).cast("array<double>")
     v = [1.0] * dim
     for _ in range(iters):
-        dot = _dec_dot(x, v).cast("double")
+        # project the per-row dot ONCE, then aggregate over the projected
+        # column — inlining _dec_dot into each of the dim aggregates would
+        # evaluate the full dim-element fold dim times per row (O(dim^2))
+        dotted = df.select(
+            x.alias("__x"), _dec_dot(x, v).cast("double").alias("__dot")
+        )
         aggs = [
-            F.sum((F.element_at(x, i + 1) * dot).cast(_DEC)).alias(f"t{i}")
+            F.sum(
+                (F.element_at(F.col("__x"), i + 1) * F.col("__dot")).cast(_DEC)
+            ).alias(f"t{i}")
             for i in range(dim)
         ]
-        row = df.select(x.alias(vec_col)).select(*[a for a in aggs]).first()
+        row = dotted.select(*aggs).first()
+        if row is None or row["t0"] is None:  # global agg over zero rows
+            raise ValueError("empty input")
         t = [float(row[f"t{i}"]) for i in range(dim)]
         nrm = math.sqrt(sum(c * c for c in t))
         if nrm == 0.0:

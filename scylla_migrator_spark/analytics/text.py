@@ -371,9 +371,12 @@ def bigram_nll(
     with fewer than 2 tokens have no bigrams and are excluded.
 
     Shape: one zipped-shifted-slices bigram pass (no per-element tokenizer
-    re-evaluation); the bigram count table joins back broadcast (vocab²-ish
-    but bounded by observed transitions); per-term DECIMAL(18,9) truncation
-    keeps the transcendental sum shuffle-order exact."""
+    re-evaluation). The PREFIX count table and the vocab scalar broadcast
+    (vocab-sized); the bigram-transition table does NOT get a broadcast
+    hint — observed transitions grow toward corpus size on heterogeneous
+    text, so that join is left to AQE (broadcast when it measures small,
+    shuffle join when it doesn't). Per-term DECIMAL(18,9) truncation keeps
+    the transcendental sum shuffle-order exact."""
     toks = tokens(F.col(text_col))
     width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     zipped = F.arrays_zip(
@@ -391,7 +394,7 @@ def bigram_nll(
         "decimal(18,9)"
     )
     scored = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
+        bg.join(c2, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .join(F.broadcast(vocab))
         .select(F.col(id_col), term.alias("nll"))

@@ -49,8 +49,17 @@ def _require_number(params: dict, key: str, lo: float, hi: float) -> float:
     return float(v)
 
 
+def _reject_extras(params: dict, known: set[str]) -> None:
+    """Fail-at-decode on unknown/misspelled keys — a typo'd maxToken that is
+    silently ignored means the cap never applies and bad rows flow through."""
+    extra = set(params) - known - {"op"}
+    if extra:
+        raise ConfigError(f"unexpected params {sorted(extra)} for {params['op']}")
+
+
 # op -> (required/optional param validator). Each returns a normalized dict.
 def _v_length(params: dict) -> dict:
+    _reject_extras(params, {"minTokens", "maxTokens"})
     out = {}
     if "minTokens" not in params and "maxTokens" not in params:
         raise ConfigError("length_filter needs minTokens and/or maxTokens")
@@ -58,14 +67,18 @@ def _v_length(params: dict) -> dict:
         out["min_tokens"] = int(_require_number(params, "minTokens", 0, 1e9))
     if "maxTokens" in params:
         out["max_tokens"] = int(_require_number(params, "maxTokens", 0, 1e9))
+    if out.get("min_tokens", 0) > out.get("max_tokens", 10**18):
+        raise ConfigError("length_filter: minTokens > maxTokens drops every row")
     return out
 
 
 def _v_quality(params: dict) -> dict:
+    _reject_extras(params, {"minAlphaRatio"})
     return {"min_alpha_ratio": _require_number(params, "minAlphaRatio", 0.0, 1.0)}
 
 
 def _v_lang(params: dict) -> dict:
+    _reject_extras(params, {"allow"})
     allow = params.get("allow")
     if (
         not isinstance(allow, list)
@@ -77,10 +90,12 @@ def _v_lang(params: dict) -> dict:
 
 
 def _v_repetition(params: dict) -> dict:
+    _reject_extras(params, {"maxTopBigramFrac"})
     return {"max_frac": _require_number(params, "maxTopBigramFrac", 0.0, 1.0)}
 
 
 def _v_intra_dup(params: dict) -> dict:
+    _reject_extras(params, {"maxDupFrac", "windowTokens"})
     out = {"max_frac": _require_number(params, "maxDupFrac", 0.0, 1.0)}
     if "windowTokens" in params:
         out["n"] = int(_require_number(params, "windowTokens", 1, 1000))
@@ -88,9 +103,7 @@ def _v_intra_dup(params: dict) -> dict:
 
 
 def _v_empty(params: dict) -> dict:
-    extra = set(params) - {"op"}
-    if extra:
-        raise ConfigError(f"unexpected params {sorted(extra)} for {params['op']}")
+    _reject_extras(params, set())
     return {}
 
 
@@ -182,7 +195,11 @@ def _stage_predicate(cfg: CurationConfig, st: dict) -> Column | None:
             pred = pred & (n <= st["max_tokens"])
         return pred
     if op == "quality_filter":
-        alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+        # try_divide: ANSI mode turns x/0 into an ERROR, and an empty text
+        # must drop (null >= threshold is false), not kill the pipeline
+        alpha = F.try_divide(
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")), F.length(t)
+        )
         return alpha >= st["min_alpha_ratio"]
     if op == "lang_filter":
         return F.col(cfg.lang_column).isin(st["allow"])
@@ -228,12 +245,16 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
                 name,
             )
         elif st["op"] == "repetition_filter":
-            keep = (
+            # ANTI-join on the repetitive ids: documents with no bigrams at
+            # all (0/1 tokens) have no repetition_stats row — a semi-join on
+            # the non-repetitive set would silently drop them even though
+            # they cannot be repetitive
+            drop = (
                 TXT.repetition_stats(df, cfg.text_column, cfg.id_column, st["max_frac"])
-                .filter(~F.col("is_repetitive"))
+                .filter(F.col("is_repetitive"))
                 .select(cfg.id_column)
             )
-            df = _observe(df.join(keep, cfg.id_column, "left_semi"), name)
+            df = _observe(df.join(drop, cfg.id_column, "left_anti"), name)
         elif st["op"] == "exact_dedup":
             df = _observe(
                 D.drop_exact_duplicates(df, cfg.text_column, cfg.id_column), name

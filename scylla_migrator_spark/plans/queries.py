@@ -5215,8 +5215,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins AS (
       SELECT doc_id,
         CASE WHEN len(t) < 8
-             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 8) AS BIGINT)
-             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 8) AS BIGINT)
+             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 15) AS BIGINT)
+             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15) AS BIGINT)
         END AS wh
       FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)),
     freq AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wh)
@@ -5281,8 +5281,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins AS (
       SELECT doc_id, i AS pos,
         CASE WHEN len(t) < 8
-             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 8) AS BIGINT)
-             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 8) AS BIGINT)
+             THEN CAST('0x' || substr(md5(array_to_string(t, ' ')), 1, 15) AS BIGINT)
+             ELSE CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15) AS BIGINT)
         END AS wh
       FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)),
     freq AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wh),

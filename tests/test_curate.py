@@ -199,3 +199,49 @@ def test_curate_stream_gates_rows(spark, corpus, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curate_gate_test").collect()}
     assert sorted(rows) == [1, 2, 3, 6, 7]  # length+lang survivors
     assert "a@b.com" not in rows[3]["text"] and "[EMAIL]" in rows[3]["text"]
+
+
+def test_quality_filter_survives_empty_text(spark, tmp_path):
+    """ANSI mode turns x/0 into an error; an empty document must DROP, not
+    crash the pipeline."""
+    path = str(tmp_path / "empty_docs")
+    spark.createDataFrame(
+        [(1, "", "en"), (2, "Real words here", "en")], ["doc_id", "text", "lang"]
+    ).write.parquet(path)
+    raw = {
+        "source": {"type": "parquet", "path": path},
+        "stages": [{"op": "quality_filter", "minAlphaRatio": 0.5}],
+    }
+    result = curate(spark, CurationConfig.from_dict(raw))
+    assert [r["doc_id"] for r in result.df.collect()] == [2]
+
+
+def test_typoed_param_and_inverted_range_rejected(corpus):
+    for stages, msg in [
+        ([{"op": "length_filter", "minTokens": 20, "maxToken": 100}], "unexpected"),
+        ([{"op": "length_filter", "minTokens": 100, "maxTokens": 10}], "minTokens > maxTokens"),
+        ([{"op": "intra_doc_repetition_filter", "maxDupFrac": 0.5, "windowtokens": 4}], "unexpected"),
+        ([{"op": "repetition_filter", "maxTopBigramFrac": 0.2, "x": 1}], "unexpected"),
+    ]:
+        raw = {"source": {"type": "parquet", "path": corpus}, "stages": stages}
+        with pytest.raises(ConfigError, match=msg):
+            CurationConfig.from_dict(raw)
+
+
+def test_repetition_filter_keeps_bigramless_docs(spark, tmp_path):
+    """A 0/1-token document has no bigrams and CANNOT be repetitive — the
+    stage must keep it (anti-join on repetitive ids), not silently drop it
+    for lacking a stats row."""
+    path = str(tmp_path / "short_docs")
+    spark.createDataFrame(
+        [(1, "hello", "en"), (2, " ".join(["loop loop"] * 20), "en"),
+         (3, "a normal longer sentence with several distinct words here", "en")],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(path)
+    raw = {
+        "source": {"type": "parquet", "path": path},
+        "stages": [{"op": "repetition_filter", "maxTopBigramFrac": 0.4}],
+    }
+    result = curate(spark, CurationConfig.from_dict(raw))
+    ids = sorted(r["doc_id"] for r in result.df.collect())
+    assert ids == [1, 3]  # 2 dropped for repetition; 1 KEPT despite no bigrams

@@ -321,6 +321,8 @@ def test_power_iteration_empty_and_zero(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError):
         LA.power_iteration_top_pc(empty, "embedding", 1)
+    with pytest.raises(ValueError):  # explicit dim must not change the error
+        LA.power_iteration_top_pc(empty, "embedding", 1, dim=2)
     zeros = spark.createDataFrame(
         [(1, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
     )
