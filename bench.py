@@ -178,6 +178,7 @@ HEADLINE = [
     "embedding_top_pc",
     "curation_pipeline_report",
     "stream_curation_gate",
+    "source_js_divergence",
 ]
 
 

@@ -133,3 +133,67 @@ def dsir_gumbel_topk(
         .orderBy(F.desc("gumbel_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram distributions
+    of every two sources — the corpus-mix drift/similarity matrix (which
+    slices are near-duplicates of each other distribution-wise, which are
+    genuinely distinct; nats, 0 <= JS <= ln 2).
+
+    JS(p,q) = 0.5 KL(p||m) + 0.5 KL(q||m), m = (p+q)/2, with each KL term
+    truncated to DECIMAL(18,9) pre-sum (shuffle-order exact). Terms where
+    one side is absent contribute 0.5 p ln 2 exactly (m = p/2) — handled by
+    coalescing the missing side to 0.
+
+    Shape: ONE token pass -> per-(source, word) counts; the pair expansion
+    joins the count table against the small distinct-source-pair frame, so
+    its size is |pairs| x vocab — sources are few (corpus slices), vocab is
+    bounded; never corpus-sized."""
+    toks = df.select(F.col(source_col).alias("src"), F.explode(tokens(F.col(text_col))).alias("w"))
+    cnt = toks.groupBy("src", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    p = cnt.join(tot, "src").select(
+        "src", "w", (F.col("c") / F.col("t")).alias("p")
+    )
+    srcs = p.select("src").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.src") < F.col("b.src"))
+        .select(F.col("a.src").alias("sa"), F.col("b.src").alias("sb"))
+    )
+    # the word universe of each pair: words in either side
+    wp = (
+        pairs.join(
+            p.select("src", "w"),
+            (F.col("src") == F.col("sa")) | (F.col("src") == F.col("sb")),
+        )
+        .select("sa", "sb", "w")
+        .distinct()
+    )
+    pa = p.select(F.col("src").alias("sa"), "w", F.col("p").alias("pa"))
+    pb = p.select(F.col("src").alias("sb"), "w", F.col("p").alias("pb"))
+    joined = (
+        wp.join(pa, ["sa", "w"], "left")
+        .join(pb, ["sb", "w"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("pa", F.lit(0.0)).alias("pv"),
+            F.coalesce("pb", F.lit(0.0)).alias("qv"),
+        )
+    )
+    m = (F.col("pv") + F.col("qv")) / 2
+    term = (
+        F.when(F.col("pv") > 0, 0.5 * F.col("pv") * F.log(F.col("pv") / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("qv") > 0, 0.5 * F.col("qv") * F.log(F.col("qv") / m)).otherwise(F.lit(0.0))
+    ).cast("decimal(18,9)")
+    return (
+        joined.select("sa", "sb", term.alias("term"))
+        .groupBy("sa", "sb")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("js_divergence"))
+    )

@@ -5596,3 +5596,45 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = curate_stream(stream, cfg).select("doc_id", "lang")
     return _run_available_now(gated, "append")
+
+
+@_register(
+    "source_js_divergence",
+    """
+    WITH toks AS (
+      SELECT source AS src, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT src, w, count(*) AS c FROM toks GROUP BY src, w),
+    tot AS (SELECT src, sum(c)::BIGINT AS t FROM cnt GROUP BY src),
+    p AS (SELECT src, w, c / t AS p FROM cnt JOIN tot USING (src)),
+    pairs AS (
+      SELECT a.src AS sa, b.src AS sb
+      FROM (SELECT DISTINCT src FROM p) a, (SELECT DISTINCT src FROM p) b
+      WHERE a.src < b.src),
+    wp AS (
+      SELECT DISTINCT pr.sa, pr.sb, c.w
+      FROM pairs pr JOIN p c ON c.src = pr.sa OR c.src = pr.sb),
+    joined AS (
+      SELECT wp.sa, wp.sb,
+             coalesce(pa.p, 0) AS pv, coalesce(pb.p, 0) AS qv
+      FROM wp
+      LEFT JOIN p pa ON pa.src = wp.sa AND pa.w = wp.w
+      LEFT JOIN p pb ON pb.src = wp.sb AND pb.w = wp.w),
+    terms AS (
+      SELECT sa, sb, CAST(
+        CASE WHEN pv > 0 THEN 0.5 * pv * ln(pv / ((pv + qv) / 2)) ELSE 0 END
+        + CASE WHEN qv > 0 THEN 0.5 * qv * ln(qv / ((pv + qv) / 2)) ELSE 0 END
+        AS DECIMAL(18,9)) AS term
+      FROM joined)
+    SELECT sa, sb, round(CAST(sum(term) AS DOUBLE), 6) AS js_divergence
+    FROM terms GROUP BY sa, sb
+    """,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift matrix: pairwise Jensen-Shannon divergence between
+    every two sources' unigram distributions (selection.source_js_divergence)
+    — decimal-truncated KL terms, one token pass, pair-expansion bounded by
+    |source pairs| x vocab."""
+    from scylla_migrator_spark.analytics import selection as SEL
+
+    return SEL.source_js_divergence(_fan(_t(spark, sf_dir, "documents")), "source", "text")

@@ -424,3 +424,26 @@ def test_bpe_top_pairs_is_take_ordered(spark, sf_dir):
     plan = plan_of(TOK.top_pairs(TOK.word_frequency_table(docs), 20), mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_curation_lang_filter_pushes_to_scan(spark, sf_dir):
+    """The curation pipeline's simple predicates must reach the parquet scan
+    (lang IN pushdown) while the plan stays pruned to the referenced
+    columns — the YAML stage list composes into scan-stage work, not a
+    chain of materialized steps."""
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate
+
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "stages": [
+                {"op": "length_filter", "minTokens": 20},
+                {"op": "lang_filter", "allow": ["en", "es"]},
+            ],
+        }
+    )
+    result = curate(spark, cfg, observe=False)
+    plan = plan_of(result.df.select("doc_id", "lang"))
+    assert "PushedFilters: [In(lang, [en,es])]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+    assert "EvalPython" not in plan

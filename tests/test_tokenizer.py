@@ -328,3 +328,21 @@ def test_power_iteration_empty_and_zero(spark):
     )
     with pytest.raises(ValueError):
         LA.power_iteration_top_pc(zeros, "embedding", 1)
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    import math
+
+    rows = (
+        [(i, "alpha beta gamma", "s1") for i in range(5)]
+        + [(i + 10, "alpha beta gamma", "s2") for i in range(5)]   # same dist as s1
+        + [(i + 20, "zeta eta theta", "s3") for i in range(5)]     # disjoint vocab
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["sa"], r["sb"]): r["js_divergence"]
+        for r in SEL.source_js_divergence(df).collect()
+    }
+    assert out[("s1", "s2")] == 0.0                      # identical distributions
+    assert abs(out[("s1", "s3")] - math.log(2)) < 1e-5   # disjoint -> ln 2
+    assert 0 < out[("s2", "s3")] <= math.log(2) + 1e-9
