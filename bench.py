@@ -179,6 +179,7 @@ HEADLINE = [
     "curation_pipeline_report",
     "stream_curation_gate",
     "source_js_divergence",
+    "cross_corpus_lsh_pairs",
 ]
 
 

@@ -619,3 +619,62 @@ def intra_doc_duplication(
         distinct.cast("long").alias("n_distinct_windows"),
         F.round(F.lit(1) - distinct / total, 6).alias("intra_dup_frac"),
     )
+
+
+def cross_corpus_lsh_candidates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates BETWEEN two corpora (ids must be disjoint):
+    which documents of B look like documents of A — the cross-snapshot /
+    cross-dataset near-dedup (e.g. new crawl vs existing training set,
+    vendor dataset vs in-house corpus).
+
+    Same banded MinHash join as minhash_lsh_candidates, but signatures are
+    computed ONCE over the union and the bucket join keeps only cross-side
+    pairs — no within-corpus pair ever materializes, and B never needs A's
+    text (at scale, A's banded signature table is the precomputed index the
+    new snapshot probes). Output: (id_a, id_b) with id_a from A, id_b
+    from B."""
+    rows_per_band = num_hashes // bands
+    tagged = df_a.select(
+        F.col(id_col), F.col(text_col), F.lit("a").alias("__side")
+    ).unionByName(
+        df_b.select(F.col(id_col), F.col(text_col), F.lit("b").alias("__side"))
+    )
+    sides = tagged.select(id_col, "__side")
+    sig_df = minhash_signatures(tagged, text_col, id_col, num_hashes).join(
+        sides, id_col
+    )
+    banded = sig_df.select(
+        F.col(id_col),
+        F.col("__side"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                    256,
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.filter(F.col("__side") == "a").alias("l")
+    right = banded.filter(F.col("__side") == "b").alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -5638,3 +5638,56 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics import selection as SEL
 
     return SEL.source_js_divergence(_fan(_t(spark, sf_dir, "documents")), "source", "text")
+
+
+@_register(
+    "cross_corpus_lsh_pairs",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs
+      FROM toks),
+    shd AS (SELECT DISTINCT doc_id, g FROM sh, UNNEST(gs) AS u(g)),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM shd),
+    sig AS (SELECT doc_id,
+           min((h*1 + 7919) % 4294967311) AS m0,
+           min((h*3 + 15838) % 4294967311) AS m1,
+           min((h*5 + 23757) % 4294967311) AS m2,
+           min((h*7 + 31676) % 4294967311) AS m3,
+           min((h*9 + 39595) % 4294967311) AS m4,
+           min((h*11 + 47514) % 4294967311) AS m5,
+           min((h*13 + 55433) % 4294967311) AS m6,
+           min((h*15 + 63352) % 4294967311) AS m7,
+           min((h*17 + 71271) % 4294967311) AS m8,
+           min((h*19 + 79190) % 4294967311) AS m9,
+           min((h*21 + 87109) % 4294967311) AS m10,
+           min((h*23 + 95028) % 4294967311) AS m11,
+           min((h*25 + 102947) % 4294967311) AS m12,
+           min((h*27 + 110866) % 4294967311) AS m13,
+           min((h*29 + 118785) % 4294967311) AS m14,
+           min((h*31 + 126704) % 4294967311) AS m15
+      FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, [m0,m1,m2,m3] AS bh FROM sig
+      UNION ALL SELECT doc_id, 1 AS band_id, [m4,m5,m6,m7] AS bh FROM sig
+      UNION ALL SELECT doc_id, 2 AS band_id, [m8,m9,m10,m11] AS bh FROM sig
+      UNION ALL SELECT doc_id, 3 AS band_id, [m12,m13,m14,m15] AS bh FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bh = b.bh
+    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    """,
+)
+def cross_corpus_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset near-dup probe (dedup.cross_corpus_lsh_candidates):
+    corpus A = even doc_ids (the existing training set / its precomputed
+    banded-signature index), corpus B = odd doc_ids (the new snapshot).
+    Only cross-side bucket pairs materialize; the oracle replays the exact
+    MinHash pipeline in SQL with the side filter."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.cross_corpus_lsh_candidates(a, b, "text", "doc_id", 16, 4)

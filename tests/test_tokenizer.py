@@ -346,3 +346,21 @@ def test_js_divergence_identical_and_disjoint(spark):
     assert out[("s1", "s2")] == 0.0                      # identical distributions
     assert abs(out[("s1", "s3")] - math.log(2)) < 1e-5   # disjoint -> ln 2
     assert 0 < out[("s2", "s3")] <= math.log(2) + 1e-9
+
+
+def test_cross_corpus_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    rows_a = [(2, base), (4, " ".join(f"x{i}" for i in range(30)))]
+    rows_b = [
+        (1, base + " tail"),                       # near-dup of A's doc 2
+        (3, " ".join(f"y{i}" for i in range(30))),  # unrelated
+    ]
+    a = spark.createDataFrame(rows_a, ["doc_id", "text"])
+    b = spark.createDataFrame(rows_b, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.cross_corpus_lsh_candidates(a, b, "text", "doc_id").collect()
+    }
+    assert (2, 1) in pairs
+    # no within-corpus pair ever comes out
+    assert all(x % 2 == 0 and y % 2 == 1 for x, y in pairs)
