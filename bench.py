@@ -180,6 +180,9 @@ HEADLINE = [
     "stream_curation_gate",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
+    "normalized_dedup_groups",
+    "length_histogram_by_source",
+    "drift_top_terms",
 ]
 
 

@@ -403,3 +403,14 @@ def bigram_nll(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_bigram_nll"),
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    punctuation (everything outside [a-z0-9] and whitespace), collapse
+    whitespace runs, trim. The standard pre-dedup canonicalization — two
+    documents differing only in case/punct/spacing normalize equal. Pure
+    column expression; composes into any digest."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

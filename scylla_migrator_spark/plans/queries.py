@@ -5691,3 +5691,102 @@ def cross_corpus_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return D.cross_corpus_lsh_candidates(a, b, "text", "doc_id", 16, 4)
+
+
+@_register(
+    "normalized_dedup_groups",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM documents)
+    SELECT sha256(nt) AS digest, min(doc_id) AS keeper_id,
+           count(*) AS dup_count
+    FROM norm GROUP BY sha256(nt)
+    """,
+)
+def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (text.normalize_text:
+    case/punct/whitespace-insensitive) — catches the reformatted-copy class
+    that byte-exact dedup misses, still at digest-groupBy cost."""
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
+        "doc_id", TXT.normalize_text(F.col("text")).alias("text")
+    )
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+@_register(
+    "length_histogram_by_source",
+    """
+    WITH n AS (
+      SELECT source, len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents)
+    SELECT source, CAST(nt // 8 AS INT) AS bucket,
+           CAST(nt // 8 * 8 AS INT) AS bucket_lo,
+           count(*) AS docs, sum(nt)::BIGINT AS tokens
+    FROM n GROUP BY source, nt // 8
+    """,
+)
+def length_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: token-count histogram (8-token buckets) per
+    source — the length-distribution drift/profiling companion to
+    column_completeness_profile. One pass, map-side combined."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    nt = TXT.token_count(F.col("text"))
+    return (
+        docs.select("source", nt.alias("nt"))
+        .groupBy("source", (F.col("nt") / 8).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("docs"), F.sum("nt").alias("tokens"))
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * 8).cast("int").alias("bucket_lo"),
+            "docs",
+            "tokens",
+        )
+    )
+
+
+@_register(
+    "drift_top_terms",
+    """
+    WITH toks AS (
+      SELECT (lang = 'en') AS tgt, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (
+      SELECT w,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS c_t,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS c_r
+      FROM toks GROUP BY w),
+    s AS (SELECT sum(c_t)::BIGINT AS t_t, sum(c_r)::BIGINT AS t_r FROM cnt),
+    scored AS (
+      SELECT w, round(c_t / t_t, 6) AS p_t, round(c_r / t_r, 6) AS p_r,
+             round(abs(c_t / t_t - c_r / t_r), 6) AS abs_shift
+      FROM cnt, s)
+    SELECT w, p_t, p_r, abs_shift FROM scored
+    ORDER BY abs_shift DESC, w ASC LIMIT 20
+    """,
+)
+def drift_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift top movers: the 20 words whose unigram probability
+    differs most between the lang='en' slice and the rest — the word-level
+    drill-down under the JS-divergence matrix. TakeOrdered; one token
+    pass."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("lang") == "en").alias("tgt"),
+        F.explode(TXT.tokens(F.col("text"))).alias("w"),
+    )
+    cnt = toks.groupBy("w").agg(
+        F.sum(F.col("tgt").cast("long")).alias("c_t"),
+        F.sum((~F.col("tgt")).cast("long")).alias("c_r"),
+    )
+    s = cnt.agg(F.sum("c_t").alias("t_t"), F.sum("c_r").alias("t_r"))
+    scored = cnt.join(F.broadcast(s)).select(
+        "w",
+        F.round(F.col("c_t") / F.col("t_t"), 6).alias("p_t"),
+        F.round(F.col("c_r") / F.col("t_r"), 6).alias("p_r"),
+        F.round(F.abs(F.col("c_t") / F.col("t_t") - F.col("c_r") / F.col("t_r")), 6).alias("abs_shift"),
+    )
+    return scored.orderBy(F.desc("abs_shift"), F.asc("w")).limit(20)

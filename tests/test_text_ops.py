@@ -137,3 +137,17 @@ def test_benchmark_decontaminate_counts_distinct_hits(spark):
     out = {r.doc_id: r.n_hit_grams for r in
            benchmark_decontaminate(docs, bench, "text", "doc_id", n=3).collect()}
     assert out == {1: 1, 3: 2}
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!  ",), ("hello world",), ("Héllo wörld",)], ["t"]
+    )
+    out = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert out[0] == "hello world"
+    assert out[0] == out[1]  # case/punct/spacing-insensitive equality
+    assert out[2] == "hllo wrld"  # non-ascii letters stripped (documented)
