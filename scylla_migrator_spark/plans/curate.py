@@ -107,6 +107,21 @@ def _v_empty(params: dict) -> dict:
     return {}
 
 
+def _v_near_dedup(params: dict) -> dict:
+    _reject_extras(params, {"numHashes", "bands"})
+    out = {
+        "num_hashes": int(_require_number(params, "numHashes", 4, 256))
+        if "numHashes" in params
+        else 16,
+        "bands": int(_require_number(params, "bands", 1, 64))
+        if "bands" in params
+        else 4,
+    }
+    if out["num_hashes"] % out["bands"] != 0:
+        raise ConfigError("near_dedup: numHashes must be divisible by bands")
+    return out
+
+
 _OPS: dict[str, Any] = {
     "length_filter": _v_length,
     "quality_filter": _v_quality,
@@ -115,6 +130,7 @@ _OPS: dict[str, Any] = {
     "repetition_filter": _v_repetition,
     "intra_doc_repetition_filter": _v_intra_dup,
     "exact_dedup": _v_empty,
+    "near_dedup": _v_near_dedup,
 }
 
 
@@ -259,6 +275,22 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
             df = _observe(
                 D.drop_exact_duplicates(df, cfg.text_column, cfg.id_column), name
             )
+        elif st["op"] == "near_dedup":
+            # pairwise keeper rule: MinHash-LSH candidate pairs always come
+            # out (id_a < id_b), so dropping every id_b keeps each document
+            # iff it is the minimum among its LSH neighbors. This stays ONE
+            # declarative plan (no iterative fixpoint inside the pipeline);
+            # for transitive-cluster keep-best semantics run
+            # dedup_components + keep-best as its own job outside curate()
+            losers = (
+                D.minhash_lsh_candidates(
+                    df, cfg.text_column, cfg.id_column,
+                    num_hashes=st["num_hashes"], bands=st["bands"],
+                )
+                .select(F.col("id_b").alias(cfg.id_column))
+                .distinct()
+            )
+            df = _observe(df.join(losers, cfg.id_column, "left_anti"), name)
         else:  # pragma: no cover - validated at decode time
             raise ConfigError(f"unhandled op {st['op']}")
     result.df = df

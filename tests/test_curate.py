@@ -154,6 +154,7 @@ def test_curation_yaml_example_decodes(tmp_path):
     assert [s["op"] for s in cfg.stages] == [
         "length_filter", "quality_filter", "lang_filter", "pii_redact",
         "repetition_filter", "intra_doc_repetition_filter", "exact_dedup",
+        "near_dedup",
     ]
     assert cfg.target_path == "/tmp/curated_documents"
     assert cfg.stages[5]["n"] == 8
@@ -245,3 +246,41 @@ def test_repetition_filter_keeps_bigramless_docs(spark, tmp_path):
     result = curate(spark, CurationConfig.from_dict(raw))
     ids = sorted(r["doc_id"] for r in result.df.collect())
     assert ids == [1, 3]  # 2 dropped for repetition; 1 KEPT despite no bigrams
+
+
+def test_near_dedup_stage_drops_lsh_neighbor(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(30))
+    path = str(tmp_path / "near_docs")
+    spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base + " tail", "en"),          # near-dup of 1 -> dropped
+            (3, " ".join(f"z{i}" for i in range(30)), "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(path)
+    raw = {
+        "source": {"type": "parquet", "path": path},
+        "stages": [{"op": "near_dedup"}],
+    }
+    result = curate(spark, CurationConfig.from_dict(raw))
+    assert sorted(r["doc_id"] for r in result.df.collect()) == [1, 3]
+    # bad band split rejected at decode
+    with pytest.raises(ConfigError, match="divisible"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": path},
+             "stages": [{"op": "near_dedup", "numHashes": 16, "bands": 5}]}
+        )
+
+
+def test_near_dedup_rejected_on_stream(spark, corpus):
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    cfg = CurationConfig.from_dict(
+        {"source": {"type": "parquet", "path": corpus},
+         "stages": [{"op": "near_dedup"}]}
+    )
+    schema = spark.read.parquet(corpus).schema
+    stream = spark.readStream.schema(schema).parquet(corpus)
+    with pytest.raises(ConfigError, match="corpus-global state"):
+        curate_stream(stream, cfg)
