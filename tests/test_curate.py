@@ -284,3 +284,67 @@ def test_near_dedup_rejected_on_stream(spark, corpus):
     stream = spark.readStream.schema(schema).parquet(corpus)
     with pytest.raises(ConfigError, match="corpus-global state"):
         curate_stream(stream, cfg)
+
+
+def test_curate_randomized_vs_pandas_reference(spark, tmp_path):
+    """Randomized differential test: the composed Spark pipeline must equal
+    a straight-line pandas/python reference on 120 random docs (length ->
+    lang -> intra-dup -> exact-dedup; the stages with exact python twins)."""
+    import random
+    import re
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 40)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if rng.random() < 0.2 and rows:  # plant exact dups
+            text = rows[rng.randrange(len(rows))][1]
+        rows.append((i, text, rng.choice(["en", "fr", "es"])))
+    path = str(tmp_path / "rand_docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(path)
+
+    cfgd = {
+        "source": {"type": "parquet", "path": path},
+        "stages": [
+            {"op": "length_filter", "minTokens": 5, "maxTokens": 35},
+            {"op": "lang_filter", "allow": ["en", "es"]},
+            {"op": "intra_doc_repetition_filter", "maxDupFrac": 0.6, "windowTokens": 3},
+            {"op": "exact_dedup"},
+        ],
+    }
+    got = sorted(
+        r["doc_id"]
+        for r in curate(spark, CurationConfig.from_dict(cfgd)).df.collect()
+    )
+
+    # python reference
+    def toks(t):
+        return re.split(r"\s+", t.strip()) if True else []
+
+    def windows(t, n=3):
+        ts = toks(t)
+        if len(ts) < n:
+            return [" ".join(ts)]
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    survivors = []
+    for i, text, lang in rows:
+        ts = toks(text)
+        if not (5 <= len(ts) <= 35):
+            continue
+        if lang not in ("en", "es"):
+            continue
+        ws = windows(text)
+        if 1 - len(set(ws)) / len(ws) > 0.6:
+            continue
+        survivors.append((i, text))
+    seen = {}
+    expected = []
+    for i, text in survivors:
+        if text in seen:
+            continue
+        seen[text] = i
+        expected.append(i)
+    assert got == sorted(expected)
