@@ -300,13 +300,30 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
 def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
     """Execute the pipeline: write the curated corpus (or count it when no
     target is configured) and return per-stage survivor counts — all from
-    ONE action."""
+    ONE action. With a target, the audit is also persisted as
+    ``_curation_report.json`` inside the output directory (leading "_":
+    ignored by Spark's file listing, like parquet's _SUCCESS), so the
+    curated dataset carries its own provenance."""
     result = curate(spark, cfg)
     if cfg.target_path:
         result.df.write.mode("overwrite").parquet(cfg.target_path)
     else:
         result.df.count()
-    return result.counts()
+    counts = result.counts()
+    if cfg.target_path:
+        import json
+        import os
+
+        report = {
+            "stages": cfg.stages,
+            "stage_counts": counts,
+            "source": cfg.source_path,
+        }
+        tmp = os.path.join(cfg.target_path, "_curation_report.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(cfg.target_path, "_curation_report.json"))
+    return counts
 
 
 def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:

@@ -348,3 +348,21 @@ def test_curate_randomized_vs_pandas_reference(spark, tmp_path):
         seen[text] = i
         expected.append(i)
     assert got == sorted(expected)
+
+
+def test_run_curation_writes_provenance_report(spark, corpus, tmp_path):
+    import json as _json
+    import os
+
+    out = str(tmp_path / "curated_with_report")
+    raw = dict(
+        BASE,
+        source={"type": "parquet", "path": corpus},
+        target={"type": "parquet", "path": out},
+    )
+    counts = run_curation(spark, CurationConfig.from_dict(raw))
+    report = _json.load(open(os.path.join(out, "_curation_report.json")))
+    assert report["stage_counts"] == counts
+    assert [s["op"] for s in report["stages"]] == [s["op"] for s in BASE["stages"]]
+    # the sidecar must not break re-reading the dataset
+    assert spark.read.parquet(out).count() == counts["stage05_exact_dedup"]
