@@ -183,6 +183,7 @@ HEADLINE = [
     "normalized_dedup_groups",
     "length_histogram_by_source",
     "drift_top_terms",
+    "count_min_top_tokens",
 ]
 
 

@@ -414,3 +414,59 @@ def normalize_text(col: Column) -> Column:
     lowered = F.lower(col)
     stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+# count-min sketch geometry: d deterministic affine hash rows over a fixed
+# width — integer-exact, so unlike the HLL/quantile sketches this one is
+# fully oracle-checkable
+CMS_WIDTH = 1024
+CMS_ROWS: tuple[tuple[int, int], ...] = ((1, 7919), (3, 15838), (5, 23757), (7, 31676))
+_CMS_P = 4_294_967_311
+
+
+def count_min_buckets(col: Column, row: int) -> Column:
+    """The count-min bucket of a token under hash row ``row`` (affine rehash
+    of the md5-int, mod width) — deterministic and SQL-replayable."""
+    a, b = CMS_ROWS[row]
+    return (( _md5_int(col) * a + b) % _CMS_P) % CMS_WIDTH
+
+
+def count_min_estimates(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream, evaluated on the k
+    most frequent tokens: (w, true_count, cms_estimate).
+
+    The sketch is the mergeable frequent-items counterpart of the HLL
+    distinct-count path (approx_aggregates): d x width integer counters,
+    built with ONE map-side-combined aggregation per hash row over the
+    token counts (the shuffle carries (row, bucket, partial) — constant
+    size regardless of corpus). Estimate = min over rows of the bucket
+    counter; always >= true count (one-sided error), equality whenever no
+    collision. Integer-exact, so the whole pipeline has a full value-hash
+    oracle — the sketch PATTERN is verified, not just its output shape."""
+    cnt = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    sketch = None
+    for i in range(len(CMS_ROWS)):
+        part = cnt.select(
+            F.lit(i).alias("row"), count_min_buckets(F.col("w"), i).alias("bucket"), "c"
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+    sketch = sketch.groupBy("row", "bucket").agg(F.sum("c").alias("bc"))
+    top = cnt.orderBy(F.desc("c"), F.asc("w")).limit(k)
+    probes = None
+    for i in range(len(CMS_ROWS)):
+        pr = top.select(
+            "w", "c", F.lit(i).alias("row"), count_min_buckets(F.col("w"), i).alias("bucket")
+        )
+        probes = pr if probes is None else probes.unionByName(pr)
+    return (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("w", "c")
+        .agg(F.min("bc").alias("cms_estimate"))
+        .select("w", F.col("c").alias("true_count"), "cms_estimate")
+    )

@@ -5790,3 +5790,35 @@ def drift_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("c_t") / F.col("t_t") - F.col("c_r") / F.col("t_r")), 6).alias("abs_shift"),
     )
     return scored.orderBy(F.desc("abs_shift"), F.asc("w")).limit(20)
+
+
+@_register(
+    "count_min_top_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    h AS (SELECT w, c, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hw FROM cnt),
+    rows_ AS (SELECT * FROM (VALUES (0, 1, 7919), (1, 3, 15838), (2, 5, 23757),
+                                    (3, 7, 31676)) AS v(row_, a, b)),
+    bucketed AS (
+      SELECT r.row_, ((h.hw * r.a + r.b) % 4294967311) % 1024 AS bucket, h.c, h.w
+      FROM h, rows_ r),
+    sketch AS (SELECT row_, bucket, sum(c)::BIGINT AS bc
+               FROM bucketed GROUP BY row_, bucket),
+    top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 20),
+    probes AS (
+      SELECT t.w, t.c, b.row_, b.bucket
+      FROM top t JOIN bucketed b ON b.w = t.w)
+    SELECT p.w, p.c AS true_count, min(s.bc)::BIGINT AS cms_estimate
+    FROM probes p JOIN sketch s ON s.row_ = p.row_ AND s.bucket = p.bucket
+    GROUP BY p.w, p.c
+    """,
+)
+def count_min_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequent-items path (text.count_min_estimates):
+    4x1024 integer counters, one combined aggregation per hash row; top-20
+    true tokens probed against the sketch. Integer-exact end to end, so the
+    mergeable-sketch PATTERN carries a full value-hash oracle (the HLL /
+    quantile entries are rows-only by nature)."""
+    return TXT.count_min_estimates(_fan(_t(spark, sf_dir, "documents")), "text", 20)

@@ -151,3 +151,19 @@ def test_normalize_text(spark):
     assert out[0] == "hello world"
     assert out[0] == out[1]  # case/punct/spacing-insensitive equality
     assert out[2] == "hllo wrld"  # non-ascii letters stripped (documented)
+
+
+def test_count_min_overestimates_only_and_exact_when_sparse(spark):
+    from scylla_migrator_spark.analytics.text import count_min_estimates
+
+    rows = [(i, "alpha " * (5 - i % 3) + f"uniq{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = count_min_estimates(df, "text", 5).collect()
+    assert len(out) == 5
+    for r in out:
+        # one-sided error: the sketch can only overestimate
+        assert r["cms_estimate"] >= r["true_count"]
+    # with ~20 distinct tokens in 4x1024 counters, the top token is
+    # collision-free and the estimate is exact
+    top = max(out, key=lambda r: r["true_count"])
+    assert top["w"] == "alpha" and top["cms_estimate"] == top["true_count"]
