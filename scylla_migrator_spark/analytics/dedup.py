@@ -18,12 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scylla_migrator_spark.analytics.text import (
+    AFFINE_COEFFS as _COEFFS,
+)
+from scylla_migrator_spark.analytics.text import (
+    AFFINE_P as _P,
+)
 from scylla_migrator_spark.analytics.text import _md5_int, shingles, tokens
-
-# a large 32-bit prime for the affine rehash family
-_P = 4_294_967_311
-# deterministic affine coefficients (odd multipliers)
-_COEFFS = [(2 * i + 1, 7919 * (i + 1)) for i in range(64)]
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -81,6 +82,28 @@ def minhash_signatures(
     )
 
 
+def _banded(sig_df: DataFrame, keep_cols: list[str], num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature table into (keep_cols..., band_id, band_hash) —
+    the single definition of band hashing shared by the within-corpus and
+    cross-corpus LSH joins (a drifted copy would silently desynchronize
+    them and their SQL oracles)."""
+    rows_per_band = num_hashes // bands
+    return sig_df.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ),
+                    256,
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -94,22 +117,8 @@ def minhash_lsh_candidates(
     -> shuffle on (band_id, band_hash) -> self-equi-join within buckets. At
     100 TB the band-bucket join is the dominant shuffle and its key space is
     uniform by construction; no cross join ever materializes."""
-    rows_per_band = num_hashes // bands
     sig_df = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.sha2(
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ),
-                    256,
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded(sig_df, [id_col], num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -640,7 +649,6 @@ def cross_corpus_lsh_candidates(
     text (at scale, A's banded signature table is the precomputed index the
     new snapshot probes). Output: (id_a, id_b) with id_a from A, id_b
     from B."""
-    rows_per_band = num_hashes // bands
     tagged = df_a.select(
         F.col(id_col), F.col(text_col), F.lit("a").alias("__side")
     ).unionByName(
@@ -650,21 +658,7 @@ def cross_corpus_lsh_candidates(
     sig_df = minhash_signatures(tagged, text_col, id_col, num_hashes).join(
         sides, id_col
     )
-    banded = sig_df.select(
-        F.col(id_col),
-        F.col("__side"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.sha2(
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ),
-                    256,
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded(sig_df, [id_col, "__side"], num_hashes, bands)
     left = banded.filter(F.col("__side") == "a").alias("l")
     right = banded.filter(F.col("__side") == "b").alias("r")
     return (

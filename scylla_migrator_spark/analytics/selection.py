@@ -166,13 +166,16 @@ def source_js_divergence(
         .join(srcs.alias("b"), F.col("a.src") < F.col("b.src"))
         .select(F.col("a.src").alias("sa"), F.col("b.src").alias("sb"))
     )
-    # the word universe of each pair: words in either side
+    # the word universe of each pair: words in either side. Two hash
+    # equi-joins unioned — an OR-equality condition would force a broadcast
+    # nested-loop join (S^3-ish comparisons with many sources)
+    pw = p.select("src", "w")
     wp = (
-        pairs.join(
-            p.select("src", "w"),
-            (F.col("src") == F.col("sa")) | (F.col("src") == F.col("sb")),
-        )
+        pairs.join(pw, F.col("src") == F.col("sa"))
         .select("sa", "sb", "w")
+        .unionByName(
+            pairs.join(pw, F.col("src") == F.col("sb")).select("sa", "sb", "w")
+        )
         .distinct()
     )
     pa = p.select(F.col("src").alias("sa"), "w", F.col("p").alias("pa"))

@@ -101,6 +101,13 @@ def _md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# the affine rehash family shared by MinHash (dedup.py) and the count-min
+# sketch below: h_i(x) = (x * (2i+1) + 7919*(i+1)) mod P, P a 32-bit prime.
+# One definition — the SQL oracles hard-code the same constants by contract.
+AFFINE_P = 4_294_967_311
+AFFINE_COEFFS = [(2 * i + 1, 7919 * (i + 1)) for i in range(64)]
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles via zipped shifted slices (no UDF).
 
@@ -416,19 +423,18 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
-# count-min sketch geometry: d deterministic affine hash rows over a fixed
-# width — integer-exact, so unlike the HLL/quantile sketches this one is
-# fully oracle-checkable
+# count-min sketch geometry: d deterministic affine hash rows (the first 4
+# of the shared AFFINE family) over a fixed width — integer-exact, so unlike
+# the HLL/quantile sketches this one is fully oracle-checkable
 CMS_WIDTH = 1024
-CMS_ROWS: tuple[tuple[int, int], ...] = ((1, 7919), (3, 15838), (5, 23757), (7, 31676))
-_CMS_P = 4_294_967_311
+CMS_ROWS = tuple(AFFINE_COEFFS[:4])
 
 
 def count_min_buckets(col: Column, row: int) -> Column:
     """The count-min bucket of a token under hash row ``row`` (affine rehash
     of the md5-int, mod width) — deterministic and SQL-replayable."""
     a, b = CMS_ROWS[row]
-    return (( _md5_int(col) * a + b) % _CMS_P) % CMS_WIDTH
+    return ((_md5_int(col) * a + b) % AFFINE_P) % CMS_WIDTH
 
 
 def count_min_estimates(
@@ -450,22 +456,29 @@ def count_min_estimates(
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    sketch = None
-    for i in range(len(CMS_ROWS)):
-        part = cnt.select(
-            F.lit(i).alias("row"), count_min_buckets(F.col("w"), i).alias("bucket"), "c"
+
+    def rows_for(frame):
+        # ONE guaranteed pass per frame: posexplode an array of (row, bucket)
+        # structs instead of a d-way self-union (which re-plans the source
+        # subtree d times and relies on ReuseExchange to dedup the scans)
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    count_min_buckets(F.col("w"), i).alias("bucket"),
+                )
+                for i in range(len(CMS_ROWS))
+            ]
         )
-        sketch = part if sketch is None else sketch.unionByName(part)
-    sketch = sketch.groupBy("row", "bucket").agg(F.sum("c").alias("bc"))
+        return frame.select("w", "c", F.explode(cells).alias("cell")).select(
+            "w", "c", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+        )
+
+    sketch = rows_for(cnt).groupBy("row", "bucket").agg(F.sum("c").alias("bc"))
     top = cnt.orderBy(F.desc("c"), F.asc("w")).limit(k)
-    probes = None
-    for i in range(len(CMS_ROWS)):
-        pr = top.select(
-            "w", "c", F.lit(i).alias("row"), count_min_buckets(F.col("w"), i).alias("bucket")
-        )
-        probes = pr if probes is None else probes.unionByName(pr)
     return (
-        probes.join(sketch, ["row", "bucket"])
+        rows_for(top)
+        .join(sketch, ["row", "bucket"])
         .groupBy("w", "c")
         .agg(F.min("bc").alias("cms_estimate"))
         .select("w", F.col("c").alias("true_count"), "cms_estimate")

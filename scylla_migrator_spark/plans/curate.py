@@ -109,8 +109,11 @@ def _v_empty(params: dict) -> dict:
 
 def _v_near_dedup(params: dict) -> dict:
     _reject_extras(params, {"numHashes", "bands"})
+    # upper bound = the size of the shared affine hash family (text.py
+    # AFFINE_COEFFS): a larger request would pass decode and then fail at
+    # plan build with an unresolved-column error
     out = {
-        "num_hashes": int(_require_number(params, "numHashes", 4, 256))
+        "num_hashes": int(_require_number(params, "numHashes", 4, 64))
         if "numHashes" in params
         else 16,
         "bands": int(_require_number(params, "bands", 1, 64))
@@ -310,7 +313,10 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
     else:
         result.df.count()
     counts = result.counts()
-    if cfg.target_path:
+    # sidecar only for local targets: the dataset goes through Spark's
+    # Hadoop FS, but this report is written with plain open() — on s3a://
+    # etc. skip it rather than crash AFTER the corpus write succeeded
+    if cfg.target_path and ("://" not in cfg.target_path or cfg.target_path.startswith("file:")):
         import json
         import os
 

@@ -366,3 +366,11 @@ def test_run_curation_writes_provenance_report(spark, corpus, tmp_path):
     assert [s["op"] for s in report["stages"]] == [s["op"] for s in BASE["stages"]]
     # the sidecar must not break re-reading the dataset
     assert spark.read.parquet(out).count() == counts["stage05_exact_dedup"]
+
+
+def test_near_dedup_num_hashes_capped_at_family_size(corpus):
+    with pytest.raises(ConfigError, match="numHashes"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": corpus},
+             "stages": [{"op": "near_dedup", "numHashes": 128, "bands": 4}]}
+        )
