@@ -447,3 +447,16 @@ def test_curation_lang_filter_pushes_to_scan(spark, sf_dir):
     assert "PushedFilters: [In(lang, [en,es])]" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
     assert "EvalPython" not in plan
+
+
+def test_js_divergence_word_universe_uses_hash_joins(spark, sf_dir):
+    """Only the tiny source-pair construction may be a nested-loop join; the
+    vocab-sized word-universe expansion must be hash equi-joins (an
+    OR-equality condition would silently BNLJ the whole count table)."""
+    plan = plan_of(Q.QUERIES["source_js_divergence"](spark, sf_dir), mode="simple")
+    # the tiny src<src pair build is the only legitimate BNLJ; it appears
+    # once per union branch (2x). Every word-keyed join must be a hash join.
+    bnlj_lines = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj_lines) <= 2
+    assert all("<" in l for l in bnlj_lines), bnlj_lines
+    assert plan.count("BroadcastHashJoin") >= 4
