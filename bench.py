@@ -184,6 +184,8 @@ HEADLINE = [
     "length_histogram_by_source",
     "drift_top_terms",
     "count_min_top_tokens",
+    "lang_confusion_matrix",
+    "minhash_jaccard_estimates",
 ]
 
 

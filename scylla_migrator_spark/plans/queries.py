@@ -5822,3 +5822,122 @@ def count_min_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch PATTERN carries a full value-hash oracle (the HLL /
     quantile entries are rows-only by nature)."""
     return TXT.count_min_estimates(_fan(_t(spark, sf_dir, "documents")), "text", 20)
+
+
+@_register(
+    "lang_confusion_matrix",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('el','la','los','y','es'))) AS s_es
+      FROM documents),
+    pred AS (
+      SELECT lang,
+        CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM scored)
+    SELECT lang, lang_pred, count(*) AS docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the declared ``lang``
+    column vs the marker-word classifier's prediction (text.language_id) —
+    the acceptance gate before trusting a classifier to route a corpus at
+    scale. One projection + one map-side-combined count."""
+    out = TXT.language_id(_fan(_t(spark, sf_dir, "documents")))
+    return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("docs"))
+
+
+@_register(
+    "minhash_jaccard_estimates",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs
+      FROM toks),
+    shd AS (SELECT DISTINCT doc_id, g FROM sh, UNNEST(gs) AS u(g)),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM shd),
+    sig AS (SELECT doc_id,
+           min((h*1 + 7919) % 4294967311) AS m0,
+           min((h*3 + 15838) % 4294967311) AS m1,
+           min((h*5 + 23757) % 4294967311) AS m2,
+           min((h*7 + 31676) % 4294967311) AS m3,
+           min((h*9 + 39595) % 4294967311) AS m4,
+           min((h*11 + 47514) % 4294967311) AS m5,
+           min((h*13 + 55433) % 4294967311) AS m6,
+           min((h*15 + 63352) % 4294967311) AS m7,
+           min((h*17 + 71271) % 4294967311) AS m8,
+           min((h*19 + 79190) % 4294967311) AS m9,
+           min((h*21 + 87109) % 4294967311) AS m10,
+           min((h*23 + 95028) % 4294967311) AS m11,
+           min((h*25 + 102947) % 4294967311) AS m12,
+           min((h*27 + 110866) % 4294967311) AS m13,
+           min((h*29 + 118785) % 4294967311) AS m14,
+           min((h*31 + 126704) % 4294967311) AS m15
+      FROM h GROUP BY doc_id),
+    sigl AS (SELECT doc_id, [m0,m1,m2,m3,m4,m5,m6,m7,m8,m9,m10,m11,m12,m13,m14,m15] AS s
+             FROM sig),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, [m0,m1,m2,m3] AS bh FROM sig
+      UNION ALL SELECT doc_id, 1 AS band_id, [m4,m5,m6,m7] AS bh FROM sig
+      UNION ALL SELECT doc_id, 2 AS band_id, [m8,m9,m10,m11] AS bh FROM sig
+      UNION ALL SELECT doc_id, 3 AS band_id, [m12,m13,m14,m15] AS bh FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(g) AS gset FROM shd GROUP BY doc_id),
+    est AS (
+      SELECT p.id_a, p.id_b,
+        round(len(list_filter(generate_series(1, 16),
+              i -> sa.s[i] = sb.s[i])) / 16.0, 6) AS est_jaccard,
+        round(len(list_intersect(ga.gset, gb.gset)) * 1.0
+              / len(list_distinct(list_concat(ga.gset, gb.gset))), 6) AS exact_jaccard
+      FROM pairs p
+      JOIN sigl sa ON sa.doc_id = p.id_a
+      JOIN sigl sb ON sb.doc_id = p.id_b
+      JOIN sets ga ON ga.doc_id = p.id_a
+      JOIN sets gb ON gb.doc_id = p.id_b)
+    SELECT id_a, id_b, est_jaccard, exact_jaccard FROM est
+    """,
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy diagnostic: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature positions) next to the
+    exact shingle Jaccard — the calibration readout that justifies the
+    (num_hashes, bands) choice before trusting LSH at corpus scale. The
+    oracle replays signatures, banding, estimate, and exact overlap."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
+    sigs = D.minhash_signatures(docs, "text", "doc_id", 16)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(agree / 16.0, 6).alias("est_jaccard"))
+    )
+    exact = D.ngram_jaccard(pairs, docs, "text", "doc_id", 3).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return est.join(exact, ["id_a", "id_b"])
