@@ -186,6 +186,7 @@ HEADLINE = [
     "count_min_top_tokens",
     "lang_confusion_matrix",
     "minhash_jaccard_estimates",
+    "packing_efficiency",
 ]
 
 

@@ -5941,3 +5941,47 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
     )
     return est.join(exact, ["id_a", "id_b"])
+
+
+@_register(
+    "packing_efficiency",
+    """
+    WITH n AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents),
+    packed AS (
+      SELECT source, nt,
+             coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM n)
+    SELECT source,
+           CAST(max(off + nt - 1) // 512 + 1 AS BIGINT) AS n_bins,
+           sum(nt)::BIGINT AS total_tokens,
+           round(sum(nt) / ((max(off + nt - 1) // 512 + 1) * 512.0), 6) AS fill_rate
+    FROM packed GROUP BY source
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-plan efficiency readout: per shard, how many 512-token
+    training sequences the concat-and-chunk packing (text.pack_sequences)
+    produces and the token fill rate — the padding-waste metric that
+    justifies packing over per-doc truncation. Derived from the same
+    shard-local window cumsum; the bin count is the last token's bin."""
+    from pyspark.sql import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    n = docs.select(
+        "source", "doc_id", TXT.token_count(F.col("text")).alias("nt")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    off = F.coalesce(
+        F.sum("nt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    packed = n.select("source", "nt", off.alias("off"))
+    n_bins = (F.floor(F.max(F.col("off") + F.col("nt") - 1) / 512) + 1).cast("long")
+    return packed.groupBy("source").agg(
+        n_bins.alias("n_bins"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.sum("nt") / (n_bins * 512.0), 6).alias("fill_rate"),
+    )
