@@ -172,17 +172,134 @@ def train_bpe_df(df: DataFrame, n_merges: int, text_col: str = "text") -> DataFr
     )
 
 
-def segment_with_merges(
+# above this rule count the expression-fold encoder is replaced by the
+# Arrow encoder: the fold nests one F.transform per rule, so the
+# expression-tree depth grows linearly with the vocabulary and a realistic
+# 32k-merge rule list produces an unplannable query
+_FOLD_RULE_LIMIT = 64
+
+
+def _segment_word(
+    word: str,
+    rules: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], tuple[int, ...]],
+) -> list[str]:
+    """Sequential rule application with the SAME semantics as folding
+    :func:`merge_pair` once per rule in training order, but O(pieces *
+    applied_rules) instead of O(pieces * n_rules): repeatedly find the
+    minimum-rank rule >= the progress pointer whose pair is adjacent, merge
+    every occurrence greedily left-to-right, advance the pointer past it.
+    Correctness of the shortcut: merging at rank r only creates adjacencies
+    that the sequential fold would see at ranks > r (a merged token can
+    never equal its own left half), so skipping the absent ranks visits
+    exactly the rules the fold applies. ``ranks`` maps a pair to ALL the
+    ranks it occurs at (training can re-learn a pair whose adjacency is
+    recreated by later merges) so duplicates replay like the fold does."""
+    syms = list(word)
+    ptr = 0
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            rs = ranks.get(pair)
+            if rs is None:
+                continue
+            for r in rs:
+                if r >= ptr:
+                    if best is None or r < best:
+                        best = r
+                    break
+        if best is None:
+            break
+        p1, p2 = rules[best]
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == p1 and syms[i + 1] == p2:
+                out.append(p1 + p2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        ptr = best + 1
+    return syms
+
+
+def segment_with_merges_arrow(
     df: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply a learned merge list to segment documents: per-word char split,
-    then each rule folded in training order (the standard BPE encoder,
-    modulo the real encoders' rule-priority optimization). Output:
+    """The large-rule-list BPE encoder: compiled merge-rank dict applied per
+    word inside ONE ``mapInPandas`` (Python at the Arrow edge — the right
+    place for codec-shaped per-token work), instead of one folded
+    expression per rule. Segmentation is identical to the fold path
+    (property-tested) but rule-list size only affects the broadcast dict,
+    not the query plan — a 32k-merge vocabulary plans exactly like an
+    8-merge one. Per-batch word memoization exploits Zipf repetition.
+    Output schema matches :func:`segment_with_merges`."""
+    import re
+
+    rules = [(m[0], m[1]) for m in merges]
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for i, pair in enumerate(rules):
+        ranks.setdefault(pair, []).append(i)
+    ranks_t = {k: tuple(v) for k, v in ranks.items()}
+    # Java's \s (F.split's regex engine) is ASCII-only; Python's re \s is
+    # unicode-aware — the explicit class keeps tokenization identical
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, n_words, n_pieces = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                # F.trim strips 0x20 only; strip(' ') mirrors it
+                words = ws.split((text or "").strip(" "))
+                total = 0
+                for w in words:
+                    np_ = cache.get(w)
+                    if np_ is None:
+                        np_ = len(_segment_word(w, rules, ranks_t))
+                        cache[w] = np_
+                    total += np_
+                ids.append(rid)
+                n_words.append(len(words))
+                n_pieces.append(total)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_pieces": n_pieces}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, n_words int, n_pieces int"
+    )
+
+
+def segment_with_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "auto",
+) -> DataFrame:
+    """Apply a learned merge list to segment documents. Output:
     (id, n_words, n_pieces) — the compression diagnostic for a learned
-    vocabulary. Narrow projection; no shuffle."""
+    vocabulary. Narrow projection; no shuffle.
+
+    Two engines with identical segmentation (property-tested against each
+    other): ``fold`` — per-word char split, each rule folded in training
+    order as a whole-stage expression (zero Python; right for small rule
+    lists); ``arrow`` — compiled rule dict in one mapInPandas
+    (:func:`segment_with_merges_arrow`; the only plannable form above a
+    few dozen rules). ``auto`` selects by rule count."""
+    if engine not in ("auto", "fold", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow" or (engine == "auto" and len(merges) > _FOLD_RULE_LIMIT):
+        return segment_with_merges_arrow(df, merges, text_col, id_col)
     words = tokens(F.col(text_col))
     piece_arrays = F.transform(words, lambda w: _chars(w))
 

@@ -364,3 +364,74 @@ def test_cross_corpus_lsh_finds_planted_near_dup(spark):
     assert (2, 1) in pairs
     # no within-corpus pair ever comes out
     assert all(x % 2 == 0 and y % 2 == 1 for x, y in pairs)
+
+
+# --- large-rule-list Arrow encoder ----------------------------------------
+
+
+def test_segment_arrow_matches_fold_on_trained_rules(spark, sf_dir):
+    """The Arrow encoder must produce IDENTICAL segmentation counts to the
+    expression-fold path on real trained rules over real documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    merges, _ = TOK.train_bpe(docs, 8)
+    fold = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in TOK.segment_with_merges(docs, merges, engine="fold").collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in TOK.segment_with_merges(docs, merges, engine="arrow").collect()
+    }
+    assert fold == arrow
+
+
+def test_segment_arrow_matches_fold_randomized(spark):
+    """Property pin (extends the randomized merge-fold pin to the Arrow
+    path): random words over a 3-letter alphabet and random rule lists —
+    including rules over MERGED symbols and duplicate pairs — segment
+    identically on both engines."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abc"
+    rows = [
+        (i, " ".join("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+                      for _ in range(rng.randint(0, 5))))
+        for i in range(60)
+    ]
+    units = ["a", "b", "c", "ab", "ba", "aa", "bc", "aab", "abc"]
+    merges = [
+        (rng.choice(units), rng.choice(units)) for _ in range(12)
+    ] + [("a", "b")]  # guaranteed duplicate of a likely-earlier rule
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fold = sorted(map(tuple, TOK.segment_with_merges(df, merges, engine="fold").collect()))
+    arrow = sorted(map(tuple, TOK.segment_with_merges(df, merges, engine="arrow").collect()))
+    assert fold == arrow
+
+
+def test_segment_auto_dispatch_and_1k_rules_complete(spark):
+    """auto picks the fold below the limit and the Arrow path above it; a
+    1,000-rule encode (unplannable as a fold) completes and compresses."""
+    import random
+
+    rng = random.Random(7)
+    # synthetic rule list shaped like a real vocabulary: chains of merges
+    merges = []
+    seen = set()
+    while len(merges) < 1000:
+        a = "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 3)))
+        b = "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 3)))
+        if (a, b) not in seen:
+            seen.add((a, b))
+            merges.append((a, b))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = TOK.segment_with_merges(docs, merges).collect()  # auto -> arrow
+    assert len(out) == docs.count()
+    base = {r["doc_id"]: r["n_pieces"] for r in TOK.segment_with_merges(docs, [])
+            .collect()}
+    assert all(r["n_pieces"] <= base[r["doc_id"]] for r in out)
+    # plan sanity: the arrow path is a single mapInPandas over a narrow scan
+    plan = TOK.segment_with_merges(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
