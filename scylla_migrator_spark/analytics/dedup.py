@@ -82,6 +82,42 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_col(text_col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Per-row MinHash signature as a pure COLUMN expression (array<long>,
+    no shuffle) — the STREAMING form of :func:`minhash_signatures`: same
+    distinct shingle set, same md5 hash, same affine family, so the values
+    are identical to the aggregated batch signature. A scan-stage gate can
+    attach it to a live stream where a groupBy signature pass cannot run
+    (it would be a second stateful operator).
+
+    The ``element_at(transform(array(hashes), ...), 1)`` wrapper binds the
+    per-shingle hash array to a lambda variable so it is evaluated ONCE per
+    row — referencing the hash expression inside the per-coefficient lambda
+    directly would re-run the shingle+md5 subtree once per hash function."""
+    hs = F.transform(
+        F.array_distinct(shingles(text_col, shingle_n)), lambda g: _md5_int(g)
+    )
+    coeffs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('a', {a}L, 'b', {b}L)" for a, b in _COEFFS[:num_hashes]
+        )
+        + ")"
+    )
+    return F.element_at(
+        F.transform(
+            F.array(hs),
+            lambda h_arr: F.transform(
+                coeffs,
+                lambda ab: F.array_min(
+                    F.transform(h_arr, lambda h: (h * ab["a"] + ab["b"]) % F.lit(_P))
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def _banded(sig_df: DataFrame, keep_cols: list[str], num_hashes: int, bands: int) -> DataFrame:
     """Explode a signature table into (keep_cols..., band_id, band_hash) —
     the single definition of band hashing shared by the within-corpus and

@@ -108,7 +108,7 @@ def _v_empty(params: dict) -> dict:
 
 
 def _v_near_dedup(params: dict) -> dict:
-    _reject_extras(params, {"numHashes", "bands"})
+    _reject_extras(params, {"numHashes", "bands", "withinWatermark"})
     # upper bound = the size of the shared affine hash family (text.py
     # AFFINE_COEFFS): a larger request would pass decode and then fail at
     # plan build with an unresolved-column error
@@ -122,6 +122,17 @@ def _v_near_dedup(params: dict) -> dict:
     }
     if out["num_hashes"] % out["bands"] != 0:
         raise ConfigError("near_dedup: numHashes must be divisible by bands")
+    # streaming only: the state-retention horizon for the watermarked
+    # signature-dedup gate. The batch pipeline is corpus-global and
+    # ignores it (strictly stronger semantics).
+    if "withinWatermark" in params:
+        ww = params["withinWatermark"]
+        if not isinstance(ww, str) or not ww.strip():
+            raise ConfigError(
+                "near_dedup: withinWatermark must be a delay string "
+                "like '1 hour'"
+            )
+        out["within_watermark"] = ww
     return out
 
 
@@ -144,6 +155,7 @@ class CurationConfig:
     id_column: str = "doc_id"
     text_column: str = "text"
     lang_column: str = "lang"
+    ts_column: str = "ts"
     target_path: str | None = None
 
     @staticmethod
@@ -178,6 +190,7 @@ class CurationConfig:
             id_column=raw.get("idColumn", "doc_id"),
             text_column=raw.get("textColumn", "text"),
             lang_column=raw.get("langColumn", "lang"),
+            ts_column=raw.get("tsColumn", "ts"),
             target_path=target_path,
         )
 
@@ -334,13 +347,26 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
 
 def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
     """The streaming form of the curation gate: apply the config's ROW-LEVEL
-    stages (predicates + pii_redact) to a streaming DataFrame — the same
-    stage definitions gate a batch corpus and a live ingest feed (batch/
-    stream unification; cf. streaming/cdc.py for the sink half).
+    stages (predicates + pii_redact) plus the watermark-bounded
+    ``near_dedup`` gate to a streaming DataFrame — the same stage
+    definitions gate a batch corpus and a live ingest feed (batch/stream
+    unification; cf. streaming/cdc.py for the sink half).
 
-    Join stages (repetition_filter, exact_dedup) need corpus-global state
-    and are rejected at compose time — streaming dedup is the watermarked
-    dropDuplicates path (stream_dedup_watermark), not a silent no-op here."""
+    Streaming ``near_dedup`` (requires ``withinWatermark``): the MinHash
+    signature is attached as a scan-stage COLUMN (dedup.py::
+    minhash_signature_col — identical values to the batch signature), and
+    ``dropDuplicatesWithinWatermark`` keyed on the full signature drops
+    every later arrival whose signature matches an earlier document inside
+    the watermark horizon. Full-signature equality equals the batch
+    candidate rule at ``bands: 1`` exactly; at ``bands > 1`` the stream
+    gate is the CONSERVATIVE core of the banded rule (it drops only
+    all-band matches — per-band any-match needs a second stateful operator
+    to reassemble documents, so the full-recall pass stays a batch job).
+    State is one (signature-hash, timestamp) entry per surviving document
+    inside the horizon — bounded by the watermark, evicted by Spark.
+
+    Corpus-global join stages (repetition_filter, exact_dedup) are still
+    rejected at compose time — not a silent no-op."""
     out = stream_df
     for st in cfg.stages:
         pred = _stage_predicate(cfg, st)
@@ -350,6 +376,30 @@ def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
             red = TXT.redact_pii(out, cfg.text_column, "__redacted")
             out = red.withColumn(cfg.text_column, F.col("__redacted")).drop(
                 "__redacted", "n_email", "n_ipv4", "n_phone"
+            )
+        elif st["op"] == "near_dedup":
+            if "within_watermark" not in st:
+                raise ConfigError(
+                    "streaming near_dedup needs withinWatermark: '<delay>' "
+                    "(the state-retention horizon); corpus-global near-dedup "
+                    "is a batch job"
+                )
+            if cfg.ts_column not in out.columns:
+                raise ConfigError(
+                    f"streaming near_dedup needs event-time column "
+                    f"{cfg.ts_column!r} in the stream (set tsColumn)"
+                )
+            sig = D.minhash_signature_col(
+                F.col(cfg.text_column), num_hashes=st["num_hashes"]
+            )
+            key = F.sha2(
+                F.concat_ws(",", F.transform(sig, lambda m: m.cast("string"))), 256
+            )
+            out = (
+                out.withColumn("__sig_key", key)
+                .withWatermark(cfg.ts_column, st["within_watermark"])
+                .dropDuplicatesWithinWatermark(["__sig_key"])
+                .drop("__sig_key")
             )
         else:
             raise ConfigError(

@@ -5660,6 +5660,106 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(gated, "append")
 
 
+def _stream_near_dedup_sql(min_tokens: int = 5, num_hashes: int = 16) -> str:
+    """Oracle for the watermark-bounded streaming near-dedup gate: the
+    surviving stream carries exactly ONE document per MinHash-signature
+    group (keeper = first arrival — micro-batch order — which the group-
+    level output makes irrelevant), so the survivor signature set equals
+    the distinct signature set of the filtered corpus. Signature constants
+    replay text.py's shared affine family, like the minhash_lsh_pairs
+    oracle."""
+    from scylla_migrator_spark.analytics.text import AFFINE_COEFFS, AFFINE_P
+
+    mins = ",\n           ".join(
+        f"min((h*{a} + {b}) % {AFFINE_P}) AS m{i}"
+        for i, (a, b) in enumerate(AFFINE_COEFFS[:num_hashes])
+    )
+    cols = ", ".join(f"m{i}" for i in range(num_hashes))
+    return rf"""
+    WITH filt AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= {min_tokens}),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM filt),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs
+      FROM toks),
+    shd AS (SELECT DISTINCT doc_id, g FROM sh, UNNEST(gs) AS u(g)),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM shd),
+    sig AS (SELECT doc_id,
+           {mins}
+      FROM h GROUP BY doc_id)
+    SELECT DISTINCT substr(sha256(concat_ws(',', {cols})), 1, 16) AS sig16
+    FROM sig
+    """
+
+
+@_register("stream_near_dedup_gate", _stream_near_dedup_sql())
+def stream_near_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming NEAR-dedup (the gate curate_stream used
+    to reject): the documents table replayed as two micro-batches through a
+    curation config whose near_dedup stage attaches the per-row MinHash
+    signature column (dedup.py::minhash_signature_col — values identical to
+    the batch signature) and drops, via dropDuplicatesWithinWatermark,
+    every later arrival whose full signature matches an earlier document
+    inside the watermark. One survivor per signature group; the output is
+    the survivor GROUP set (first-arrival keeper identity is micro-batch-
+    order-dependent, the group set is not). State is bounded by the
+    watermark horizon — at 100 TB rates, one 32-byte key per surviving doc
+    per horizon."""
+    import os
+
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    docs = _t(spark, sf_dir, "documents")
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", docs.filter(F.col("doc_id") % 2 == 0)),
+                ("1", docs.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": stage},  # schema source
+            "stages": [
+                {"op": "length_filter", "minTokens": 5},
+                {
+                    "op": "near_dedup",
+                    "numHashes": 16,
+                    "bands": 1,
+                    "withinWatermark": "1 hour",
+                },
+            ],
+        }
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        # any modern fixed event time: epoch 0 would sit ON the operator's
+        # initial watermark and every row would be dropped as late
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    )
+    gated = curate_stream(stream, cfg).select("doc_id", "text")
+    survivors = _run_available_now(gated, "append")
+    sig = D.minhash_signature_col(F.col("text"), num_hashes=16)
+    return survivors.select(
+        F.substring(
+            F.sha2(F.concat_ws(",", F.transform(sig, lambda m: m.cast("string"))), 256),
+            1,
+            16,
+        ).alias("sig16")
+    ).distinct()
+
+
 @_register(
     "source_js_divergence",
     """

@@ -273,7 +273,11 @@ def test_near_dedup_stage_drops_lsh_neighbor(spark, tmp_path):
         )
 
 
-def test_near_dedup_rejected_on_stream(spark, corpus):
+def test_near_dedup_on_stream_requires_watermark(spark, corpus):
+    """Streaming near_dedup is supported ONLY in its watermark-bounded form
+    (dropDuplicatesWithinWatermark on the signature column); a config
+    without withinWatermark still fails at compose time with guidance
+    rather than silently running corpus-global semantics on a stream."""
     from scylla_migrator_spark.plans.curate import curate_stream
 
     cfg = CurationConfig.from_dict(
@@ -282,7 +286,7 @@ def test_near_dedup_rejected_on_stream(spark, corpus):
     )
     schema = spark.read.parquet(corpus).schema
     stream = spark.readStream.schema(schema).parquet(corpus)
-    with pytest.raises(ConfigError, match="corpus-global state"):
+    with pytest.raises(ConfigError, match="withinWatermark"):
         curate_stream(stream, cfg)
 
 

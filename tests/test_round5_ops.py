@@ -86,3 +86,142 @@ def test_semdedup_single_assignment_matches_oracle_shape(spark):
     n = emb.count()
     assert out.count() == n
     assert out.select("vec_id").distinct().count() == n
+
+
+# --- streaming near-dedup gate --------------------------------------------
+
+
+def _stream_two_batches(spark, df, tmpdir):
+    """Replay df as two micro-batches (doc_id parity halves), one file each."""
+    import os
+
+    for suffix, half in (
+        ("0", df.filter(F.col("doc_id") % 2 == 0)),
+        ("1", df.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        part = os.path.join(tmpdir, f"h{suffix}")
+        half.coalesce(1).write.mode("overwrite").parquet(part)
+        data = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        os.replace(
+            os.path.join(part, data[0]), os.path.join(tmpdir, f"half{suffix}.parquet")
+        )
+        import shutil
+
+        shutil.rmtree(part)
+    schema = spark.read.parquet(tmpdir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    )
+
+
+def _run_stream(gated):
+    import tempfile
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return gated.sparkSession.table(name)
+
+
+def test_stream_near_dedup_equals_batch_at_bands_1(spark, tmp_path):
+    """The watermark-bounded stream gate must keep exactly one document per
+    MinHash-signature group — the batch near_dedup candidate rule at
+    bands=1 (any-band == full-signature there). Compared at group level:
+    survivor signature sets equal, and batch survivors group-biject with
+    stream survivors (keeper identity is arrival-order dependent, the
+    group partition is not)."""
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": str(tmp_path)},
+            "stages": [
+                {"op": "near_dedup", "numHashes": 16, "bands": 1,
+                 "withinWatermark": "1 hour"},
+            ],
+        }
+    )
+    stream = _stream_two_batches(spark, docs, str(tmp_path))
+    survivors = _run_stream(curate_stream(stream, cfg).select("doc_id", "text"))
+
+    def sig_keys(frame):
+        sig = D.minhash_signature_col(F.col("text"), num_hashes=16)
+        key = F.sha2(
+            F.concat_ws(",", F.transform(sig, lambda m: m.cast("string"))), 256
+        )
+        return {r["k"] for r in frame.select(key.alias("k")).collect()}
+
+    # batch: pairwise keeper rule (drop id_b of every candidate pair)
+    losers = (
+        D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=1)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    batch_survivors = docs.join(losers, "doc_id", "left_anti")
+
+    stream_keys, batch_keys, all_keys = (
+        sig_keys(survivors),
+        sig_keys(batch_survivors),
+        sig_keys(docs),
+    )
+    assert stream_keys == all_keys  # one survivor per group, no group lost
+    assert batch_keys == all_keys
+    assert survivors.count() == len(all_keys)
+
+
+def test_stream_near_dedup_config_validation(spark, tmp_path):
+    """withinWatermark is required on streams; missing ts column is a
+    decode-time-style ConfigError, not a runtime plan failure."""
+    import pytest
+
+    from scylla_migrator_spark.config import ConfigError
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c", None)], "doc_id long, text string, ts timestamp"
+    ).write.parquet(src)
+    base = {
+        "source": {"type": "parquet", "path": src},
+        "stages": [{"op": "near_dedup"}],
+    }
+    cfg = CurationConfig.from_dict(base)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    with pytest.raises(ConfigError, match="withinWatermark"):
+        curate_stream(stream, cfg)
+
+    cfg2 = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [
+                {"op": "near_dedup", "withinWatermark": "1 hour"},
+            ],
+        }
+    )
+    no_ts = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ConfigError, match="event-time"):
+        curate_stream(no_ts, cfg2)
+
+    with pytest.raises(ConfigError, match="withinWatermark"):
+        CurationConfig.from_dict(
+            {
+                "source": {"type": "parquet", "path": "/tmp/x"},
+                "stages": [{"op": "near_dedup", "withinWatermark": 7}],
+            }
+        )
