@@ -16,10 +16,15 @@ This engine mirrors that:
   including the staged-upload + rename dance and the simulate-no-atomic-
   rename fallback. State is per-authority (bucket) and process-global,
   like a remote store.
-* unknown schemes raise with the same kind of connector guidance the
-  reference prints (on a real cluster, ``s3a://``/``gs://`` savepoint dirs
-  go through the Hadoop connectors already on the Spark classpath — the
-  driver-side Python here only needs the scheme dispatch to match).
+* :class:`HadoopPathIO` — driver-side IO through the JVM Hadoop
+  ``FileSystem`` (``spark._jvm``): any scheme whose connector is on the
+  Spark classpath (``s3a://``, ``gs://``, ``hdfs://``, ``file:``) works,
+  with the same credentials/config as the data writes. Tested against
+  Hadoop's built-in LocalFileSystem; a scheme with no resolvable connector
+  still raises the reference's connector guidance at dispatch.
+* :func:`register_pathio` — explicit per-scheme routing override
+  (mirroring Hadoop's ``fs.<scheme>.impl``), e.g. to drive the savepoint
+  suite through HadoopPathIO on ``file:`` paths.
 
 All ``SavepointsManager`` filesystem touches route through ``for_path`` so
 the whole savepoint lifecycle (dump, list, resume, kill/resume pruning) is
@@ -196,8 +201,120 @@ class MemoryPathIO(PathIO):
             store[key] = store.pop(tmp)  # atomic rename under the store lock
 
 
+class HadoopPathIO(PathIO):
+    """Driver-side IO through the JVM Hadoop ``FileSystem`` — the real form
+    of the reference's remote-scheme route (PathIO.scala:195-198): any
+    scheme with a Hadoop connector on the Spark classpath (s3a, gs, abfs,
+    hdfs, file) resolves through ``Path.getFileSystem(hadoopConf)``, so
+    savepoints and sidecars write wherever the DATA writes, with the same
+    credentials/config. Needs an active SparkSession (the JVM gateway);
+    testable against Hadoop's built-in LocalFileSystem via ``file:`` paths.
+
+    Atomic-write contract: staged ``.tmp`` upload then ``FileSystem.rename``
+    (atomic on HDFS/local; object stores document their own semantics).
+    Hadoop rename refuses an existing destination on some filesystems, so
+    an existing target is deleted first — the reference's documented
+    non-atomic-replace fallback (PathIO.scala:80-83); savepoint names are
+    monotonic so the fallback path is never hot."""
+
+    def __init__(self, spark=None) -> None:
+        self._spark = spark
+
+    def _fs(self, path: str):
+        spark = self._spark
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"Hadoop FileSystem IO for {path} needs an active SparkSession"
+            )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        try:
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        except Exception as exc:  # noqa: BLE001 - wrap the Java scheme error
+            s = scheme_of(path) or ""
+            guidance = _CONNECTOR_GUIDANCE.get(
+                s,
+                f"Include a Hadoop filesystem connector for '{s}' paths in "
+                "the Spark runtime and configure it via Spark/Hadoop "
+                "configuration.",
+            )
+            raise ValueError(f"No Hadoop FileSystem for {path}: {guidance}") from exc
+        return jvm, fs, hpath
+
+    def normalize(self, path: str) -> str:
+        jvm, fs, hpath = self._fs(path)
+        return fs.makeQualified(hpath).toString()
+
+    def exists(self, path: str) -> bool:
+        _, fs, hpath = self._fs(path)
+        return bool(fs.exists(hpath))
+
+    def create_directories(self, path: str) -> None:
+        _, fs, hpath = self._fs(path)
+        fs.mkdirs(hpath)
+
+    def list_file_names(self, path: str) -> list[str]:
+        _, fs, hpath = self._fs(path)
+        return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+    def read_utf8(self, path: str) -> str:
+        jvm, fs, hpath = self._fs(path)
+        stream = fs.open(hpath)
+        try:
+            out = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
+            return bytes(out.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_utf8_atomically(self, path: str, payload: bytes) -> None:
+        jvm, fs, hpath = self._fs(path)
+        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        moved = False
+        try:
+            stream = fs.create(tmp, True)
+            try:
+                stream.write(payload)
+            finally:
+                stream.close()
+            if not fs.rename(tmp, hpath):
+                # some Hadoop filesystems refuse rename onto an existing
+                # target; replace non-atomically (the PathIO.scala:80-83
+                # fallback) rather than failing the savepoint
+                if fs.exists(hpath):
+                    fs.delete(hpath, False)
+                if not fs.rename(tmp, hpath):
+                    raise IOError(f"rename {path}.tmp -> {path} failed")
+            moved = True
+        finally:
+            if not moved:
+                try:
+                    fs.delete(tmp, False)
+                except Exception:  # noqa: BLE001 - best-effort stage cleanup
+                    pass
+
+
 _local = LocalPathIO()
 _memory = MemoryPathIO()
+_hadoop = HadoopPathIO()
+
+# explicit scheme routing overrides (mirrors Hadoop's own fs.<scheme>.impl
+# knob): lets a deployment — or the kill/resume test suite — route any
+# scheme through a chosen backend, e.g. 'file' through HadoopPathIO to run
+# the savepoint lifecycle against Hadoop's LocalFileSystem.
+_OVERRIDES: dict[str, PathIO] = {}
+
+
+def register_pathio(scheme: str, io: "PathIO | None") -> None:
+    """Route ``scheme`` through ``io`` (None removes the override)."""
+    if io is None:
+        _OVERRIDES.pop(scheme.lower(), None)
+    else:
+        _OVERRIDES[scheme.lower()] = io
 
 _CONNECTOR_GUIDANCE = {
     "gs": "For gs:// paths, include the Hadoop GCS connector in the Spark "
@@ -212,14 +329,24 @@ _CONNECTOR_GUIDANCE = {
 
 
 def for_path(path: str) -> PathIO:
-    """Scheme dispatch (PathIO.scala:35-49): ``file:``/bare -> local,
-    ``memory://`` -> the in-process fake, anything else -> connector
-    guidance (PathIO.scala:195-198)."""
+    """Scheme dispatch (PathIO.scala:35-49): registered override first,
+    then ``file:``/bare -> local NIO, ``memory://`` -> the in-process fake,
+    and any other scheme -> the JVM Hadoop ``FileSystem`` when its
+    connector resolves (PathIO.scala:195-198 made real); a scheme with no
+    resolvable connector (or no active SparkSession) still raises the
+    reference's connector guidance at dispatch time, not first use."""
     s = scheme_of(path)
+    if (s or "file") in _OVERRIDES:
+        return _OVERRIDES[s or "file"]
     if s is None or s == "file":
         return _local
     if s == "memory":
         return _memory
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is not None:
+        _hadoop._fs(path)  # probe: raises ValueError with guidance if absent
+        return _hadoop
     guidance = _CONNECTOR_GUIDANCE.get(
         s,
         f"Include a Hadoop filesystem connector for '{s}' paths in the "
@@ -227,5 +354,6 @@ def for_path(path: str) -> PathIO:
     )
     raise ValueError(
         f"Path {path} uses filesystem scheme '{s}', but no implementation is "
-        f"configured. {guidance}"
+        f"configured (and no active SparkSession provides a Hadoop "
+        f"FileSystem). {guidance}"
     )

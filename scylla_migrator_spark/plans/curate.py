@@ -326,22 +326,34 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
     else:
         result.df.count()
     counts = result.counts()
-    # sidecar only for local targets: the dataset goes through Spark's
-    # Hadoop FS, but this report is written with plain open() — on s3a://
-    # etc. skip it rather than crash AFTER the corpus write succeeded
-    if cfg.target_path and ("://" not in cfg.target_path or cfg.target_path.startswith("file:")):
+    # provenance sidecar through scheme-dispatched PathIO: local paths use
+    # NIO, file:/s3a:/gs: etc. go through the same Hadoop FileSystem the
+    # corpus write used — so the report lands next to the data everywhere
+    # a connector exists, with a staged-upload atomic publish. A scheme
+    # with no resolvable connector skips the sidecar (warn, don't crash
+    # AFTER the corpus write succeeded).
+    if cfg.target_path:
         import json
-        import os
+        import sys
+
+        from scylla_migrator_spark import pathio
 
         report = {
             "stages": cfg.stages,
             "stage_counts": counts,
             "source": cfg.source_path,
         }
-        tmp = os.path.join(cfg.target_path, "_curation_report.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(report, f, indent=2, sort_keys=True)
-        os.replace(tmp, os.path.join(cfg.target_path, "_curation_report.json"))
+        try:
+            io = pathio.for_path(cfg.target_path)
+            io.write_utf8_atomically(
+                io.join(cfg.target_path, "_curation_report.json"),
+                json.dumps(report, indent=2, sort_keys=True).encode("utf-8"),
+            )
+        except ValueError as exc:
+            print(
+                f"curation: skipping _curation_report.json sidecar: {exc}",
+                file=sys.stderr,
+            )
     return counts
 
 
