@@ -304,12 +304,25 @@ def main() -> None:
         errors["migrate_exploded_timestamps"] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
+    # which stateful API the TWS-family scenarios actually executed: in
+    # environments without the protobuf state-server runtime the
+    # transformWithStateInPandas branch never runs and the identical-
+    # semantics applyInPandasWithState fallback is what was measured —
+    # record it so a green bench cannot imply the TWS path was exercised
+    from scylla_migrator_spark.streaming import stateful as _stateful
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stateful_path": _stateful.LAST_TOTALS_PATH
+        or (
+            "transformWithStateInPandas"
+            if _stateful.has_transform_with_state_runtime()
+            else "applyInPandasWithState"
+        ),
     }
     if errors:
         out["errors"] = errors

@@ -708,10 +708,13 @@ def cross_corpus_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidates BETWEEN two corpora (ids must be disjoint):
-    which documents of B look like documents of A — the cross-snapshot /
-    cross-dataset near-dedup (e.g. new crawl vs existing training set,
-    vendor dataset vs in-house corpus).
+    """Near-dup candidates BETWEEN two corpora: which documents of B look
+    like documents of A — the cross-snapshot / cross-dataset near-dedup
+    (e.g. new crawl vs existing training set, vendor dataset vs in-house
+    corpus). The two id spaces may overlap: the union is keyed internally
+    on a side-salted id (``a:<id>`` / ``b:<id>``), so two different
+    documents that happen to share an id can never silently merge their
+    shingle sets into one signature; the salt is stripped on output.
 
     Same banded MinHash join as minhash_lsh_candidates, but signatures are
     computed ONCE over the union and the bucket join keeps only cross-side
@@ -723,10 +726,12 @@ def cross_corpus_lsh_candidates(
         F.col(id_col), F.col(text_col), F.lit("a").alias("__side")
     ).unionByName(
         df_b.select(F.col(id_col), F.col(text_col), F.lit("b").alias("__side"))
+    ).withColumn(
+        "__uid", F.concat(F.col("__side"), F.lit(":"), F.col(id_col).cast("string"))
     )
-    sides = tagged.select(id_col, "__side")
-    sig_df = minhash_signatures(tagged, text_col, id_col, num_hashes).join(
-        sides, id_col
+    sides = tagged.select("__uid", id_col, "__side")
+    sig_df = minhash_signatures(tagged, text_col, "__uid", num_hashes).join(
+        sides, "__uid"
     )
     banded = _banded(sig_df, [id_col, "__side"], num_hashes, bands)
     left = banded.filter(F.col("__side") == "a").alias("l")

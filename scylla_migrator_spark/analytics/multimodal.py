@@ -372,14 +372,23 @@ def decode_gif(data: bytes) -> dict:
     (a frame-sampling plan needs n_frames, not pixels)."""
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a stream")
+    # bounds-checked reads throughout: a stream truncated mid-descriptor
+    # must raise ValueError (the corrupt-input contract every decoder here
+    # follows), never IndexError/struct.error
+    if len(data) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     width, height, packed = struct.unpack_from("<HHB", data, 6)
     pos = 13  # header(6) + logical screen descriptor(7)
     if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
         pos += 3 * (2 << (packed & 0x07))
+        if pos > len(data):
+            raise ValueError("truncated GIF global color table")
 
     def skip_subblocks(p: int) -> int:
         while p < len(data) and data[p] != 0:
             p += 1 + data[p]
+        if p >= len(data):
+            raise ValueError("truncated GIF data sub-blocks")
         return p + 1  # past the 0x00 terminator
 
     n_frames = 0
@@ -390,10 +399,14 @@ def decode_gif(data: bytes) -> dict:
         if block == 0x21:  # extension: introducer + label, then sub-blocks
             pos = skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
             ipacked = data[pos + 9]
             pos += 10  # separator + left/top/w/h (4x u16 LE) + packed
             if ipacked & 0x80:
                 pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= len(data):
+                raise ValueError("truncated GIF local color table")
             pos = skip_subblocks(pos + 1)  # LZW min-code byte, then data
             n_frames += 1
         else:

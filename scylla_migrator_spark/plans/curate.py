@@ -338,8 +338,24 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
 
         from scylla_migrator_spark import pathio
 
+        # near_dedup's keeper rule is pairwise (drop every id_b of a
+        # candidate pair), which is MORE aggressive than transitive-cluster
+        # keep-best on chains (A~B, B~C, A!~C drops both B and C) — state
+        # that in the provenance so downstream consumers of the sidecar
+        # know which dedup semantics produced the corpus
+        stages_meta = [
+            {
+                **st,
+                "semantics": "pairwise-lower-id-keeper "
+                "(chains prune deeper than transitive-cluster keep-best; "
+                "see dedup_keep_best for cluster semantics)",
+            }
+            if st["op"] == "near_dedup"
+            else st
+            for st in cfg.stages
+        ]
         report = {
-            "stages": cfg.stages,
+            "stages": stages_meta,
             "stage_counts": counts,
             "source": cfg.source_path,
         }

@@ -326,3 +326,33 @@ def test_gif_with_global_and_local_color_tables():
     buf += bytes([0x3B])
     m = decode_gif(bytes(buf))
     assert (m["width"], m["height"], m["n_frames"]) == (10, 11, 1)
+
+
+def test_decode_gif_truncated_raises_valueerror():
+    """Truncated streams must raise ValueError (the corrupt-input contract
+    shared by every decoder here), never IndexError/struct.error — cut the
+    stream at every prefix length and at mid-descriptor boundaries."""
+    import pytest
+
+    from scylla_migrator_spark.analytics.multimodal import decode_gif, encode_gif
+
+    full = encode_gif(16, 8, 2)
+    for cut in range(6, len(full)):  # prefixes keeping the magic intact
+        # a cut at a clean block boundary parses (fewer frames, no
+        # trailer); every other cut must be a ValueError — and NO cut may
+        # leak IndexError/struct.error
+        try:
+            m = decode_gif(full[:cut])
+            assert 0 <= m["n_frames"] <= 2
+        except ValueError:
+            pass
+    # mid-image-descriptor cut (the exact ADVICE case) must raise
+    desc = full.index(b"\x2c")
+    with pytest.raises(ValueError):
+        decode_gif(full[: desc + 5])
+    # truncated global color table: GCT flag set, table bytes missing
+    hdr = bytearray(b"GIF89a") + bytearray(
+        __import__("struct").pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    )
+    with pytest.raises(ValueError):
+        decode_gif(bytes(hdr) + b"\x00\x00")

@@ -225,3 +225,54 @@ def test_stream_near_dedup_config_validation(spark, tmp_path):
                 "stages": [{"op": "near_dedup", "withinWatermark": 7}],
             }
         )
+
+
+# --- cross-corpus LSH with overlapping id spaces --------------------------
+
+
+def test_cross_corpus_lsh_overlapping_ids_do_not_merge(spark):
+    """Two DIFFERENT documents sharing an id across corpora must keep
+    separate signatures (side-salted internal key): doc 1 in A matches doc
+    2 in B (same text); doc 1 in B is unrelated text and must not pollute
+    either signature."""
+    from scylla_migrator_spark.analytics.dedup import cross_corpus_lsh_candidates
+
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    a = spark.createDataFrame([(1, same)], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, other), (2, same)], ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cross_corpus_lsh_candidates(a, b, "text", "doc_id").collect()
+    }
+    assert pairs == {(1, 2)}  # A:1 ~ B:2; A:1 !~ B:1 despite the shared id
+
+
+def test_curation_report_surfaces_near_dedup_semantics(spark, tmp_path):
+    """The provenance sidecar must state the pairwise keeper rule for
+    near_dedup stages so sidecar consumers know which dedup semantics
+    produced the corpus."""
+    import json
+
+    from scylla_migrator_spark.plans.curate import CurationConfig, run_curation
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [
+                {"op": "length_filter", "minTokens": 2},
+                {"op": "near_dedup", "numHashes": 8, "bands": 2},
+            ],
+            "target": {"type": "parquet", "path": str(tmp_path / "out")},
+        }
+    )
+    run_curation(spark, cfg)
+    report = json.loads((tmp_path / "out" / "_curation_report.json").read_text())
+    by_op = {st["op"]: st for st in report["stages"]}
+    assert "pairwise-lower-id-keeper" in by_op["near_dedup"]["semantics"]
+    assert "semantics" not in by_op["length_filter"]
