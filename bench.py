@@ -178,6 +178,7 @@ HEADLINE = [
     "embedding_top_pc",
     "curation_pipeline_report",
     "stream_curation_gate",
+    "stream_near_dedup_gate",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",
@@ -201,6 +202,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # a registered query missing from HEADLINE silently vanishes from the
+    # per-round numbers — surface it instead
+    unlisted = sorted(set(Q.QUERIES) - set(HEADLINE))
+    if unlisted:
+        print(f"BENCHMARK_WARNING | unlisted_queries={unlisted}", file=sys.stderr)
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         try:

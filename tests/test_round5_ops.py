@@ -276,3 +276,52 @@ def test_curation_report_surfaces_near_dedup_semantics(spark, tmp_path):
     by_op = {st["op"]: st for st in report["stages"]}
     assert "pairwise-lower-id-keeper" in by_op["near_dedup"]["semantics"]
     assert "semantics" not in by_op["length_filter"]
+
+
+# --- scale-curve harness --------------------------------------------------
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("SGS_SCALE_CURVE"),
+    reason="multi-minute 10x-corpus run; set SGS_SCALE_CURVE=1 "
+    "(tools/scale_curve.py is the standalone form, results in "
+    "SCALE_CURVE.json)",
+)
+def test_scale_curve_per_row_cost_bounded(spark):
+    """Empirical no-hidden-quadratic check: per-row cost of the heaviest
+    dedup pipelines must grow <= 2x when the corpus grows ~10x (token-
+    salted replication preserves within-copy dup structure, destroys
+    cross-copy similarity). The committed SCALE_CURVE.json records the
+    sf0.1 ratios; this gated test reruns the harness at sf0.01."""
+    import importlib
+
+    sc_mod = importlib.import_module("tools.scale_curve")
+    from pyspark.sql import functions as F2
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+    base = "/tmp/sgs_scale_curve_pytest"
+    paths = {}
+    for tag, c in (("1x", 1), ("10x", 10)):
+        dp, ep = f"{base}/docs_{tag}", f"{base}/emb_{tag}"
+        sc_mod.scaled_documents(docs, c).write.mode("overwrite").parquet(dp)
+        sc_mod.scaled_embeddings(emb, c, dim).write.mode("overwrite").parquet(ep)
+        paths[tag] = (dp, ep, c)
+    results = {
+        tag: sc_mod.run_pipelines(spark, dp, ep, c)
+        for tag, (dp, ep, c) in paths.items()
+    }
+    for name in results["1x"]:
+        ratio = results["10x"][name]["us_per_row"] / results["1x"][name]["us_per_row"]
+        assert ratio <= 2.0, (name, ratio, results["10x"][name], results["1x"][name])

@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Scale-curve harness: run the heaviest dedup pipelines on the sf fixtures
+at 1x and ~10x rows and record PER-ROW cost ratios — the empirical check
+that no hidden quadratic survives the plan-shape pins.
+
+The 10x corpus replicates each document ``copies`` times with every token
+salted by the copy index (within-copy duplicate structure is preserved
+exactly; cross-copy similarity is destroyed, so candidate-pair volume
+scales linearly like a real corpus, not quadratically like naive
+replication). Embeddings are replicated with a per-copy cyclic roll
+(near-orthogonal to the original for generic vectors).
+
+Scale-aware parameters follow each pipeline's documented at-scale recipe:
+SemDedup's cluster count grows with the corpus (constant expected cluster
+width — the paper's ~0.1% of n posture) and its k-means trains on the
+deterministic 1/copies sample (the kmeans_centroids docstring recipe);
+everything else runs with the production defaults.
+
+Usage:  python tools/scale_curve.py            # sf0.1, copies=10
+        SPARK_GRAFT_SF_DIR=... SGS_SCALE_COPIES=4 python tools/scale_curve.py
+
+Prints one JSON line and writes SCALE_CURVE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from scylla_migrator_spark.analytics import dedup as D  # noqa: E402
+from scylla_migrator_spark.analytics import similarity as SIM  # noqa: E402
+from scylla_migrator_spark.analytics import text as TXT  # noqa: E402
+from scylla_migrator_spark.analytics.components import connected_components  # noqa: E402
+
+COPY_STRIDE = 100_000_000
+
+
+def scaled_documents(docs: DataFrame, copies: int) -> DataFrame:
+    parts = []
+    for k in range(copies):
+        text = (
+            F.col("text")
+            if k == 0
+            else F.concat_ws(
+                " ",
+                F.transform(
+                    TXT.tokens(F.col("text")), lambda w: F.concat(w, F.lit(f"_{k}"))
+                ),
+            )
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * COPY_STRIDE)).alias("doc_id"),
+                text.alias("text"),
+                "source",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(emb: DataFrame, copies: int, dim: int) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    parts = []
+    for k in range(copies):
+        roll = k % dim
+        vec = v if roll == 0 else F.concat(
+            F.slice(v, roll + 1, dim - roll), F.slice(v, 1, roll)
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * COPY_STRIDE)).alias("vec_id"),
+                vec.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _timed(fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn()
+    return time.perf_counter() - t0, int(n)
+
+
+def run_pipelines(
+    spark: SparkSession, docs_path: str, emb_path: str, copies: int
+) -> dict[str, dict]:
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(docs_path).repartition(par)
+    emb = spark.read.parquet(emb_path).repartition(par)
+    n_docs, n_emb = docs.count(), emb.count()
+    out: dict[str, dict] = {}
+
+    def record(name: str, rows_in: int, fn) -> None:
+        secs, rows_out = _timed(fn)
+        out[name] = {
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "secs": round(secs, 3),
+            "us_per_row": round(1e6 * secs / rows_in, 3),
+        }
+        print(
+            f"SCALE_CURVE | {name} rows={rows_in} secs={secs:.2f} "
+            f"usPerRow={1e6 * secs / rows_in:.1f}",
+            file=sys.stderr,
+        )
+
+    record(
+        "minhash_lsh_candidates",
+        n_docs,
+        lambda: D.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=16, bands=4
+        ).count(),
+    )
+
+    def keep_best() -> int:
+        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
+        comp = connected_components(pairs, "id_a", "id_b")
+        return comp.groupBy("comp").count().count()
+
+    record("simhash_components_keep_best", n_docs, keep_best)
+
+    record(
+        "ngram_jaccard_capped_pairs",
+        n_docs,
+        lambda: D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", n=3, max_doc_freq=50
+        ).count(),
+    )
+
+    record(
+        "substring_dup_fraction",
+        n_docs,
+        lambda: D.substring_duplication(docs, "text", "doc_id", 8).count(),
+    )
+
+    def semdedup() -> int:
+        # scale recipe: cluster count grows with the corpus (constant
+        # expected cluster width -> the pair join stays linear per row);
+        # train on the deterministic original-copy sample
+        n_cent = 16 * copies
+        sample = emb.filter(F.col("vec_id") < COPY_STRIDE)
+        cents = SIM.kmeans_centroids(sample, n_cent, iters=2)
+        return D.semdedup(emb, "vec_id", "embedding", cents, tau=0.25).count()
+
+    record("semdedup_prune", n_emb, semdedup)
+    return out
+
+
+def main() -> None:
+    from scylla_migrator_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    copies = int(os.environ.get("SGS_SCALE_COPIES", "10"))
+    spark = get_spark("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+
+    base = "/tmp/sgs_scale_curve"
+    paths = {}
+    for tag, c in (("1x", 1), (f"{copies}x", copies)):
+        dp, ep = f"{base}/docs_{tag}", f"{base}/emb_{tag}"
+        scaled_documents(docs, c).write.mode("overwrite").parquet(dp)
+        scaled_embeddings(emb, c, dim).write.mode("overwrite").parquet(ep)
+        paths[tag] = (dp, ep, c)
+
+    results = {}
+    for tag, (dp, ep, c) in paths.items():
+        results[tag] = run_pipelines(spark, dp, ep, c)
+
+    big = f"{copies}x"
+    ratios = {
+        name: round(
+            results[big][name]["us_per_row"] / results["1x"][name]["us_per_row"], 3
+        )
+        for name in results["1x"]
+    }
+    out = {
+        "metric": "scale_curve_per_row_ratio",
+        "copies": copies,
+        "sf_dir": sf_dir,
+        "ratios": ratios,
+        "max_ratio": max(ratios.values()),
+        "detail": results,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
