@@ -179,6 +179,7 @@ HEADLINE = [
     "curation_pipeline_report",
     "stream_curation_gate",
     "stream_near_dedup_gate",
+    "bpe_segment_compression",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

@@ -5256,17 +5256,122 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TOK.top_pairs(words, 20)
 
 
-@_register("bpe_train_merges")  # rows-only: 8 iterative argmax+merge rounds
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of the FULL iterative BPE trainer, one unrolled CTE
+    trio per round (the same unrolling trick as the k-means oracle): the
+    segmentation state is a chr(1)-delimited piece string per word
+    (``a␁b␁c␁``), pair counts come from the split state, the argmax uses
+    the trainer's exact tie-break (count desc, then p1, p2), and the merge
+    applies as ``replace(seg, p1␁p2␁ -> p1p2␁)`` — string replace scans
+    left-to-right non-overlapping and the trailing-delimiter encoding makes
+    it exactly the greedy merge_pair fold (consuming the trailing delimiter
+    keeps adjacent matches intact: a␁a␁a␁a␁ -> aa␁aa␁). chr(1) cannot occur
+    inside a whitespace-split token of the fixture corpus."""
+    parts = _bpe_state_parts(n_merges)
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, p1, p2, pair_count FROM best{r}"
+        for r in range(n_merges)
+    )
+    return ",\n    ".join(parts) + "\n    " + union
+
+
+def _bpe_state_parts(n_merges: int) -> list[str]:
+    """The unrolled BPE training-state CTEs (shared by the trainer oracle
+    and the encoder oracle): ``state{r}`` is the per-word segmentation
+    after ``r`` merges, ``best{r}`` the rule learned in round r+1."""
+    d = "chr(1)"
+    parts = [
+        r"""WITH words AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents) t
+      WHERE len(w) > 0 GROUP BY w)""",
+        f"""state0 AS (
+      SELECT word, cnt,
+             array_to_string(list_transform(generate_series(1, len(word)),
+                                            i -> word[i]), {d}) || {d} AS seg
+      FROM words)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""pairs{r} AS (
+      SELECT p1, p2, sum(cnt)::BIGINT AS pair_count FROM (
+        SELECT s.cnt, s.l[g.i] AS p1, s.l[g.i + 1] AS p2
+        FROM (SELECT cnt, string_split(rtrim(seg, {d}), {d}) AS l
+              FROM state{r}) s,
+             UNNEST(generate_series(1, len(s.l) - 1)) AS g(i))
+      GROUP BY p1, p2)"""
+        )
+        parts.append(
+            f"""best{r} AS (
+      SELECT p1, p2, pair_count FROM pairs{r}
+      ORDER BY pair_count DESC, p1, p2 LIMIT 1)"""
+        )
+        parts.append(
+            f"""state{r + 1} AS (
+      SELECT word, cnt,
+             replace(seg, b.p1 || {d} || b.p2 || {d}, b.p1 || b.p2 || {d}) AS seg
+      FROM state{r}, best{r} b)"""
+        )
+    return parts
+
+
+@_register("bpe_train_merges", _bpe_train_sql(8))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 learned BPE merge rules (rank, pair, count) — the iterative
-    trainer (analytics/tokenizer.py::train_bpe). No SQL oracle: each round's
-    input is the previous round's merged symbol table, which a recursive CTE
-    cannot express with aggregation over the recursive reference; instead
-    the trainer is pinned by a pure-Python reference implementation on the
-    same fixture (tests/test_tokenizer.py) — merge-for-merge equality."""
+    trainer (analytics/tokenizer.py::train_bpe). The oracle replays ALL
+    eight training rounds in SQL via per-round unrolled CTEs over a
+    delimited segmentation state (no recursive CTE needed — the same
+    unrolling the IVF k-means oracle uses), upgrading this from the former
+    rows-only check; the pure-Python reference pin in
+    tests/test_tokenizer.py remains as a second, engine-independent
+    witness."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
     return TOK.train_bpe_df(_fan(_t(spark, sf_dir, "documents")), 8)
+
+
+def _bpe_segment_sql(n_merges: int = 8) -> str:
+    """Encoder oracle: documents segmented under the round-``n`` trained
+    rules — per-doc word and piece counts derived from the shared unrolled
+    training state (the final ``state{n}`` segmentation IS the encoder
+    output on the training vocabulary)."""
+    d = "chr(1)"
+    parts = [
+        *_bpe_state_parts(n_merges),
+        r"""doc_words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents)""",
+        f"""final_pieces AS (
+      SELECT word, len(string_split(rtrim(seg, {d}), {d}))::INT AS np
+      FROM state{n_merges})""",
+    ]
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT dw.doc_id, count(*)::INT AS n_words,
+           sum(coalesce(fp.np, 0))::INT AS n_pieces
+    FROM doc_words dw LEFT JOIN final_pieces fp ON dw.w = fp.word
+    GROUP BY dw.doc_id
+    """
+    )
+
+
+@_register("bpe_segment_compression", _bpe_segment_sql(8))
+def bpe_segment_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODER surface as a query: segment every document under the
+    8 trained merge rules and report per-doc (n_words, n_pieces) — the
+    compression diagnostic a learned vocabulary is judged by. Runs the
+    expression-fold engine (8 rules is far below the Arrow switch-over at
+    64; the Arrow path is property-pinned equal in tests/test_tokenizer.py).
+    The oracle derives the same counts from the shared unrolled training
+    state — the final segmentation table IS the encoder's answer on the
+    training vocabulary."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    merges, _ = TOK.train_bpe(docs, 8)
+    return TOK.segment_with_merges(docs, merges, "text", "doc_id")
 
 
 @_register(

@@ -325,3 +325,34 @@ def test_scale_curve_per_row_cost_bounded(spark):
     for name in results["1x"]:
         ratio = results["10x"][name]["us_per_row"] / results["1x"][name]["us_per_row"]
         assert ratio <= 2.0, (name, ratio, results["10x"][name], results["1x"][name])
+
+
+# --- dim-scalable centroid / PC updates -----------------------------------
+
+
+def test_kmeans_and_top_pc_train_at_dim_512(spark):
+    """The posexplode update forms must handle production embedding dims:
+    a dim-512 synthetic table trains k-means and runs a power-iteration
+    pass as ONE aggregation each (the per-dimension aggregate-list form
+    stopped being plannable around here)."""
+    from scylla_migrator_spark.analytics.linalg import power_iteration_top_pc
+
+    dim = 512
+    df = spark.range(0, 120).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, {dim - 1}), "
+        "j -> cast(pmod(xxhash64(id, j), 1000) AS double) / 1000.0) AS embedding",
+    )
+    cents = SIM.kmeans_centroids(df, n_centroids=4, iters=1)
+    assert len(cents) == 4 and all(len(c) == dim for c in cents)
+    # update actually moved the centroids off their seeds
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in df.orderBy("vec_id").limit(4).collect()
+    ]
+    assert cents != seeds
+
+    pc = power_iteration_top_pc(df, "embedding", iters=1, dim=dim)
+    assert len(pc) == dim
+    # components are rounded to 6 dp, so the norm drifts ~dim * 1e-12
+    assert abs(sum(c * c for c in pc) - 1.0) < 1e-4
