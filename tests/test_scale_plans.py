@@ -460,3 +460,34 @@ def test_js_divergence_word_universe_uses_hash_joins(spark, sf_dir):
     assert len(bnlj_lines) <= 2
     assert all("<" in l for l in bnlj_lines), bnlj_lines
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_stream_near_dedup_gate_plan_single_stateful_exchange(spark, tmp_path):
+    """The streaming near-dedup gate must be: predicate filters folded into
+    the scan stage, the MinHash signature computed as a scan-stage
+    projection (no pre-shuffle), then EXACTLY ONE Exchange — the one the
+    stateful dedup operator requires for its state partitioning."""
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c d e", None)], "doc_id long, text string, ts timestamp"
+    ).write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [
+                {"op": "length_filter", "minTokens": 2},
+                {"op": "near_dedup", "withinWatermark": "1 hour"},
+            ],
+        }
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    plan = plan_of(curate_stream(stream, cfg), mode="simple")
+    assert "StreamingDeduplicateWithinWatermark" in plan
+    assert plan.count("Exchange") == 1  # only the stateful-operator shuffle
+    assert "EvalPython" not in plan  # signature is a pure column expression
+    # the watermark sits ABOVE the signature projection (scan-stage work)
+    assert plan.index("EventTimeWatermark") < plan.index("StreamingRelation")
