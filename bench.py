@@ -180,6 +180,8 @@ HEADLINE = [
     "stream_curation_gate",
     "stream_near_dedup_gate",
     "bpe_segment_compression",
+    "hashed_bow_embeddings",
+    "hashed_ann_topk",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

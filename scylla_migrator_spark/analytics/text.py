@@ -483,3 +483,38 @@ def count_min_estimates(
         .agg(F.min("bc").alias("cms_estimate"))
         .select("w", F.col("c").alias("true_count"), "cms_estimate")
     )
+
+
+def hashed_bow_embedding(col: Column, dim: int = 64) -> Column:
+    """Signed feature-hashing bag-of-words embedding (Weinberger et al.
+    2009, "Feature Hashing for Large Scale Multitask Learning"): each token
+    hashes to bucket ``h % dim`` with sign ``+1/-1`` from the next hash
+    bit, summed as INTEGERS (array<long>) — a deterministic, model-free
+    text -> fixed-dim vector bridge, so every embedding operator (ANN,
+    kNN graph, SemDedup, centroids) applies to a raw text corpus with no
+    external encoder. Integer accumulation makes the vector exactly
+    replayable in SQL (no float summation order to pin).
+
+    Pure scan-stage column expression: the per-token hash array is bound
+    ONCE via the transform(array(...)) wrapper (same trick as
+    dedup.minhash_signature_col), then each of the ``dim`` components is
+    an integer fold over it — no shuffle, no Python."""
+    hs = F.transform(tokens(col), lambda w: _md5_int(w))
+    sign = lambda h: F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(  # noqa: E731
+        F.lit(-1)
+    )
+    return F.element_at(
+        F.transform(
+            F.array(hs),
+            lambda h_arr: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.aggregate(
+                    h_arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + F.when(h % dim == j, sign(h)).otherwise(F.lit(0)),
+                ),
+            ),
+        ),
+        1,
+    )

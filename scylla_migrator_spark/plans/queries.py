@@ -1066,6 +1066,74 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint")
 
 
+def _hashed_emb_cte(dim: int) -> str:
+    """Shared oracle CTEs for the signed feature-hashing embedding: token
+    md5 hashes -> bucket h % dim, sign from the next hash bit, INTEGER
+    sums (exactly replayable — no float order to pin)."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(t, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+          FROM toks),
+    emb AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {dim - 1}),
+               j -> CAST(coalesce(list_sum(list_transform(hs,
+                      h -> CASE WHEN h % {dim} = j
+                           THEN (CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END)
+                           ELSE 0 END)), 0) AS BIGINT)) AS v
+      FROM h)"""
+
+
+@_register(
+    "hashed_bow_embeddings",
+    _hashed_emb_cte(16) + "\n    SELECT doc_id, v FROM emb",
+)
+def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text -> vector bridge: signed feature-hashing bag-of-words
+    embedding (Weinberger et al. 2009) as a pure scan-stage column
+    expression (text.hashed_bow_embedding) — integer-summed array<long>,
+    so the whole vector is value-hash oracle-checked. Gives every
+    embedding operator (ANN, kNN graph, SemDedup, centroids) a raw-text
+    on-ramp with no external encoder."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
+        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v")
+    )
+
+
+@_register(
+    "hashed_ann_topk",
+    _hashed_emb_cte(64)
+    + """,
+    q AS (SELECT CAST(v AS DOUBLE[]) AS qv FROM emb WHERE doc_id = 0),
+    scored AS (
+      SELECT doc_id,
+        round(
+          list_dot_product(CAST(v AS DOUBLE[]), qv)
+          / (sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM emb, q)
+    SELECT doc_id, cos FROM scored ORDER BY cos DESC, doc_id ASC LIMIT 10
+    """,
+)
+def hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text similarity search with NO model: hash-embed every
+    document (dim 64, scan-stage integer vectors), then exact cosine top-10
+    against document 0's vector — the composed text -> embedding -> ANN
+    pipeline entirely in-engine, fully SQL-replayed. The scale path is
+    identical to the float-embedding ANN suite (LSH buckets / IVF
+    partitions over the hashed vectors)."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = docs.select(
+        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=64).alias("v")
+    )
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).head()["v"]]
+    out = SIM.brute_force_topk(emb, qv, "doc_id", "v", k=10)
+    return out.select("doc_id", "cos")
+
+
 @_register(
     "ann_cosine_topk",
     """

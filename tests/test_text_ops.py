@@ -167,3 +167,26 @@ def test_count_min_overestimates_only_and_exact_when_sparse(spark):
     # collision-free and the estimate is exact
     top = max(out, key=lambda r: r["true_count"])
     assert top["w"] == "alpha" and top["cms_estimate"] == top["true_count"]
+
+
+def test_hashed_bow_embedding_properties(spark):
+    """Feature-hashing embedding: deterministic, dimension-correct, and
+    additive — a doc repeated twice embeds to exactly 2x the single-doc
+    vector (integer sums), and token order cannot matter."""
+    from scylla_migrator_spark.analytics.text import hashed_bow_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "alpha beta gamma alpha beta gamma"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: list(r["v"])
+        for r in df.select(
+            "doc_id", hashed_bow_embedding(F.col("text"), dim=8).alias("v")
+        ).collect()
+    }
+    assert all(len(v) == 8 for v in out.values())
+    assert out[1] == out[2]  # bag-of-words: order-free
+    assert out[3] == [2 * x for x in out[1]]  # integer additivity
+    assert sum(abs(x) for x in out[4]) == 1  # '' tokenizes to one token
