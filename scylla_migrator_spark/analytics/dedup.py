@@ -525,18 +525,32 @@ def semdedup(
             eager=True
         )
         a, b = assigned.alias("a"), assigned.alias("b")
-        cand = a.join(
-            b,
-            on=[
-                F.col("a.centroid_id") == F.col("b.centroid_id"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        ).select(
-            F.col(f"b.{id_col}").alias(id_col),
-            F.col("a.v").alias("__va"),
-            F.col("b.v").alias("__vb"),
-            F.col("a.nv").alias("__na"),
-            F.col("b.nv").alias("__nb"),
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.centroid_id") == F.col("b.centroid_id"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            # null-safety BEFORE the Arrow edge, mirroring what the inline
+            # cosine expression did implicitly: a null vector, a vector
+            # containing null elements (either makes norm(v) null), or a
+            # length-mismatched pair (zip_with null-pads -> null dot) all
+            # evaluated to null >= tau == false and the pair dropped; the
+            # numpy scorer would instead crash on ragged/None input
+            .filter(
+                F.col("a.nv").isNotNull()
+                & F.col("b.nv").isNotNull()
+                & (F.size(F.col("a.v")) == F.size(F.col("b.v")))
+            )
+            .select(
+                F.col(f"b.{id_col}").alias(id_col),
+                F.col("a.v").alias("__va"),
+                F.col("b.v").alias("__vb"),
+                F.col("a.nv").alias("__na"),
+                F.col("b.nv").alias("__nb"),
+            )
         )
         # the pair cosine runs at the Arrow edge (mapInPandas), vectorized
         # ACROSS pairs with a per-dimension accumulation loop so each
@@ -558,7 +572,10 @@ def semdedup(
                 acc = np.zeros(len(pdf), dtype=np.float64)
                 for j in range(va.shape[1]):
                     acc = acc + va[:, j] * vb[:, j]
-                cos = acc / (pdf["__na"].to_numpy() * pdf["__nb"].to_numpy())
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    # 0/0 (a zero-norm pair) -> nan, and nan >= tau is
+                    # False — the same drop the JVM null division produced
+                    cos = acc / (pdf["__na"].to_numpy() * pdf["__nb"].to_numpy())
                 yield pdf.loc[cos >= tau, [id_col]]
 
         pruned = (

@@ -29,8 +29,16 @@ def lit_vec(values: list[float]) -> Column:
     construction alone (measured: 18x slower than one parse). ``repr``
     round-trips doubles exactly (shortest-repr guarantee) and the ``D``
     suffix pins the SQL literal type, so the resulting Literal is
-    bit-identical to the per-element form."""
-    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
+    bit-identical to the per-element form. Non-finite values have no SQL
+    double-literal spelling (``repr`` gives unparseable ``nan``/``inf``),
+    so those fall back to the per-element ``F.lit`` form — slower, but a
+    NaN-carrying vector must not become a ParseException."""
+    import math
+
+    vals = [float(x) for x in values]
+    if not all(math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
 
 
 def norm(a: Column) -> Column:
@@ -183,14 +191,19 @@ def ivf_assign(
     # literals), and Catalyst analysis/optimization of the per-centroid
     # fold list costs ~2x the collapsed form (measured; results
     # bit-identical — same product order, division after the fold)
-    mat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-            for c in centroids
+    if all(math.isfinite(float(x)) for c in centroids for x in c):
+        mat = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                for c in centroids
+            )
+            + ")"
         )
-        + ")"
-    )
+    else:
+        # non-finite centroid values have no SQL literal spelling;
+        # lit_vec's per-element fallback keeps the plan buildable
+        mat = F.array(*[lit_vec(c) for c in centroids])
     norms = lit_vec([(math.sqrt(sum(x * x for x in c)) or 1.0) for c in centroids])
     sims = F.zip_with(mat, norms, lambda c, n: dot(v, c) / n)
     pairs = F.zip_with(

@@ -225,7 +225,12 @@ class HadoopPathIO(PathIO):
         if spark is None:
             from pyspark.sql import SparkSession
 
-            spark = SparkSession.getActiveSession()
+            # getActiveSession is THREAD-LOCAL: capture the session on the
+            # instance the first time a thread with one calls in, so later
+            # calls from background threads (PeriodicDumper runs savepoint
+            # dumps on a plain threading.Thread) keep working instead of
+            # silently killing the dumper loop
+            spark = self._spark = SparkSession.getActiveSession()
         if spark is None:
             raise ValueError(
                 f"Hadoop FileSystem IO for {path} needs an active SparkSession"
@@ -344,9 +349,14 @@ def for_path(path: str) -> PathIO:
         return _memory
     from pyspark.sql import SparkSession
 
-    if SparkSession.getActiveSession() is not None:
-        _hadoop._fs(path)  # probe: raises ValueError with guidance if absent
-        return _hadoop
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # return an instance BOUND to the resolved session, not the global:
+        # getActiveSession is thread-local, and savepoint IO must keep
+        # working from background threads (PeriodicDumper)
+        io = HadoopPathIO(active)
+        io._fs(path)  # probe: raises ValueError with guidance if absent
+        return io
     guidance = _CONNECTOR_GUIDANCE.get(
         s,
         f"Include a Hadoop filesystem connector for '{s}' paths in the "

@@ -365,7 +365,10 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
                 io.join(cfg.target_path, "_curation_report.json"),
                 json.dumps(report, indent=2, sort_keys=True).encode("utf-8"),
             )
-        except ValueError as exc:
+        except Exception as exc:  # noqa: BLE001 - the corpus write already
+            # succeeded; a failed SIDECAR (missing connector -> ValueError,
+            # network/permission -> Py4JJavaError/IOError) must warn, never
+            # crash the pipeline after its data was published
             print(
                 f"curation: skipping _curation_report.json sidecar: {exc}",
                 file=sys.stderr,

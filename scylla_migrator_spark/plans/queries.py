@@ -4809,6 +4809,34 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_json(tag: str, modules: list, sf_dir: str, table: str, build_value):
+    """Build-once JSON artifact cache under /tmp (trained centroids, trained
+    BPE rules): the stage key covers the fixture fingerprint AND the source
+    of EVERY module the builder's computation transitively depends on —
+    hashing too few modules once served stale staged pairs after a helper
+    edit (the `_simhash_pairs_staged` lesson), so the dependency list is
+    explicit per call site. ``build_value()`` runs once per key; the value
+    must be JSON-serializable and deterministic."""
+    import hashlib
+    import inspect
+    import json
+    import os
+
+    ver = hashlib.md5(
+        "".join(inspect.getsource(m) for m in modules).encode()
+    ).hexdigest()[:8]
+    stage = os.path.join("/tmp", f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
+
+    def build(tmp_stage: str) -> None:
+        value = build_value()
+        os.makedirs(tmp_stage, exist_ok=True)
+        with open(os.path.join(tmp_stage, "value.json"), "w") as fh:
+            json.dump(value, fh)
+
+    with open(os.path.join(_publish_stage(stage, build), "value.json")) as fh:
+        return json.load(fh)
+
+
 def _kmeans_centroids_staged(
     spark: SparkSession, sf_dir: str, n: int = 16, iters: int = 2
 ) -> list[list[float]]:
@@ -4818,31 +4846,18 @@ def _kmeans_centroids_staged(
     shares one Lloyd's run instead of retraining per query, exactly like
     `_simhash_pairs_staged` shares pair detection across its three
     consumers. Training is deterministic (seeded from the lowest ids,
-    decimal-exact updates), so the cache changes nothing but wall-clock;
-    the key covers the fixture fingerprint AND the similarity-module source
-    so a regenerated fixture or an edited trainer invalidates the stage."""
-    import hashlib
-    import inspect
-    import json
-    import os
-
+    decimal-exact updates), so the cache changes nothing but wall-clock."""
     from scylla_migrator_spark.analytics import similarity as _SIMMOD
 
-    ver = hashlib.md5(inspect.getsource(_SIMMOD).encode()).hexdigest()[:8]
-    stage = os.path.join(
-        "/tmp",
-        f"sgs_kmeans_{n}x{iters}_{ver}_{_stage_tag(sf_dir, 'embeddings')}",
+    return _staged_json(
+        f"kmeans_{n}x{iters}",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.kmeans_centroids(
+            _fan(_t(spark, sf_dir, "embeddings")), n, iters, "vec_id", "embedding"
+        ),
     )
-
-    def build(tmp_stage: str) -> None:
-        emb = _fan(_t(spark, sf_dir, "embeddings"))
-        cents = SIM.kmeans_centroids(emb, n, iters, "vec_id", "embedding")
-        os.makedirs(tmp_stage, exist_ok=True)
-        with open(os.path.join(tmp_stage, "centroids.json"), "w") as fh:
-            json.dump(cents, fh)
-
-    with open(os.path.join(_publish_stage(stage, build), "centroids.json")) as fh:
-        return json.load(fh)
 
 
 def _semdedup_kmeans_sql(iters: int = 2, n: int = 16, dim: int = 64, tau: float = 0.25) -> str:
@@ -5327,14 +5342,13 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train_sql(n_merges: int = 8) -> str:
     """DuckDB replay of the FULL iterative BPE trainer, one unrolled CTE
     trio per round (the same unrolling trick as the k-means oracle): the
-    segmentation state is a chr(1)-delimited piece string per word
-    (``a␁b␁c␁``), pair counts come from the split state, the argmax uses
-    the trainer's exact tie-break (count desc, then p1, p2), and the merge
-    applies as ``replace(seg, p1␁p2␁ -> p1p2␁)`` — string replace scans
-    left-to-right non-overlapping and the trailing-delimiter encoding makes
-    it exactly the greedy merge_pair fold (consuming the trailing delimiter
-    keeps adjacent matches intact: a␁a␁a␁a␁ -> aa␁aa␁). chr(1) cannot occur
-    inside a whitespace-split token of the fixture corpus."""
+    segmentation state is a sentinel-framed piece string per word
+    (``␂a␁␂b␁␂c␁`` — see _bpe_state_parts for why BOTH a start and an end
+    sentinel per piece are required), pair counts come from the split
+    state, the argmax uses the trainer's exact tie-break (count desc, then
+    p1, p2), and the merge applies as ``replace(seg, ␂p1␁␂p2␁ -> ␂p1p2␁)``
+    — boundary-anchored, left-to-right non-overlapping, exactly the greedy
+    merge_pair fold."""
     parts = _bpe_state_parts(n_merges)
     union = "\n    UNION ALL ".join(
         f"SELECT {r + 1} AS merge_rank, p1, p2, pair_count FROM best{r}"
@@ -5346,8 +5360,20 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
 def _bpe_state_parts(n_merges: int) -> list[str]:
     """The unrolled BPE training-state CTEs (shared by the trainer oracle
     and the encoder oracle): ``state{r}`` is the per-word segmentation
-    after ``r`` merges, ``best{r}`` the rule learned in round r+1."""
-    d = "chr(1)"
+    after ``r`` merges, ``best{r}`` the rule learned in round r+1.
+
+    Encoding: every piece is ``chr(2) piece chr(1)`` — a START sentinel
+    AND an END sentinel per piece, so the merge pattern
+    ``␂p1␁␂p2␁ -> ␂p1p2␁`` can only match at real piece boundaries. A
+    trailing-delimiter-only encoding is WRONG: its pattern matches
+    mid-symbol (state [xa, b] with rule (a, b) would merge to [xab],
+    which the engine's merge_pair never does). With per-piece sentinels,
+    adjacent matches share no characters, so string replace's
+    left-to-right non-overlapping scan is exactly the greedy fold
+    ([a,a,a,a] -> [aa,aa], [a,a,a] -> [aa,a] — both verified). Neither
+    sentinel can occur inside a whitespace-split token of the fixture
+    corpus (verified: tokens are pure ASCII letters)."""
+    s, e = "chr(2)", "chr(1)"
     parts = [
         r"""WITH words AS (
       SELECT w AS word, count(*)::BIGINT AS cnt
@@ -5357,15 +5383,17 @@ def _bpe_state_parts(n_merges: int) -> list[str]:
         f"""state0 AS (
       SELECT word, cnt,
              array_to_string(list_transform(generate_series(1, len(word)),
-                                            i -> word[i]), {d}) || {d} AS seg
+                                            i -> {s} || word[i] || {e}), '') AS seg
       FROM words)""",
     ]
+    # pieces-of(seg): drop the final ␁, split on ␁, strip each leading ␂
+    pieces = f"list_transform(string_split(rtrim(seg, {e}), {e}), p -> p[2:])"
     for r in range(n_merges):
         parts.append(
             f"""pairs{r} AS (
       SELECT p1, p2, sum(cnt)::BIGINT AS pair_count FROM (
         SELECT s.cnt, s.l[g.i] AS p1, s.l[g.i + 1] AS p2
-        FROM (SELECT cnt, string_split(rtrim(seg, {d}), {d}) AS l
+        FROM (SELECT cnt, {pieces} AS l
               FROM state{r}) s,
              UNNEST(generate_series(1, len(s.l) - 1)) AS g(i))
       GROUP BY p1, p2)"""
@@ -5378,7 +5406,8 @@ def _bpe_state_parts(n_merges: int) -> list[str]:
         parts.append(
             f"""state{r + 1} AS (
       SELECT word, cnt,
-             replace(seg, b.p1 || {d} || b.p2 || {d}, b.p1 || b.p2 || {d}) AS seg
+             replace(seg, {s} || b.p1 || {e} || {s} || b.p2 || {e},
+                     {s} || b.p1 || b.p2 || {e}) AS seg
       FROM state{r}, best{r} b)"""
         )
     return parts
@@ -5404,14 +5433,14 @@ def _bpe_segment_sql(n_merges: int = 8) -> str:
     rules — per-doc word and piece counts derived from the shared unrolled
     training state (the final ``state{n}`` segmentation IS the encoder
     output on the training vocabulary)."""
-    d = "chr(1)"
+    e = "chr(1)"
     parts = [
         *_bpe_state_parts(n_merges),
         r"""doc_words AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
       FROM documents)""",
         f"""final_pieces AS (
-      SELECT word, len(string_split(rtrim(seg, {d}), {d}))::INT AS np
+      SELECT word, len(string_split(rtrim(seg, {e}), {e}))::INT AS np
       FROM state{n_merges})""",
     ]
     return (
@@ -5448,29 +5477,20 @@ def _bpe_merges_staged(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
     """Trained BPE merge rules materialized once per fixture generation —
     same build-once pattern as `_kmeans_centroids_staged`: training is
     deterministic (lexical tie-breaks), so the cache changes nothing but
-    wall-clock; keyed by the tokenizer-module source + fixture
-    fingerprint."""
-    import hashlib
-    import inspect
-    import json
-    import os
-
+    wall-clock. The key covers BOTH tokenizer.py and text.py — train_bpe's
+    word table comes from text.tokens, so an edit there must invalidate
+    the stage."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
-    ver = hashlib.md5(inspect.getsource(TOK).encode()).hexdigest()[:8]
-    stage = os.path.join(
-        "/tmp", f"sgs_bpe_{n_merges}_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    return _staged_json(
+        f"bpe_{n_merges}",
+        [TOK, TXT],
+        sf_dir,
+        "documents",
+        lambda: TOK.train_bpe(
+            _fan(_t(spark, sf_dir, "documents").select("doc_id", "text")), n_merges
+        )[0],
     )
-
-    def build(tmp_stage: str) -> None:
-        docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-        merges, _ = TOK.train_bpe(docs, n_merges)
-        os.makedirs(tmp_stage, exist_ok=True)
-        with open(os.path.join(tmp_stage, "merges.json"), "w") as fh:
-            json.dump(merges, fh)
-
-    with open(os.path.join(_publish_stage(stage, build), "merges.json")) as fh:
-        return json.load(fh)
 
 
 @_register(

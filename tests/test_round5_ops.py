@@ -92,22 +92,17 @@ def test_semdedup_single_assignment_matches_oracle_shape(spark):
 
 
 def _stream_two_batches(spark, df, tmpdir):
-    """Replay df as two micro-batches (doc_id parity halves), one file each."""
-    import os
+    """Replay df as two micro-batches (doc_id parity halves) via the
+    canonical staging helper — no re-implemented file dance."""
+    from scylla_migrator_spark.plans.queries import _write_half_files
 
-    for suffix, half in (
-        ("0", df.filter(F.col("doc_id") % 2 == 0)),
-        ("1", df.filter(F.col("doc_id") % 2 == 1)),
-    ):
-        part = os.path.join(tmpdir, f"h{suffix}")
-        half.coalesce(1).write.mode("overwrite").parquet(part)
-        data = [f for f in os.listdir(part) if f.endswith(".parquet")]
-        os.replace(
-            os.path.join(part, data[0]), os.path.join(tmpdir, f"half{suffix}.parquet")
-        )
-        import shutil
-
-        shutil.rmtree(part)
+    _write_half_files(
+        tmpdir,
+        [
+            ("0", df.filter(F.col("doc_id") % 2 == 0)),
+            ("1", df.filter(F.col("doc_id") % 2 == 1)),
+        ],
+    )
     schema = spark.read.parquet(tmpdir).schema
     return (
         spark.readStream.schema(schema)
@@ -118,20 +113,9 @@ def _stream_two_batches(spark, df, tmpdir):
 
 
 def _run_stream(gated):
-    import tempfile
-    import uuid
+    from scylla_migrator_spark.plans.queries import _run_available_now
 
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        gated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return gated.sparkSession.table(name)
+    return _run_available_now(gated, "append")
 
 
 def test_stream_near_dedup_equals_batch_at_bands_1(spark, tmp_path):
@@ -356,3 +340,68 @@ def test_kmeans_and_top_pc_train_at_dim_512(spark):
     assert len(pc) == dim
     # components are rounded to 6 dp, so the norm drifts ~dim * 1e-12
     assert abs(sum(c * c for c in pc) - 1.0) < 1e-4
+
+
+# --- review-fix regressions ------------------------------------------------
+
+
+def test_semdedup_tolerates_null_and_ragged_vectors(spark):
+    """Rows with a null vector, null elements, or mismatched dims must flow
+    through (kept) without crashing the Arrow pair scorer — the behavior
+    the inline null-propagating cosine gave before the numpy rewrite."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),        # near-dup of 1 -> pruned
+        (3, None),                 # null vector
+        (4, [1.0, None]),          # null element
+        (5, [1.0, 0.0, 0.0]),      # ragged dim
+        (6, [0.0, 0.0]),           # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           D.semdedup(df, "vec_id", "embedding", [[1.0, 0.0]], tau=0.9).collect()}
+    assert out[2] is False           # the only true prune
+    assert all(out[k] for k in (1, 3, 4, 5, 6))
+
+
+def test_lit_vec_and_ivf_assign_tolerate_non_finite(spark):
+    """NaN/inf vector values have no SQL literal spelling; the fast parsed
+    form must fall back to per-element literals instead of raising
+    ParseException at plan build."""
+    import math
+
+    df = spark.range(1)
+    v = df.select(SIM.lit_vec([1.0, float("nan"), float("inf")]).alias("v")).head()["v"]
+    assert v[0] == 1.0 and math.isnan(v[1]) and math.isinf(v[2])
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = SIM.ivf_assign(emb, [[float("nan"), 0.0], [0.0, 1.0]]).collect()
+    assert len(out) == 2  # plans and runs; NaN centroid scores never win
+
+
+def test_hadoop_pathio_usable_from_background_thread(spark, tmp_path):
+    """for_path binds the resolved SparkSession onto the returned instance:
+    getActiveSession is thread-local, and savepoint dumps run on plain
+    background threads (PeriodicDumper) — IO must keep working there."""
+    import threading
+
+    from scylla_migrator_spark import pathio
+
+    io = pathio.HadoopPathIO(spark)
+    p = f"file:{tmp_path}/bg"
+    io.create_directories(p)
+    errors = []
+
+    def work():
+        try:
+            io.write_utf8_atomically(io.join(p, "x.txt"), b"bg")
+            assert io.read_utf8(f"{p}/x.txt") == "bg"
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t = threading.Thread(target=work)
+    t.start()
+    t.join()
+    assert errors == []

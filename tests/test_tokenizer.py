@@ -435,3 +435,28 @@ def test_segment_auto_dispatch_and_1k_rules_complete(spark):
     # plan sanity: the arrow path is a single mapInPandas over a narrow scan
     plan = TOK.segment_with_merges(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_bpe_sql_oracle_does_not_merge_mid_symbol(spark):
+    """Regression: a trailing-delimiter-only oracle encoding merged ACROSS
+    symbol boundaries (state [xa, b] with rule (a, b) -> [xab]), which the
+    engine's merge_pair never does. Corpus engineered so merge 1 creates
+    symbol 'xa' and merge 2 is (a, b) with a word 'xab' present: a broken
+    oracle loses the (xa, b) pair and diverges at round 3."""
+    import duckdb
+
+    from scylla_migrator_spark.plans.queries import _bpe_train_sql
+
+    texts = ["xa"] * 10 + ["ab"] * 8 + ["xab"] * 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    engine = TOK.train_bpe(df, 3)[0]
+    assert engine == [("x", "a", 15), ("a", "b", 8), ("xa", "b", 5)]
+
+    con = duckdb.connect()
+    con.register("docs_src", df.toPandas())
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    oracle = [
+        (r[1], r[2], int(r[3]))
+        for r in con.sql(_bpe_train_sql(3) + " ORDER BY merge_rank").fetchall()
+    ]
+    assert oracle == engine
