@@ -182,6 +182,7 @@ HEADLINE = [
     "bpe_segment_compression",
     "hashed_bow_embeddings",
     "hashed_ann_topk",
+    "stream_ivf_ingest",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

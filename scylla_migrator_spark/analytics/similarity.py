@@ -351,6 +351,38 @@ def write_ivf_partitioned(
     ).parquet(path)
 
 
+def ingest_ivf_stream(
+    stream_df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """STREAMING maintenance of the :func:`write_ivf_partitioned` layout:
+    every arriving vector is coarse-quantized by the stateless broadcast
+    argmax (no state store — the assignment is a pure projection, so the
+    streaming plan has zero stateful operators) and appended into its
+    ``centroid_id=`` partition directory by a foreachBatch writer. Probes
+    via :func:`ivf_topk_partitioned` keep partition-pruning as the index
+    grows; centroids stay fixed between retrain cycles (the standard IVF
+    posture — retrain + rebuild is a batch job, ingest is this stream).
+    Returns the started query (callers await/stop it)."""
+    assigned = ivf_assign(stream_df, centroids, id_col, vec_col)
+
+    def _append(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(path)
+
+    return (
+        assigned.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivf_topk_partitioned(
     spark,
     path: str,

@@ -4860,6 +4860,65 @@ def _kmeans_centroids_staged(
     )
 
 
+def _stream_ivf_sql(iters: int = 2, n: int = 16, dim: int = 64) -> str:
+    """Oracle for streaming IVF ingest: the ingested partition layout must
+    hold exactly the BATCH assignment of every vector (batch/stream
+    unification for index maintenance) — replayed with the same shared
+    Lloyd's training + assignment CTEs."""
+    parts = [
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        *_kmeans_train_parts(iters, n, dim),
+        _kmeans_assign_cte("assigned", f"cent{iters}"),
+    ]
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT vec_id, centroid_id::INT AS centroid_id FROM assigned"
+    )
+
+
+@_register("stream_ivf_ingest", _stream_ivf_sql())
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN-index maintenance: the embeddings table replayed as
+    two micro-batches through similarity.ingest_ivf_stream — each arriving
+    vector is coarse-quantized by the stateless broadcast argmax (zero
+    stateful operators in the streaming plan) and appended into its
+    ``centroid_id=`` partition of the IVF layout; probes partition-prune as
+    the index grows (ivf_topk_partitioned). Returns the ingested layout's
+    (vec_id, centroid_id); the oracle replays training + assignment in
+    SQL, so ingest == batch build exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    centroids = _kmeans_centroids_staged(spark, sf_dir, n=16, iters=2)
+    stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", emb.filter(F.col("vec_id") % 2 == 0)),
+                ("1", emb.filter(F.col("vec_id") % 2 == 1)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    out_dir = tempfile.mkdtemp(prefix="sgs_ivf_ingest_")
+    shutil.rmtree(out_dir)  # foreachBatch appends; start from an empty layout
+    ckpt = tempfile.mkdtemp(prefix="sgs_ivf_ckpt_")
+    with _stream_shuffle_partitions(spark):
+        q = SIM.ingest_ivf_stream(stream, centroids, out_dir, ckpt)
+        q.awaitTermination()
+    layout = spark.read.parquet(out_dir)
+    return layout.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("centroid_id")
+    )
+
+
 def _semdedup_kmeans_sql(iters: int = 2, n: int = 16, dim: int = 64, tau: float = 0.25) -> str:
     """DuckDB replay of SemDedup over REAL k-means clusters: the same
     shared Lloyd's training CTEs the IVF oracle uses (seed = lowest-``n``

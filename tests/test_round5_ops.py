@@ -405,3 +405,38 @@ def test_hadoop_pathio_usable_from_background_thread(spark, tmp_path):
     t.start()
     t.join()
     assert errors == []
+
+
+def test_stream_ivf_ingest_layout_probes_equal_adhoc(spark, tmp_path):
+    """The stream-ingested IVF layout must serve partition-pruned probes
+    with exactly the ad-hoc (assign-per-query) results — index maintenance
+    cannot change answers."""
+    import tempfile
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, 8, 1)
+    stage = str(tmp_path / "halves")
+    from scylla_migrator_spark.plans.queries import _write_half_files
+
+    _write_half_files(
+        stage,
+        [
+            ("0", emb.filter(F.col("vec_id") % 2 == 0)),
+            ("1", emb.filter(F.col("vec_id") % 2 == 1)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    layout = str(tmp_path / "ivf")
+    q = SIM.ingest_ivf_stream(
+        stream, cents, layout, tempfile.mkdtemp(prefix="ckpt_")
+    )
+    q.awaitTermination()
+
+    qv = [float(x) for x in emb.filter("vec_id = 3").head()["embedding"]]
+    served = SIM.ivf_topk_partitioned(spark, layout, cents, qv, k=5, nprobe=3)
+    adhoc = SIM.ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=3, centroids=cents)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in adhoc.collect()]
