@@ -278,3 +278,62 @@ def test_gif_roundtrip_property(w, h, n):
 
     m = decode_gif(encode_gif(w, h, n))
     assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+
+
+# --- BPE encoder / oracle-encoding properties (round 5) --------------------
+
+
+def _greedy_merge(pieces: list, p1: str, p2: str) -> list:
+    """Reference greedy left-to-right non-overlapping merge (the engine's
+    merge_pair fold semantics)."""
+    out = []
+    for s in pieces:
+        if out and out[-1] == p1 and s == p2:
+            out[-1] = p1 + p2
+        else:
+            out.append(s)
+    return out
+
+
+_sym = st.text(alphabet="abc", min_size=1, max_size=3)
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=12),
+    st.lists(st.tuples(_sym, _sym), min_size=0, max_size=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_segment_word_rank_pointer_equals_sequential_fold(word, rules):
+    """tokenizer._segment_word's rank-pointer shortcut must equal applying
+    every rule once, in order, with the greedy merge — for arbitrary words
+    and rule lists including duplicates and merged-symbol rules."""
+    from scylla_migrator_spark.analytics.tokenizer import _segment_word
+
+    expected = list(word)
+    for p1, p2 in rules:
+        expected = _greedy_merge(expected, p1, p2)
+
+    ranks: dict = {}
+    for i, pair in enumerate(rules):
+        ranks.setdefault(pair, []).append(i)
+    got = _segment_word(word, rules, {k: tuple(v) for k, v in ranks.items()})
+    assert got == expected, (word, rules)
+
+
+@given(
+    st.lists(_sym, min_size=0, max_size=10),
+    st.tuples(_sym, _sym),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_oracle_sentinel_encoding_equals_greedy_merge(pieces, rule):
+    """The SQL oracle's merge is replace() over the ␂piece␁-framed string;
+    Python str.replace has the same left-to-right non-overlapping scan as
+    DuckDB replace, so this fuzzes the encoding against the greedy merge
+    for arbitrary piece lists (including merged symbols like 'ab' next to
+    'a','b' — the mid-symbol case a trailing-delimiter encoding got
+    wrong)."""
+    p1, p2 = rule
+    enc = "".join(f"\x02{p}\x01" for p in pieces)
+    merged_enc = enc.replace(f"\x02{p1}\x01\x02{p2}\x01", f"\x02{p1}{p2}\x01")
+    expected = _greedy_merge(pieces, p1, p2)
+    assert merged_enc == "".join(f"\x02{p}\x01" for p in expected), (pieces, rule)
