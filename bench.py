@@ -183,6 +183,7 @@ HEADLINE = [
     "hashed_bow_embeddings",
     "hashed_ann_topk",
     "stream_ivf_ingest",
+    "tfidf_hashed_features",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

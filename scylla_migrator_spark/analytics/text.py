@@ -518,3 +518,45 @@ def hashed_bow_embedding(col: Column, dim: int = 64) -> Column:
         ),
         1,
     )
+
+
+def tfidf_hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """TF-IDF-weighted feature hashing: the corpus-aware variant of
+    :func:`hashed_bow_embedding` — each token contributes
+    ``sign(h) * ln(N / df)`` to bucket ``h % dim`` (boilerplate tokens
+    that appear in every document weigh ~0; rare content dominates), the
+    standard IR representation for similarity/clustering over text.
+
+    Output is LONG form (id, bucket, w) for the non-empty buckets. Plan:
+    one token explode; the document-frequency table joins back broadcast
+    (bounded by vocabulary, not corpus); per-term weights truncate to
+    DECIMAL(18,9) before the per-(doc, bucket) sum, so the reduction is
+    associative-exact and cross-engine stable (the unigram_nll idiom —
+    ln differs by ulps between libms)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    dfw = toks.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
+    n_total = df.select(F.count(F.lit(1)).alias("n"))
+    h = F.col("h")
+    sign = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    terms = (
+        toks.join(F.broadcast(dfw), "w")
+        .join(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            _md5_int(F.col("w")).alias("h"),
+            F.log(F.col("n") / F.col("df")).cast("decimal(18,9)").alias("idf"),
+        )
+        .select(
+            F.col(id_col),
+            (h % dim).cast("int").alias("bucket"),
+            (sign * F.col("idf")).alias("t"),
+        )
+    )
+    return terms.groupBy(id_col, "bucket").agg(
+        F.round(F.sum("t").cast("double"), 6).alias("w")
+    )

@@ -1104,6 +1104,35 @@ def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tfidf_hashed_features",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    dfw AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS dfc FROM toks GROUP BY w),
+    n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+    terms AS (
+      SELECT t.doc_id,
+             (CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT) % 16)::INT AS bucket,
+             (CASE WHEN (CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT) // 16) % 2 = 0
+                   THEN 1 ELSE -1 END)
+               * CAST(ln(n.nd * 1.0 / dfw.dfc) AS DECIMAL(18,9)) AS t
+      FROM toks t JOIN dfw ON t.w = dfw.w, n)
+    SELECT doc_id, bucket, round(CAST(sum(t) AS DOUBLE), 6) AS w
+    FROM terms GROUP BY doc_id, bucket
+    """,
+)
+def tfidf_hashed_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-aware weighted feature hashing (text.tfidf_hashed_features):
+    sign(h) * ln(N/df) per token into h % 16 buckets — the standard TF-IDF
+    representation for text similarity/clustering, with broadcast df/N
+    tables and decimal-truncated terms (the unigram_nll idiom) so the
+    per-(doc, bucket) reduction is shuffle-order and engine independent."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.tfidf_hashed_features(docs, "text", "doc_id", dim=16)
+
+
+@_register(
     "hashed_ann_topk",
     _hashed_emb_cte(64)
     + """,

@@ -190,3 +190,25 @@ def test_hashed_bow_embedding_properties(spark):
     assert out[1] == out[2]  # bag-of-words: order-free
     assert out[3] == [2 * x for x in out[1]]  # integer additivity
     assert sum(abs(x) for x in out[4]) == 1  # '' tokenizes to one token
+
+
+def test_tfidf_hashed_features_weights_rare_tokens_higher(spark):
+    """A token appearing in every doc gets idf ln(1)=0 (bucket weight 0 or
+    absent); a rarer token carries ln(N/df) > 0 magnitude."""
+    import math
+
+    from scylla_migrator_spark.analytics.text import tfidf_hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common"), (3, "common"), (4, "common")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_hashed_features(df, "text", "doc_id", dim=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["w"]
+    # 'common' (df=4/4): idf 0 -> every doc-2..4 bucket weight is exactly 0
+    assert all(w == 0.0 for d in (2, 3, 4) for w in by_doc.get(d, {}).values())
+    # doc 1 carries rare1's ln(4) in one bucket (sign aside)
+    mags = sorted(abs(w) for w in by_doc[1].values())
+    assert any(abs(m - round(math.log(4), 6)) < 1e-6 for m in mags)
