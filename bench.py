@@ -184,6 +184,7 @@ HEADLINE = [
     "hashed_ann_topk",
     "stream_ivf_ingest",
     "tfidf_hashed_features",
+    "doc_cluster_assignments",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

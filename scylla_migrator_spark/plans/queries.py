@@ -1925,6 +1925,43 @@ def _ivf_kmeans_sql(iters: int = 2, n: int = 16, nprobe: int = 4, dim: int = 64,
     )
 
 
+def _doc_cluster_sql(dim: int = 16, k: int = 8, iters: int = 2) -> str:
+    """Oracle for model-free document clustering: the hashed-embedding CTE
+    feeds the SAME shared Lloyd's training + assignment CTEs the IVF /
+    SemDedup oracles use (base := hashed doc vectors, vec_id := doc_id)."""
+    return (
+        _hashed_emb_cte(dim)
+        + ",\n    base AS (SELECT doc_id AS vec_id, CAST(v AS DOUBLE[]) AS v FROM emb),\n    "
+        + ",\n    ".join(_kmeans_train_parts(iters, k, dim))
+        + ",\n    "
+        + _kmeans_assign_cte("assigned", f"cent{iters}")
+        + "\n    SELECT vec_id AS doc_id, centroid_id::INT AS cluster_id FROM assigned"
+    )
+
+
+@_register("doc_cluster_assignments", _doc_cluster_sql())
+def doc_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document CLUSTERING: hash-embed every document (signed
+    feature hashing, dim 16) and train deterministic Lloyd's k-means (k=8,
+    2 rounds) on the vectors — the composed text -> embedding -> clustering
+    pipeline entirely in-engine (corpus bucketing for mixture analysis,
+    curriculum grouping, or per-cluster sampling), every step SQL-replayed
+    through the same shared training CTEs as the IVF and SemDedup oracles.
+    At 100 TB: same one-pass-per-round training cost as IVF; write the
+    corpus partitioned by cluster_id for per-cluster downstream jobs."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = docs.select(
+        "doc_id",
+        TXT.hashed_bow_embedding(F.col("text"), dim=16)
+        .cast("array<double>")
+        .alias("v"),
+    )
+    cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=2, id_col="doc_id", vec_col="v")
+    return SIM.ivf_assign(emb, cents, "doc_id", "v").select(
+        "doc_id", F.col("centroid_id").cast("int").alias("cluster_id")
+    )
+
+
 @_register("ivf_ann_topk", _ivf_kmeans_sql())
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: coarse-quantize to 16 k-means

@@ -440,3 +440,26 @@ def test_stream_ivf_ingest_layout_probes_equal_adhoc(spark, tmp_path):
     served = SIM.ivf_topk_partitioned(spark, layout, cents, qv, k=5, nprobe=3)
     adhoc = SIM.ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=3, centroids=cents)
     assert [tuple(r) for r in served.collect()] == [tuple(r) for r in adhoc.collect()]
+
+
+def test_doc_clusters_group_similar_texts(spark):
+    """Sanity beyond the oracle: duplicated texts must land in the same
+    cluster (identical vectors -> identical argmax)."""
+    from scylla_migrator_spark.analytics import text as TXT
+    from scylla_migrator_spark.plans import queries as Q
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = docs.select(
+        "doc_id",
+        TXT.hashed_bow_embedding(F.col("text"), dim=16).cast("array<double>").alias("v"),
+    )
+    cents = SIM.kmeans_centroids(emb, 4, 1, "doc_id", "v")
+    assigned = SIM.ivf_assign(emb, cents, "doc_id", "v")
+    joined = (
+        docs.join(assigned.select("doc_id", "centroid_id"), "doc_id")
+        .groupBy("text")
+        .agg(F.count_distinct("centroid_id").alias("n_clusters"))
+    )
+    assert joined.filter("n_clusters > 1").count() == 0
