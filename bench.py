@@ -185,6 +185,7 @@ HEADLINE = [
     "stream_ivf_ingest",
     "tfidf_hashed_features",
     "doc_cluster_assignments",
+    "levenshtein_near_pairs",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

@@ -1104,6 +1104,63 @@ def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "levenshtein_near_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id, source, lower(substr(text, 1, 32)) AS key
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.key, b.key)::INT AS dist
+    FROM k a JOIN k b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= 3
+    """,
+)
+def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup for SHORT strings (title/header/prefix
+    fuzzing — the dedup family token-set methods miss: single-character
+    typos, OCR noise): same-source pairs whose lowercased 32-char prefixes
+    are within Levenshtein distance 3.
+
+    Scale shape: dist <= 3 forces |len(a) - len(b)| <= 3, so candidates
+    come from equi-joins on (source, length-band of width 4) with the probe
+    side exploded to its own and the next band — no all-pairs join ever
+    forms, and the verify step uses Spark's THRESHOLDED levenshtein
+    (early-exit at distance > 3, O(min(len)*threshold) instead of
+    O(len^2)). The oracle verifies the same pair set from the unblocked
+    definition, proving the banding loses nothing."""
+    k = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        F.lower(F.substring(F.col("text"), 1, 32)).alias("key"),
+        F.floor(F.length(F.lower(F.substring(F.col("text"), 1, 32))) / 4).alias("blk"),
+    )
+    probe = k.select(
+        F.col("doc_id"), F.col("source"), F.col("key"),
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("jb"),
+    ).alias("l")
+    build = k.alias("r")
+    d = F.levenshtein(F.col("l.key"), F.col("r.key"), 3)
+    return (
+        probe.join(
+            build,
+            on=[
+                F.col("l.source") == F.col("r.source"),
+                F.col("l.jb") == F.col("r.blk"),
+                F.col("l.doc_id") != F.col("r.doc_id"),
+            ],
+        )
+        .filter((d >= 0) & (d <= 3))
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_b"),
+            d.cast("int").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+@_register(
     "tfidf_hashed_features",
     r"""
     WITH toks AS (

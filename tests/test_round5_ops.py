@@ -463,3 +463,30 @@ def test_doc_clusters_group_similar_texts(spark):
         .agg(F.count_distinct("centroid_id").alias("n_clusters"))
     )
     assert joined.filter("n_clusters > 1").count() == 0
+
+
+def test_levenshtein_banding_loses_no_pairs(spark):
+    """The length-band blocking must find exactly the unblocked pair set:
+    engineered typo pairs at band boundaries (len 7 vs 8 straddles a
+    width-4 band edge) must all surface."""
+    from scylla_migrator_spark.plans import queries as Q
+
+    rows = [
+        (1, "s", "abcdefg"),        # len 7 (band 1)
+        (2, "s", "abcdefgh"),       # len 8 (band 2) -> dist 1 across bands
+        (3, "s", "abcdefg!"),       # dist 1 to #2, dist 1 to #1
+        (4, "s", "zzzzzzzz"),       # far from all
+        (5, "t", "abcdefg"),        # other source: never paired
+    ]
+    import os
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="sgs_lev_")
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "documents.parquet"))
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in Q.QUERIES["levenshtein_near_pairs"](spark, src).collect()
+    }
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
