@@ -367,13 +367,26 @@ def ingest_ivf_stream(
     via :func:`ivf_topk_partitioned` keep partition-pruning as the index
     grows; centroids stay fixed between retrain cycles (the standard IVF
     posture — retrain + rebuild is a batch job, ingest is this stream).
-    Returns the started query (callers await/stop it)."""
+
+    IDEMPOTENT under foreachBatch's at-least-once replay: each micro-batch
+    writes under a second ``ingest_batch=<bid>`` partition level with
+    DYNAMIC partition overwrite, so a batch replayed after a crash
+    overwrites exactly its own partitions instead of appending duplicates
+    — the layout always equals the exactly-once batch build. centroid_id
+    stays the TOP partition level, so probe filters still prune at the
+    first directory level. Returns the started query (callers await/stop
+    it)."""
     assigned = ivf_assign(stream_df, centroids, id_col, vec_col)
 
-    def _append(batch_df: DataFrame, _bid: int) -> None:
-        batch_df.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
-            "centroid_id"
-        ).parquet(path)
+    def _append(batch_df: DataFrame, bid: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(int(bid)))
+            .repartition(F.col("centroid_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "ingest_batch")
+            .parquet(path)
+        )
 
     return (
         assigned.writeStream.foreachBatch(_append)

@@ -485,6 +485,16 @@ def count_min_estimates(
     )
 
 
+def _hash_sign(h: Column, dim: int) -> Column:
+    """+1/-1 from the bit above the bucket bits of a 32-bit token hash —
+    THE single sign definition shared by both feature-hashing embeddings
+    (the SQL oracles hard-code the same ``(h // dim) % 2`` arithmetic by
+    contract; a drifted copy would silently desynchronize them). ``h`` is
+    non-negative, so the truncating double-divide cast equals floor
+    division on both engines."""
+    return F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
 def hashed_bow_embedding(col: Column, dim: int = 64) -> Column:
     """Signed feature-hashing bag-of-words embedding (Weinberger et al.
     2009, "Feature Hashing for Large Scale Multitask Learning"): each token
@@ -500,9 +510,6 @@ def hashed_bow_embedding(col: Column, dim: int = 64) -> Column:
     dedup.minhash_signature_col), then each of the ``dim`` components is
     an integer fold over it — no shuffle, no Python."""
     hs = F.transform(tokens(col), lambda w: _md5_int(w))
-    sign = lambda h: F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(  # noqa: E731
-        F.lit(-1)
-    )
     return F.element_at(
         F.transform(
             F.array(hs),
@@ -512,7 +519,7 @@ def hashed_bow_embedding(col: Column, dim: int = 64) -> Column:
                     h_arr,
                     F.lit(0).cast("long"),
                     lambda acc, h: acc
-                    + F.when(h % dim == j, sign(h)).otherwise(F.lit(0)),
+                    + F.when(h % dim == j, _hash_sign(h, dim)).otherwise(F.lit(0)),
                 ),
             ),
         ),
@@ -533,28 +540,44 @@ def tfidf_hashed_features(
     standard IR representation for similarity/clustering over text.
 
     Output is LONG form (id, bucket, w) for the non-empty buckets. Plan:
-    one token explode; the document-frequency table joins back broadcast
-    (bounded by vocabulary, not corpus); per-term weights truncate to
-    DECIMAL(18,9) before the per-(doc, bucket) sum, so the reduction is
-    associative-exact and cross-engine stable (the unigram_nll idiom —
-    ln differs by ulps between libms)."""
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
-    dfw = toks.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
+    ONE tokenize pass — the corpus collapses to the (doc, token, tf) table
+    first, and both the document-frequency aggregate and the weighted terms
+    derive from it (a second reference to the raw explode would re-tokenize
+    the whole corpus); the df table joins back broadcast (bounded by
+    vocabulary, not corpus). Each term is tf * sign * idf with the idf
+    truncated to DECIMAL(18,9) BEFORE the integer multiply and the
+    per-(doc, bucket) sum, so the reduction is associative-exact and
+    cross-engine stable (the unigram_nll idiom — ln differs by ulps
+    between libms), identical to summing sign*idf once per occurrence."""
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfw = tok_counts.groupBy("w").agg(F.count("*").alias("df"))
     n_total = df.select(F.count(F.lit(1)).alias("n"))
     h = F.col("h")
-    sign = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     terms = (
-        toks.join(F.broadcast(dfw), "w")
+        tok_counts.join(F.broadcast(dfw), "w")
         .join(F.broadcast(n_total))
         .select(
             F.col(id_col),
+            F.col("tf"),
             _md5_int(F.col("w")).alias("h"),
             F.log(F.col("n") / F.col("df")).cast("decimal(18,9)").alias("idf"),
         )
         .select(
             F.col(id_col),
             (h % dim).cast("int").alias("bucket"),
-            (sign * F.col("idf")).alias("t"),
+            # signed tf is cast NARROW (decimal(10,0)) before the decimal
+            # multiply: a bigint operand makes Spark's product exceed
+            # precision 38 and silently ROUND the scale down to 8
+            # (allowPrecisionLoss), which diverges from the oracle's exact
+            # scale-9 arithmetic at the 9th decimal
+            (
+                (F.col("tf") * _hash_sign(h, dim)).cast("decimal(10,0)")
+                * F.col("idf")
+            ).alias("t"),
         )
     )
     return terms.groupBy(id_col, "bucket").agg(

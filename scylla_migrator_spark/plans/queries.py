@@ -1117,64 +1117,134 @@ def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup for SHORT strings (title/header/prefix
-    fuzzing — the dedup family token-set methods miss: single-character
-    typos, OCR noise): same-source pairs whose lowercased 32-char prefixes
-    are within Levenshtein distance 3.
+    """Edit-distance near-dup for string keys (title/header/prefix fuzzing
+    — the dedup family token-set methods miss: single-character typos, OCR
+    noise): same-source pairs whose lowercased 32-char prefixes are within
+    Levenshtein distance K=3.
 
-    Scale shape: dist <= 3 forces |len(a) - len(b)| <= 3, so candidates
-    come from equi-joins on (source, length-band of width 4) with the probe
-    side exploded to its own and the next band — no all-pairs join ever
-    forms, and the verify step uses Spark's THRESHOLDED levenshtein
-    (early-exit at distance > 3, O(min(len)*threshold) instead of
-    O(len^2)). The oracle verifies the same pair set from the unblocked
-    definition, proving the banding loses nothing."""
-    k = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text")).select(
+    Scale shape — the Gravano et al. (VLDB 2001) q-gram COUNT FILTER: an
+    edit operation destroys at most q of a string's (len-q+1) overlapping
+    character q-grams, so ed(a, b) <= K implies the MULTISET q-gram
+    intersection is >= max(len_a, len_b) - q + 1 - K*q. Candidates come
+    from an inverted-index equi-join on (source, gram, occurrence-rank)
+    (multiset semantics: the k-th 'abcd' only matches the k-th 'abcd', so
+    COUNT(*) per pair is exactly sum(min(tf_a, tf_b)) = the multiset
+    intersection), filtered by the count bound — never an all-pairs join.
+    Keys too short for a positive bound (len <= K*q + q - 1 = 15) pair
+    all-to-all within (source, short) — a bounded fringe. Verification
+    uses Spark's THRESHOLDED levenshtein (early-exit above K,
+    O(min(len)*K) not O(len^2)). The oracle checks the same pair set from
+    the unblocked definition, proving the filter loses nothing."""
+    q, k_max = 4, 3
+    min_len_for_filter = k_max * q + q  # bound > 0 requires len - q + 1 - K*q >= 1
+    keys = _fan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select(
         "doc_id",
         "source",
         F.lower(F.substring(F.col("text"), 1, 32)).alias("key"),
-        F.floor(F.length(F.lower(F.substring(F.col("text"), 1, 32))) / 4).alias("blk"),
+    ).withColumn("klen", F.length("key"))
+
+    long_keys = keys.filter(F.col("klen") >= min_len_for_filter)
+    grams = long_keys.select(
+        "doc_id",
+        "source",
+        "klen",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("klen") - (q - 1)),
+                lambda i: F.col("key").substr(i, F.lit(q)),
+            )
+        ).alias("g"),
     )
-    probe = k.select(
-        F.col("doc_id"), F.col("source"), F.col("key"),
-        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("jb"),
-    ).alias("l")
-    build = k.alias("r")
-    d = F.levenshtein(F.col("l.key"), F.col("r.key"), 3)
-    return (
-        probe.join(
-            build,
+    # occurrence rank turns the bag of grams into (gram, 1st), (gram, 2nd)...
+    # so the self-equi-join computes the MULTISET intersection size
+    ranked = (
+        grams.groupBy("doc_id", "source", "klen", "g")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "doc_id",
+            "source",
+            "klen",
+            "g",
+            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("occ"),
+        )
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand_long = (
+        a.join(
+            b,
             on=[
-                F.col("l.source") == F.col("r.source"),
-                F.col("l.jb") == F.col("r.blk"),
-                F.col("l.doc_id") != F.col("r.doc_id"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.occ") == F.col("b.occ"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .filter((d >= 0) & (d <= 3))
-        .select(
-            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
-            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_b"),
-            d.cast("int").alias("dist"),
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.klen").alias("la"),
+            F.col("b.klen").alias("lb"),
         )
-        .distinct()
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - k_max * q
+        )
+        .select("id_a", "id_b")
     )
+    short = keys.filter(F.col("klen") < min_len_for_filter)
+    sa, sb = short.alias("a"), short.alias("b")
+    cand_short = sa.join(
+        sb,
+        on=[
+            F.col("a.source") == F.col("b.source"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # short-x-long pairs: a short key (len <= 15) and a long key (>= 16)
+    # differ in length by > 3 only when long_len - short_len > 3; the
+    # remaining border (short 13-15 vs long 16-18) is reachable, so pair
+    # the short fringe against the length-adjacent long keys directly
+    border = sa.join(
+        long_keys.alias("b"),
+        on=[
+            F.col("a.source") == F.col("b.source"),
+            (F.col("b.klen") - F.col("a.klen")) <= k_max,
+        ],
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+    )
+    cand = cand_long.unionByName(cand_short).unionByName(border).distinct()
+
+    kk = keys.select("doc_id", "key")
+    joined = (
+        cand.join(kk.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka")), "id_a")
+        .join(kk.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb")), "id_b")
+        .withColumn("dist", F.levenshtein(F.col("ka"), F.col("kb"), k_max).cast("int"))
+    )
+    return joined.filter(F.col("dist") >= 0).select("id_a", "id_b", "dist")
 
 
 @_register(
     "tfidf_hashed_features",
     r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-      FROM documents),
-    dfw AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS dfc FROM toks GROUP BY w),
+    WITH tc AS (
+      SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      GROUP BY doc_id, w),
+    dfw AS (SELECT w, count(*)::BIGINT AS dfc FROM tc GROUP BY w),
     n AS (SELECT count(*)::BIGINT AS nd FROM documents),
     terms AS (
-      SELECT t.doc_id,
-             (CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT) % 16)::INT AS bucket,
-             (CASE WHEN (CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT) // 16) % 2 = 0
-                   THEN 1 ELSE -1 END)
+      SELECT tc.doc_id,
+             (CAST('0x' || substr(md5(tc.w), 1, 8) AS BIGINT) % 16)::INT AS bucket,
+             tf * (CASE WHEN (CAST('0x' || substr(md5(tc.w), 1, 8) AS BIGINT) // 16) % 2 = 0
+                        THEN 1 ELSE -1 END)
                * CAST(ln(n.nd * 1.0 / dfw.dfc) AS DECIMAL(18,9)) AS t
-      FROM toks t JOIN dfw ON t.w = dfw.w, n)
+      FROM tc JOIN dfw ON tc.w = dfw.w, n)
     SELECT doc_id, bucket, round(CAST(sum(t) AS DOUBLE), 6) AS w
     FROM terms GROUP BY doc_id, bucket
     """,
@@ -5011,7 +5081,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so ingest == batch build exactly."""
     import os
     import shutil
-    import tempfile
 
     centroids = _kmeans_centroids_staged(spark, sf_dir, n=16, iters=2)
     stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
@@ -5030,9 +5099,15 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
-    out_dir = tempfile.mkdtemp(prefix="sgs_ivf_ingest_")
-    shutil.rmtree(out_dir)  # foreachBatch appends; start from an empty layout
-    ckpt = tempfile.mkdtemp(prefix="sgs_ivf_ckpt_")
+    # FIXED per-fixture dirs, cleared before the run: fresh tempdirs per
+    # call would leak a full embeddings copy into /tmp on every bench/test
+    # invocation. The checkpoint clears WITH the layout (a stale
+    # checkpoint + empty layout would skip the replayed batches).
+    run_tag = _stage_tag(sf_dir, "embeddings")
+    out_dir = os.path.join("/tmp", f"sgs_ivf_ingest_{run_tag}")
+    ckpt = os.path.join("/tmp", f"sgs_ivf_ckpt_{run_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     with _stream_shuffle_partitions(spark):
         q = SIM.ingest_ivf_stream(stream, centroids, out_dir, ckpt)
         q.awaitTermination()

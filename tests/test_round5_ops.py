@@ -446,7 +446,6 @@ def test_doc_clusters_group_similar_texts(spark):
     """Sanity beyond the oracle: duplicated texts must land in the same
     cluster (identical vectors -> identical argmax)."""
     from scylla_migrator_spark.analytics import text as TXT
-    from scylla_migrator_spark.plans import queries as Q
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
@@ -465,10 +464,10 @@ def test_doc_clusters_group_similar_texts(spark):
     assert joined.filter("n_clusters > 1").count() == 0
 
 
-def test_levenshtein_banding_loses_no_pairs(spark):
-    """The length-band blocking must find exactly the unblocked pair set:
-    engineered typo pairs at band boundaries (len 7 vs 8 straddles a
-    width-4 band edge) must all surface."""
+def test_levenshtein_qgram_filter_loses_no_pairs(spark):
+    """The q-gram count filter + short-fringe paths must find exactly the
+    unblocked pair set: short keys (all-pairs fringe), a short-vs-long
+    border pair, and randomized long keys with 1-3 scattered edits."""
     from scylla_migrator_spark.plans import queries as Q
 
     rows = [
@@ -490,3 +489,60 @@ def test_levenshtein_banding_loses_no_pairs(spark):
         for r in Q.QUERIES["levenshtein_near_pairs"](spark, src).collect()
     }
     assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_levenshtein_qgram_filter_randomized_vs_unblocked(spark):
+    """Randomized differential check: 80 long keys (> 16 chars) with 0-4
+    random edits applied to copies; the filtered pipeline's pair set must
+    equal the brute-force unblocked definition."""
+    import os
+    import random
+    import tempfile
+
+    from scylla_migrator_spark.plans import queries as Q
+
+    rng = random.Random(20260814)
+    alpha = "abcdefgh"
+    rows, did = [], 0
+    for _ in range(40):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(18, 40)))
+        rows.append((did, "s", base)); did += 1
+        # a mutated copy with 0-4 edits (insert/delete/substitute)
+        m = list(base)
+        for _ in range(rng.randint(0, 4)):
+            op = rng.choice("ids")
+            pos = rng.randrange(len(m)) if m else 0
+            if op == "i":
+                m.insert(pos, rng.choice(alpha))
+            elif op == "d" and m:
+                m.pop(pos)
+            else:
+                m[pos] = rng.choice(alpha)
+        rows.append((did, "s", "".join(m))); did += 1
+    src = tempfile.mkdtemp(prefix="sgs_lev_rand_")
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "documents.parquet"))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in Q.QUERIES["levenshtein_near_pairs"](spark, src).collect()
+    }
+    keys = {r[0]: r[2][:32].lower() for r in rows}
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for x, y in itertools.combinations(sorted(keys), 2):
+        d = lev(keys[x], keys[y])
+        if d <= 3:
+            want[(x, y)] = d
+    assert got == want
