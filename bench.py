@@ -186,6 +186,8 @@ HEADLINE = [
     "tfidf_hashed_features",
     "doc_cluster_assignments",
     "levenshtein_near_pairs",
+    "cohort_retention",
+    "event_transition_matrix",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

@@ -795,6 +795,80 @@ def weekly_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cohort_retention",
+    """
+    WITH wk AS (SELECT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS w
+                FROM events),
+    firsts AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+    acts AS (SELECT DISTINCT user_id, w FROM wk)
+    SELECT cw AS cohort_week, (w - cw)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM acts JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity week,
+    counted in every later week they return — the standard engagement /
+    data-freshness readout. Plan: one pass to (user, week) distinct grains,
+    a per-user min for the cohort, then a user-keyed join — all three hash
+    on user_id, so AQE reuses one shuffle partitioning across them; the
+    retention matrix itself is cohort x offset (tiny)."""
+    week_ns = 604_800_000_000_000
+    wk = _fan(_t(spark, sf_dir, "events")).select(
+        "user_id", F.expr(f"ts DIV {week_ns}").alias("w")
+    )
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    acts = wk.distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events)
+    SELECT prev_type AS from_type, event_type AS to_type,
+           count(*)::BIGINT AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (lag window ordered by (ts, event_id) — the id tie-break makes
+    simultaneous events deterministic): the behavioral-sequence summary
+    funnels and next-event models start from. One user-keyed window pass,
+    then a partial-agg shuffle on the (from, to) alphabet — the matrix is
+    |types|^2, never row-shaped."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _fan(_t(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(win).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    return seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@_register(
     "incremental_ingest_dedup",
     """
     WITH d AS (SELECT source, doc_id, sha256(text) AS dg FROM documents),
