@@ -2150,6 +2150,9 @@ def doc_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same shared training CTEs as the IVF and SemDedup oracles.
     At 100 TB: same one-pass-per-round training cost as IVF; write the
     corpus partitioned by cluster_id for per-cluster downstream jobs."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     emb = docs.select(
         "doc_id",
@@ -2157,7 +2160,19 @@ def doc_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("array<double>")
         .alias("v"),
     )
-    cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=2, id_col="doc_id", vec_col="v")
+    # build-once: the trained cluster centers are a per-fixture artifact
+    # (deterministic training), shared across invocations like the IVF /
+    # SemDedup quantizers; the key covers BOTH the trainer and the
+    # hashed-embedding source modules
+    cents = _staged_json(
+        "doc_kmeans_8x2",
+        [_SIMMOD, _TXTMOD],
+        sf_dir,
+        "documents",
+        lambda: SIM.kmeans_centroids(
+            emb, n_centroids=8, iters=2, id_col="doc_id", vec_col="v"
+        ),
+    )
     return SIM.ivf_assign(emb, cents, "doc_id", "v").select(
         "doc_id", F.col("centroid_id").cast("int").alias("cluster_id")
     )
