@@ -188,6 +188,7 @@ HEADLINE = [
     "levenshtein_near_pairs",
     "cohort_retention",
     "event_transition_matrix",
+    "dup_graph_degree_distribution",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

@@ -4201,6 +4201,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dup_graph_degree_distribution",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    deg AS (
+      SELECT v, count(*)::BIGINT AS d FROM (
+        SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) t
+      GROUP BY v)
+    SELECT d AS degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY d
+    UNION ALL
+    SELECT 0::BIGINT, ((SELECT count(*) FROM documents)
+                       - (SELECT count(*) FROM deg))::BIGINT
+    WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM deg)
+    """,
+)
+def dup_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-graph QC readout: the degree histogram of the near-dup pair
+    graph (how many docs have 0, 1, 2... near-duplicates). A heavy tail
+    here is the early warning for candidate-join blowups (degree ~ pair
+    work per doc) and for boilerplate clusters; degree-0 mass is the
+    genuinely-unique fraction. Reads the staged pair table (shared with
+    components/keep-best — no recomputed detection); two tiny aggregates
+    after that."""
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dist = deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    total = _t(spark, sf_dir, "documents").count()
+    touched = deg.count()
+    if total > touched:
+        zero = dist.sparkSession.createDataFrame(
+            [(0, total - touched)], "degree BIGINT, n_docs BIGINT"
+        )
+        dist = dist.unionByName(zero)
+    return dist
+
+
+@_register(
     "stream_stream_join",
     """
     WITH c AS (SELECT user_id, event_id AS click_event_id, epoch_us(ts)::BIGINT AS click_us
