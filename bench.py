@@ -189,6 +189,7 @@ HEADLINE = [
     "cohort_retention",
     "event_transition_matrix",
     "dup_graph_degree_distribution",
+    "zscore_value_outliers",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

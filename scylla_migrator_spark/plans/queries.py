@@ -795,6 +795,53 @@ def weekly_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zscore_value_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+    s AS (
+      SELECT event_type, sx / n AS mean,
+             sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+      FROM m WHERE sxx / n - (sx / n) * (sx / n) > 0)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mean) / s.std, 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mean) / s.std) > 3
+    """,
+)
+def zscore_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric data-quality gate: per-event-type z-score outliers
+    (|z| > 3). Moments come from ONE map-side-combined pass of
+    DECIMAL-exact (n, sum x, sum x^2) partials — shuffle-order-independent,
+    so mean/std (computed in double from the exact sums, the same op chain
+    on both engines) are reproducible; the flagging pass broadcasts the
+    tiny per-type stats back onto the scan. The pattern every ingest
+    pipeline runs before trusting a numeric column."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    s = m.filter(var > 0).select(
+        "event_type", mean.alias("mean"), F.sqrt(var).alias("std")
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@_register(
     "cohort_retention",
     """
     WITH wk AS (SELECT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS w
