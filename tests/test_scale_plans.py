@@ -491,3 +491,22 @@ def test_stream_near_dedup_gate_plan_single_stateful_exchange(spark, tmp_path):
     assert "EvalPython" not in plan  # signature is a pure column expression
     # the watermark sits ABOVE the signature projection (scan-stage work)
     assert plan.index("EventTimeWatermark") < plan.index("StreamingRelation")
+
+
+def test_new_analytics_plans_no_cartesian_no_python(spark, sf_dir):
+    """Round-5 analytics queries: broadcast where a tiny stats/dim side
+    exists, never a cross join, never Python row eval."""
+    cases = {
+        "zscore_value_outliers": dict(min_bcast=1),   # stats broadcast to scan
+        "cohort_retention": dict(min_bcast=0),
+        "event_transition_matrix": dict(min_bcast=0),
+        "levenshtein_near_pairs": dict(min_bcast=0),  # gram equi-joins only
+        "tfidf_hashed_features": dict(min_bcast=1),   # df/N broadcast
+        "hashed_bow_embeddings": dict(min_bcast=0),
+        "dup_graph_degree_distribution": dict(min_bcast=0),
+    }
+    for name, want in cases.items():
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= want["min_bcast"], name
