@@ -1,0 +1,46 @@
+"""Cross-SCALE oracle parity: the same Spark-vs-DuckDB gate as
+test_oracle_parity, but at sf0.001 — catches fixture-size assumptions
+(hardcoded counts, seeds that only exist at one scale, window tie
+patterns) that a single-scale gate would miss. Env-gated (one extra full
+registry pass); run with SGS_PARITY_SF0001=1."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.test_oracle_parity import TABLES, _canon
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SGS_PARITY_SF0001"),
+    reason="second full-registry parity pass; set SGS_PARITY_SF0001=1",
+)
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle_at_sf0001(spark, duck001, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    spark_df = q(spark, SF_DIR).toPandas()
+    if name not in oracles:
+        assert len(spark_df) >= 0
+        return
+    duck_df = duck001.sql(oracles[name]).df()
+    assert sorted(spark_df.columns) == sorted(duck_df.columns)
+    assert len(spark_df) == len(duck_df)
+    s, d = _canon(spark_df), _canon(duck_df)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{len(mismatches)} row mismatches, first: {mismatches[:3]}"
