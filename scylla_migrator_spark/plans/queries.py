@@ -857,18 +857,21 @@ def zscore_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their FIRST-activity week,
     counted in every later week they return — the standard engagement /
-    data-freshness readout. Plan: one pass to (user, week) distinct grains,
-    a per-user min for the cohort, then a user-keyed join — all three hash
-    on user_id, so AQE reuses one shuffle partitioning across them; the
-    retention matrix itself is cohort x offset (tiny)."""
+    data-freshness readout. Plan: ONE events scan to the (user, week)
+    distinct grains, then the cohort week is a window-min over the same
+    user partition — no second scan, no self-join; the retention matrix
+    itself is cohort x offset (tiny)."""
+    from pyspark.sql.window import Window
+
     week_ns = 604_800_000_000_000
-    wk = _fan(_t(spark, sf_dir, "events")).select(
-        "user_id", F.expr(f"ts DIV {week_ns}").alias("w")
+    acts = (
+        _fan(_t(spark, sf_dir, "events"))
+        .select("user_id", F.expr(f"ts DIV {week_ns}").alias("w"))
+        .distinct()
     )
-    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
-    acts = wk.distinct()
+    cw = F.min("w").over(Window.partitionBy("user_id"))
     return (
-        acts.join(firsts, "user_id")
+        acts.select("user_id", "w", cw.alias("cw"))
         .groupBy(
             F.col("cw").alias("cohort_week"),
             (F.col("w") - F.col("cw")).cast("bigint").alias("week_offset"),
@@ -893,16 +896,18 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over per-user event sequences
-    (lag window ordered by (ts, event_id) — the id tie-break makes
-    simultaneous events deterministic): the behavioral-sequence summary
-    funnels and next-event models start from. One user-keyed window pass,
-    then a partial-agg shuffle on the (from, to) alphabet — the matrix is
-    |types|^2, never row-shaped."""
+    (lag window ordered by (ts_us, event_id) — MICROsecond time like the
+    oracle's epoch_us, so a nanos-grained fixture generation cannot order
+    sub-microsecond ties differently across engines; the id tie-break
+    makes simultaneous events deterministic): the behavioral-sequence
+    summary funnels and next-event models start from. One user-keyed
+    window pass, then a partial-agg shuffle on the (from, to) alphabet —
+    the matrix is |types|^2, never row-shaped."""
     from pyspark.sql.window import Window
 
-    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = (
-        _fan(_t(spark, sf_dir, "events"))
+        _fan(_events_us(spark, sf_dir))
         .select(
             "user_id",
             "event_type",
@@ -2209,11 +2214,13 @@ def doc_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # build-once: the trained cluster centers are a per-fixture artifact
     # (deterministic training), shared across invocations like the IVF /
-    # SemDedup quantizers; the key covers BOTH the trainer and the
-    # hashed-embedding source modules
+    # SemDedup quantizers; the key covers the trainer and hashed-embedding
+    # modules AND this function's own source — dim/cast/_fan live at THIS
+    # call site, so an edited embedding spec must invalidate the stage
+    # (the _simhash_pairs_staged lesson)
     cents = _staged_json(
         "doc_kmeans_8x2",
-        [_SIMMOD, _TXTMOD],
+        [_SIMMOD, _TXTMOD, doc_cluster_assignments],
         sf_dir,
         "documents",
         lambda: SIM.kmeans_centroids(
@@ -4293,14 +4300,18 @@ def dup_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     dist = deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
-    total = _t(spark, sf_dir, "documents").count()
-    touched = deg.count()
-    if total > touched:
-        zero = dist.sparkSession.createDataFrame(
-            [(0, total - touched)], "degree BIGINT, n_docs BIGINT"
-        )
-        dist = dist.unionByName(zero)
-    return dist
+    # the degree-0 row stays INSIDE the plan (anti-join + one-row agg) —
+    # driver-side count() actions at plan-build time would run jobs just
+    # to CONSTRUCT the query and recompute the uncached degree table twice
+    zero = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("v"))
+        .join(deg, "v", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(F.lit(0).cast("bigint").alias("degree"), "n_docs")
+        .filter(F.col("n_docs") > 0)
+    )
+    return dist.unionByName(zero)
 
 
 @_register(

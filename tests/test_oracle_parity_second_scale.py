@@ -1,8 +1,10 @@
 """Cross-SCALE oracle parity: the same Spark-vs-DuckDB gate as
-test_oracle_parity, but at sf0.001 — catches fixture-size assumptions
-(hardcoded counts, seeds that only exist at one scale, window tie
-patterns) that a single-scale gate would miss. Env-gated (one extra full
-registry pass); run with SGS_PARITY_SF0001=1."""
+test_oracle_parity, but at a SECOND scale (sf0.01 — conftest's default
+is sf0.001) — catches fixture-size assumptions (hardcoded counts, seeds
+that only exist at one scale, window tie patterns) a single-scale gate
+would miss. Skips itself if the two directories coincide (zero added
+coverage then). Env-gated (one extra full registry pass); run with
+SGS_PARITY_SECOND_SCALE=1."""
 
 from __future__ import annotations
 
@@ -14,16 +16,20 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.test_oracle_parity import TABLES, _canon
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
+
+from tests.conftest import SF_DIR as _DEFAULT_SF_DIR
 
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("SGS_PARITY_SF0001"),
-    reason="second full-registry parity pass; set SGS_PARITY_SF0001=1",
+    not os.environ.get("SGS_PARITY_SECOND_SCALE")
+    or os.path.realpath(SF_DIR) == os.path.realpath(_DEFAULT_SF_DIR),
+    reason="second full-registry parity pass (set SGS_PARITY_SECOND_SCALE=1; "
+    "skipped when it would duplicate the main gate's scale)",
 )
 
 
 @pytest.fixture(scope="module")
-def duck001():
+def duck_second():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -31,14 +37,14 @@ def duck001():
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
-def test_query_matches_oracle_at_sf0001(spark, duck001, name):
+def test_query_matches_oracle_at_second_scale(spark, duck_second, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     spark_df = q(spark, SF_DIR).toPandas()
     if name not in oracles:
         assert len(spark_df) >= 0
         return
-    duck_df = duck001.sql(oracles[name]).df()
+    duck_df = duck_second.sql(oracles[name]).df()
     assert sorted(spark_df.columns) == sorted(duck_df.columns)
     assert len(spark_df) == len(duck_df)
     s, d = _canon(spark_df), _canon(duck_df)
