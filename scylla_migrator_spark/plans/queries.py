@@ -1260,7 +1260,16 @@ def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-to-all within (source, short) — a bounded fringe. Verification
     uses Spark's THRESHOLDED levenshtein (early-exit above K,
     O(min(len)*K) not O(len^2)). The oracle checks the same pair set from
-    the unblocked definition, proving the filter loses nothing."""
+    the unblocked definition, proving the filter loses nothing.
+
+    Known scale caveat (documented, not hidden): a STOP GRAM — a q-gram
+    shared by a large fraction of one source — makes its join bucket
+    quadratic, the same hot-key failure ngram_jaccard_pairs caps with
+    max_doc_freq. The count bound cannot simply drop hot grams (it would
+    lose pairs whose shared mass is all-hot); the production extension is
+    a cap plus a per-string dropped-gram budget that routes high-dropped
+    strings to the bounded fringe. AQE skew splitting spreads (but does
+    not shrink) a hot bucket."""
     q, k_max = 4, 3
     min_len_for_filter = k_max * q + q  # bound > 0 requires len - q + 1 - K*q >= 1
     keys = _fan(

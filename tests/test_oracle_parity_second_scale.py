@@ -20,12 +20,13 @@ SF_DIR = "/root/testdata/sf0.01"
 
 from tests.conftest import SF_DIR as _DEFAULT_SF_DIR
 
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("SGS_PARITY_SECOND_SCALE")
-    or os.path.realpath(SF_DIR) == os.path.realpath(_DEFAULT_SF_DIR),
-    reason="second full-registry parity pass (set SGS_PARITY_SECOND_SCALE=1; "
-    "skipped when it would duplicate the main gate's scale)",
-)
+# enabled only on demand (a second full-registry pass), and only when it
+# adds a genuinely different scale than the main gate's directory. When
+# disabled, the parameter list is empty so the module reports ONE skip
+# instead of one per query.
+_ENABLED = bool(os.environ.get("SGS_PARITY_SECOND_SCALE")) and os.path.realpath(
+    SF_DIR
+) != os.path.realpath(_DEFAULT_SF_DIR)
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +37,7 @@ def duck_second():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()) if _ENABLED else [])
 def test_query_matches_oracle_at_second_scale(spark, duck_second, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
