@@ -190,6 +190,7 @@ HEADLINE = [
     "event_transition_matrix",
     "dup_graph_degree_distribution",
     "zscore_value_outliers",
+    "stream_exact_dedup_gate",
     "source_js_divergence",
     "cross_corpus_lsh_pairs",
     "normalized_dedup_groups",

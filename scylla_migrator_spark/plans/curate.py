@@ -136,6 +136,22 @@ def _v_near_dedup(params: dict) -> dict:
     return out
 
 
+def _v_exact_dedup(params: dict) -> dict:
+    _reject_extras(params, {"withinWatermark"})
+    out: dict = {}
+    # streaming only: the state horizon for the watermarked digest-dedup
+    # gate; the batch pipeline is corpus-global and ignores it
+    if "withinWatermark" in params:
+        ww = params["withinWatermark"]
+        if not isinstance(ww, str) or not ww.strip():
+            raise ConfigError(
+                "exact_dedup: withinWatermark must be a delay string "
+                "like '1 hour'"
+            )
+        out["within_watermark"] = ww
+    return out
+
+
 _OPS: dict[str, Any] = {
     "length_filter": _v_length,
     "quality_filter": _v_quality,
@@ -143,7 +159,7 @@ _OPS: dict[str, Any] = {
     "pii_redact": _v_empty,
     "repetition_filter": _v_repetition,
     "intra_doc_repetition_filter": _v_intra_dup,
-    "exact_dedup": _v_empty,
+    "exact_dedup": _v_exact_dedup,
     "near_dedup": _v_near_dedup,
 }
 
@@ -383,21 +399,23 @@ def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
     definitions gate a batch corpus and a live ingest feed (batch/stream
     unification; cf. streaming/cdc.py for the sink half).
 
-    Streaming ``near_dedup`` (requires ``withinWatermark``): the MinHash
-    signature is attached as a scan-stage COLUMN (dedup.py::
-    minhash_signature_col — identical values to the batch signature), and
-    ``dropDuplicatesWithinWatermark`` keyed on the full signature drops
-    every later arrival whose signature matches an earlier document inside
-    the watermark horizon. Full-signature equality equals the batch
-    candidate rule at ``bands: 1`` exactly; at ``bands > 1`` the stream
-    gate is the CONSERVATIVE core of the banded rule (it drops only
-    all-band matches — per-band any-match needs a second stateful operator
-    to reassemble documents, so the full-recall pass stays a batch job).
-    State is one (signature-hash, timestamp) entry per surviving document
-    inside the horizon — bounded by the watermark, evicted by Spark.
+    Streaming dedup stages (both require ``withinWatermark``):
+    ``near_dedup`` attaches the MinHash signature as a scan-stage COLUMN
+    (dedup.py::minhash_signature_col — identical values to the batch
+    signature) and ``dropDuplicatesWithinWatermark`` keyed on the full
+    signature drops every later arrival whose signature matches an earlier
+    document inside the watermark horizon (full-signature equality equals
+    the batch candidate rule at ``bands: 1`` exactly; at ``bands > 1`` the
+    stream gate is the CONSERVATIVE core of the banded rule — per-band
+    any-match needs a second stateful operator to reassemble documents, so
+    the full-recall pass stays a batch job). ``exact_dedup`` dedupes on the
+    same sha2 text digest the batch stage groups on. State is one
+    (digest, timestamp) entry per surviving document inside the horizon —
+    bounded by the watermark, evicted by Spark.
 
-    Corpus-global join stages (repetition_filter, exact_dedup) are still
-    rejected at compose time — not a silent no-op."""
+    Corpus-global join stages (repetition_filter) — and dedup stages
+    WITHOUT a watermark horizon — are still rejected at compose time, not
+    a silent no-op."""
     out = stream_df
     for st in cfg.stages:
         pred = _stage_predicate(cfg, st)
@@ -408,24 +426,30 @@ def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
             out = red.withColumn(cfg.text_column, F.col("__redacted")).drop(
                 "__redacted", "n_email", "n_ipv4", "n_phone"
             )
-        elif st["op"] == "near_dedup":
+        elif st["op"] in ("near_dedup", "exact_dedup"):
             if "within_watermark" not in st:
                 raise ConfigError(
-                    "streaming near_dedup needs withinWatermark: '<delay>' "
-                    "(the state-retention horizon); corpus-global near-dedup "
+                    f"streaming {st['op']} needs withinWatermark: '<delay>' "
+                    "(the state-retention horizon); corpus-global dedup "
                     "is a batch job"
                 )
             if cfg.ts_column not in out.columns:
                 raise ConfigError(
-                    f"streaming near_dedup needs event-time column "
+                    f"streaming {st['op']} needs event-time column "
                     f"{cfg.ts_column!r} in the stream (set tsColumn)"
                 )
-            sig = D.minhash_signature_col(
-                F.col(cfg.text_column), num_hashes=st["num_hashes"]
-            )
-            key = F.sha2(
-                F.concat_ws(",", F.transform(sig, lambda m: m.cast("string"))), 256
-            )
+            if st["op"] == "near_dedup":
+                sig = D.minhash_signature_col(
+                    F.col(cfg.text_column), num_hashes=st["num_hashes"]
+                )
+                key = F.sha2(
+                    F.concat_ws(",", F.transform(sig, lambda m: m.cast("string"))),
+                    256,
+                )
+            else:
+                # exact dedup within the horizon: the same digest the batch
+                # exact_dedup groups on (sha2 of the raw text)
+                key = F.sha2(F.col(cfg.text_column), 256)
             out = (
                 out.withColumn("__sig_key", key)
                 .withWatermark(cfg.ts_column, st["within_watermark"])

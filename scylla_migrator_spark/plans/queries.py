@@ -5329,6 +5329,63 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_exact_dedup_gate",
+    """
+    SELECT DISTINCT substr(sha256(text), 1, 16) AS digest16 FROM documents
+    """,
+)
+def stream_exact_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming EXACT dedup in the curation gate, under
+    the at-least-once delivery model (the stream unioned with itself, so
+    EVERY document arrives at least twice — cf. stream_dedup_watermark):
+    an exact_dedup stage keyed on the sha2 text digest (the same digest
+    the batch stage groups on) keeps one survivor per distinct text inside
+    the horizon. The output is the survivors' digests WITHOUT a
+    re-distinct — a broken gate would emit duplicate digests and fail the
+    oracle's row count, not just its values. State: one 32-byte digest per
+    surviving document per horizon."""
+    import os
+
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
+
+    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    docs = _t(spark, sf_dir, "documents")
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", docs.filter(F.col("doc_id") % 2 == 0)),
+                ("1", docs.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": stage},
+            "stages": [{"op": "exact_dedup", "withinWatermark": "1 hour"}],
+        }
+    )
+    schema = spark.read.parquet(stage).schema
+
+    def half_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+        )
+
+    doubled = half_stream().union(half_stream())
+    survivors = _run_available_now(
+        curate_stream(doubled, cfg).select("text"), "append"
+    )
+    return survivors.select(
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("digest16")
+    )
+
+
 def _semdedup_kmeans_sql(iters: int = 2, n: int = 16, dim: int = 64, tau: float = 0.25) -> str:
     """DuckDB replay of SemDedup over REAL k-means clusters: the same
     shared Lloyd's training CTEs the IVF oracle uses (seed = lowest-``n``
