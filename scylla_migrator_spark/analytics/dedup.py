@@ -717,6 +717,206 @@ def intra_doc_duplication(
     )
 
 
+def edit_distance_pairs(
+    keys: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    partition_col: str = "source",
+    q: int = 4,
+    k_max: int = 3,
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance near-dup over normalized string keys: all
+    same-partition pairs with ``levenshtein(key_a, key_b) <= k_max``,
+    without an all-pairs join.
+
+    Candidate generation is the Gravano et al. (VLDB 2001) q-gram COUNT
+    FILTER: one edit destroys at most q of a string's (len-q+1)
+    overlapping character q-grams, so ``ed(a,b) <= K`` implies the
+    MULTISET q-gram intersection is ``>= max(la, lb) - q + 1 - K*q``.
+    Each gram is occurrence-RANKED (the k-th 'abcd' only matches the
+    k-th 'abcd'), so a plain equi-join + COUNT(*) per pair computes
+    exactly ``sum(min(tf_a, tf_b))``. Keys too short for a positive
+    bound pair all-to-all within (partition, short) — a bounded fringe —
+    plus the short-vs-length-adjacent-long border. Verification uses
+    Spark's THRESHOLDED levenshtein (early-exit above K: O(min_len*K),
+    not O(len^2)).
+
+    ``max_key_freq`` is the STOP-GRAM control (the hot-key failure class
+    ``ngram_jaccard_pairs`` caps with max_doc_freq): a (partition, gram,
+    occ) index key held by more than ``max_key_freq`` strings would make
+    its join bucket quadratic in corpus size, so it is dropped from the
+    inverted index. Dropping is made LOSSLESS by a per-string dropped-gram
+    budget:
+
+    * a pair's VISIBLE intersection loses at most ``min(drop_a, drop_b)``
+      gram-occurrences (a dropped key subtracts from the intersection only
+      when BOTH strings held it), so the count bound is relaxed to
+      ``shared_visible >= max(la, lb) - q + 1 - K*q - least(drop_a,
+      drop_b)``;
+    * a string whose own relaxed bound can no longer certify anything
+      (``drop > len - q - K*q`` — even a full visible overlap elsewhere
+      cannot reach the bound, and a true match might share ONLY dropped
+      grams and never meet in the join) is routed to the bounded fringe
+      and paired directly against its partition. The cap + budget choice
+      keeps that fringe small: only strings made almost entirely of stop
+      grams land there.
+
+    With ``max_key_freq=None`` every drop count is zero and the plan
+    degenerates exactly to the uncapped filter. Output: (id_a, id_b,
+    dist) with id_a < id_b, dist <= k_max.
+    """
+    min_len_for_filter = k_max * q + q  # bound > 0 needs len - q + 1 - K*q >= 1
+    ks = keys.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(partition_col).alias("part"),
+        F.col(key_col).alias("key"),
+    ).withColumn("klen", F.length("key"))
+
+    long_keys = ks.filter(F.col("klen") >= min_len_for_filter)
+    grams = long_keys.select(
+        "doc_id",
+        "part",
+        "klen",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("klen") - (q - 1)),
+                lambda i: F.col("key").substr(i, F.lit(q)),
+            )
+        ).alias("g"),
+    )
+    # occurrence rank turns the bag of grams into (gram, 1st), (gram, 2nd)...
+    # so the self-equi-join computes the MULTISET intersection size
+    ranked = (
+        grams.groupBy("doc_id", "part", "klen", "g")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "doc_id",
+            "part",
+            "klen",
+            "g",
+            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("occ"),
+        )
+    )
+
+    if max_key_freq is not None:
+        key_freq = ranked.groupBy("part", "g", "occ").agg(
+            F.count("*").alias("key_freq")
+        )
+        flagged = ranked.join(key_freq, ["part", "g", "occ"]).withColumn(
+            "hot", (F.col("key_freq") > max_key_freq).cast("int")
+        )
+        drops = flagged.groupBy("doc_id").agg(F.sum("hot").alias("dropped"))
+        # budget: a string stays in the filtered path only while its own
+        # relaxed bound is still positive against ANY partner
+        meta = long_keys.join(drops, "doc_id", "left").withColumn(
+            "dropped", F.coalesce(F.col("dropped"), F.lit(0))
+        )
+        safe_meta = meta.filter(
+            F.col("dropped") <= F.col("klen") - q - k_max * q
+        )
+        fringe_long = meta.filter(
+            F.col("dropped") > F.col("klen") - q - k_max * q
+        )
+        visible = (
+            flagged.filter(F.col("hot") == 0)
+            .join(
+                safe_meta.select("doc_id", F.col("dropped").alias("drop_n")),
+                "doc_id",
+            )
+            .select("doc_id", "part", "klen", "g", "occ", "drop_n")
+        )
+    else:
+        fringe_long = None
+        visible = ranked.withColumn("drop_n", F.lit(0))
+
+    a, b = visible.alias("a"), visible.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            on=[
+                F.col("a.part") == F.col("b.part"),
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.occ") == F.col("b.occ"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.klen").alias("la"),
+            F.col("b.klen").alias("lb"),
+            F.col("a.drop_n").alias("da"),
+            F.col("b.drop_n").alias("db"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest(F.col("la"), F.col("lb"))
+            - (q - 1)
+            - k_max * q
+            - F.least(F.col("da"), F.col("db"))
+        )
+        .select("id_a", "id_b")
+    )
+
+    short = ks.filter(F.col("klen") < min_len_for_filter)
+    sa, sb = short.alias("a"), short.alias("b")
+    cand_short = sa.join(
+        sb,
+        on=[
+            F.col("a.part") == F.col("b.part"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # short-x-long pairs: lengths differing by > k_max cannot be within
+    # k_max edits, so only the length-adjacent border is reachable
+    border = sa.join(
+        long_keys.alias("b"),
+        on=[
+            F.col("a.part") == F.col("b.part"),
+            (F.col("b.klen") - F.col("a.klen")) <= k_max,
+        ],
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+    )
+    cand = cand_long.unionByName(cand_short).unionByName(border)
+    if fringe_long is not None:
+        # budget-exhausted strings pair directly against every long key in
+        # their partition (short keys are already covered by the border)
+        fl, al = fringe_long.alias("a"), long_keys.alias("b")
+        cand_fringe = fl.join(
+            al,
+            on=[
+                F.col("a.part") == F.col("b.part"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+            ],
+        ).select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        cand = cand.unionByName(cand_fringe)
+    cand = cand.distinct()
+
+    kk = ks.select("doc_id", "key")
+    joined = (
+        cand.join(
+            kk.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka")),
+            "id_a",
+        )
+        .join(
+            kk.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb")),
+            "id_b",
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("ka"), F.col("kb"), k_max).cast("int")
+        )
+    )
+    return joined.filter(F.col("dist") >= 0).select("id_a", "id_b", "dist")
+
+
 def cross_corpus_lsh_candidates(
     df_a: DataFrame,
     df_b: DataFrame,

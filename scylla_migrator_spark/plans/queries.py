@@ -1262,105 +1262,61 @@ def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(min(len)*K) not O(len^2)). The oracle checks the same pair set from
     the unblocked definition, proving the filter loses nothing.
 
-    Known scale caveat (documented, not hidden): a STOP GRAM — a q-gram
-    shared by a large fraction of one source — makes its join bucket
-    quadratic, the same hot-key failure ngram_jaccard_pairs caps with
-    max_doc_freq. The count bound cannot simply drop hot grams (it would
-    lose pairs whose shared mass is all-hot); the production extension is
-    a cap plus a per-string dropped-gram budget that routes high-dropped
-    strings to the bounded fringe. AQE skew splitting spreads (but does
-    not shrink) a hot bucket."""
-    q, k_max = 4, 3
-    min_len_for_filter = k_max * q + q  # bound > 0 requires len - q + 1 - K*q >= 1
+    Implementation shared with the capped variant:
+    ``analytics.dedup.edit_distance_pairs`` (this query runs it
+    UNCAPPED — every drop count is zero and the relaxed bound reduces to
+    the plain Gravano count filter)."""
     keys = _fan(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ).select(
         "doc_id",
         "source",
         F.lower(F.substring(F.col("text"), 1, 32)).alias("key"),
-    ).withColumn("klen", F.length("key"))
+    )
+    return D.edit_distance_pairs(keys, q=4, k_max=3, max_key_freq=None)
 
-    long_keys = keys.filter(F.col("klen") >= min_len_for_filter)
-    grams = long_keys.select(
+
+@_register(
+    "levenshtein_capped_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id, source, lower(substr(text, 1, 32)) AS key
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.key, b.key)::INT AS dist
+    FROM k a JOIN k b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= 3
+    """,
+)
+def levenshtein_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """levenshtein_near_pairs with the STOP-GRAM cap engaged — the
+    production form of the q-gram count filter whose absence the uncapped
+    query documents as its scale caveat.
+
+    A (source, gram, occurrence-rank) index key held by more than
+    ``max_key_freq`` strings is a stop gram: its join bucket is quadratic
+    in corpus size (the hot-key failure class ngram_jaccard_pairs caps
+    with max_doc_freq). ``edit_distance_pairs`` drops such keys from the
+    inverted index LOSSLESSLY: the pair-level count bound is relaxed by
+    ``least(drop_a, drop_b)`` (a dropped key shrinks the visible
+    intersection only when BOTH strings held it), and a string whose own
+    dropped-gram budget is exhausted (``drop > len - q - K*q`` — a true
+    match might share ONLY stop grams and never meet in the join) is
+    routed to the bounded all-pairs fringe. The oracle is the UNBLOCKED
+    pair definition — the same one the uncapped query proves itself
+    against — so this entry is the machine-checked proof that the cap
+    loses nothing on a corpus where it genuinely fires (pinned in
+    tests/test_round5_ops.py: the fixtures' boilerplate prefixes produce
+    hot grams at this cap)."""
+    keys = _fan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select(
         "doc_id",
         "source",
-        "klen",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("klen") - (q - 1)),
-                lambda i: F.col("key").substr(i, F.lit(q)),
-            )
-        ).alias("g"),
+        F.lower(F.substring(F.col("text"), 1, 32)).alias("key"),
     )
-    # occurrence rank turns the bag of grams into (gram, 1st), (gram, 2nd)...
-    # so the self-equi-join computes the MULTISET intersection size
-    ranked = (
-        grams.groupBy("doc_id", "source", "klen", "g")
-        .agg(F.count("*").alias("tf"))
-        .select(
-            "doc_id",
-            "source",
-            "klen",
-            "g",
-            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("occ"),
-        )
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand_long = (
-        a.join(
-            b,
-            on=[
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.g") == F.col("b.g"),
-                F.col("a.occ") == F.col("b.occ"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.klen").alias("la"),
-            F.col("b.klen").alias("lb"),
-        )
-        .agg(F.count("*").alias("shared"))
-        .filter(
-            F.col("shared")
-            >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - k_max * q
-        )
-        .select("id_a", "id_b")
-    )
-    short = keys.filter(F.col("klen") < min_len_for_filter)
-    sa, sb = short.alias("a"), short.alias("b")
-    cand_short = sa.join(
-        sb,
-        on=[
-            F.col("a.source") == F.col("b.source"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-        ],
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    # short-x-long pairs: a short key (len <= 15) and a long key (>= 16)
-    # differ in length by > 3 only when long_len - short_len > 3; the
-    # remaining border (short 13-15 vs long 16-18) is reachable, so pair
-    # the short fringe against the length-adjacent long keys directly
-    border = sa.join(
-        long_keys.alias("b"),
-        on=[
-            F.col("a.source") == F.col("b.source"),
-            (F.col("b.klen") - F.col("a.klen")) <= k_max,
-        ],
-    ).select(
-        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
-        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
-    )
-    cand = cand_long.unionByName(cand_short).unionByName(border).distinct()
-
-    kk = keys.select("doc_id", "key")
-    joined = (
-        cand.join(kk.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka")), "id_a")
-        .join(kk.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb")), "id_b")
-        .withColumn("dist", F.levenshtein(F.col("ka"), F.col("kb"), k_max).cast("int"))
-    )
-    return joined.filter(F.col("dist") >= 0).select("id_a", "id_b", "dist")
+    return D.edit_distance_pairs(keys, q=4, k_max=3, max_key_freq=8)
 
 
 @_register(

@@ -546,3 +546,96 @@ def test_levenshtein_qgram_filter_randomized_vs_unblocked(spark):
         if d <= 3:
             want[(x, y)] = d
     assert got == want
+
+
+# --- stop-gram-capped edit-distance filter --------------------------------
+
+
+def _lev_pairs_bruteforce(rows, k_max=3):
+    """Unblocked definition: same-partition pairs within k_max edits."""
+    import itertools
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > k_max:
+            return k_max + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for (ia, pa, ka), (ib, pb, kb) in itertools.combinations(rows, 2):
+        if pa != pb:
+            continue
+        d = lev(ka, kb)
+        if d <= k_max:
+            out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def test_edit_distance_cap_is_lossless_when_shared_mass_is_all_hot(spark):
+    """Adversarial stop-gram corpus: the target near-pair's q-gram mass is
+    entirely 'aaaa' grams that the cap drops from the index. The pair can
+    never meet in the visible join — only the per-string dropped-budget
+    fringe can save it. The capped output must still equal the unblocked
+    definition."""
+    hot = "a" * 19  # 16 'aaaa' occurrences, all hot at cap=4
+    rows = [(1, "s", hot + "b"), (2, "s", hot + "c")]  # dist 1, all-hot mass
+    # enough distinct strings carrying the hot gram to push every
+    # ('s','aaaa',occ) bucket over the cap
+    rows += [(10 + i, "s", hot + f"-tail{i:02d}xyz"[: 32 - 19]) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, key string")
+    got = {
+        tuple(r)
+        for r in D.edit_distance_pairs(
+            df, q=4, k_max=3, max_key_freq=4
+        ).collect()
+    }
+    want = _lev_pairs_bruteforce(rows)
+    assert (1, 2, 1) in want  # the adversarial pair really is a near-pair
+    assert got == want
+
+
+def test_edit_distance_cap_relaxed_bound_keeps_partial_hot_pairs(spark):
+    """Strings with a hot PREFIX but informative tails stay on the
+    filtered path (budget not exhausted); the least(drop_a, drop_b) bound
+    relaxation must keep their pairs."""
+    pre = "the " * 3  # 12-char hot prefix shared by everyone
+    rows = [
+        (1, "s", pre + "quick brown fox jump"),
+        (2, "s", pre + "quick brown fox jumq"),  # dist 1 from doc 1
+    ]
+    rows += [(10 + i, "s", pre + f"unrelated tail {i:03d} word") for i in range(12)]
+    rows = [(i, p, k[:32]) for i, p, k in rows]
+    df = spark.createDataFrame(rows, "doc_id long, source string, key string")
+    got = {
+        tuple(r)
+        for r in D.edit_distance_pairs(df, q=4, k_max=3, max_key_freq=4).collect()
+    }
+    want = _lev_pairs_bruteforce(rows)
+    assert (1, 2, 1) in want
+    assert got == want
+
+
+def test_edit_distance_capped_matches_uncapped_on_fixture(spark, sf_dir):
+    """On the real fixture corpus the cap fires (boilerplate prefixes are
+    hot at max_key_freq=8) yet the pair set is unchanged — the machine
+    check behind levenshtein_capped_pairs' oracle claim."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = docs.select(
+        "doc_id",
+        "source",
+        F.lower(F.substring("text", 1, 32)).alias("key"),
+    )
+    uncapped = {
+        tuple(r)
+        for r in D.edit_distance_pairs(keys, q=4, k_max=3, max_key_freq=None).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in D.edit_distance_pairs(keys, q=4, k_max=3, max_key_freq=8).collect()
+    }
+    assert capped == uncapped
