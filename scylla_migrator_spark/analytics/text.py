@@ -412,6 +412,60 @@ def bigram_nll(
     )
 
 
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-token collocation mining: pointwise mutual information of
+    each word bigram against its slot-marginal frequencies — the classic
+    collocation-extraction statistic (Church & Hanks 1990). High-PMI
+    pairs are multiword units ("new york", "et al"); boilerplate pairs
+    score near zero. Used in curation to find templated collocations and
+    to seed tokenizer merge candidates.
+
+    PMI(w1, w2) = ln( c12 * M / (cL(w1) * cR(w2)) ) with M the total
+    bigram count, cL/cR the first-/second-slot marginals — integer inputs
+    throughout, one ln per surviving pair. ``min_count`` prunes the
+    hapax tail (PMI is noise below a handful of observations, and the
+    support filter is what bounds the output at corpus scale).
+
+    Shape: ONE zipped-shifted-slices bigram pass; the pair table is
+    aggregated map-side; slot marginals derive from the PAIR COUNTS (a
+    second small aggregation, not a second corpus scan); marginals
+    broadcast back onto the min_count-filtered pairs. No row ever
+    carries text beyond the two words. Output: (w1, w2, pair_count,
+    pmi)."""
+    toks = tokens(F.col(text_col))
+    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
+    )
+    bg = df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    c_l = c12.groupBy("w1").agg(F.sum("pair_count").alias("cl"))
+    c_r = c12.groupBy("w2").agg(F.sum("pair_count").alias("cr"))
+    m = c12.agg(F.sum("pair_count").alias("m"))
+    pmi = F.round(
+        F.log(
+            F.col("pair_count").cast("double")
+            * F.col("m")
+            / (F.col("cl").cast("double") * F.col("cr"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(c_l), "w1")
+        .join(F.broadcast(c_r), "w2")
+        .join(F.broadcast(m))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text normalization for dedup keys: lowercase, strip
     punctuation (everything outside [a-z0-9] and whitespace), collapse

@@ -6206,6 +6206,120 @@ def bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "collocation_pmi_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS pair_count FROM bg GROUP BY w1, w2),
+    cl AS (SELECT w1, sum(pair_count)::BIGINT AS cl FROM c12 GROUP BY w1),
+    cr AS (SELECT w2, sum(pair_count)::BIGINT AS cr FROM c12 GROUP BY w2),
+    m AS (SELECT sum(pair_count)::BIGINT AS m FROM c12)
+    SELECT w1, w2, pair_count,
+           round(ln(pair_count::DOUBLE * m / (cl::DOUBLE * cr)), 6) AS pmi
+    FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), m
+    WHERE pair_count >= 5
+    """,
+)
+def collocation_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (text.collocation_pmi): PMI of adjacent
+    word pairs vs their slot marginals, support-filtered — multiword-unit
+    mining / tokenizer merge seeding / boilerplate detection."""
+    return TXT.collocation_pmi(
+        _fan(_t(spark, sf_dir, "documents")), "text", "doc_id", min_count=5
+    )
+
+
+@_register(
+    "fk_integrity_audit",
+    """
+    WITH edges AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge, count(*)::BIGINT AS total,
+             count(*) FILTER (l_orderkey IS NULL)::BIGINT AS n_null,
+             count(*) FILTER (l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)::BIGINT AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', count(*),
+             count(*) FILTER (l_partkey IS NULL),
+             count(*) FILTER (l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', count(*),
+             count(*) FILTER (l_suppkey IS NULL),
+             count(*) FILTER (l_suppkey IS NOT NULL AND s.s_suppkey IS NULL)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', count(*),
+             count(*) FILTER (o_custkey IS NULL),
+             count(*) FILTER (o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', count(*),
+             count(*) FILTER (c_nationkey IS NULL),
+             count(*) FILTER (c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', count(*),
+             count(*) FILTER (s_nationkey IS NULL),
+             count(*) FILTER (s_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region', count(*),
+             count(*) FILTER (n_regionkey IS NULL),
+             count(*) FILTER (n_regionkey IS NOT NULL AND r.r_regionkey IS NULL)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+    SELECT * FROM edges
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges — the
+    pre-migration health check that belongs next to the validator family
+    (reference posture: `plans/validate.py` diffs rows AFTER a copy; this
+    audits the relational contract BEFORE one). One row per FK edge:
+    (total child rows, NULL FKs, orphans). A NULL FK references nothing
+    and is counted separately, not as an orphan.
+
+    Scale shape: each edge is one left join + one map-side-combined
+    aggregate over (is-null flags); dimension parents (region, nation,
+    supplier, customer, part) broadcast, the one large-large edge
+    (lineitem->orders) is a plain equi-shuffle AQE handles. The parent
+    side projects ONLY its key column, so the join build never carries
+    payload. The seven 1-row aggregates union into one result — no
+    driver-side loop over collected counts."""
+
+    def edge(child, fk, parent, pk, label):
+        c = _fan(_t(spark, sf_dir, child).select(F.col(fk)))
+        p = _t(spark, sf_dir, parent).select(F.col(pk))
+        if parent != "orders":
+            p = F.broadcast(p)
+        joined = c.join(p, c[fk] == p[pk], "left")
+        return joined.agg(
+            F.lit(label).alias("fk_edge"),
+            F.count("*").alias("total"),
+            F.sum(F.col(fk).isNull().cast("long")).alias("n_null"),
+            F.sum(
+                (F.col(fk).isNotNull() & F.col(pk).isNull()).cast("long")
+            ).alias("n_orphans"),
+        )
+
+    parts = [
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        edge("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        edge("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        edge("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey", "supplier.s_nationkey->nation"),
+        edge("nation", "n_regionkey", "region", "r_regionkey", "nation.n_regionkey->region"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
     "intra_doc_dup_windows",
     """
     WITH toks AS (
