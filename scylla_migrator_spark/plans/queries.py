@@ -1884,6 +1884,112 @@ def median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT (epoch_us(ts) // 86400000000)::BIGINT AS d, user_id
+      FROM events),
+    dd AS (SELECT DISTINCT d FROM du),
+    expanded AS (
+      SELECT dd.d AS d, du.d AS src_d, du.user_id
+      FROM du JOIN dd ON dd.d BETWEEN du.d AND du.d + 6)
+    SELECT d,
+           count(DISTINCT CASE WHEN src_d = d THEN user_id END)::BIGINT AS dau,
+           count(DISTINCT user_id)::BIGINT AS wau_7d
+    FROM expanded GROUP BY d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement profile: for every calendar day with events,
+    the exact distinct-user count that day (DAU) and over the trailing
+    7-day window (WAU) — the retention-adjacent health metric next to
+    cohort_retention.
+
+    Scale shape: the sliding window is NOT a range join — each distinct
+    (day, user) pair fans out to the <=7 window anchors it serves
+    (posexplode over a 7-element sequence), then a plain equi-shuffle
+    groupBy(day) counts distinct users. Fan-out is a constant 7x of the
+    (day, user) pair table (already collapsed from raw events by the
+    first distinct), and anchors outside the observed day range are
+    dropped by a broadcast semi-join against the tiny day dimension.
+    DAU rides the same aggregate as a conditional distinct — one shuffle
+    for both metrics. Days are epoch-day BIGINT indexes (the engine's
+    event-time convention is epoch-nanos LongType; see _ts_nanos)."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    day = F.expr("ts DIV 1000 DIV 86400000000").cast("long")
+    du = ev.select(day.alias("src_d"), "user_id").distinct()
+    dd = du.select(F.col("src_d").alias("d")).distinct()
+    expanded = du.select(
+        "src_d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("src_d", "user_id", (F.col("src_d") + F.col("off")).alias("d"))
+    windowed = expanded.join(F.broadcast(dd), "d", "left_semi")
+    return windowed.groupBy("d").agg(
+        F.count_distinct(
+            F.when(F.col("src_d") == F.col("d"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau_7d"),
+    )
+
+
+@_register(
+    "mad_value_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+    SELECT e.event_type,
+           round(m.med, 6) AS median_value,
+           round(d.mad, 6) AS mad,
+           count(*) FILTER (abs(e.value - m.med) > 4.4478 * d.mad)::BIGINT
+             AS n_outliers,
+           count(*)::BIGINT AS n_rows
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: median/MAD per event_type and the count of
+    values beyond 3 robust sigmas (MAD * 1.4826 estimates sigma under
+    normality; threshold 3 * 1.4826 = 4.4478) — the heavy-tail-safe
+    complement to zscore_value_outliers, whose mean/std are themselves
+    dragged by the outliers they hunt.
+
+    Shape: two exact interpolated-percentile passes (median, then median
+    absolute deviation) with the per-type scalars BROADCAST back onto the
+    scan for the final counting pass — no row ever shuffles with its
+    value, only the group key. At 100 TB the exact percentiles swap for
+    approx_percentile on the same plan."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy(
+        "event_type", F.col("med"), F.col("mad")
+    ).agg(
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        "event_type",
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        "n_rows",
+    )
+
+
+@_register(
     "sorted_status_sets",
     """
     SELECT o_custkey,
