@@ -4386,6 +4386,91 @@ def dup_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "dup_graph_pagerank",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    deg AS (SELECT s AS v, count(*)::BIGINT AS dg FROM edges GROUP BY s),
+    n AS (SELECT count(*)::BIGINT AS n FROM deg),
+    p0 AS (SELECT v, 1.0 / n AS pr FROM deg, n),
+    c1 AS (SELECT e.d AS v, sum(CAST(p.pr / dg.dg AS DECIMAL(28,14))) AS c
+           FROM edges e JOIN p0 p ON e.s = p.v JOIN deg dg ON dg.v = e.s
+           GROUP BY e.d),
+    p1 AS (SELECT c1.v, 0.15 / n + 0.85 * CAST(c AS DOUBLE) AS pr FROM c1, n),
+    c2 AS (SELECT e.d AS v, sum(CAST(p.pr / dg.dg AS DECIMAL(28,14))) AS c
+           FROM edges e JOIN p1 p ON e.s = p.v JOIN deg dg ON dg.v = e.s
+           GROUP BY e.d),
+    p2 AS (SELECT c2.v, 0.15 / n + 0.85 * CAST(c AS DOUBLE) AS pr FROM c2, n),
+    c3 AS (SELECT e.d AS v, sum(CAST(p.pr / dg.dg AS DECIMAL(28,14))) AS c
+           FROM edges e JOIN p2 p ON e.s = p.v JOIN deg dg ON dg.v = e.s
+           GROUP BY e.d),
+    p3 AS (SELECT c3.v, 0.15 / n + 0.85 * CAST(c AS DOUBLE) AS pr FROM c3, n)
+    SELECT v AS doc_id, round(pr, 9) AS pagerank FROM p3
+    """,
+)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup pair graph: 3 power-iteration rounds
+    of PageRank (d=0.85) restricted to paired documents — ranks the HUB
+    documents of boilerplate clusters (high PR = the template everything
+    else is a variant of), the drill-down under the degree histogram.
+    Same iterative-fixpoint family as connected_components, with a rank
+    vector instead of a min label.
+
+    Determinism at scale: per-edge contributions pr(u)/deg(u) truncate to
+    DECIMAL(28,14) BEFORE the neighbor sum, so the reduction is exact
+    decimal addition — shuffle order cannot move the result (the repo's
+    standard transcendental/float-sum discipline). Each round is one
+    equi-shuffle of (edge x rank) plus a broadcast of the degree table;
+    the symmetric pair graph has no dangling vertices, so no global
+    dangling-mass redistribution term is needed. Iterations are a FIXED
+    unrollable count (the oracle replays all three in SQL); the
+    convergence-to-tolerance variant at scale swaps the fixed loop for
+    the localCheckpoint cadence connected_components already uses."""
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    deg = edges.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("dg"))
+    n = deg.agg(F.count("*").alias("n"))
+    pr = deg.join(F.broadcast(n)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        w = pr.join(F.broadcast(deg), "v").select(
+            "v", (F.col("pr") / F.col("dg")).cast("decimal(28,14)").alias("w")
+        )
+        contrib = (
+            edges.join(w, edges["s"] == w["v"])
+            .groupBy(F.col("d").alias("v2"))
+            .agg(F.sum("w").alias("c"))
+        )
+        pr = contrib.join(F.broadcast(n)).select(
+            F.col("v2").alias("v"),
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("c").cast("double")).alias("pr"),
+        )
+    return pr.select(
+        F.col("v").alias("doc_id"), F.round("pr", 9).alias("pagerank")
+    )
+
+
+@_register(
     "stream_stream_join",
     """
     WITH c AS (SELECT user_id, event_id AS click_event_id, epoch_us(ts)::BIGINT AS click_us
