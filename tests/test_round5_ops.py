@@ -639,3 +639,31 @@ def test_edit_distance_capped_matches_uncapped_on_fixture(spark, sf_dir):
         for r in D.edit_distance_pairs(keys, q=4, k_max=3, max_key_freq=8).collect()
     }
     assert capped == uncapped
+
+
+def test_edit_distance_capped_randomized_differential(spark):
+    """Seeded randomized differential: 24 adversarial corpora (tiny
+    alphabet -> dense near-pairs, extreme stop-grams, empty/short/border
+    keys) batched into ONE edit_distance_pairs call by encoding the
+    corpus id in the partition column, compared corpus-by-corpus against
+    the brute-force unblocked definition."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    next_id = 0
+    for c in range(24):
+        alphabet = rng.choice(["ab", "abc", "ab "])
+        for _ in range(rng.randint(5, 20)):
+            klen = rng.choice([0, 1, rng.randint(2, 15), rng.randint(16, 32)])
+            key = "".join(rng.choice(alphabet) for _ in range(klen))
+            rows.append((next_id, f"p{c}", key))
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, key string")
+    got = {
+        tuple(r)
+        for r in D.edit_distance_pairs(df, q=4, k_max=3, max_key_freq=3).collect()
+    }
+    want = _lev_pairs_bruteforce(rows)
+    assert want  # the corpora really produce near-pairs
+    assert got == want
