@@ -717,6 +717,101 @@ def intra_doc_duplication(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact token-SET Jaccard similarity join by PREFIX FILTERING
+    (All-Pairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): all same-block pairs with Jaccard(tokens_a, tokens_b) >= t,
+    generated WITHOUT indexing every token.
+
+    Under a global rare-first total order (document frequency asc, token
+    asc), a set of size s only indexes its first ``s - ceil(t*s) + 1``
+    tokens. If two sets satisfy the size filter (``t * max <= min``,
+    itself implied by Jaccard >= t) and share NO prefix token, their
+    smallest common token would have to sit in both suffixes — bounding
+    the overlap below ``t * max`` and contradicting Jaccard >= t. So the
+    prefix-prefix equi-join loses nothing (the standard prefix-filter
+    lemma; machine-checked against the unblocked oracle).
+
+    This is the scale complement to the plain inverted index
+    (ngram_jaccard_pairs): FREQUENT tokens sort LAST and fall out of
+    every prefix, so the stop-token join-bucket blowup never forms —
+    the hot keys are exactly the ones never indexed. Work scales with
+    co-occurrences of RARE tokens.
+
+    The threshold is a rational ``threshold_num/threshold_den`` so every
+    filter comparison (prefix length, size filter, final verification)
+    is exact integer arithmetic — no float boundary can disagree with an
+    oracle. Verification computes the true intersection by joining the
+    candidate pairs back to full token sets. Output: (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard rounded to 6 dp."""
+    tn, td = threshold_num, threshold_den
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    tok = base.select(
+        "doc_id", "blk", "sz", F.explode("toks").alias("w")
+    )
+    dfc = tok.groupBy("w").agg(F.count("*").alias("dfc"))
+    from pyspark.sql.window import Window
+
+    ordered = tok.join(dfc, "w").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("dfc", "w")
+        ),
+    )
+    # prefix length s - ceil(t*s) + 1, with ceil(n*s/d) = (n*s + d - 1) DIV d
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("sz") - ((F.col("sz") * tn + (td - 1)) / td).cast("long") + 1
+    ).select("doc_id", "blk", "sz", "w")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.w") == F.col("b.w"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                # size filter: t * max <= min, exact in integers
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * tn
+                <= F.least(F.col("a.sz"), F.col("b.sz")) * td,
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), F.col("w"), F.col("sz").alias("sza"))
+    tb = tok.select(F.col("doc_id").alias("id_b"), F.col("w"), F.col("sz").alias("szb"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "sza", "szb")
+        .agg(F.count("*").alias("o"))
+    )
+    # Jaccard >= t  <=>  o * d >= t_n * (sza + szb - o), integer-exact
+    return inter.filter(
+        F.col("o") * td >= (F.col("sza") + F.col("szb") - F.col("o")) * tn
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("o") / (F.col("sza") + F.col("szb") - F.col("o")), 6
+        ).alias("jaccard"),
+    )
+
+
 def edit_distance_pairs(
     keys: DataFrame,
     *,

@@ -1768,6 +1768,37 @@ def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jaccard_prefix_filter_pairs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM tk a JOIN tk b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 2
+          >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 1/2 join by PREFIX FILTERING
+    (dedup.jaccard_prefix_pairs, All-Pairs/PPJoin family): under the
+    rare-first global order a set only indexes its first
+    s - ceil(t*s) + 1 tokens, so FREQUENT tokens never enter the index —
+    the stop-token hot-bucket blowup structurally cannot form. The
+    rational threshold keeps every filter integer-exact; the oracle is
+    the unblocked pairwise definition, proving the prefix filter loses
+    nothing."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    return D.jaccard_prefix_pairs(
+        docs, "text", "doc_id", block_col="source", threshold_num=1, threshold_den=2
+    )
+
+
+@_register(
     "ngram_jaccard_capped_pairs",
     # Oracle replays the stop-shingle prune: shingles with per-block document
     # frequency > 2 are removed BEFORE pairing, and both set sizes recount
