@@ -1768,6 +1768,192 @@ def ngram_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ngram_novelty_score",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
+             )) AS s
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    dfc AS (SELECT gram, count(*)::BIGINT AS dfc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN dfc.dfc = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           round(sum(CASE WHEN dfc.dfc = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS novelty
+    FROM g JOIN dfc USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct word
+    3-grams that occur in NO other document — the inverse signal of the
+    duplication suite (substring_dup_fraction measures how much of a doc
+    is copied; this measures how much is unique to it). Low-novelty,
+    low-dup docs are assembled from corpus-common phrasing — the
+    templated middle that mixing policies often downweight.
+
+    Shape: one shingle pass -> per-doc distinct -> corpus df table ->
+    one join back. The shuffle carries (gram, doc) pairs of distinct
+    shingles only; df == 1 test needs no second scan. Docs with fewer
+    than 3 tokens have no 3-grams and are excluded on both engines."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
+        )
+        .filter(F.size(TXT.tokens(F.col("text"))) >= 3)
+        .select("doc_id", F.explode("s").alias("gram"))
+    )
+    dfc = sh.groupBy("gram").agg(F.count("*").alias("dfc"))
+    return (
+        sh.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("dfc") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+@_register(
+    "flesch_readability",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+             AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syllables,
+           round(206.835
+                 - 1.015 * len(regexp_split_to_array(trim(text), '\s+'))
+                         / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        / len(regexp_split_to_array(trim(text), '\s+')), 6)
+             AS flesch
+    FROM documents
+    """,
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate
+    (very high = fragment soup, very low = run-on machine text), with the
+    standard deterministic approximations: sentences = runs of [.!?]
+    (floored at 1), syllables = vowel-group runs in the lowercased text.
+    Pure scan-stage column expressions — three regex counters and one
+    arithmetic projection per row, zero shuffles, zero Python."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_words = F.size(TXT.tokens(F.col("text")))
+    n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * n_words / n_sent
+        - F.lit(84.6) * n_syl / n_words,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+@_register(
+    "rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT user_id,
+             max(epoch_us(ts) // 86400000000)::BIGINT AS last_day,
+             count(*)::BIGINT AS freq,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS monetary
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, last_day, freq,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_day, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY freq, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM base)
+    SELECT user_id, last_day, freq, round(monetary, 6) AS monetary,
+           r_score::INT AS r_score, f_score::INT AS f_score,
+           m_score::INT AS m_score,
+           (r_score * 100 + f_score * 10 + m_score)::INT AS rfm
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: recency (last active epoch-day), frequency
+    (event count), monetary (purchase value sum) per user, each cut into
+    deterministic quartiles — the standard behavioral-cohort labeling
+    (444 = best customers). Quartiles use ntile(4) over a TOTAL order
+    (metric, user_id), so ties cannot reshuffle bucket membership
+    between engines or runs; the monetary sum accumulates in
+    DECIMAL(18,6) so shuffle order cannot move the double.
+
+    Shape: one user-keyed aggregation, then three ntile windows over the
+    USER table (corpus-of-users sized, orders of magnitude smaller than
+    events). At 100 TB the global ntile sort on the user table is the
+    one global-ordering step; the events scan itself never sorts."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    from pyspark.sql.window import Window
+
+    base = ev.groupBy("user_id").agg(
+        F.expr("max(ts DIV 1000 DIV 86400000000)").cast("long").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("monetary_dec"),
+    )
+    scored = base.select(
+        "user_id",
+        "last_day",
+        "freq",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy("last_day", "user_id")
+    f_w = Window.orderBy("freq", "user_id")
+    m_w = Window.orderBy("monetary", "user_id")
+    out = scored.select(
+        "user_id",
+        "last_day",
+        "freq",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return out.select(
+        "user_id",
+        "last_day",
+        "freq",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm"),
+    )
+
+
+@_register(
     "jaccard_prefix_filter_pairs",
     r"""
     WITH tk AS (
