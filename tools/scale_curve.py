@@ -147,6 +147,29 @@ def run_pipelines(
         lambda: D.substring_duplication(docs, "text", "doc_id", 8).count(),
     )
 
+    record(
+        "levenshtein_capped_pairs",
+        n_docs,
+        lambda: D.edit_distance_pairs(
+            docs.select(
+                "doc_id",
+                "source",
+                F.lower(F.substring(F.col("text"), 1, 32)).alias("key"),
+            ),
+            q=4,
+            k_max=3,
+            max_key_freq=8,
+        ).count(),
+    )
+
+    record(
+        "jaccard_prefix_filter_pairs",
+        n_docs,
+        lambda: D.jaccard_prefix_pairs(
+            docs, "text", "doc_id", block_col="source"
+        ).count(),
+    )
+
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
         # expected cluster width -> the pair join stays linear per row);
