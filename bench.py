@@ -200,6 +200,16 @@ HEADLINE = [
     "lang_confusion_matrix",
     "minhash_jaccard_estimates",
     "packing_efficiency",
+    "levenshtein_capped_pairs",
+    "jaccard_prefix_filter_pairs",
+    "collocation_pmi_pairs",
+    "fk_integrity_audit",
+    "rolling_active_users",
+    "mad_value_outliers",
+    "dup_graph_pagerank",
+    "ngram_novelty_score",
+    "flesch_readability",
+    "rfm_segmentation",
 ]
 
 
