@@ -364,6 +364,18 @@ def bigram_entropy(
     )
 
 
+def word_bigrams(col: Column) -> Column:
+    """Array of (w1, w2) structs for adjacent word pairs — ONE zipped pass
+    over two shifted slices of the token array (no per-element tokenizer
+    re-evaluation; see the shingles() implementation note). Empty for
+    texts with fewer than 2 tokens."""
+    toks = tokens(col)
+    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
+    )
+
+
 def bigram_nll(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -385,13 +397,9 @@ def bigram_nll(
     shuffle join when it doesn't). Per-term DECIMAL(18,9) truncation keeps
     the transcendental sum shuffle-order exact."""
     toks = tokens(F.col(text_col))
-    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
-    )
-    bg = df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
-        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
+    bg = df.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("cp"))
     vocab = df.select(F.explode(toks).alias("w")).agg(
@@ -437,14 +445,9 @@ def collocation_pmi(
     broadcast back onto the min_count-filtered pairs. No row ever
     carries text beyond the two words. Output: (w1, w2, pair_count,
     pmi)."""
-    toks = tokens(F.col(text_col))
-    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
-    )
-    bg = df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
+    bg = df.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
     c_l = c12.groupBy("w1").agg(F.sum("pair_count").alias("cl"))
     c_r = c12.groupBy("w2").agg(F.sum("pair_count").alias("cr"))

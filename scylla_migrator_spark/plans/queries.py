@@ -1803,11 +1803,11 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 3 tokens have no 3-grams and are excluded on both engines."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = (
-        docs.select(
+        docs.filter(F.size(TXT.tokens(F.col("text"))) >= 3)
+        .select(
             "doc_id",
             F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
         )
-        .filter(F.size(TXT.tokens(F.col("text"))) >= 3)
         .select("doc_id", F.explode("s").alias("gram"))
     )
     dfc = sh.groupBy("gram").agg(F.count("*").alias("dfc"))
@@ -1837,9 +1837,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
              AS n_syllables,
            round(206.835
-                 - 1.015 * len(regexp_split_to_array(trim(text), '\s+'))
+                 - 1.015 * len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
                          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-                 - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
                         / len(regexp_split_to_array(trim(text), '\s+')), 6)
              AS flesch
     FROM documents

@@ -55,10 +55,6 @@ def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) 
         # nanosecond timestamp type) — the same widening posture as the
         # reference's CQL millis->LongType rule (Cassandra.scala:191-208)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # push MIN/MAX/COUNT aggregates to parquet footer statistics when
-        # there is no filter and the column is top-level — a pure-scan
-        # win at 100 TB (Spark falls back automatically when ineligible)
-        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # resilience posture mirrored from the reference (Migrator.scala:22-23)
