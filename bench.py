@@ -210,6 +210,8 @@ HEADLINE = [
     "ngram_novelty_score",
     "flesch_readability",
     "rfm_segmentation",
+    "numeric_corr_matrix",
+    "benford_first_digit",
 ]
 
 

@@ -1872,6 +1872,144 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "numeric_corr_matrix",
+    """
+    WITH d AS (
+      SELECT CAST(l_quantity AS DECIMAL(19,6)) AS q,
+             CAST(l_extendedprice AS DECIMAL(19,6)) AS p,
+             CAST(l_discount AS DECIMAL(19,6)) AS dc,
+             CAST(l_tax AS DECIMAL(19,6)) AS tx
+      FROM lineitem),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+             CAST(sum(dc) AS DOUBLE) AS sd, CAST(sum(tx) AS DOUBLE) AS st,
+             CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
+             CAST(sum(dc*dc) AS DOUBLE) AS sdd, CAST(sum(tx*tx) AS DOUBLE) AS stt,
+             CAST(sum(q*p) AS DOUBLE) AS sqp, CAST(sum(q*dc) AS DOUBLE) AS sqd,
+             CAST(sum(q*tx) AS DOUBLE) AS sqt, CAST(sum(p*dc) AS DOUBLE) AS spd,
+             CAST(sum(p*tx) AS DOUBLE) AS spt, CAST(sum(dc*tx) AS DOUBLE) AS sdt
+      FROM d)
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS r FROM s
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6) FROM s
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             round((n*sqt - sq*st) / sqrt((n*sqq - sq*sq) * (n*stt - st*st)), 6) FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6) FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             round((n*spt - sp*st) / sqrt((n*spp - sp*sp) * (n*stt - st*st)), 6) FROM s
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             round((n*sdt - sd*st) / sqrt((n*sdd - sd*sd) * (n*stt - st*st)), 6) FROM s)
+    """,
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem's numeric measures in
+    ONE aggregation pass — the profiling matrix that flags redundant or
+    mechanically-linked columns before feature selection.
+
+    Distributed one-pass form: every moment (n, Σx, Σx², Σxy) accumulates
+    in EXACT decimal (map-side combined; sums of DECIMAL(19,6) products
+    — 19 digits forces exact int128 multiply paths on both engines —
+    are order-independent), and the correlation arithmetic happens once
+    per pair on the double conversions of those exact sums — so shuffle
+    order cannot move a digit, unlike a naive double-sum corr(). One scan,
+    one 1-row aggregate, six projected rows; no shuffle carries data."""
+    li = _fan(_t(spark, sf_dir, "lineitem"))
+    cols = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "dc": "l_discount",
+        "tx": "l_tax",
+    }
+    d = {k: F.col(v).cast("decimal(19,6)") for k, v in cols.items()}
+    keys = list(cols)
+    aggs = [F.count("*").alias("n")]
+    for k in keys:
+        aggs.append(F.sum(d[k]).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(d[k] * d[k]).cast("double").alias(f"ss_{k}"))
+    pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}_{b}"))
+    base = li.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def corr_row(a: str, b: str):
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return base.select(
+            F.lit(cols[a]).alias("col_a"),
+            F.lit(cols[b]).alias("col_b"),
+            F.round(num / F.sqrt(va * vb), 6).alias("r"),
+        )
+
+    out = corr_row(*pairs[0])
+    for a, b in pairs[1:]:
+        out = out.unionByName(corr_row(a, b))
+    return out
+
+
+@_register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                            '[1-9]') AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT sum(n_obs)::BIGINT AS total FROM c)
+    SELECT digit, n_obs,
+           round(ln(1.0 + 1.0 / CAST(digit AS INT)) / ln(10.0), 6) AS expected_p,
+           round(pow(n_obs - total * (ln(1.0 + 1.0 / CAST(digit AS INT)) / ln(10.0)), 2)
+                 / (total * (ln(1.0 + 1.0 / CAST(digit AS INT)) / ln(10.0))), 6)
+             AS chi2_term
+    FROM c, t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: observed leading-digit counts
+    against the log-law expectation P(d) = log10(1 + 1/d), with each
+    digit's chi-square contribution — the classic fabricated-numbers /
+    corrupted-column smoke test for financial-shaped data.
+
+    The leading digit is extracted from the DECIMAL(18,2) string form
+    (plain positional notation on both engines — a raw double would
+    stringify differently), so the counting pass is integer-exact; only
+    the expectation arithmetic touches floats, computed identically per
+    group from exact counts. One scan + one 9-group aggregate."""
+    od = _fan(_t(spark, sf_dir, "orders")).filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    )
+    c = od.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("total"))
+    exp_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("int")) / F.log(
+        F.lit(10.0)
+    )
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(exp_p, 6).alias("expected_p"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("total") * exp_p, F.lit(2))
+                / (F.col("total") * exp_p),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@_register(
     "rfm_segmentation",
     """
     WITH base AS (
