@@ -212,6 +212,7 @@ HEADLINE = [
     "rfm_segmentation",
     "numeric_corr_matrix",
     "benford_first_digit",
+    "stream_windowed_dau",
 ]
 
 

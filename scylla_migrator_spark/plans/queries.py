@@ -3146,6 +3146,37 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_windowed_dau",
+    """
+    SELECT date_trunc('day', ts) AS window_start,
+           count(DISTINCT user_id)::BIGINT AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: EXACT daily distinct users on a stream via CHAINED stateful
+    operators (Spark 4 multi-stateful support): dropDuplicates on
+    (day-window, user) collapses each user to one row per day, then a
+    windowed count aggregates the survivors — exact distinct without
+    approx_count_distinct, the streaming twin of rolling_active_users'
+    batch DAU. Dedup state is keyed by (window, user) and bounded by the
+    watermark horizon; the downstream count state is one row per open
+    day. Complete output mode so the final (watermark-unclosed) day is
+    still emitted under the availableNow drain."""
+    s = _events_stream(spark, sf_dir)
+    daily = (
+        s.withWatermark("ts", "1 hour")
+        .select(F.window("ts", "1 day").alias("w"), F.col("ts"), F.col("user_id"))
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = daily.groupBy("w").agg(F.count("*").alias("dau"))
+    out = _run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), F.col("dau").cast("long").alias("dau")
+    )
+
+
+@_register(
     "stream_dedup_watermark",
     """
     SELECT count(*) AS cnt, count(DISTINCT event_id) AS distinct_ids FROM events
