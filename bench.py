@@ -213,6 +213,8 @@ HEADLINE = [
     "numeric_corr_matrix",
     "benford_first_digit",
     "stream_windowed_dau",
+    "dup_graph_triangles",
+    "lexical_diversity",
 ]
 
 

@@ -4772,6 +4772,127 @@ def dup_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "dup_graph_triangles",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM prs p1 JOIN prs p2 ON p1.id_b = p2.id_a
+                  JOIN prs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+    deg AS (
+      SELECT v, count(*)::BIGINT AS dg FROM (
+        SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) t
+      GROUP BY v),
+    wed AS (SELECT sum(dg * (dg - 1) / 2)::BIGINT AS n_wedges FROM deg)
+    SELECT n_triangles, n_wedges,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering_coeff
+    FROM tri, wed
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph: triangle count, wedge
+    (open-triple) count, and the global clustering coefficient
+    3*triangles/wedges — the transitivity QC under the degree histogram
+    (near-dup SHOULD be highly transitive; a low coefficient means the
+    banding is producing chains of borderline pairs that connected
+    components will over-merge).
+
+    Scale shape: with pairs stored as (id_a < id_b), every triangle
+    a<b<c is counted exactly once by two equi-joins on the pair table
+    (p1=(a,b) ⋈ p2=(b,c) ⋈ closing edge (a,c)) — the standard
+    compact-forward enumeration; join work is bounded by Σ deg(v)² like
+    the wedge count itself, and the degree-skew cap is inherited from
+    the candidate generator's banding. Wedges are one aggregate over
+    the degree table; no floats until the final ratio of exact longs."""
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("dg"))
+    )
+    wed = deg.agg(
+        (F.sum(F.col("dg") * (F.col("dg") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        tri.join(F.broadcast(wed))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
+            )
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+@_register(
+    "lexical_diversity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    tc AS (
+      SELECT doc_id, w, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) x
+      GROUP BY doc_id, w)
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           round(count(*) / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS hapax_frac
+    FROM tc GROUP BY doc_id
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio (distinct
+    words / words) and hapax fraction (words occurring once / distinct
+    words) — the vocabulary-richness quality features next to the
+    entropy/repetition family (templated or looped text has low TTR;
+    natural prose has a heavy hapax tail, Zipf's long tail in one
+    number). One explode + per-(doc, word) count + per-doc aggregate —
+    two map-side-combinable shuffles keyed by doc, no joins."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tc = (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_frac"),
+    )
+
+
+@_register(
     "dup_graph_pagerank",
     r"""
     WITH h AS (
