@@ -215,6 +215,8 @@ HEADLINE = [
     "stream_windowed_dau",
     "dup_graph_triangles",
     "lexical_diversity",
+    "winnowing_fingerprint_pairs",
+    "overlap_coefficient_pairs",
 ]
 
 

@@ -717,6 +717,51 @@ def intra_doc_duplication(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``window`` consecutive hashes, keep the minimum of each
+    window. The guarantee that MinHash/SimHash lack: any shared run of
+    at least ``window + k - 1`` tokens produces at least one IDENTICAL
+    selected fingerprint in both documents — local plagiarism detection
+    with POSITIONAL robustness, at a 1/~(window/2) sampling rate instead
+    of all-windows (substring_duplication's denser variant).
+
+    Output: (id, fp) — one row per DISTINCT selected fingerprint per
+    document. Pure column expressions (transform/slice/array_min over
+    the hash array); the explode emits only selected minima, so the
+    shuffled volume is ~2/window of the window count. Documents shorter
+    than k tokens hash their whole text (the shingles() short-doc rule);
+    documents with fewer than ``window`` k-grams keep their single
+    global minimum.
+
+    Implementation note: the sliding minimum is an elementwise least()
+    over ``window`` zipped SHIFTED SLICES of the hash array — the same
+    trick shingles() uses — because an index-transform lambda
+    ``i -> array_min(slice(hs, i, w))`` would re-evaluate the whole
+    tokenizer+md5 subtree once per window (the documented HOF
+    per-element tax)."""
+    hs = F.transform(shingles(F.col(text_col), k), lambda g: _md5_long60(g))
+    width = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
+    shifted = [F.slice(hs, i + 1, width) for i in range(window)]
+    wins = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.least(*[s[str(i)] for i in range(window)]),
+    )
+    fps = F.when(F.size(hs) < window, F.array(F.array_min(hs))).otherwise(wins)
+    carry = [F.col(c) for c in (carry_cols or [])]
+    return df.select(
+        F.col(id_col), *carry, F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",

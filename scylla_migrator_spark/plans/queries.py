@@ -2123,6 +2123,135 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "winnowing_fingerprint_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             END AS s
+      FROM toks),
+    hs AS (
+      SELECT doc_id, source,
+             list_transform(s, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS h
+      FROM sh),
+    fps AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(h) < 4 THEN [list_min(h)]
+                  ELSE list_transform(generate_series(1, len(h) - 3),
+                       i -> list_min(list_slice(h, i, i + 3)))
+             END) AS f
+      FROM hs),
+    flat AS (SELECT doc_id, source, unnest(f) AS fp FROM fps)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+    FROM flat a JOIN flat b
+      ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS near-dup detection (dedup.winnowing_fingerprints,
+    Schleimer et al. SIGMOD 2003): same-source document pairs sharing at
+    least one selected window-minimum fingerprint, with the shared count.
+    The third fingerprinting family beside MinHash (set resemblance) and
+    SimHash (weighted-bit distance): winnowing GUARANTEES any shared run
+    of >= window + k - 1 tokens yields an identical selected fingerprint,
+    so local verbatim overlap cannot slip through sampling — while
+    shuffling only ~2/window of the window population."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    fps = D.winnowing_fingerprints(
+        docs, "text", "doc_id", k=3, window=4, carry_cols=["source"]
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+
+
+@_register(
+    "overlap_coefficient_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE
+               WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+               THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+               ELSE list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                 i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' '))
+             END) AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / least(len(a.s), len(b.s)), 6) AS overlap
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 5 >= 4 * least(len(a.s), len(b.s))
+    """,
+)
+def overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-containment pairs: Szymkiewicz-Simpson overlap
+    coefficient |A∩B| / min(|A|, |B|) >= 4/5 over distinct 3-gram
+    shingles — the quote/subset detector symmetric Jaccard misses (a
+    short doc fully embedded in a long one has tiny Jaccard but overlap
+    ~1). Rational threshold keeps the filter integer-exact.
+
+    Shape: the same inverted-index join as ngram_jaccard_pairs (work ~
+    shared-shingle co-occurrences, never all-pairs), intersection counts
+    grouped per pair, then the integer overlap test; at 100 TB the
+    max_doc_freq stop-shingle cap from the Jaccard family applies
+    unchanged."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    sh = docs.select(
+        "doc_id",
+        F.col("source").alias("blk"),
+        F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
+    ).withColumn("sz", F.size("s"))
+    flat = sh.select("doc_id", "blk", "sz", F.explode("s").alias("g"))
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    return inter.filter(
+        F.col("o") * 5 >= 4 * F.least(F.col("sza"), F.col("szb"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("o") / F.least(F.col("sza"), F.col("szb")), 6
+        ).alias("overlap"),
+    )
+
+
+@_register(
     "ngram_jaccard_capped_pairs",
     # Oracle replays the stop-shingle prune: shingles with per-block document
     # frequency > 2 are removed BEFORE pairing, and both set sizes recount
