@@ -667,3 +667,82 @@ def test_edit_distance_capped_randomized_differential(spark):
     want = _lev_pairs_bruteforce(rows)
     assert want  # the corpora really produce near-pairs
     assert got == want
+
+
+# --- prefix-filter Jaccard and winnowing properties -----------------------
+
+
+def test_jaccard_prefix_randomized_differential(spark):
+    """Seeded randomized differential for the prefix-filter join: small
+    vocabularies force hot tokens (which the prefix order must exclude
+    without losing pairs) and dense near-dup structure. Compared against
+    brute-force token-set Jaccard per partition."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    next_id = 0
+    for c in range(10):
+        for _ in range(rng.randint(4, 12)):
+            n = rng.randint(1, 10)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((next_id, f"p{c}", text))
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_prefix_pairs(
+            df, "text", "doc_id", block_col="source"
+        ).collect()
+    }
+    want = set()
+    for (ia, pa, ta), (ib, pb, tb) in itertools.combinations(rows, 2):
+        if pa != pb:
+            continue
+        sa, sb = set(ta.split()), set(tb.split())
+        inter = len(sa & sb)
+        if inter * 2 >= (len(sa) + len(sb) - inter):
+            want.add((min(ia, ib), max(ia, ib)))
+    assert want  # the corpora really produce qualifying pairs
+    assert got == want
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a verbatim run of
+    >= window + k - 1 tokens (here 6) MUST share at least one selected
+    fingerprint — the property MinHash/SimHash sampling cannot promise.
+    Randomized: a planted 6-token run inside otherwise-disjoint noise."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expected_pairs = set()
+    for c in range(12):
+        run = " ".join(f"shared{c}_{i}" for i in range(6))
+        pre_a = " ".join(f"na{c}_{i}" for i in range(rng.randint(0, 8)))
+        post_b = " ".join(f"nb{c}_{i}" for i in range(rng.randint(0, 8)))
+        rows.append((2 * c, "s", f"{pre_a} {run}".strip()))
+        rows.append((2 * c + 1, "s", f"{run} {post_b}".strip()))
+        expected_pairs.add((2 * c, 2 * c + 1))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fps = D.winnowing_fingerprints(
+        df, "text", "doc_id", k=3, window=4, carry_cols=["source"]
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert expected_pairs <= got  # every planted run is detected
