@@ -469,6 +469,34 @@ def collocation_pmi(
     )
 
 
+def flesch_score(col: Column) -> Column:
+    """Flesch reading-ease as a pure column expression, with the
+    deterministic approximations used across the engine: words =
+    whitespace tokens, sentences = runs of [.!?] floored at 1,
+    syllables = vowel-group runs in the lowercased text. Shared by the
+    flesch_readability query and the curation readability_filter so the
+    gate and the profile can never disagree."""
+    n_words = F.size(tokens(col))
+    n_sent = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.regexp_count(F.lower(col), F.lit("[aeiouy]+"))
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words / n_sent
+        - F.lit(84.6) * n_syl / n_words
+    )
+
+
+def type_token_ratio(col: Column) -> Column:
+    """Per-row type-token ratio (distinct words / words) as a column
+    expression — the scan-stage lexical-diversity gate (the
+    lexical_diversity query computes the same ratio plus the hapax tail
+    through the aggregation path). try_divide keeps empty text null
+    (dropped by any >= threshold predicate) instead of erroring under
+    ANSI mode."""
+    toks = tokens(col)
+    return F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text normalization for dedup keys: lowercase, strip
     punctuation (everything outside [a-z0-9] and whitespace), collapse

@@ -152,6 +152,25 @@ def _v_exact_dedup(params: dict) -> dict:
     return out
 
 
+def _v_readability(params: dict) -> dict:
+    _reject_extras(params, {"minFlesch", "maxFlesch"})
+    out = {}
+    if "minFlesch" not in params and "maxFlesch" not in params:
+        raise ConfigError("readability_filter needs minFlesch and/or maxFlesch")
+    if "minFlesch" in params:
+        out["min_flesch"] = _require_number(params, "minFlesch", -1e4, 1e4)
+    if "maxFlesch" in params:
+        out["max_flesch"] = _require_number(params, "maxFlesch", -1e4, 1e4)
+    if out.get("min_flesch", -1e18) > out.get("max_flesch", 1e18):
+        raise ConfigError("readability_filter: minFlesch > maxFlesch drops every row")
+    return out
+
+
+def _v_diversity(params: dict) -> dict:
+    _reject_extras(params, {"minTTR"})
+    return {"min_ttr": _require_number(params, "minTTR", 0.0, 1.0)}
+
+
 _OPS: dict[str, Any] = {
     "length_filter": _v_length,
     "quality_filter": _v_quality,
@@ -161,6 +180,8 @@ _OPS: dict[str, Any] = {
     "intra_doc_repetition_filter": _v_intra_dup,
     "exact_dedup": _v_exact_dedup,
     "near_dedup": _v_near_dedup,
+    "readability_filter": _v_readability,
+    "diversity_filter": _v_diversity,
 }
 
 
@@ -257,6 +278,19 @@ def _stage_predicate(cfg: CurationConfig, st: dict) -> Column | None:
         sh = TXT.shingles(t, st.get("n", 8))
         frac = F.lit(1) - F.size(F.array_distinct(sh)) / F.size(sh)
         return frac <= st["max_frac"]
+    if op == "readability_filter":
+        # a reading-ease BAND: very high = fragment soup, very low =
+        # run-on machine text; both tails are curation targets
+        fl = TXT.flesch_score(t)
+        pred = F.lit(True)
+        if "min_flesch" in st:
+            pred = pred & (fl >= st["min_flesch"])
+        if "max_flesch" in st:
+            pred = pred & (fl <= st["max_flesch"])
+        return pred
+    if op == "diversity_filter":
+        # try_divide null on empty text -> row drops, doesn't error
+        return TXT.type_token_ratio(t) >= st["min_ttr"]
     return None
 
 

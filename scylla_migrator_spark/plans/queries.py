@@ -1856,12 +1856,7 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(TXT.tokens(F.col("text")))
     n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
-    flesch = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * n_words / n_sent
-        - F.lit(84.6) * n_syl / n_words,
-        6,
-    )
+    flesch = F.round(TXT.flesch_score(F.col("text")), 6)
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),

@@ -378,3 +378,64 @@ def test_near_dedup_num_hashes_capped_at_family_size(corpus):
             {"source": {"type": "parquet", "path": corpus},
              "stages": [{"op": "near_dedup", "numHashes": 128, "bands": 4}]}
         )
+
+
+def test_readability_and_diversity_stages(spark, tmp_path):
+    """The round-5b quality gates as pipeline stages: a readability BAND
+    drops fragment soup / run-on machine text, a TTR floor drops looped
+    text — both pure scan-stage predicates, cross-checked against the
+    python-side formulas."""
+    rows = [
+        # natural-ish prose: mid flesch, high TTR -> survives
+        (1, "The quick brown fox jumps over the lazy dog. It runs fast."),
+        # no sentence marks, long run-on with many syllables -> low flesch
+        (2, " ".join("internationalization antidisestablishmentarianism" for _ in range(10))),
+        # looped text: TTR collapses
+        (3, " ".join(["loop loop"] * 20) + "."),
+        # empty text: ttr null -> drops without erroring
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [
+                {"op": "readability_filter", "minFlesch": -50, "maxFlesch": 120},
+                {"op": "diversity_filter", "minTTR": 0.5},
+            ],
+        }
+    )
+    result = curate(spark, cfg)
+    survivors = sorted(r["doc_id"] for r in result.df.collect())
+    assert survivors == [1]
+    counts = result.counts()
+    # doc 2 drops below minFlesch (syllable-dense run-on); doc 4's empty
+    # text scores 205.8 (one token, one floor sentence, zero vowels),
+    # above maxFlesch — the band catches both tails
+    assert counts["stage01_readability_filter"] == 2
+    assert counts["stage02_diversity_filter"] == 1
+
+
+def test_readability_diversity_validation_errors():
+    with pytest.raises(ConfigError, match="minFlesch and/or maxFlesch"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": "/x"},
+             "stages": [{"op": "readability_filter"}]}
+        )
+    with pytest.raises(ConfigError, match="drops every row"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": "/x"},
+             "stages": [{"op": "readability_filter", "minFlesch": 50, "maxFlesch": 10}]}
+        )
+    with pytest.raises(ConfigError, match="minTTR"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": "/x"},
+             "stages": [{"op": "diversity_filter", "minTTR": 1.5}]}
+        )
+    with pytest.raises(ConfigError, match="unexpected params"):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": "/x"},
+             "stages": [{"op": "diversity_filter", "minTtr": 0.5}]}
+        )
