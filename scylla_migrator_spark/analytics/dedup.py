@@ -941,31 +941,28 @@ def edit_distance_pairs(
     )
 
     if max_key_freq is not None:
-        key_freq = ranked.groupBy("part", "g", "occ").agg(
-            F.count("*").alias("key_freq")
-        )
-        flagged = ranked.join(key_freq, ["part", "g", "occ"]).withColumn(
-            "hot", (F.col("key_freq") > max_key_freq).cast("int")
-        )
-        drops = flagged.groupBy("doc_id").agg(F.sum("hot").alias("dropped"))
+        # both flags come from WINDOW counts over the ranked table (index
+        # bucket population, then per-string dropped total) — the same
+        # shuffle keys a groupBy+join-back would use, minus the joins
+        from pyspark.sql.window import Window
+
+        kf_w = Window.partitionBy("part", "g", "occ")
+        doc_w = Window.partitionBy("doc_id")
+        flagged = ranked.withColumn(
+            "hot", (F.count("*").over(kf_w) > max_key_freq).cast("int")
+        ).withColumn("dropped", F.sum("hot").over(doc_w))
         # budget: a string stays in the filtered path only while its own
         # relaxed bound is still positive against ANY partner
-        meta = long_keys.join(drops, "doc_id", "left").withColumn(
-            "dropped", F.coalesce(F.col("dropped"), F.lit(0))
+        visible = flagged.filter(
+            (F.col("hot") == 0)
+            & (F.col("dropped") <= F.col("klen") - q - k_max * q)
+        ).select(
+            "doc_id", "part", "klen", "g", "occ", F.col("dropped").alias("drop_n")
         )
-        safe_meta = meta.filter(
-            F.col("dropped") <= F.col("klen") - q - k_max * q
-        )
-        fringe_long = meta.filter(
-            F.col("dropped") > F.col("klen") - q - k_max * q
-        )
-        visible = (
-            flagged.filter(F.col("hot") == 0)
-            .join(
-                safe_meta.select("doc_id", F.col("dropped").alias("drop_n")),
-                "doc_id",
-            )
-            .select("doc_id", "part", "klen", "g", "occ", "drop_n")
+        fringe_long = (
+            flagged.filter(F.col("dropped") > F.col("klen") - q - k_max * q)
+            .select("doc_id", "part")
+            .distinct()
         )
     else:
         fringe_long = None
