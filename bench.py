@@ -217,6 +217,7 @@ HEADLINE = [
     "lexical_diversity",
     "winnowing_fingerprint_pairs",
     "overlap_coefficient_pairs",
+    "value_trend_slope",
 ]
 
 

@@ -1948,6 +1948,59 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_trend_slope",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS DECIMAL(19,4)) AS x,
+             CAST(value AS DECIMAL(19,4)) AS y
+      FROM events),
+    s AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+      FROM d GROUP BY event_type)
+    SELECT event_type, n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope_per_hour,
+           round(sy / n - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of event value over time per event_type —
+    the drift DIRECTION under the weekly-counts drift monitor (is a
+    metric decaying or growing, and how fast). x = epoch-hour so the
+    slope reads as per-hour change.
+
+    Same one-pass exact-moment discipline as numeric_corr_matrix: all
+    sums accumulate in DECIMAL(19,4) int128 arithmetic (order-exact),
+    the slope/intercept arithmetic runs once per group on double
+    conversions of the exact sums. One scan, one map-side-combined
+    aggregate, zero joins."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    x = F.expr("ts DIV 1000 DIV 3600000000").cast("decimal(19,4)")
+    y = F.col("value").cast("decimal(19,4)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope_per_hour"),
+        F.round(F.col("sy") / n - slope * F.col("sx") / n, 6).alias("intercept"),
+    )
+
+
+@_register(
     "benford_first_digit",
     """
     WITH d AS (
