@@ -196,7 +196,7 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_intersections(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -204,8 +204,10 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all same-block pairs with >=1 shared shingle,
-    via an inverted-index join (the scalable shape).
+    """Shared inverted-index intersection core for the shingle-set pair
+    family: (id_a, id_b, __sz_a, __sz_b, __n_inter) for every same-block
+    pair with >= 1 shared distinct n-gram shingle. ngram_jaccard_pairs
+    and overlap_pairs are readouts over this one plan.
 
     Plan: explode distinct shingles -> self-equi-join on (block, shingle) ->
     count shared shingles per (id_a, id_b) = |intersection| -> union from the
@@ -264,13 +266,98 @@ def ngram_jaccard_pairs(
             F.col("b.__sz").alias("__sz_b"),
         )
         .agg(F.count("*").alias("__n_inter"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("__n_inter") / (F.col("__sz_a") + F.col("__sz_b") - F.col("__n_inter")), 6
-            ).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all same-block pairs with >=1 shared
+    shingle — the symmetric readout over the shared inverted-index
+    intersection core (see _shingle_pair_intersections for the plan and
+    the max_doc_freq stop-shingle cap)."""
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, block_col, n, max_doc_freq
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__n_inter")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-containment pairs: Szymkiewicz-Simpson overlap
+    coefficient |A∩B| / min(|A|, |B|) >= threshold over distinct n-gram
+    shingles — the quote/subset detector symmetric Jaccard misses (a
+    short doc fully embedded in a long one has tiny Jaccard but overlap
+    ~1). The rational threshold keeps the filter integer-exact.
+
+    Same inverted-index intersection core as ngram_jaccard_pairs —
+    including the ``max_doc_freq`` stop-shingle cap (with the cap set,
+    overlap is computed consistently over the retained-shingle universe,
+    exactly like the capped Jaccard). Output: (id_a, id_b, overlap)."""
+    tn, td = threshold_num, threshold_den
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, block_col, n, max_doc_freq
+    )
+    least_sz = F.least(F.col("__sz_a"), F.col("__sz_b"))
+    return inter.filter(F.col("__n_inter") * td >= tn * least_sz).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__n_inter") / least_sz, 6).alias("overlap"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Same-block document pairs sharing >= 1 selected winnowing
+    fingerprint, with the shared count — the pair-level readout over
+    winnowing_fingerprints (one equi-join on (block, fingerprint); the
+    join key is the 60-bit selected minimum, so bucket population is
+    bounded by how often a fingerprint is selected, ~2/window of window
+    occurrences). Output: (id_a, id_b, shared_fps)."""
+    fps = winnowing_fingerprints(
+        df, text_col, id_col, k=k, window=window, carry_cols=[block_col]
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
         )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
     )
 
 

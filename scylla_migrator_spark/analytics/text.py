@@ -490,11 +490,14 @@ def type_token_ratio(col: Column) -> Column:
     """Per-row type-token ratio (distinct words / words) as a column
     expression — the scan-stage lexical-diversity gate (the
     lexical_diversity query computes the same ratio plus the hapax tail
-    through the aggregation path). try_divide keeps empty text null
-    (dropped by any >= threshold predicate) instead of erroring under
-    ANSI mode."""
+    through the aggregation path). Blank text is explicitly NULL — the
+    split-of-empty-string artifact (tokens('') = ['']) would otherwise
+    score a perfect 1.0 — so empty docs drop under any >= threshold
+    predicate instead of sailing through."""
     toks = tokens(col)
-    return F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
+    return F.when(
+        F.length(F.trim(col)) == 0, F.lit(None).cast("double")
+    ).otherwise(F.try_divide(F.size(F.array_distinct(toks)), F.size(toks)))
 
 
 def normalize_text(col: Column) -> Column:

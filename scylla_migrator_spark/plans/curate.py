@@ -289,7 +289,7 @@ def _stage_predicate(cfg: CurationConfig, st: dict) -> Column | None:
             pred = pred & (fl <= st["max_flesch"])
         return pred
     if op == "diversity_filter":
-        # try_divide null on empty text -> row drops, doesn't error
+        # blank text -> null TTR -> row drops, doesn't error
         return TXT.type_token_ratio(t) >= st["min_ttr"]
     return None
 

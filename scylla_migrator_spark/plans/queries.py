@@ -2007,7 +2007,8 @@ def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
                             '[1-9]') AS digit
       FROM orders
-      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      WHERE o_totalprice IS NOT NULL
+        AND CAST(o_totalprice AS DECIMAL(18,2)) >= 0.01),
     c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit),
     t AS (SELECT sum(n_obs)::BIGINT AS total FROM c)
     SELECT digit, n_obs,
@@ -2028,9 +2029,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plain positional notation on both engines — a raw double would
     stringify differently), so the counting pass is integer-exact; only
     the expectation arithmetic touches floats, computed identically per
-    group from exact counts. One scan + one 9-group aggregate."""
+    group from exact counts. One scan + one 9-group aggregate. The
+    eligibility guard is on the ROUNDED decimal (>= 0.01): a sub-cent
+    raw value passes > 0 but rounds to 0.00 and has no leading digit."""
     od = _fan(_t(spark, sf_dir, "orders")).filter(
-        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice").cast("decimal(18,2)") >= 0.01)
     )
     digit = F.regexp_extract(
         F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
@@ -2217,24 +2221,7 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so local verbatim overlap cannot slip through sampling — while
     shuffling only ~2/window of the window population."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    fps = D.winnowing_fingerprints(
-        docs, "text", "doc_id", k=3, window=4, carry_cols=["source"]
-    )
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.fp") == F.col("b.fp"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count("*").cast("long").alias("shared_fps"))
-    )
+    return D.winnowing_pairs(docs, "text", "doc_id", "source", k=3, window=4)
 
 
 @_register(
@@ -2264,44 +2251,16 @@ def overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short doc fully embedded in a long one has tiny Jaccard but overlap
     ~1). Rational threshold keeps the filter integer-exact.
 
-    Shape: the same inverted-index join as ngram_jaccard_pairs (work ~
-    shared-shingle co-occurrences, never all-pairs), intersection counts
-    grouped per pair, then the integer overlap test; at 100 TB the
-    max_doc_freq stop-shingle cap from the Jaccard family applies
-    unchanged."""
+    Shape: dedup.overlap_pairs — a readout over the SAME
+    _shingle_pair_intersections core as ngram_jaccard_pairs (work ~
+    shared-shingle co-occurrences, never all-pairs). This query runs the
+    uncapped form so the unblocked oracle is exact; the library call
+    takes the same max_doc_freq stop-shingle cap as the Jaccard family
+    for hot-shingle corpora at scale (overlap is then computed
+    consistently over the retained-shingle universe)."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    sh = docs.select(
-        "doc_id",
-        F.col("source").alias("blk"),
-        F.array_distinct(TXT.shingles(F.col("text"), 3)).alias("s"),
-    ).withColumn("sz", F.size("s"))
-    flat = sh.select("doc_id", "blk", "sz", F.explode("s").alias("g"))
-    a, b = flat.alias("a"), flat.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.g") == F.col("b.g"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sz").alias("sza"),
-            F.col("b.sz").alias("szb"),
-        )
-        .agg(F.count("*").alias("o"))
-    )
-    return inter.filter(
-        F.col("o") * 5 >= 4 * F.least(F.col("sza"), F.col("szb"))
-    ).select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.col("o") / F.least(F.col("sza"), F.col("szb")), 6
-        ).alias("overlap"),
+    return D.overlap_pairs(
+        docs, "text", "doc_id", "source", n=3, threshold_num=4, threshold_den=5
     )
 
 
@@ -4980,7 +4939,7 @@ def dup_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT v, count(*)::BIGINT AS dg FROM (
         SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) t
       GROUP BY v),
-    wed AS (SELECT sum(dg * (dg - 1) / 2)::BIGINT AS n_wedges FROM deg)
+    wed AS (SELECT (sum(dg * (dg - 1)) // 2)::BIGINT AS n_wedges FROM deg)
     SELECT n_triangles, n_wedges,
            CASE WHEN n_wedges = 0 THEN 0.0
                 ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering_coeff
@@ -5016,8 +4975,10 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("dg"))
     )
+    # dg*(dg-1) is even, so the halving stays in exact INTEGER division —
+    # a double divide would diverge from the oracle past 2^53 wedge mass
     wed = deg.agg(
-        (F.sum(F.col("dg") * (F.col("dg") - 1)) / 2).cast("long").alias("n_wedges")
+        F.expr("sum(dg * (dg - 1)) DIV 2").cast("long").alias("n_wedges")
     )
     return (
         tri.join(F.broadcast(wed))

@@ -439,3 +439,23 @@ def test_readability_diversity_validation_errors():
             {"source": {"type": "parquet", "path": "/x"},
              "stages": [{"op": "diversity_filter", "minTtr": 0.5}]}
         )
+
+
+def test_diversity_filter_alone_drops_empty_text(spark, tmp_path):
+    """Blank text must not sail through a diversity-only pipeline: the
+    split-of-empty-string artifact (tokens('') = ['']) would score TTR
+    1.0 unless type_token_ratio nulls blank text explicitly."""
+    df = spark.createDataFrame(
+        [(1, "distinct words here"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [{"op": "diversity_filter", "minTTR": 0.5}],
+        }
+    )
+    survivors = sorted(r["doc_id"] for r in curate(spark, cfg).df.collect())
+    assert survivors == [1]

@@ -727,22 +727,10 @@ def test_winnowing_shared_run_guarantee(spark):
         rows.append((2 * c + 1, "s", f"{run} {post_b}".strip()))
         expected_pairs.add((2 * c, 2 * c + 1))
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    fps = D.winnowing_fingerprints(
-        df, "text", "doc_id", k=3, window=4, carry_cols=["source"]
-    )
-    a, b = fps.alias("a"), fps.alias("b")
     got = {
         (r["id_a"], r["id_b"])
-        for r in a.join(
-            b,
-            on=[
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.fp") == F.col("b.fp"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-        .collect()
+        for r in D.winnowing_pairs(
+            df, "text", "doc_id", "source", k=3, window=4
+        ).collect()
     }
     assert expected_pairs <= got  # every planted run is detected

@@ -170,26 +170,13 @@ def run_pipelines(
         ).count(),
     )
 
-    def winnowing_pairs() -> int:
-        fps = D.winnowing_fingerprints(
-            docs, "text", "doc_id", k=3, window=4, carry_cols=["source"]
-        )
-        a, b = fps.alias("a"), fps.alias("b")
-        return (
-            a.join(
-                b,
-                on=[
-                    F.col("a.source") == F.col("b.source"),
-                    F.col("a.fp") == F.col("b.fp"),
-                    F.col("a.doc_id") < F.col("b.doc_id"),
-                ],
-            )
-            .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
-            .count()
-            .count()
-        )
-
-    record("winnowing_fingerprint_pairs", n_docs, winnowing_pairs)
+    record(
+        "winnowing_fingerprint_pairs",
+        n_docs,
+        lambda: D.winnowing_pairs(
+            docs, "text", "doc_id", "source", k=3, window=4
+        ).count(),
+    )
 
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
