@@ -153,11 +153,14 @@ def test_curation_yaml_example_decodes(tmp_path):
     cfg = CurationConfig.load(os.path.join(repo, "curation.yaml.example"))
     assert [s["op"] for s in cfg.stages] == [
         "length_filter", "quality_filter", "lang_filter", "pii_redact",
-        "repetition_filter", "intra_doc_repetition_filter", "exact_dedup",
+        "repetition_filter", "intra_doc_repetition_filter",
+        "readability_filter", "diversity_filter", "exact_dedup",
         "near_dedup",
     ]
     assert cfg.target_path == "/tmp/curated_documents"
     assert cfg.stages[5]["n"] == 8
+    assert cfg.stages[6] == {"op": "readability_filter", "min_flesch": -50.0, "max_flesch": 150.0}
+    assert cfg.stages[7] == {"op": "diversity_filter", "min_ttr": 0.2}
 
 
 def test_curate_stream_rejects_join_stages(spark, corpus):
@@ -459,3 +462,42 @@ def test_diversity_filter_alone_drops_empty_text(spark, tmp_path):
     )
     survivors = sorted(r["doc_id"] for r in curate(spark, cfg).df.collect())
     assert survivors == [1]
+
+
+def test_curate_stream_applies_quality_gates(spark, tmp_path):
+    """The round-5b predicate stages gate a STREAM identically to batch
+    (shared _stage_predicate): a TTR floor plus a readability band on a
+    streaming source."""
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog. nice."),
+        (2, " ".join(["loop loop"] * 20) + "."),  # TTR collapses
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [
+                {"op": "readability_filter", "minFlesch": -100, "maxFlesch": 150},
+                {"op": "diversity_filter", "minTTR": 0.5},
+            ],
+        }
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    gated = curate_stream(stream, cfg)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("quality_gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM quality_gate_stream").collect()
+    )
+    assert got == [1]
