@@ -734,3 +734,25 @@ def test_winnowing_shared_run_guarantee(spark):
         ).collect()
     }
     assert expected_pairs <= got  # every planted run is detected
+
+
+def test_overlap_pairs_capped_consistent_universe(spark):
+    """With the stop-shingle cap engaged, overlap is computed over the
+    RETAINED-shingle universe consistently: two identical documents keep
+    overlap 1.0 (both lose the same hot shingles), and a doc sharing
+    ONLY the hot boilerplate with others pairs with nobody."""
+    boiler = "this license header is identical everywhere ok"
+    rows = [(i, "s", boiler + f" unique tail {i} x y z") for i in range(10)]
+    rows += [(100, "s", "alpha beta gamma delta epsilon zeta"),
+             (101, "s", "alpha beta gamma delta epsilon zeta")]  # identical
+    rows += [(200, "s", boiler)]  # pure boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in D.overlap_pairs(
+            df, "text", "doc_id", "source", n=3,
+            threshold_num=4, threshold_den=5, max_doc_freq=3,
+        ).collect()
+    }
+    assert got.get((100, 101)) == 1.0
+    assert not any(200 in pair for pair in got)
