@@ -218,6 +218,7 @@ HEADLINE = [
     "winnowing_fingerprint_pairs",
     "overlap_coefficient_pairs",
     "value_trend_slope",
+    "event_path_trigrams",
 ]
 
 

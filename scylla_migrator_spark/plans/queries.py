@@ -881,6 +881,48 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS e3
+      FROM events)
+    SELECT e1, e2, e3, count(*)::BIGINT AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral path counts over per-user event sequences —
+    the second-order drill-down under event_transition_matrix (a Markov-1
+    matrix cannot distinguish view->click->purchase from
+    search->click->purchase; path mining can). Same deterministic order
+    convention: (ts_us, event_id), microsecond time like the oracle's
+    epoch_us, id tie-break for simultaneous events.
+
+    ONE window pass produces both leads (same partition+order spec, so
+    Spark plans a single Window operator and one user-keyed shuffle);
+    the aggregate is over the |types|^3 path alphabet — never
+    row-shaped."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = _fan(_events_us(spark, sf_dir)).select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(win).alias("e2"),
+        F.lead("event_type", 2).over(win).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
     "event_transition_matrix",
     """
     WITH seq AS (

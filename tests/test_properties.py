@@ -337,3 +337,75 @@ def test_bpe_oracle_sentinel_encoding_equals_greedy_merge(pieces, rule):
     merged_enc = enc.replace(f"\x02{p1}\x01\x02{p2}\x01", f"\x02{p1}{p2}\x01")
     expected = _greedy_merge(pieces, p1, p2)
     assert merged_enc == "".join(f"\x02{p}\x01" for p in expected), (pieces, rule)
+
+
+# --- curation config decoder fuzz -----------------------------------------
+
+_cfg_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=8),
+)
+_cfg_value = st.recursive(
+    _cfg_scalar,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.text(max_size=8), kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+_known_ops = st.sampled_from([
+    "length_filter", "quality_filter", "lang_filter", "pii_redact",
+    "repetition_filter", "intra_doc_repetition_filter", "exact_dedup",
+    "near_dedup", "readability_filter", "diversity_filter",
+])
+_stage = st.one_of(
+    _cfg_value,
+    st.fixed_dictionaries(
+        {"op": _known_ops},
+        optional={
+            "minTokens": _cfg_scalar, "maxTokens": _cfg_scalar,
+            "minAlphaRatio": _cfg_scalar, "allow": _cfg_value,
+            "maxTopBigramFrac": _cfg_scalar, "maxDupFrac": _cfg_scalar,
+            "windowTokens": _cfg_scalar, "numHashes": _cfg_scalar,
+            "bands": _cfg_scalar, "withinWatermark": _cfg_scalar,
+            "minFlesch": _cfg_scalar, "maxFlesch": _cfg_scalar,
+            "minTTR": _cfg_scalar, "bogus": _cfg_scalar,
+        },
+    ),
+)
+_raw_cfg = st.one_of(
+    _cfg_value,
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "source": st.one_of(
+                _cfg_value,
+                st.just({"type": "parquet", "path": "/tmp/x"}),
+            ),
+            "stages": st.one_of(_cfg_value, st.lists(_stage, max_size=4)),
+            "target": _cfg_value,
+            "idColumn": _cfg_scalar,
+            "textColumn": _cfg_scalar,
+        },
+    ),
+)
+
+
+@given(_raw_cfg)
+@settings(max_examples=300, deadline=None)
+def test_curation_config_decoder_total(raw):
+    """The decoder is TOTAL over arbitrary JSON-shaped input: every bad
+    config raises ConfigError (the decode-time contract) — never
+    KeyError/TypeError/AttributeError — and every accepted config has
+    normalized stages with known ops."""
+    from scylla_migrator_spark.config import ConfigError
+    from scylla_migrator_spark.plans.curate import _OPS, CurationConfig
+
+    try:
+        cfg = CurationConfig.from_dict(raw)
+    except ConfigError:
+        return
+    assert cfg.source_path
+    for stg in cfg.stages:
+        assert stg["op"] in _OPS
