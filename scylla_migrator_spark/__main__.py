@@ -5,9 +5,11 @@
     python -m scylla_migrator_spark validate config.yaml
     python -m scylla_migrator_spark compact  /path/to/dataset [target_file_mb]
     python -m scylla_migrator_spark curate   curation.yaml
+    python -m scylla_migrator_spark expect   expectations.yaml
 
 Exit codes: 0 on success; validate exits non-zero when any failure category
-is non-empty (Validator.scala:67-104). The rendered (secret-redacted) config
+is non-empty (Validator.scala:67-104); expect exits 1 when any declared
+expectation fails (the JSON report is printed either way). The rendered (secret-redacted) config
 is logged before execution (MigratorConfig.scala:134-153 posture).
 ``compact`` is the maintenance entry point for accreted small files
 (sinks/parquet.py::compact_parquet — atomic generation swap).
@@ -23,12 +25,27 @@ def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if (
         len(argv) < 2
-        or argv[0] not in {"migrate", "validate", "compact", "curate"}
+        or argv[0] not in {"migrate", "validate", "compact", "curate", "expect"}
         or (argv[0] != "compact" and len(argv) != 2)
         or (argv[0] == "compact" and len(argv) > 3)
     ):
         print(__doc__, file=sys.stderr)
         return 2
+    if argv[0] == "expect":
+        from scylla_migrator_spark.plans.expect import (
+            ExpectationsConfig,
+            run_expectations,
+        )
+        from scylla_migrator_spark.session import get_spark
+
+        ecfg = ExpectationsConfig.load(argv[1])
+        spark = get_spark("scylla-migrator-spark-expect")
+        try:
+            report = run_expectations(spark, ecfg)
+            print(json.dumps(report))
+            return 0 if report["passed"] else 1
+        finally:
+            spark.stop()
     if argv[0] == "curate":
         from scylla_migrator_spark.plans.curate import CurationConfig, run_curation
         from scylla_migrator_spark.session import get_spark
