@@ -409,3 +409,52 @@ def test_curation_config_decoder_total(raw):
     assert cfg.source_path
     for stg in cfg.stages:
         assert stg["op"] in _OPS
+
+
+_exp_names = st.sampled_from([
+    "not_null", "unique", "accepted_values", "range", "row_count", "reference",
+])
+_exp_stage = st.one_of(
+    _cfg_value,
+    st.fixed_dictionaries(
+        {"expect": _exp_names},
+        optional={
+            "column": _cfg_scalar, "columns": _cfg_value,
+            "values": _cfg_value, "minRatio": _cfg_scalar,
+            "min": _cfg_scalar, "max": _cfg_scalar,
+            "refPath": _cfg_scalar, "refColumn": _cfg_scalar,
+            "maxOrphanRatio": _cfg_scalar, "bogus": _cfg_scalar,
+        },
+    ),
+)
+_raw_exp_cfg = st.one_of(
+    _cfg_value,
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "source": st.one_of(
+                _cfg_value, st.just({"type": "parquet", "path": "/tmp/x"})
+            ),
+            "expectations": st.one_of(_cfg_value, st.lists(_exp_stage, max_size=4)),
+            "extraTop": _cfg_scalar,
+        },
+    ),
+)
+
+
+@given(_raw_exp_cfg)
+@settings(max_examples=300, deadline=None)
+def test_expectations_config_decoder_total(raw):
+    """Same totality contract as the curation decoder: arbitrary
+    JSON-shaped input either decodes to normalized known expectations or
+    raises ConfigError — never a KeyError/TypeError escape."""
+    from scylla_migrator_spark.config import ConfigError
+    from scylla_migrator_spark.plans.expect import _EXPECTS, ExpectationsConfig
+
+    try:
+        cfg = ExpectationsConfig.from_dict(raw)
+    except ConfigError:
+        return
+    assert cfg.source_path
+    for e in cfg.expectations:
+        assert e["expect"] in _EXPECTS
