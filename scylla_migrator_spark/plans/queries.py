@@ -7851,3 +7851,186 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").alias("total_tokens"),
         F.round(F.sum("nt") / (n_bins * 512.0), 6).alias("fill_rate"),
     )
+
+
+@_register(
+    "bloom_semi_join_prune",
+    """
+    WITH seeds AS (SELECT unnest([0, 1, 2]) AS i),
+    keys AS (SELECT DISTINCT c_custkey FROM customer
+             WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(c_custkey::VARCHAR || ':' || i::VARCHAR),
+             1, 8) AS BIGINT) % 4096 AS pos
+      FROM keys CROSS JOIN seeds),
+    cand AS (
+      SELECT o.o_custkey, o.o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seeds s
+        WHERE (CAST('0x' || substr(md5(o.o_custkey::VARCHAR || ':'
+                    || s.i::VARCHAR), 1, 8) AS BIGINT) % 4096)
+              NOT IN (SELECT pos FROM bits))),
+    exact AS (
+      SELECT c.o_custkey, c.o_totalprice FROM cand c
+      WHERE c.o_custkey IN (SELECT c_custkey FROM keys))
+    SELECT
+      (SELECT count(*) FROM orders) AS probe_rows,
+      (SELECT count(*) FROM cand) AS bloom_candidates,
+      (SELECT count(*) FROM exact) AS exact_matches,
+      (SELECT count(*) FROM cand) - (SELECT count(*) FROM exact)
+        AS false_positives,
+      (SELECT CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+              AS DOUBLE) FROM exact) AS exact_revenue
+    """,
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime Bloom-filter join pruning (functions/bloom.py) with
+    a measured false-positive readout.
+
+    The shape Spark's own runtime filter (SPARK-32268) injects, made
+    deterministic and oracle-replayable: the BUILDING-segment customer
+    keys aggregate into a 4096-bit md5-positioned bitmap (bounded collect:
+    <= 4096 distinct set-bit ints regardless of build cardinality); the
+    bitmap rides the orders scan as ONE array literal and kills
+    non-member rows at the scan stage BEFORE any exchange; the exact
+    broadcast semi-join then removes the Bloom false positives. Output is
+    the pruning ledger: probe rows -> Bloom candidates -> exact matches,
+    the false-positive count, and the exact-side revenue (proving the
+    pruned result equals the unpruned semi-join — Bloom filters have no
+    false negatives).
+
+    100 TB shape: the fact side never shuffles — a KB-scale bitmap
+    broadcast replaces a full-table exchange for a ~20%-selective dim;
+    at 1% selectivity the scan-stage kill rate is ~99%."""
+    from scylla_migrator_spark.functions import bloom as BLOOM
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    words = BLOOM.build_bloom_bitmap(cust, "c_custkey", num_hashes=3, num_bits=4096)
+    cand = BLOOM.bloom_prune(orders, "o_custkey", words, num_hashes=3, num_bits=4096)
+    exact = cand.join(F.broadcast(cust), cand.o_custkey == cust.c_custkey, "left_semi")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    probe_agg = orders.agg(F.count("*").alias("probe_rows"))
+    cand_agg = cand.agg(F.count("*").alias("bloom_candidates"))
+    exact_agg = exact.agg(
+        F.count("*").alias("exact_matches"),
+        F.coalesce(F.sum(price_dec), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("exact_revenue"),
+    )
+    return (
+        probe_agg.crossJoin(F.broadcast(cand_agg))
+        .crossJoin(F.broadcast(exact_agg))
+        .select(
+            "probe_rows",
+            "bloom_candidates",
+            "exact_matches",
+            (F.col("bloom_candidates") - F.col("exact_matches")).alias(
+                "false_positives"
+            ),
+            "exact_revenue",
+        )
+    )
+
+
+@_register(
+    "histogram_quantile_sketch",
+    """
+    WITH binned AS (
+      SELECT least(255, CAST(floor(o_totalprice / 2343.75) AS INT)) AS bin
+      FROM orders),
+    hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS n
+      FROM hist),
+    qs AS (SELECT unnest([25, 50, 75, 95]) AS q),
+    crossed AS (
+      SELECT q, bin, cnt, cum, cum - cnt AS cum_before,
+             (q * n + 99) // 100 AS needed
+      FROM qs CROSS JOIN cum),
+    chosen AS (
+      SELECT * FROM crossed
+      WHERE cum >= needed AND cum - cnt < needed),
+    ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders)
+    SELECT c.q,
+           CAST(c.needed AS BIGINT) AS needed,
+           round(c.bin * 2343.75 + 2343.75 * (c.needed - c.cum_before) / c.cnt,
+                 6) AS est,
+           r.o_totalprice AS exact,
+           round(c.bin * 2343.75 + 2343.75 * (c.needed - c.cum_before) / c.cnt
+                 - r.o_totalprice, 6) AS err
+    FROM chosen c JOIN ranked r ON r.rn = c.needed
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles with a measured error vs
+    the exact discrete quantile.
+
+    The sketch half is the 100 TB path: a fixed 256-bin histogram over
+    [0, 600000) is CONSTANT-SIZE mergeable state — one map-side-combined
+    groupBy(bin) pass, O(256) rows shuffled total, then the q-th quantile
+    is linear interpolation inside the bin where the cumulative count
+    crosses ceil(q*n/100) (integer-exact crossing arithmetic; the
+    interpolation runs once per quantile in double with an
+    operation-order-identical oracle). Unlike the rows-only approx
+    sketches, every value here is full value-hash oracle-checked. The
+    exact half (a total-sort row_number to fetch the needed-th smallest
+    value) exists only as the error readout — at scale you keep the
+    histogram and drop the sort, which is the point the err column
+    quantifies (bin width 2343.75 bounds the error)."""
+    from pyspark.sql import Window
+
+    nbins, width = 256, 2343.75
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = orders.select(
+        F.least(
+            F.lit(nbins - 1), F.floor(F.col("o_totalprice") / F.lit(width)).cast("int")
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.range(1).select(F.explode(F.expr("array(25, 50, 75, 95)")).alias("q"))
+    crossed = qs.crossJoin(F.broadcast(cum)).select(
+        "q",
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        F.expr("(q * n + 99) div 100").alias("needed"),
+    )
+    chosen = crossed.where(
+        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
+    )
+    w_rank = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice", F.row_number().over(w_rank).alias("rn")
+    )
+    est = F.col("bin") * F.lit(width) + F.lit(width) * (
+        F.col("needed") - F.col("cum_before")
+    ) / F.col("cnt")
+    return chosen.join(ranked, F.col("rn") == F.col("needed")).select(
+        "q",
+        "needed",
+        F.round(est, 6).alias("est"),
+        F.col("o_totalprice").alias("exact"),
+        F.round(est - F.col("o_totalprice"), 6).alias("err"),
+    )
