@@ -8034,3 +8034,77 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("exact"),
         F.round(est - F.col("o_totalprice"), 6).alias("err"),
     )
+
+
+@_register(
+    "purchase_touch_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, value,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events)
+    SELECT coalesce(first_touch, 'none') AS first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           count(*)::BIGINT AS purchases,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+             AS attributed_revenue
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style first-touch/last-touch attribution: every purchase
+    credits the FIRST and the LAST non-purchase touch (view/click/signup)
+    strictly before it in the user's history; the matrix aggregates
+    purchase counts and revenue per (first, last) channel pair —
+    journey-entry vs conversion-driver in one readout, with 'none' for
+    cold purchases.
+
+    Scale shape: BOTH touch columns come from ONE window pass (identical
+    partition+order+frame spec -> a single Window operator, one
+    user-keyed shuffle), frame ROWS UNBOUNDED PRECEDING..1 PRECEDING with
+    ignorenulls first/last — no self-join against the touch history and
+    no per-purchase re-scan. Order is the deterministic (ts_us, event_id)
+    convention; revenue accumulates in DECIMAL(19,4) for cross-engine
+    exactness."""
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = _fan(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.expr("ts DIV 1000").alias("ts_us"),
+        )
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(win).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(win).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    return attributed.groupBy(
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+    ).agg(
+        F.count("*").alias("purchases"),
+        F.sum(F.col("value").cast("decimal(19,4)"))
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
