@@ -51,20 +51,25 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def empty_meta_struct(kind: str, mime: str):
+    """The typed-metadata struct with only kind/mime known (pre-decode)."""
+    return F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+
+
 def make_asset_table(df: DataFrame, id_col: str, data_col: str, kind: str, mime: str) -> DataFrame:
     """Wrap a binary column into the asset struct convention."""
     return df.select(
         F.col(id_col).alias("asset_id"),
         F.struct(
             F.col(data_col).alias("data"),
-            F.struct(
-                F.lit(kind).alias("kind"),
-                F.lit(mime).alias("mime"),
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(None).cast("long").alias("duration_ms"),
-                F.lit(None).cast("int").alias("sample_rate"),
-            ).alias("meta"),
+            empty_meta_struct(kind, mime).alias("meta"),
         ).alias("asset"),
     )
 
