@@ -8108,3 +8108,64 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_revenue"),
     )
+
+
+@_register(
+    "linear_count_distinct_users",
+    """
+    WITH pos AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT)
+               % 1024 AS p
+      FROM events),
+    filled AS (
+      SELECT event_type, count(*)::BIGINT AS filled_bits
+      FROM pos GROUP BY event_type),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT f.event_type, f.filled_bits, e.exact_distinct,
+           round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0), 6) AS est,
+           round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0)
+                 - e.exact_distinct, 6) AS err
+    FROM filled f JOIN exact e USING (event_type)
+    """,
+)
+def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Counting (Whang et al. TODS'90) distinct-user estimate per
+    event type, next to the exact count and the signed error — the
+    full-value-hash-checked member of the approx-distinct family (the
+    HLL++ entries are engine-specific and rows-only by necessity; this
+    one's bitmap is md5-positioned, so DuckDB replays it bit-for-bit).
+
+    Scale shape: the sketch side shuffles AT MOST m=1024 (group, bit)
+    rows per group — constant-size mergeable state (partial bitmaps from
+    any number of shards union by OR, which IS the distinct on bit
+    positions) — where exact count-distinct shuffles every distinct
+    (group, user) pair. At 100 TB keep the counter, drop the exact half;
+    the err column is the measured cost of doing so. Estimator
+    -m*ln(V/m) stays in double with an operation-order-identical
+    oracle."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    pos = ev.select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 1024
+        ).alias("p"),
+    ).distinct()
+    filled = pos.groupBy("event_type").agg(F.count("*").alias("filled_bits"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est_raw = F.lit(-1024.0) * F.log(
+        (F.lit(1024) - F.col("filled_bits")) / F.lit(1024.0)
+    )
+    return filled.join(exact, "event_type").select(
+        "event_type",
+        "filled_bits",
+        "exact_distinct",
+        F.round(est_raw, 6).alias("est"),
+        F.round(est_raw - F.col("exact_distinct"), 6).alias("err"),
+    )
