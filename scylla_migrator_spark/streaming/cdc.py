@@ -38,6 +38,7 @@ class CdcReplicator:
     target_path: str
     key_cols: list[str]
     value_cols: list[str]
+    allow_schema_drift: bool = False
     metrics: list[dict] = field(default_factory=list)
 
     def _read_state(self, spark: SparkSession) -> DataFrame | None:
@@ -50,24 +51,53 @@ class CdcReplicator:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cols = [*self.key_cols, *SEQ_COLS, OP_COL, *self.value_cols]
-        batch = batch.select(*cols)
+        drift_added: list[str] = []
+        if self.allow_schema_drift:
+            # DynamoDB/Alternator items are SCHEMALESS: a stream batch may
+            # carry attributes never declared up front, or omit declared
+            # ones (a put replaces the WHOLE item, so an omitted attribute
+            # means removed — newest-wins over the full row is the correct
+            # image semantics). Widen the tracked value columns with
+            # whatever arrives; missing columns null-fill via unionByName.
+            known = {*self.key_cols, *SEQ_COLS, OP_COL}
+            drift_added = [
+                c
+                for c in batch.columns
+                if c not in known and c not in self.value_cols
+            ]
+            if drift_added:
+                self.value_cols = [*self.value_cols, *drift_added]
+            present = [c for c in self.value_cols if c in batch.columns]
+            batch = batch.select(*self.key_cols, *SEQ_COLS, OP_COL, *present)
+        else:
+            cols = [*self.key_cols, *SEQ_COLS, OP_COL, *self.value_cols]
+            batch = batch.select(*cols)
 
         # per-op accumulator counts (K7) in one pass
         counts = {
             r[OP_COL]: r["cnt"]
             for r in batch.groupBy(OP_COL).agg(F.count("*").alias("cnt")).collect()
         }
-        self.metrics.append({"batch_id": batch_id, **counts})
+        entry = {"batch_id": batch_id, **counts}
+        if drift_added:
+            entry["drift_added"] = drift_added
+        self.metrics.append(entry)
 
         state = self._read_state(spark)
-        merged = batch if state is None else state.unionByName(batch)
+        merged = (
+            batch
+            if state is None
+            else state.unionByName(
+                batch, allowMissingColumns=self.allow_schema_drift
+            )
+        )
 
         # newest version per key wins (idempotent under replay; out-of-order
         # events within retention cannot regress state)
+        avail_vals = [c for c in self.value_cols if c in merged.columns]
         ver = F.struct(*[F.col(c) for c in SEQ_COLS])
         pick = [
-            F.max_by(F.struct(*[F.col(c) for c in (*SEQ_COLS, OP_COL, *self.value_cols)]), ver).alias("r")
+            F.max_by(F.struct(*[F.col(c) for c in (*SEQ_COLS, OP_COL, *avail_vals)]), ver).alias("r")
         ]
         # tombstones (op=REMOVE) are RETAINED in stored state so that a
         # late-arriving older event cannot resurrect a deleted key; they are

@@ -235,3 +235,58 @@ def test_upsert_replay_is_idempotent(spark, tmp_path):
     twice = {(r["k"], r["total"]) for r in spark.read.parquet(path).collect()}
     assert once == twice
     assert (3, 333) in twice and (21, 210) in twice and len(twice) == 21
+
+
+def test_schema_drift_tolerant_upserts(spark, tmp_path):
+    """Alternator items are schemaless: batches may add attributes
+    mid-stream or omit declared ones (a put replaces the WHOLE item).
+    With allow_schema_drift the replicator widens state with nulls, a
+    drift event is recorded, and newest-wins applies to the full row
+    image."""
+    target = str(tmp_path / "cdc_drift")
+    rep = CdcReplicator(
+        target_path=target,
+        key_cols=["user_id"],
+        value_cols=["value"],
+        allow_schema_drift=True,
+    )
+    b0 = spark.createDataFrame(
+        [(1, 100, 1, "INSERT", 10.0), (2, 100, 2, "INSERT", 20.0)],
+        "user_id long, ts long, event_id long, op string, value double",
+    )
+    rep.apply_batch(b0, 0)
+    # batch 1 adds a brand-new attribute `tier`
+    b1 = spark.createDataFrame(
+        [(1, 200, 3, "MODIFY", 11.0, "gold"), (3, 200, 4, "INSERT", 30.0, "free")],
+        "user_id long, ts long, event_id long, op string, value double, tier string",
+    )
+    rep.apply_batch(b1, 1)
+    # batch 2 omits `value` entirely (full-image put without it)
+    b2 = spark.createDataFrame(
+        [(2, 300, 5, "MODIFY", "silver")],
+        "user_id long, ts long, event_id long, op string, tier string",
+    )
+    rep.apply_batch(b2, 2)
+
+    rows = {r["user_id"]: r for r in rep.current(spark).collect()}
+    assert rows[1]["value"] == 11.0 and rows[1]["tier"] == "gold"
+    assert rows[2]["value"] is None and rows[2]["tier"] == "silver"  # full replace
+    assert rows[3]["value"] == 30.0 and rows[3]["tier"] == "free"
+    assert rep.metrics[1].get("drift_added") == ["tier"]
+    assert "drift_added" not in rep.metrics[0]
+
+
+def test_schema_drift_rejected_when_disabled(spark, tmp_path):
+    import pytest as _pytest
+
+    rep = CdcReplicator(
+        target_path=str(tmp_path / "cdc_strict"),
+        key_cols=["user_id"],
+        value_cols=["value"],
+    )
+    bad = spark.createDataFrame(
+        [(1, 100, 1, "INSERT", "gold")],
+        "user_id long, ts long, event_id long, op string, tier string",
+    )
+    with _pytest.raises(Exception):
+        rep.apply_batch(bad, 0)
