@@ -219,6 +219,10 @@ HEADLINE = [
     "overlap_coefficient_pairs",
     "value_trend_slope",
     "event_path_trigrams",
+    "bloom_semi_join_prune",
+    "histogram_quantile_sketch",
+    "purchase_touch_attribution",
+    "linear_count_distinct_users",
 ]
 
 
