@@ -223,6 +223,7 @@ HEADLINE = [
     "histogram_quantile_sketch",
     "purchase_touch_attribution",
     "linear_count_distinct_users",
+    "dup_graph_label_propagation",
 ]
 
 

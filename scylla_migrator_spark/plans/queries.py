@@ -8169,3 +8169,97 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est_raw, 6).alias("est"),
         F.round(est_raw - F.col("exact_distinct"), 6).alias("err"),
     )
+
+
+@_register(
+    "dup_graph_label_propagation",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM edges),
+    r1 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l0 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l1 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r1)
+           WHERE rn = 1),
+    r2 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l1 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l2 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r2)
+           WHERE rn = 1),
+    r3 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l2 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l3 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r3)
+           WHERE rn = 1),
+    sz AS (SELECT lbl, count(*)::BIGINT AS community_size
+           FROM l3 GROUP BY lbl)
+    SELECT l3.v AS doc_id, l3.lbl AS community, sz.community_size
+    FROM l3 JOIN sz ON l3.lbl = sz.lbl
+    """,
+)
+def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup pair graph: 3 synchronous
+    rounds of label propagation (Raghavan et al. 2007) with a fully
+    deterministic update — each vertex adopts the most frequent label
+    among its neighbors, ties broken by MIN label — plus the final
+    community sizes. Communities are denser than connected components
+    (a single spurious LSH edge merges two components but not two LPA
+    communities), so this is the banding-quality lens between
+    dedup_components (too coarse under edge noise) and the triangle
+    census (pure counts).
+
+    Scale shape: labels are 8-byte ids riding one edges-by-source
+    equi-shuffle per round (join edges x labels, count per (vertex,
+    label), window top-1 with the deterministic (cnt DESC, lbl ASC)
+    order — the per-vertex window partitions by vertex, so no global
+    sort). Rounds are a FIXED unrollable count replayed CTE-for-CTE by
+    the oracle; the convergence variant at scale adds the
+    localCheckpoint cadence connected_components uses. Shares the staged
+    pair table with the other dup_graph_* consumers (one fingerprint
+    pass per fixture)."""
+    from pyspark.sql import Window
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    lbl = edges.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(3):
+        counts = (
+            edges.join(lbl, edges["s"] == lbl["v"])
+            .groupBy(F.col("d").alias("v"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    sz = lbl.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return lbl.join(sz, "lbl").select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("community"), "community_size"
+    )
