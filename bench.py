@@ -224,6 +224,7 @@ HEADLINE = [
     "purchase_touch_attribution",
     "linear_count_distinct_users",
     "dup_graph_label_propagation",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -8263,3 +8263,122 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbl.join(sz, "lbl").select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("community"), "community_size"
     )
+
+
+# Poisson(1) CDF thresholds for the derandomized bootstrap weights — ONE
+# spelling shared by the Spark expression and the SQL oracle by contract.
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _poisson1_weight_sql(u_expr: str) -> str:
+    """CASE chain mapping a uniform in [0,1) to a Poisson(1) draw (capped
+    at 6), identical text for both engines."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+_BOOT_U_SPARK = (
+    "(cast(conv(substring(md5(concat_ws(':', cast(o_orderkey as string), "
+    "cast(b as string))), 1, 8), 16, 10) as bigint) + 0.5) / 4294967296.0"
+)
+_BOOT_U_DUCK = (
+    "(CAST('0x' || substr(md5(o_orderkey::VARCHAR || ':' || b::VARCHAR), 1, 8)"
+    " AS BIGINT) + 0.5) / 4294967296.0"
+)
+
+
+@_register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH reps AS (SELECT unnest(range(32)) AS b),
+    weighted AS (
+      SELECT r.b,
+             {_poisson1_weight_sql(_BOOT_U_DUCK)} AS w,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders CROSS JOIN reps r),
+    rep_means AS (
+      SELECT b,
+             CAST(sum(w * price) AS DOUBLE) / sum(w) AS m
+      FROM weighted GROUP BY b),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM rep_means),
+    pt AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS point_mean,
+             count(*)::BIGINT AS n_rows
+      FROM orders)
+    SELECT round(pt.point_mean, 6) AS point_mean,
+           pt.n_rows,
+           round((SELECT CAST(sum(CAST(m AS DECIMAL(24,10))) AS DOUBLE) / 32
+                  FROM rep_means), 6) AS boot_mean,
+           round((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo,
+           round((SELECT m FROM ranked WHERE rn = 31), 6) AS ci_hi,
+           32::BIGINT AS n_replicates
+    FROM pt
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value —
+    error bars for corpus-level metrics WITHOUT resampling: each of B=32
+    replicates weights every row by an independent Poisson(1) draw
+    (Chamandy et al., "Estimating uncertainty for massive data streams",
+    Google 2012), derandomized through the md5(row:replicate) uniform and
+    a shared CDF-literal contract so DuckDB replays every draw exactly.
+    The CI is the (2nd, 31st) order statistic of the replicate means
+    (~90% coverage at B=32) next to the plain point estimate.
+
+    Scale shape: the classic bootstrap reshuffles n rows B times; the
+    Poisson form is ONE scan with B=32 constant-size weighted-sum
+    accumulators (map-side combined — the replicate axis explodes
+    BEFORE the aggregate but collapses inside each task), no resample
+    materialization, no data-sized shuffle. Replicate means stay exact
+    (decimal weighted sums, one double division per replicate); the
+    rank-statistic window runs over 32 rows."""
+    from pyspark.sql import Window
+
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    weighted = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", price.alias("price"))
+        .withColumn("b", F.explode(F.expr("sequence(0, 31)")))
+        .withColumn("w", F.expr(_poisson1_weight_sql(_BOOT_U_SPARK)))
+    )
+    rep_means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")).alias("m")
+    )
+    ranked = rep_means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    lo = ranked.where(F.col("rn") == 2).select(F.round("m", 6).alias("ci_lo"))
+    hi = ranked.where(F.col("rn") == 31).select(F.round("m", 6).alias("ci_hi"))
+    boot = rep_means.agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(24,10)")).cast("double") / F.lit(32), 6
+        ).alias("boot_mean")
+    )
+    pt = _t(spark, sf_dir, "orders").agg(
+        F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("point_mean"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(boot))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_mean",
+            "n_rows",
+            "boot_mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(32).cast("long").alias("n_replicates"),
+        )
+    )
