@@ -225,6 +225,7 @@ HEADLINE = [
     "linear_count_distinct_users",
     "dup_graph_label_propagation",
     "bootstrap_mean_ci",
+    "stream_bloom_history_gate",
 ]
 
 

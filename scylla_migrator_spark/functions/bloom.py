@@ -78,6 +78,7 @@ def bloom_prune(
     *,
     num_hashes: int = 3,
     num_bits: int = 4096,
+    negate: bool = False,
 ) -> DataFrame:
     """Filter ``df`` to rows whose ``key_col`` might be in the bitmap.
 
@@ -85,7 +86,12 @@ def bloom_prune(
     string, not per-element ``F.lit`` — the measured 18× driver-side
     build saving), and the membership test is a pure scan-stage column
     predicate: no shuffle, no Python, codegen-able. Guaranteed superset
-    of the true member rows (no false negatives)."""
+    of the true member rows (no false negatives).
+
+    ``negate=True`` keeps only DEFINITE non-members (at least one bit
+    unset) — the anti-dedup form: every kept row is guaranteed novel;
+    the cost is novel rows wrongly dropped at the false-positive rate.
+    Works on streaming DataFrames too (stateless scan predicate)."""
     if len(words) != (num_bits + 63) // 64:
         raise ValueError(
             f"bitmap has {len(words)} words, expected {(num_bits + 63) // 64}"
@@ -103,4 +109,7 @@ def bloom_prune(
             f"((element_at(_bloom_bm, cast(({pos}) div 64 as int) + 1)"
             f" >> pmod({pos}, 64)) & 1) = 1"
         )
-    return probed.filter(" AND ".join(terms)).drop("_bloom_bm")
+    predicate = " AND ".join(terms)
+    if negate:
+        predicate = f"NOT ({predicate})"
+    return probed.filter(predicate).drop("_bloom_bm")

@@ -8382,3 +8382,103 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(32).cast("long").alias("n_replicates"),
         )
     )
+
+
+@_register(
+    "stream_bloom_history_gate",
+    """
+    WITH docs AS (
+      SELECT doc_id, substr(sha256(text), 1, 16) AS digest16 FROM documents),
+    hist AS (SELECT DISTINCT digest16 FROM docs WHERE doc_id % 3 <> 0),
+    strm AS (SELECT digest16 FROM docs WHERE doc_id % 2 = 0),
+    seeds AS (SELECT unnest([0, 1, 2]) AS i),
+    bits AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(digest16 || ':' || i::VARCHAR), 1, 8)
+             AS BIGINT) % 1024 AS pos
+      FROM hist CROSS JOIN seeds),
+    kept AS (
+      SELECT digest16 FROM strm s
+      WHERE EXISTS (
+        SELECT 1 FROM seeds sd
+        WHERE (CAST('0x' || substr(md5(s.digest16 || ':' || sd.i::VARCHAR),
+                    1, 8) AS BIGINT) % 1024)
+              NOT IN (SELECT pos FROM bits))),
+    novel AS (
+      SELECT digest16 FROM strm
+      WHERE digest16 NOT IN (SELECT digest16 FROM hist))
+    SELECT
+      (SELECT count(*) FROM strm) AS stream_rows,
+      (SELECT count(*) FROM kept) AS bloom_kept,
+      (SELECT count(*) FROM novel) AS exact_novel,
+      (SELECT count(*) FROM novel) - (SELECT count(*) FROM kept)
+        AS wrongly_dropped
+    """,
+)
+def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup against a HISTORY too big to broadcast exactly:
+    the historical corpus (2/3 of documents) collapses into a 1024-bit
+    Bloom bitmap of text digests; the incoming stream (the even ids,
+    OVERLAPPING the history so real historical duplicates arrive,
+    replayed as a file stream) keeps only DEFINITE non-members — a
+    stateless scan predicate on the stream, no state store, no
+    stream-static join. Every kept row is guaranteed novel (Bloom has no
+    false negatives, so no historical duplicate ever passes); the cost
+    is novel rows wrongly dropped at the false-positive rate, which the
+    output ledger quantifies against the exact anti-join
+    (stream_rows -> bloom_kept vs exact_novel -> wrongly_dropped).
+
+    100 TB shape: an exact digest set of a 10B-doc history cannot
+    broadcast; a KB-scale bitmap can, and the gate runs at the stream's
+    scan stage with zero per-batch shuffle. The wrongly_dropped column
+    is the measured price of the compression — for curation gates a
+    bounded novel-loss rate is the accepted trade."""
+    from scylla_migrator_spark.functions import bloom as BLOOM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    digest = F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("digest16")
+    history = docs.where(F.col("doc_id") % 3 != 0).select(digest).distinct()
+    words = BLOOM.build_bloom_bitmap(history, "digest16", num_hashes=3, num_bits=1024)
+
+    import os
+
+    stream_docs = docs.where(F.col("doc_id") % 2 == 0)
+    stage = os.path.join(
+        "/tmp", f"sgs_docs_bloomgate_v2_{_stage_tag(sf_dir, 'documents')}"
+    )
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", stream_docs.filter(F.col("doc_id") % 4 == 0)),
+                ("1", stream_docs.filter(F.col("doc_id") % 4 == 2)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select(digest)
+    )
+    kept = _run_available_now(
+        BLOOM.bloom_prune(stream, "digest16", words, num_bits=1024, negate=True),
+        "append",
+    )
+    strm_batch = stream_docs.select(digest)
+    novel = strm_batch.join(history, "digest16", "left_anti")
+    strm_agg = strm_batch.agg(F.count("*").alias("stream_rows"))
+    kept_agg = kept.agg(F.count("*").alias("bloom_kept"))
+    novel_agg = novel.agg(F.count("*").alias("exact_novel"))
+    return (
+        strm_agg.crossJoin(F.broadcast(kept_agg))
+        .crossJoin(F.broadcast(novel_agg))
+        .select(
+            "stream_rows",
+            "bloom_kept",
+            "exact_novel",
+            (F.col("exact_novel") - F.col("bloom_kept")).alias("wrongly_dropped"),
+        )
+    )

@@ -79,3 +79,15 @@ def test_histogram_quantile_error_within_one_bin(spark, sf_dir):
         # interpolation lands inside the crossing bin; the exact discrete
         # quantile lies in that same bin, so the gap is < one bin width
         assert abs(r["err"]) < 2343.75, r
+
+
+def test_bloom_negate_keeps_only_definite_non_members(spark, sf_dir):
+    """Anti mode: every kept row is guaranteed novel — the kept set and
+    the true member set are disjoint, at any bitmap size."""
+    cust, orders = _tables(spark, sf_dir)
+    words = B.build_bloom_bitmap(cust, "c_custkey", num_bits=256)
+    kept = B.bloom_prune(orders, "o_custkey", words, num_bits=256, negate=True)
+    members = kept.join(
+        F.broadcast(cust), kept.o_custkey == cust.c_custkey, "left_semi"
+    )
+    assert members.count() == 0
