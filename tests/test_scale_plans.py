@@ -510,3 +510,54 @@ def test_new_analytics_plans_no_cartesian_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan, name
         assert plan.count("BroadcastHashJoin") >= want["min_bcast"], name
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """purchase_touch_attribution: first_touch AND last_touch share one
+    partition+order+frame spec, so Catalyst plans exactly ONE Window
+    operator (one user-keyed shuffle) — no touch-history self-join."""
+    plan = plan_of(Q.QUERIES["purchase_touch_attribution"](spark, sf_dir), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_round5c_sketch_plans_partial_agg_no_python(spark, sf_dir):
+    """bootstrap_mean_ci / linear_count / histogram sketch: the heavy side
+    is a map-side-combined hash aggregate (partial_* before the exchange,
+    so the shuffle carries B/m/bin-bounded partials, not rows), and no
+    Python row eval anywhere."""
+    for name in (
+        "bootstrap_mean_ci",
+        "linear_count_distinct_users",
+        "histogram_quantile_sketch",
+    ):
+        df = Q.QUERIES[name](spark, sf_dir)
+        plan = plan_of(df, mode="formatted")
+        assert "partial_" in plan, name
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""
+        ), name
+
+
+def test_bloom_semi_join_probe_filters_before_exchange(spark, sf_dir):
+    """bloom_semi_join_prune: the bitmap membership predicate sits in the
+    scan stage of the probe side — a Filter containing the md5 bit test
+    appears with NO Exchange below it (the fact table is pruned before
+    any shuffle)."""
+    from scylla_migrator_spark.functions import bloom as B
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    words = B.build_bloom_bitmap(cust, "c_custkey")
+    plan = plan_of(B.bloom_prune(orders, "o_custkey", words), mode="simple")
+    assert "Exchange" not in plan
+    assert "md5" in plan
