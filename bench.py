@@ -226,6 +226,7 @@ HEADLINE = [
     "dup_graph_label_propagation",
     "bootstrap_mean_ci",
     "stream_bloom_history_gate",
+    "wilson_purchase_rate_bounds",
 ]
 
 

@@ -8482,3 +8482,62 @@ def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_novel") - F.col("bloom_kept")).alias("wrongly_dropped"),
         )
     )
+
+
+@_register(
+    "wilson_purchase_rate_bounds",
+    """
+    WITH daily AS (
+      SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS k
+      FROM events GROUP BY day),
+    wil AS (
+      SELECT day, n, k,
+             (k + 1.92) / (n + 3.84) AS center,
+             1.96 * sqrt(k * (n - k) / n + 0.9604) / (n + 3.84) AS half
+      FROM daily)
+    SELECT day, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round(center - half, 6) AS wilson_lo,
+           round(center + half, 6) AS wilson_hi
+    FROM wil
+    """,
+)
+def wilson_purchase_rate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day purchase-rate proportion with Wilson-score 95% bounds —
+    the CLOSED-FORM uncertainty companion to bootstrap_mean_ci (rates
+    need no replicates: the Wilson interval is one expression over the
+    (k, n) pair, correct even at small n / extreme p where the normal
+    approximation fails). z=1.96 constants pre-folded (1.92 = z^2/2,
+    3.84 = z^2, 0.9604 = z^2/4) so both engines evaluate the identical
+    arithmetic; k*(n-k)/n runs integer-exact into the sqrt.
+
+    Scale shape: one map-side-combined groupBy(day) producing two
+    integers per group; the interval math is per-group scalar
+    arithmetic after the aggregate. Day is the epoch-day integer bucket
+    of the nanos-normalized ts (the weekly_event_drift convention)."""
+    day_ns = 86_400_000_000_000  # 1 day in nanos (fixture ts is nanos)
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(f"ts DIV {day_ns}").alias("day"),
+        F.col("event_type"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    center = (F.col("k") + 1.92) / (F.col("n") + 3.84)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(F.col("k") * (F.col("n") - F.col("k")) / F.col("n") + 0.9604)
+        / (F.col("n") + 3.84)
+    )
+    return daily.select(
+        "day",
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

@@ -91,3 +91,51 @@ def test_bloom_negate_keeps_only_definite_non_members(spark, sf_dir):
         F.broadcast(cust), kept.o_custkey == cust.c_custkey, "left_semi"
     )
     assert members.count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    build=st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30),
+    probe=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), max_size=40
+    ),
+    num_bits=st.sampled_from([64, 256, 1024]),
+    num_hashes=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_bloom_totality_no_false_negatives(spark, build, probe, num_bits, num_hashes):
+    """TOTALITY over arbitrary key sets, bitmap sizes, and hash counts:
+    every build-side key still probes as a member (no false negatives),
+    and negate-mode keeps no member — including negative keys (the md5
+    position math must stay in [0, num_bits) for them too)."""
+    build_df = spark.createDataFrame([(k,) for k in build] or [(0,)], "k long")
+    if not build:
+        build_df = build_df.limit(0)
+    probe_df = spark.createDataFrame(
+        [(k,) for k in (probe or [0])], "k long"
+    )
+    if not probe:
+        probe_df = probe_df.limit(0)
+    words = B.build_bloom_bitmap(
+        build_df, "k", num_hashes=num_hashes, num_bits=num_bits
+    )
+    kept = {
+        r["k"]
+        for r in B.bloom_prune(
+            probe_df, "k", words, num_hashes=num_hashes, num_bits=num_bits
+        ).collect()
+    }
+    anti = {
+        r["k"]
+        for r in B.bloom_prune(
+            probe_df, "k", words, num_hashes=num_hashes, num_bits=num_bits,
+            negate=True,
+        ).collect()
+    }
+    members = set(probe) & build
+    assert members <= kept          # no false negatives
+    assert not (anti & build)       # negate keeps no member
+    assert kept | anti == set(probe)  # the two modes partition the probe
