@@ -152,6 +152,32 @@ def _v_exact_dedup(params: dict) -> dict:
     return out
 
 
+def _v_history_bloom(params: dict) -> dict:
+    _reject_extras(params, {"historyPath", "numBits", "numHashes", "digestColumn"})
+    hp = params.get("historyPath")
+    if not isinstance(hp, str) or not hp.strip():
+        raise ConfigError("history_bloom_dedup needs historyPath: <parquet dir>")
+    out: dict = {"history_path": hp}
+    out["num_bits"] = (
+        int(_require_number(params, "numBits", 64, 16_777_216))
+        if "numBits" in params
+        else 8192
+    )
+    out["num_hashes"] = (
+        int(_require_number(params, "numHashes", 1, 8))
+        if "numHashes" in params
+        else 3
+    )
+    if "digestColumn" in params:
+        dc = params["digestColumn"]
+        if not isinstance(dc, str) or not dc.strip():
+            raise ConfigError(
+                "history_bloom_dedup: digestColumn must be a column name"
+            )
+        out["digest_column"] = dc
+    return out
+
+
 def _v_readability(params: dict) -> dict:
     _reject_extras(params, {"minFlesch", "maxFlesch"})
     out = {}
@@ -182,7 +208,52 @@ _OPS: dict[str, Any] = {
     "near_dedup": _v_near_dedup,
     "readability_filter": _v_readability,
     "diversity_filter": _v_diversity,
+    "history_bloom_dedup": _v_history_bloom,
 }
+
+
+def _history_bloom_gate(spark, cfg: "CurationConfig", st: dict, df: DataFrame) -> DataFrame:
+    """Drop every document whose text digest MIGHT be in the historical
+    corpus's Bloom bitmap (functions/bloom.py) — keep only guaranteed-novel
+    rows. The bitmap is built once at compose time from ``historyPath``
+    (bounded <= numBits collect) and rides the plan as a scan-stage
+    predicate, so the stage is STATELESS: it works identically on a batch
+    corpus and a stream, with no watermark, no state store, and no
+    stream-static join. The trade: novel documents are also dropped at the
+    bitmap's false-positive rate — size ``numBits`` for the acceptable
+    novel-loss (cf. the stream_bloom_history_gate query, which measures
+    it)."""
+    from scylla_migrator_spark.functions import bloom as B
+
+    hist = spark.read.parquet(st["history_path"])
+    if "digest_column" in st:
+        if st["digest_column"] not in hist.columns:
+            raise ConfigError(
+                f"history_bloom_dedup: digestColumn {st['digest_column']!r} "
+                f"not in history table (has {hist.columns})"
+            )
+        keys = hist.select(F.col(st["digest_column"]).alias("__hk"))
+    else:
+        if cfg.text_column not in hist.columns:
+            raise ConfigError(
+                f"history_bloom_dedup: history table has no text column "
+                f"{cfg.text_column!r} (set digestColumn for precomputed "
+                f"digests; table has {hist.columns})"
+            )
+        keys = hist.select(
+            F.substring(F.sha2(F.col(cfg.text_column), 256), 1, 16).alias("__hk")
+        )
+    words = B.build_bloom_bitmap(
+        keys.distinct(), "__hk",
+        num_hashes=st["num_hashes"], num_bits=st["num_bits"],
+    )
+    probed = df.withColumn(
+        "__hk", F.substring(F.sha2(F.col(cfg.text_column), 256), 1, 16)
+    )
+    return B.bloom_prune(
+        probed, "__hk", words,
+        num_hashes=st["num_hashes"], num_bits=st["num_bits"], negate=True,
+    ).drop("__hk")
 
 
 @dataclass
@@ -357,6 +428,8 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
                 .distinct()
             )
             df = _observe(df.join(losers, cfg.id_column, "left_anti"), name)
+        elif st["op"] == "history_bloom_dedup":
+            df = _observe(_history_bloom_gate(spark, cfg, st, df), name)
         else:  # pragma: no cover - validated at decode time
             raise ConfigError(f"unhandled op {st['op']}")
     result.df = df
@@ -393,17 +466,25 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
         # keep-best on chains (A~B, B~C, A!~C drops both B and C) — state
         # that in the provenance so downstream consumers of the sidecar
         # know which dedup semantics produced the corpus
-        stages_meta = [
-            {
-                **st,
-                "semantics": "pairwise-lower-id-keeper "
-                "(chains prune deeper than transitive-cluster keep-best; "
-                "see dedup_keep_best for cluster semantics)",
-            }
-            if st["op"] == "near_dedup"
-            else st
-            for st in cfg.stages
-        ]
+        def _stage_meta(st: dict) -> dict:
+            if st["op"] == "near_dedup":
+                return {
+                    **st,
+                    "semantics": "pairwise-lower-id-keeper "
+                    "(chains prune deeper than transitive-cluster keep-best; "
+                    "see dedup_keep_best for cluster semantics)",
+                }
+            if st["op"] == "history_bloom_dedup":
+                return {
+                    **st,
+                    "semantics": "guaranteed-novel keeper: every historical "
+                    "duplicate is dropped, plus novel documents at the "
+                    "bitmap false-positive rate (size numBits for the "
+                    "acceptable novel loss)",
+                }
+            return st
+
+        stages_meta = [_stage_meta(st) for st in cfg.stages]
         report = {
             "stages": stages_meta,
             "stage_counts": counts,
@@ -460,6 +541,11 @@ def curate_stream(stream_df: DataFrame, cfg: CurationConfig) -> DataFrame:
             out = red.withColumn(cfg.text_column, F.col("__redacted")).drop(
                 "__redacted", "n_email", "n_ipv4", "n_phone"
             )
+        elif st["op"] == "history_bloom_dedup":
+            # stateless scan predicate: the bitmap is built from the
+            # historical corpus at compose time (a batch read), so no
+            # watermark, state store, or stream-static join is needed
+            out = _history_bloom_gate(stream_df.sparkSession, cfg, st, out)
         elif st["op"] in ("near_dedup", "exact_dedup"):
             if "within_watermark" not in st:
                 raise ConfigError(

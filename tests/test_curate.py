@@ -501,3 +501,141 @@ def test_curate_stream_applies_quality_gates(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM quality_gate_stream").collect()
     )
     assert got == [1]
+
+
+def _history_setup(spark, tmp_path):
+    """History corpus (3 texts) + incoming corpus (2 historical dups under
+    different ids, 2 novel texts)."""
+    hist = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "pack my box with jugs"),
+         (102, "sphinx of black quartz")],
+        ["doc_id", "text"],
+    )
+    hist_path = str(tmp_path / "history")
+    hist.write.parquet(hist_path)
+    incoming = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # historical dup
+         (2, "pack my box with jugs"),       # historical dup
+         (3, "a genuinely new document"),
+         (4, "another unseen text entirely")],
+        ["doc_id", "text"],
+    )
+    inc_path = str(tmp_path / "incoming")
+    incoming.write.parquet(inc_path)
+    return hist_path, inc_path
+
+
+def test_history_bloom_dedup_batch_stage(spark, tmp_path):
+    hist_path, inc_path = _history_setup(spark, tmp_path)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": inc_path},
+            "stages": [
+                {"op": "history_bloom_dedup", "historyPath": hist_path,
+                 "numBits": 4096}
+            ],
+        }
+    )
+    result = curate(spark, cfg)
+    kept = sorted(r["doc_id"] for r in result.df.collect())
+    # both historical dups MUST be dropped (no false negatives); with 4096
+    # bits over 3 keys the novel docs survive (FP rate ~1e-8)
+    assert kept == [3, 4]
+    assert result.counts()["stage01_history_bloom_dedup"] == 2
+
+
+def test_history_bloom_dedup_stream_matches_batch(spark, tmp_path):
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    hist_path, inc_path = _history_setup(spark, tmp_path)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": inc_path},
+            "stages": [
+                {"op": "history_bloom_dedup", "historyPath": hist_path}
+            ],
+        }
+    )
+    schema = spark.read.parquet(inc_path).schema
+    stream = spark.readStream.schema(schema).parquet(inc_path)
+    gated = curate_stream(stream, cfg)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("bloom_gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM bloom_gate_stream").collect()
+    )
+    batch = sorted(r["doc_id"] for r in curate(spark, cfg).df.collect())
+    assert got == batch == [3, 4]  # stateless predicate: stream == batch
+
+
+def test_history_bloom_dedup_digest_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    hist_path, inc_path = _history_setup(spark, tmp_path)
+    digests = (
+        spark.read.parquet(hist_path)
+        .select(F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("d16"))
+    )
+    dig_path = str(tmp_path / "hist_digests")
+    digests.write.parquet(dig_path)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": inc_path},
+            "stages": [
+                {"op": "history_bloom_dedup", "historyPath": dig_path,
+                 "digestColumn": "d16"}
+            ],
+        }
+    )
+    kept = sorted(r["doc_id"] for r in curate(spark, cfg).df.collect())
+    assert kept == [3, 4]
+
+
+@pytest.mark.parametrize(
+    "stage,msg",
+    [
+        ({"op": "history_bloom_dedup"}, "historyPath"),
+        ({"op": "history_bloom_dedup", "historyPath": ""}, "historyPath"),
+        ({"op": "history_bloom_dedup", "historyPath": "/x", "numBits": 8},
+         "numBits"),
+        ({"op": "history_bloom_dedup", "historyPath": "/x",
+          "digestColumn": 7}, "digestColumn"),
+        ({"op": "history_bloom_dedup", "historyPath": "/x", "bogus": 1},
+         "unexpected"),
+    ],
+)
+def test_history_bloom_decode_errors(stage, msg):
+    with pytest.raises(ConfigError, match=msg):
+        CurationConfig.from_dict(
+            {"source": {"type": "parquet", "path": "/tmp/x"},
+             "stages": [stage]}
+        )
+
+
+def test_history_bloom_report_semantics(spark, tmp_path):
+    import json
+
+    hist_path, inc_path = _history_setup(spark, tmp_path)
+    out = str(tmp_path / "curated_out")
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": inc_path},
+            "target": {"type": "parquet", "path": out},
+            "stages": [
+                {"op": "history_bloom_dedup", "historyPath": hist_path}
+            ],
+        }
+    )
+    from scylla_migrator_spark.plans.curate import run_curation
+
+    run_curation(spark, cfg)
+    report = json.loads((tmp_path / "curated_out" / "_curation_report.json").read_text())
+    assert "guaranteed-novel" in report["stages"][0]["semantics"]
