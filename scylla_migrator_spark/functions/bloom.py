@@ -96,20 +96,26 @@ def bloom_prune(
         raise ValueError(
             f"bitmap has {len(words)} words, expected {(num_bits + 63) // 64}"
         )
+    bm_col = "__bloom_bm"
+    if bm_col in df.columns:
+        raise ValueError(
+            f"bloom_prune: input already has a {bm_col!r} column; rename it"
+        )
+    key_sql = "`" + key_col.replace("`", "``") + "`"
     bitmap = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
-    probed = df.withColumn("_bloom_bm", bitmap)
+    probed = df.withColumn(bm_col, bitmap)
     terms = []
     for i in range(num_hashes):
         pos = (
             f"pmod(cast(conv(substring(md5(concat_ws(':', "
-            f"cast({key_col} as string), '{i}')), 1, 8), 16, 10) as bigint), "
+            f"cast({key_sql} as string), '{i}')), 1, 8), 16, 10) as bigint), "
             f"{num_bits})"
         )
         terms.append(
-            f"((element_at(_bloom_bm, cast(({pos}) div 64 as int) + 1)"
+            f"((element_at({bm_col}, cast(({pos}) div 64 as int) + 1)"
             f" >> pmod({pos}, 64)) & 1) = 1"
         )
     predicate = " AND ".join(terms)
     if negate:
         predicate = f"NOT ({predicate})"
-    return probed.filter(predicate).drop("_bloom_bm")
+    return probed.filter(predicate).drop(bm_col)

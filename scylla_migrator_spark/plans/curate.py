@@ -233,6 +233,22 @@ def _history_bloom_gate(spark, cfg: "CurationConfig", st: dict, df: DataFrame) -
                 f"not in history table (has {hist.columns})"
             )
         keys = hist.select(F.col(st["digest_column"]).alias("__hk"))
+        # the probe side hashes substring(sha2(text,256),1,16); a history
+        # digest in any OTHER format (full 64-char sha256 is the classic
+        # mistake) would set bitmap bits that never match a probe — the
+        # gate would silently drop NOTHING while the sidecar claims
+        # guaranteed-novel semantics. Fail loudly instead (limit-bounded
+        # probe, early-exits on the first bad row).
+        bad = (
+            keys.where(~F.col("__hk").rlike("^[0-9a-f]{16}$")).limit(1).count()
+        )
+        if bad:
+            raise ConfigError(
+                "history_bloom_dedup: digestColumn values must be the "
+                "16-char lowercase-hex prefix of sha2(text, 256) "
+                "(substring(sha2(text, 256), 1, 16)) — found a value in "
+                "another format, which would silently match nothing"
+            )
     else:
         if cfg.text_column not in hist.columns:
             raise ConfigError(
@@ -243,8 +259,11 @@ def _history_bloom_gate(spark, cfg: "CurationConfig", st: dict, df: DataFrame) -
         keys = hist.select(
             F.substring(F.sha2(F.col(cfg.text_column), 256), 1, 16).alias("__hk")
         )
+    # no keys.distinct(): build_bloom_bitmap already distincts the
+    # <= num_bits BIT POSITIONS with map-side combine, so a pre-distinct
+    # of the digests would add an O(|history|) exchange for nothing
     words = B.build_bloom_bitmap(
-        keys.distinct(), "__hk",
+        keys, "__hk",
         num_hashes=st["num_hashes"], num_bits=st["num_bits"],
     )
     probed = df.withColumn(

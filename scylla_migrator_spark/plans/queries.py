@@ -8125,9 +8125,13 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
       FROM events GROUP BY event_type)
     SELECT f.event_type, f.filled_bits, e.exact_distinct,
-           round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0), 6) AS est,
-           round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0)
-                 - e.exact_distinct, 6) AS err
+           CASE WHEN f.filled_bits >= 1024 THEN NULL
+                ELSE round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0), 6)
+           END AS est,
+           CASE WHEN f.filled_bits >= 1024 THEN NULL
+                ELSE round(-1024.0 * ln((1024 - f.filled_bits) / 1024.0)
+                           - e.exact_distinct, 6)
+           END AS err
     FROM filled f JOIN exact e USING (event_type)
     """,
 )
@@ -8162,12 +8166,19 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_raw = F.lit(-1024.0) * F.log(
         (F.lit(1024) - F.col("filled_bits")) / F.lit(1024.0)
     )
+    # saturation guard: a FULL bitmap (filled == m) has no estimate —
+    # ln(0) is an error in DuckDB and NULL in Spark, so both sides emit
+    # an explicit NULL instead (size m above the expected cardinality;
+    # the 100x path bumps m, it does not reinterpret a saturated counter)
+    sat = F.col("filled_bits") >= 1024
     return filled.join(exact, "event_type").select(
         "event_type",
         "filled_bits",
         "exact_distinct",
-        F.round(est_raw, 6).alias("est"),
-        F.round(est_raw - F.col("exact_distinct"), 6).alias("err"),
+        F.when(sat, F.lit(None)).otherwise(F.round(est_raw, 6)).alias("est"),
+        F.when(sat, F.lit(None))
+        .otherwise(F.round(est_raw - F.col("exact_distinct"), 6))
+        .alias("err"),
     )
 
 
@@ -8437,7 +8448,9 @@ def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     digest = F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("digest16")
-    history = docs.where(F.col("doc_id") % 3 != 0).select(digest).distinct()
+    # no .distinct(): build_bloom_bitmap distincts the <= num_bits bit
+    # positions itself, and the left_anti probe needs no deduped right side
+    history = docs.where(F.col("doc_id") % 3 != 0).select(digest)
     words = BLOOM.build_bloom_bitmap(history, "digest16", num_hashes=3, num_bits=1024)
 
     import os
@@ -8496,7 +8509,8 @@ def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wil AS (
       SELECT day, n, k,
              (k + 1.92) / (n + 3.84) AS center,
-             1.96 * sqrt(k * (n - k) / n + 0.9604) / (n + 3.84) AS half
+             1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.9604)
+               / (n + 3.84) AS half
       FROM daily)
     SELECT day, n, k,
            round(CAST(k AS DOUBLE) / n, 6) AS rate,
@@ -8512,7 +8526,9 @@ def wilson_purchase_rate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k, n) pair, correct even at small n / extreme p where the normal
     approximation fails). z=1.96 constants pre-folded (1.92 = z^2/2,
     3.84 = z^2, 0.9604 = z^2/4) so both engines evaluate the identical
-    arithmetic; k*(n-k)/n runs integer-exact into the sqrt.
+    arithmetic; the variance term k*(n-k)/n runs in double (k cast
+    first) so a 1e10-event day cannot overflow the int64 product the
+    all-integer form would hit.
 
     Scale shape: one map-side-combined groupBy(day) producing two
     integers per group; the interval math is per-group scalar
@@ -8530,7 +8546,10 @@ def wilson_purchase_rate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     center = (F.col("k") + 1.92) / (F.col("n") + 3.84)
     half = (
         F.lit(1.96)
-        * F.sqrt(F.col("k") * (F.col("n") - F.col("k")) / F.col("n") + 0.9604)
+        * F.sqrt(
+            F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+            + 0.9604
+        )
         / (F.col("n") + 3.84)
     )
     return daily.select(

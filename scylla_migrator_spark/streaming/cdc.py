@@ -84,6 +84,18 @@ class CdcReplicator:
         self.metrics.append(entry)
 
         state = self._read_state(spark)
+        if self.allow_schema_drift and state is not None:
+            # a RESTARTED replicator only knows its constructor value_cols;
+            # re-adopt columns that earlier drift persisted into state, or
+            # the compact below would silently drop them from the target
+            known = {*self.key_cols, *SEQ_COLS, OP_COL}
+            persisted = [
+                c
+                for c in state.columns
+                if c not in known and c not in self.value_cols
+            ]
+            if persisted:
+                self.value_cols = [*self.value_cols, *persisted]
         merged = (
             batch
             if state is None

@@ -290,3 +290,37 @@ def test_schema_drift_rejected_when_disabled(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         rep.apply_batch(bad, 0)
+
+
+def test_schema_drift_survives_replicator_restart(spark, tmp_path):
+    """A RESTARTED replicator (fresh constructor, same target) must
+    re-adopt drifted columns persisted in state — a later batch without
+    the drifted attribute cannot erase it from every key."""
+    target = str(tmp_path / "cdc_drift_restart")
+    rep1 = CdcReplicator(
+        target_path=target, key_cols=["user_id"], value_cols=["value"],
+        allow_schema_drift=True,
+    )
+    rep1.apply_batch(
+        spark.createDataFrame(
+            [(1, 100, 1, "INSERT", 10.0, "gold")],
+            "user_id long, ts long, event_id long, op string, value double, tier string",
+        ),
+        0,
+    )
+    # simulate kill/resume: brand-new replicator, constructor knows
+    # nothing about 'tier'
+    rep2 = CdcReplicator(
+        target_path=target, key_cols=["user_id"], value_cols=["value"],
+        allow_schema_drift=True,
+    )
+    rep2.apply_batch(
+        spark.createDataFrame(
+            [(2, 200, 2, "INSERT", 20.0)],
+            "user_id long, ts long, event_id long, op string, value double",
+        ),
+        1,
+    )
+    rows = {r["user_id"]: r for r in rep2.current(spark).collect()}
+    assert rows[1]["tier"] == "gold"  # drifted column survived the restart
+    assert rows[2]["tier"] is None
