@@ -189,3 +189,46 @@ def connected_components_two_phase(
     members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn("comp", F.col("id"))
     return members.union(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+
+
+def label_propagation(
+    pairs: DataFrame, id_a: str, id_b: str, rounds: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair list — fully deterministic: each round every vertex
+    adopts the most frequent label among its neighbors, ties broken by
+    MIN label. Returns (v, lbl) for every vertex that appears in a pair.
+
+    Communities are DENSER than connected components: one spurious LSH
+    edge merges two components but not two LPA communities, so this is
+    the quality lens on a noisy dup graph. Scale shape: labels are
+    8-byte ids riding one edges-by-source equi-shuffle per round (join
+    edges x labels, count per (vertex, label), per-vertex window top-1
+    with the deterministic (cnt DESC, lbl ASC) order — the window
+    partitions by vertex, no global sort). Rounds are a fixed unrollable
+    count so SQL oracles can replay them CTE-for-CTE; a
+    convergence-driven variant would add the localCheckpoint cadence
+    ``connected_components`` uses."""
+    from pyspark.sql import Window
+
+    edges = pairs.select(
+        F.col(id_a).alias("s"), F.col(id_b).alias("d")
+    ).unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+    lbl = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(rounds):
+        counts = (
+            edges.join(lbl, edges["s"] == lbl["v"])
+            .groupBy(F.col("d").alias("v"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return lbl

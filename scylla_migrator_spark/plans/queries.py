@@ -8247,29 +8247,10 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint cadence connected_components uses. Shares the staged
     pair table with the other dup_graph_* consumers (one fingerprint
     pass per fixture)."""
-    from pyspark.sql import Window
+    from scylla_migrator_spark.analytics.components import label_propagation
 
     pairs = _simhash_pairs_staged(spark, sf_dir)
-    edges = pairs.select(
-        F.col("id_a").alias("s"), F.col("id_b").alias("d")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-    )
-    lbl = edges.select(F.col("s").alias("v")).distinct().select(
-        "v", F.col("v").alias("lbl")
-    )
-    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
-    for _ in range(3):
-        counts = (
-            edges.join(lbl, edges["s"] == lbl["v"])
-            .groupBy(F.col("d").alias("v"), "lbl")
-            .agg(F.count("*").alias("cnt"))
-        )
-        lbl = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("v", "lbl")
-        )
+    lbl = label_propagation(pairs, "id_a", "id_b", rounds=3)
     sz = lbl.groupBy("lbl").agg(F.count("*").alias("community_size"))
     return lbl.join(sz, "lbl").select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("community"), "community_size"

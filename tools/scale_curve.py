@@ -37,7 +37,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from scylla_migrator_spark.analytics import dedup as D  # noqa: E402
 from scylla_migrator_spark.analytics import similarity as SIM  # noqa: E402
 from scylla_migrator_spark.analytics import text as TXT  # noqa: E402
-from scylla_migrator_spark.analytics.components import connected_components  # noqa: E402
+from scylla_migrator_spark.analytics.components import (  # noqa: E402
+    connected_components,
+    label_propagation,
+)
 
 COPY_STRIDE = 100_000_000
 
@@ -177,6 +180,13 @@ def run_pipelines(
             docs, "text", "doc_id", "source", k=3, window=4
         ).count(),
     )
+
+    def lpa() -> int:
+        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
+        return label_propagation(pairs, "id_a", "id_b", rounds=3).count()
+
+    record("dup_graph_label_propagation", n_docs, lpa)
 
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
