@@ -161,6 +161,21 @@ def _v_reference(p: dict) -> dict:
     return out
 
 
+def _v_expression(p: dict) -> dict:
+    _reject_extras(p, {"expression", "minRatio"})
+    from scylla_migrator_spark.config import validate_where_filter
+
+    expr = p.get("expression")
+    if not isinstance(expr, str):
+        raise ConfigError("expression needs expression: <boolean SQL over the table>")
+    # same sanitizer the JDBC WHERE pushdown uses: keyword blocklist,
+    # comment/terminator/control-char/backslash rejection, balanced quotes
+    out = {"expression": validate_where_filter(expr), "min_ratio": 1.0}
+    if "minRatio" in p:
+        out["min_ratio"] = _require_number(p, "minRatio", 0.0, 1.0)
+    return out
+
+
 _EXPECTS: dict[str, Any] = {
     "not_null": _v_not_null,
     "unique": _v_unique,
@@ -168,6 +183,7 @@ _EXPECTS: dict[str, Any] = {
     "range": _v_range,
     "row_count": _v_row_count,
     "reference": _v_reference,
+    "expression": _v_expression,
 }
 
 
@@ -216,16 +232,22 @@ class ExpectationsConfig:
             return ExpectationsConfig.from_dict(yaml.safe_load(f))
 
 
+def _i(row, key: str) -> int:
+    """Aggregate cell as int; F.sum over an EMPTY table yields NULL."""
+    v = row[key]
+    return 0 if v is None else int(v)
+
+
 def _ratio_pass(passing_col: str, total_col: str, min_ratio: float):
     """passing/total >= min_ratio in exact integer arithmetic; a vacuous
     (total == 0) population passes."""
     threshold = math.ceil(min_ratio * _RATIO_SCALE)
 
     def check(row) -> bool:
-        total = int(row[total_col])
+        total = _i(row, total_col)
         if total == 0:
             return True
-        return int(row[passing_col]) * _RATIO_SCALE >= threshold * total
+        return _i(row, passing_col) * _RATIO_SCALE >= threshold * total
 
     return check
 
@@ -281,6 +303,25 @@ def run_expectations(spark: SparkSession, cfg: ExpectationsConfig) -> dict:
                 F.sum(F.col(e["column"]).isNotNull().cast("long")).alias(f"rgt_{i}")
             )
             aggs.append(F.sum(cond.cast("long")).alias(f"rgp_{i}"))
+        elif kind == "expression":
+            # dbt-style free-form check: the fraction of rows where the
+            # boolean SQL holds. Three-valued logic counts NULL as NOT
+            # passing (an expectation you cannot evaluate is not met).
+            # Resolution errors (bad syntax past the sanitizer, unknown
+            # columns) surface as ConfigError BEFORE the aggregate runs.
+            try:
+                cond = F.expr(e["expression"]).cast("boolean")
+                df.select(cond)  # eager analysis: resolve columns now
+            except ConfigError:
+                raise
+            except Exception as exc:
+                raise ConfigError(
+                    f"expression expectation does not resolve against the "
+                    f"table: {e['expression']!r} ({exc})"
+                ) from exc
+            aggs.append(
+                F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias(f"ex_{i}")
+            )
         elif kind == "unique":
             aggs.append(
                 F.count_distinct(*[F.col(c) for c in e["columns"]]).alias(f"uq_{i}")
@@ -300,24 +341,31 @@ def run_expectations(spark: SparkSession, cfg: ExpectationsConfig) -> dict:
         kind = e["expect"]
         res: dict = {"expect": kind}
         if kind == "not_null":
-            res.update(column=e["column"], total=n_rows, passing=int(row[f"nn_{i}"]))
+            res.update(column=e["column"], total=n_rows, passing=_i(row, f"nn_{i}"))
             res["passed"] = _ratio_pass(f"nn_{i}", "__rows", e["min_ratio"])(row)
         elif kind == "accepted_values":
             res.update(
                 column=e["column"],
-                total=int(row[f"avt_{i}"]),
-                passing=int(row[f"avp_{i}"]),
+                total=_i(row, f"avt_{i}"),
+                passing=_i(row, f"avp_{i}"),
             )
             res["passed"] = _ratio_pass(f"avp_{i}", f"avt_{i}", e["min_ratio"])(row)
         elif kind == "range":
             res.update(
                 column=e["column"],
-                total=int(row[f"rgt_{i}"]),
-                passing=int(row[f"rgp_{i}"]),
+                total=_i(row, f"rgt_{i}"),
+                passing=_i(row, f"rgp_{i}"),
             )
             res["passed"] = _ratio_pass(f"rgp_{i}", f"rgt_{i}", e["min_ratio"])(row)
+        elif kind == "expression":
+            res.update(
+                expression=e["expression"],
+                total=n_rows,
+                passing=_i(row, f"ex_{i}"),
+            )
+            res["passed"] = _ratio_pass(f"ex_{i}", "__rows", e["min_ratio"])(row)
         elif kind == "unique":
-            distinct, considered = int(row[f"uq_{i}"]), int(row[f"uqt_{i}"])
+            distinct, considered = _i(row, f"uq_{i}"), _i(row, f"uqt_{i}")
             res.update(columns=e["columns"], distinct=distinct, total=considered)
             res["passed"] = distinct == considered
         elif kind == "row_count":

@@ -165,3 +165,83 @@ def test_expectations_yaml_example_runs(spark):
     cfg = ExpectationsConfig.load(os.path.join(repo, "expectations.yaml.example"))
     report = run_expectations(spark, cfg)
     assert report["passed"] is True  # the fixture satisfies its own contract
+
+
+def _run_one(spark, src, stage):
+    cfg = ExpectationsConfig.from_dict(
+        {"source": {"type": "parquet", "path": src}, "expectations": [stage]}
+    )
+    return run_expectations(spark, cfg)
+
+
+def test_expression_expectation_pass_fail(spark, table):
+    src, _ = table
+    # 5 of 6 rows have o_totalprice >= 0
+    rep = _run_one(
+        spark, src,
+        {"expect": "expression", "expression": "o_totalprice >= 0",
+         "minRatio": 0.8},
+    )
+    assert rep["passed"] and rep["results"][0]["passing"] == 5
+    rep = _run_one(
+        spark, src,
+        {"expect": "expression", "expression": "o_totalprice >= 0"},
+    )
+    assert not rep["passed"]  # default minRatio 1.0
+
+
+def test_expression_null_counts_as_not_passing(spark, table):
+    src, _ = table
+    # o_custkey > 0 is NULL for the null-FK row: 5 TRUE, 1 NULL -> 5/6
+    rep = _run_one(
+        spark, src, {"expect": "expression", "expression": "o_custkey > 0"}
+    )
+    r = rep["results"][0]
+    assert r["passing"] == 5 and r["total"] == 6 and not r["passed"]
+
+
+def test_expression_compound_predicate(spark, table):
+    src, _ = table
+    rep = _run_one(
+        spark, src,
+        {"expect": "expression",
+         "expression": "o_totalprice >= 0 AND o_orderstatus IN ('O','F','P')",
+         "minRatio": 0.6},
+    )
+    assert rep["passed"] and rep["results"][0]["passing"] == 4
+
+
+def test_expression_injection_rejected_at_decode(table):
+    for bad in ["1=1; DROP TABLE x", "1=1 -- comment", "a\\'b", "x' = y"]:
+        with pytest.raises(ConfigError):
+            ExpectationsConfig.from_dict(
+                {"source": {"type": "parquet", "path": "/tmp/x"},
+                 "expectations": [{"expect": "expression", "expression": bad}]}
+            )
+
+
+def test_expression_unresolvable_column_is_config_error(spark, table):
+    src, _ = table
+    with pytest.raises(ConfigError, match="does not resolve"):
+        _run_one(
+            spark, src,
+            {"expect": "expression", "expression": "no_such_column > 0"},
+        )
+
+
+def test_empty_table_ratio_checks_vacuously_pass(spark, tmp_path):
+    df = spark.createDataFrame([], "a long, b string")
+    path = str(tmp_path / "empty_tbl")
+    df.write.parquet(path)
+    cfg = ExpectationsConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": path},
+            "expectations": [
+                {"expect": "not_null", "column": "a"},
+                {"expect": "expression", "expression": "a > 0"},
+                {"expect": "unique", "columns": ["a"]},
+            ],
+        }
+    )
+    rep = run_expectations(spark, cfg)
+    assert rep["passed"]  # 0-row populations are vacuous, not a crash
