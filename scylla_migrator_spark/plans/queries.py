@@ -8338,11 +8338,17 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     price = F.col("o_totalprice").cast("decimal(18,2)")
+    # u is materialized as ONE column so the 6-branch CASE compares a
+    # computed value instead of inlining the md5 expression per branch
+    # (6x the hash work per row), and ALL three scalar outputs (boot
+    # mean + both CI bounds) reduce from one ranked frame in a single
+    # conditional aggregate - the 32x-exploded scan runs exactly once
     weighted = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", price.alias("price"))
         .withColumn("b", F.explode(F.expr("sequence(0, 31)")))
-        .withColumn("w", F.expr(_poisson1_weight_sql(_BOOT_U_SPARK)))
+        .withColumn("u", F.expr(_BOOT_U_SPARK))
+        .withColumn("w", F.expr(_poisson1_weight_sql("u")))
     )
     rep_means = weighted.groupBy("b").agg(
         (F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")).alias("m")
@@ -8350,29 +8356,24 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rep_means.withColumn(
         "rn", F.row_number().over(Window.orderBy("m", "b"))
     )
-    lo = ranked.where(F.col("rn") == 2).select(F.round("m", 6).alias("ci_lo"))
-    hi = ranked.where(F.col("rn") == 31).select(F.round("m", 6).alias("ci_hi"))
-    boot = rep_means.agg(
+    stats = ranked.agg(
         F.round(
             F.sum(F.col("m").cast("decimal(24,10)")).cast("double") / F.lit(32), 6
-        ).alias("boot_mean")
+        ).alias("boot_mean"),
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.max(F.when(F.col("rn") == 31, F.col("m"))), 6).alias("ci_hi"),
     )
     pt = _t(spark, sf_dir, "orders").agg(
         F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("point_mean"),
         F.count("*").alias("n_rows"),
     )
-    return (
-        pt.crossJoin(F.broadcast(boot))
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "point_mean",
-            "n_rows",
-            "boot_mean",
-            "ci_lo",
-            "ci_hi",
-            F.lit(32).cast("long").alias("n_replicates"),
-        )
+    return pt.crossJoin(F.broadcast(stats)).select(
+        "point_mean",
+        "n_rows",
+        "boot_mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(32).cast("long").alias("n_replicates"),
     )
 
 
