@@ -227,6 +227,7 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "stream_bloom_history_gate",
     "wilson_purchase_rate_bounds",
+    "dup_graph_modularity",
 ]
 
 

@@ -8542,3 +8542,120 @@ def wilson_purchase_rate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+@_register(
+    "dup_graph_modularity",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM edges),
+    r1 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l0 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l1 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r1)
+           WHERE rn = 1),
+    r2 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l1 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l2 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r2)
+           WHERE rn = 1),
+    r3 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
+           FROM edges e JOIN l2 l ON e.s = l.v GROUP BY e.d, l.lbl),
+    l3 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (
+               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r3)
+           WHERE rn = 1),
+    mm AS (SELECT count(*)::BIGINT AS m FROM prs),
+    intra AS (
+      SELECT count(*)::BIGINT AS ic
+      FROM prs p JOIN l3 a ON p.id_a = a.v JOIN l3 b ON p.id_b = b.v
+      WHERE a.lbl = b.lbl),
+    dc AS (SELECT l.lbl, count(*)::BIGINT AS dg
+           FROM edges e JOIN l3 l ON e.s = l.v GROUP BY l.lbl),
+    sums AS (
+      SELECT sum(CAST(dg AS DECIMAL(19,0)) * CAST(dg AS DECIMAL(19,0))) AS sdd,
+             count(*)::BIGINT AS nc
+      FROM dc)
+    SELECT mm.m AS m_edges, sums.nc AS n_communities, intra.ic AS intra_edges,
+           round(CAST(CAST(4 * mm.m AS DECIMAL(19,0)) * intra.ic - sums.sdd
+                      AS DOUBLE)
+                 / CAST(CAST(2 * mm.m AS DECIMAL(19,0))
+                        * CAST(2 * mm.m AS DECIMAL(19,0)) AS DOUBLE),
+                 6) AS modularity
+    FROM mm, intra, sums
+    """,
+)
+def dup_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition over the near-dup pair
+    graph — the single-number answer to "are these communities real
+    structure or banding noise?" (Q near 0 = no better than random wiring
+    of the same degree sequence; dup corpora with genuine template
+    clusters sit well above).
+
+    Exactness at scale: Q = (4m*intra - sum_c deg_c^2) / (2m)^2 is
+    assembled from INTEGER aggregates only (edge count, intra-community
+    edge count, per-community degree sums squared in DECIMAL(19,0) int128
+    products — the cross-engine-exact multiply path), with ONE double
+    division at the end; no float accumulates across groups, so shuffle
+    order cannot move the score. Reuses the staged pair table and the
+    shared label_propagation loop (3 rounds, replayed CTE-for-CTE)."""
+    from scylla_migrator_spark.analytics.components import label_propagation
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    lbl = label_propagation(pairs, "id_a", "id_b", rounds=3)
+    la = lbl.select(F.col("v").alias("id_a"), F.col("lbl").alias("ca"))
+    lb = lbl.select(F.col("v").alias("id_b"), F.col("lbl").alias("cb"))
+    tagged = pairs.join(la, "id_a").join(lb, "id_b")
+    mm = pairs.agg(F.count("*").alias("m"))
+    intra = tagged.where(F.col("ca") == F.col("cb")).agg(
+        F.count("*").alias("ic")
+    )
+    edges = pairs.select(F.col("id_a").alias("s")).unionByName(
+        pairs.select(F.col("id_b").alias("s"))
+    )
+    dc = (
+        edges.join(lbl.withColumnRenamed("v", "s"), "s")
+        .groupBy("lbl")
+        .agg(F.count("*").alias("dg"))
+    )
+    dgd = F.col("dg").cast("decimal(19,0)")
+    sums = dc.agg(
+        F.sum(dgd * dgd).alias("sdd"), F.count("*").alias("nc")
+    )
+    q = F.round(
+        ((F.lit(4) * F.col("m")).cast("decimal(19,0)") * F.col("ic") - F.col("sdd"))
+        .cast("double")
+        / (
+            (F.lit(2) * F.col("m")).cast("decimal(19,0)")
+            * (F.lit(2) * F.col("m")).cast("decimal(19,0)")
+        ).cast("double"),
+        6,
+    )
+    return (
+        mm.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            F.col("m").alias("m_edges"),
+            F.col("nc").alias("n_communities"),
+            F.col("ic").alias("intra_edges"),
+            q.alias("modularity"),
+        )
+    )
