@@ -228,6 +228,7 @@ HEADLINE = [
     "stream_bloom_history_gate",
     "wilson_purchase_rate_bounds",
     "dup_graph_modularity",
+    "daily_seasonal_decomposition",
 ]
 
 

@@ -8659,3 +8659,84 @@ def dup_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("modularity"),
         )
     )
+
+
+@_register(
+    "daily_seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY day),
+    win AS (
+      SELECT day, n,
+             sum(n) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily),
+    full7 AS (
+      SELECT day, n, CAST(sum7 AS BIGINT) AS sum7, day % 7 AS dow
+      FROM win WHERE cnt7 = 7),
+    seas AS (
+      SELECT dow,
+             CAST(sum(7 * n - sum7) AS BIGINT) AS snum,
+             count(*)::BIGINT AS scnt
+      FROM full7 GROUP BY dow)
+    SELECT f.day, f.n,
+           round(CAST(f.sum7 AS DOUBLE) / 7, 6) AS trend,
+           round(CAST(s.snum AS DOUBLE) / (7 * s.scnt), 6) AS seasonal,
+           round(CAST(7 * f.n - f.sum7 AS DOUBLE) / 7
+                 - CAST(s.snum AS DOUBLE) / (7 * s.scnt), 6) AS remainder
+    FROM full7 f JOIN seas s ON f.dow = s.dow
+    """,
+)
+def daily_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event volume —
+    trend (7-day centered moving average), day-of-week seasonal
+    component, and the remainder that an alerting rule should actually
+    watch (a raw-count alert fires every weekend; the remainder only
+    fires on real anomalies). The decomposition lens missing from the
+    drift family (weekly_event_drift sees level shifts, value_trend_slope
+    sees direction; this separates recurring weekly shape from both).
+
+    Exactness: every cross-row aggregate is INTEGER (daily counts, the
+    7-day window sum, and the seasonal numerator sum(7n - sum7) which
+    clears the /7 denominator) — doubles appear only in per-row final
+    arithmetic with an operation-order-identical oracle, so no float
+    accumulates across rows in either engine. Scale shape: one
+    map-side-combined groupBy(day), windows and the seasonal join run on
+    the ~|days| aggregated frame, never on raw events."""
+    from pyspark.sql import Window
+
+    day_ns = 86_400_000_000_000
+    daily = (
+        _fan(_t(spark, sf_dir, "events"))
+        .groupBy(F.expr(f"ts DIV {day_ns}").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("cnt7"),
+    )
+    full7 = win.where(F.col("cnt7") == 7).select(
+        "day", "n", "sum7", (F.col("day") % 7).alias("dow")
+    )
+    seas = full7.groupBy("dow").agg(
+        F.sum(F.lit(7) * F.col("n") - F.col("sum7")).alias("snum"),
+        F.count("*").alias("scnt"),
+    )
+    seasonal = F.col("snum").cast("double") / (F.lit(7) * F.col("scnt"))
+    return full7.join(seas, "dow").select(
+        "day",
+        "n",
+        F.round(F.col("sum7").cast("double") / 7, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(
+            (F.lit(7) * F.col("n") - F.col("sum7")).cast("double") / 7 - seasonal,
+            6,
+        ).alias("remainder"),
+    )
