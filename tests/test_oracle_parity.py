@@ -24,11 +24,19 @@ def duck(sf_dir):
 
 def _canon(df):
     """Sort columns by name, rows by stringified values (order-insensitive)."""
+    import numpy as np
+
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
         cells = []
         for v in row:
+            # list columns arrive as numpy arrays from DuckDB's .df() and
+            # from Arrow toPandas, but as Python lists from a non-Arrow
+            # Spark session — normalize before stringifying so the canon
+            # does not depend on which session built the frame
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
             if isinstance(v, float):
                 if math.isnan(v):
                     cells.append("NaN")
