@@ -229,6 +229,7 @@ HEADLINE = [
     "wilson_purchase_rate_bounds",
     "dup_graph_modularity",
     "daily_seasonal_decomposition",
+    "grouped_quantile_sketch",
 ]
 
 

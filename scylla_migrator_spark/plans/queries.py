@@ -8740,3 +8740,111 @@ def daily_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("remainder"),
     )
+
+
+@_register(
+    "grouped_quantile_sketch",
+    """
+    WITH binned AS (
+      SELECT event_type,
+             least(255, CAST(floor(value / 2.5) AS INT)) AS bin
+      FROM events),
+    hist AS (SELECT event_type, bin, count(*) AS cnt
+             FROM binned GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist),
+    qs AS (SELECT unnest([50, 95]) AS q),
+    crossed AS (
+      SELECT q, event_type, bin, cnt, cum, cum - cnt AS cum_before,
+             (q * n + 99) // 100 AS needed
+      FROM qs CROSS JOIN cum),
+    chosen AS (
+      SELECT * FROM crossed WHERE cum >= needed AND cum - cnt < needed),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events)
+    SELECT c.event_type, c.q, CAST(c.needed AS BIGINT) AS needed,
+           round(c.bin * 2.5 + 2.5 * (c.needed - c.cum_before) / c.cnt, 6)
+             AS est,
+           r.value AS exact,
+           round(c.bin * 2.5 + 2.5 * (c.needed - c.cum_before) / c.cnt
+                 - r.value, 6) AS err
+    FROM chosen c
+    JOIN ranked r ON r.event_type = c.event_type AND r.rn = c.needed
+    """,
+)
+def grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP mergeable histogram quantiles — the production shape of
+    the sketch (per-tenant latency p50/p95 on a serving dashboard):
+    each event type keeps its own 256-bin equi-width histogram, so the
+    whole percentile table is |groups| x 256 integers of mergeable
+    state maintained by ONE map-side-combined groupBy(type, bin) pass.
+    The crossing/interpolation arithmetic is the
+    histogram_quantile_sketch contract partitioned by group (integer
+    crossing, one double interpolation per (group, q)); the exact
+    discrete per-group quantile rides along as the error readout —
+    at scale the per-group total sort is the thing you drop."""
+    from pyspark.sql import Window
+
+    nbins, width = 256, 2.5
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    hist = (
+        ev.select(
+            "event_type",
+            F.least(
+                F.lit(nbins - 1),
+                F.floor(F.col("value") / F.lit(width)).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.range(1).select(F.explode(F.expr("array(50, 95)")).alias("q"))
+    crossed = qs.crossJoin(F.broadcast(cum)).select(
+        "q",
+        "event_type",
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        F.expr("(q * n + 99) div 100").alias("needed"),
+    )
+    chosen = crossed.where(
+        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w_rank).alias("rn")
+    ).withColumnRenamed("event_type", "rtype")
+    est = F.col("bin") * F.lit(width) + F.lit(width) * (
+        F.col("needed") - F.col("cum_before")
+    ) / F.col("cnt")
+    return chosen.join(
+        ranked,
+        (F.col("rtype") == F.col("event_type")) & (F.col("rn") == F.col("needed")),
+    ).select(
+        "event_type",
+        "q",
+        "needed",
+        F.round(est, 6).alias("est"),
+        F.col("value").alias("exact"),
+        F.round(est - F.col("value"), 6).alias("err"),
+    )
