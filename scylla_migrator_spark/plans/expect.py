@@ -161,6 +161,22 @@ def _v_reference(p: dict) -> dict:
     return out
 
 
+import re as _re
+
+# the JDBC WHERE sanitizer targets MySQL; an expression evaluated by SPARK
+# has extra escape hatches a row predicate never needs — JVM invocation
+# (reflect/java_method), scalar subqueries over arbitrary files
+# (select ... from parquet.`/any/path`), backtick identifiers (the file
+# path syntax), and non-deterministic functions that would make a
+# contract verdict unrepeatable. Blocklist them at DECODE time.
+_SPARK_EXPR_FORBIDDEN = _re.compile(
+    r"\b(select|from|reflect|java_method|input_file_name|current_user|"
+    r"session_user|current_database|rand|randn|shuffle|uuid|"
+    r"monotonically_increasing_id)\b",
+    _re.IGNORECASE,
+)
+
+
 def _v_expression(p: dict) -> dict:
     _reject_extras(p, {"expression", "minRatio"})
     from scylla_migrator_spark.config import validate_where_filter
@@ -168,9 +184,20 @@ def _v_expression(p: dict) -> dict:
     expr = p.get("expression")
     if not isinstance(expr, str):
         raise ConfigError("expression needs expression: <boolean SQL over the table>")
-    # same sanitizer the JDBC WHERE pushdown uses: keyword blocklist,
-    # comment/terminator/control-char/backslash rejection, balanced quotes
-    out = {"expression": validate_where_filter(expr), "min_ratio": 1.0}
+    # the JDBC WHERE sanitizer first (comment/terminator/control-char/
+    # backslash rejection, balanced quotes, SQL keyword blocklist) ...
+    expr = validate_where_filter(expr)
+    # ... then the Spark-specific hatches it cannot know about
+    if "`" in expr:
+        raise ConfigError("expression must not contain backtick identifiers")
+    m = _SPARK_EXPR_FORBIDDEN.search(expr)
+    if m:
+        raise ConfigError(
+            f"expression contains forbidden construct {m.group(0)!r} "
+            "(subqueries, JVM invocation, and non-deterministic functions "
+            "are not allowed in a contract predicate)"
+        )
+    out = {"expression": expr, "min_ratio": 1.0}
     if "minRatio" in p:
         out["min_ratio"] = _require_number(p, "minRatio", 0.0, 1.0)
     return out

@@ -8182,10 +8182,12 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "dup_graph_label_propagation",
-    r"""
-    WITH h AS (
+# Shared DuckDB replay of (simhash pair graph -> 3 deterministic LPA
+# rounds): ONE spelling for every oracle that consumes LPA labels, so
+# the tie-break and the hamming<=8 pair predicate cannot silently
+# diverge between oracles (mirrors analytics/components.py::
+# label_propagation by contract).
+_SIMHASH_LPA_CTES = r"""WITH h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
                             w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
@@ -8220,7 +8222,12 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 AS (SELECT v, lbl FROM (
              SELECT v, lbl, row_number() OVER (
                PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r3)
-           WHERE rn = 1),
+           WHERE rn = 1)"""
+
+
+@_register(
+    "dup_graph_label_propagation",
+    _SIMHASH_LPA_CTES + r""",
     sz AS (SELECT lbl, count(*)::BIGINT AS community_size
            FROM l3 GROUP BY lbl)
     SELECT l3.v AS doc_id, l3.lbl AS community, sz.community_size
@@ -8546,43 +8553,7 @@ def wilson_purchase_rate_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dup_graph_modularity",
-    r"""
-    WITH h AS (
-      SELECT doc_id, source,
-             list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
-      FROM documents),
-    fp AS (
-      SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
-          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
-                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
-      FROM h),
-    prs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
-    edges AS (SELECT id_a AS s, id_b AS d FROM prs
-              UNION ALL SELECT id_b, id_a FROM prs),
-    l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM edges),
-    r1 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
-           FROM edges e JOIN l0 l ON e.s = l.v GROUP BY e.d, l.lbl),
-    l1 AS (SELECT v, lbl FROM (
-             SELECT v, lbl, row_number() OVER (
-               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r1)
-           WHERE rn = 1),
-    r2 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
-           FROM edges e JOIN l1 l ON e.s = l.v GROUP BY e.d, l.lbl),
-    l2 AS (SELECT v, lbl FROM (
-             SELECT v, lbl, row_number() OVER (
-               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r2)
-           WHERE rn = 1),
-    r3 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
-           FROM edges e JOIN l2 l ON e.s = l.v GROUP BY e.d, l.lbl),
-    l3 AS (SELECT v, lbl FROM (
-             SELECT v, lbl, row_number() OVER (
-               PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM r3)
-           WHERE rn = 1),
+    _SIMHASH_LPA_CTES + r""",
     mm AS (SELECT count(*)::BIGINT AS m FROM prs),
     intra AS (
       SELECT count(*)::BIGINT AS ic
@@ -8664,10 +8635,15 @@ def dup_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "daily_seasonal_decomposition",
     """
-    WITH daily AS (
+    WITH daily_raw AS (
       SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
              count(*)::BIGINT AS n
       FROM events GROUP BY day),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily_raw),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds),
+    daily AS (
+      SELECT s.day, coalesce(d.n, 0)::BIGINT AS n
+      FROM spine s LEFT JOIN daily_raw d USING (day)),
     win AS (
       SELECT day, n,
              sum(n) OVER (ORDER BY day
@@ -8700,6 +8676,11 @@ def daily_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift family (weekly_event_drift sees level shifts, value_trend_slope
     sees direction; this separates recurring weekly shape from both).
 
+    Days ride a generated calendar SPINE (min..max), so a zero-event
+    outage day enters the frame as n=0: the trend window always spans 7
+    CALENDAR days and the outage day itself gets the large-negative
+    remainder an alert exists to catch.
+
     Exactness: every cross-row aggregate is INTEGER (daily counts, the
     7-day window sum, and the seasonal numerator sum(7n - sum7) which
     clears the /7 denominator) — doubles appear only in per-row final
@@ -8710,10 +8691,19 @@ def daily_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     day_ns = 86_400_000_000_000
-    daily = (
+    daily_raw = (
         _fan(_t(spark, sf_dir, "events"))
         .groupBy(F.expr(f"ts DIV {day_ns}").alias("day"))
         .agg(F.count("*").alias("n"))
+    )
+    # calendar day SPINE: a zero-event day must appear as n=0, or the
+    # "7-day" window silently widens past outage days and the outage
+    # itself emits no remainder row - the one row an alert exists for
+    spine = daily_raw.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    daily = spine.join(daily_raw, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     win = daily.select(

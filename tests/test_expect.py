@@ -212,7 +212,18 @@ def test_expression_compound_predicate(spark, table):
 
 
 def test_expression_injection_rejected_at_decode(table):
-    for bad in ["1=1; DROP TABLE x", "1=1 -- comment", "a\\'b", "x' = y"]:
+    for bad in [
+        "1=1; DROP TABLE x",
+        "1=1 -- comment",
+        "a\\'b",
+        "x' = y",
+        # Spark-specific escape hatches past the MySQL-shaped sanitizer
+        "reflect('java.lang.System', 'getenv', 'PATH') is not null",
+        "java_method('java.lang.Runtime', 'getRuntime') is not null",
+        "(select count(*) from parquet.`/etc/hostname`) >= 0",
+        "a > rand()",
+        "`a` > 0",
+    ]:
         with pytest.raises(ConfigError):
             ExpectationsConfig.from_dict(
                 {"source": {"type": "parquet", "path": "/tmp/x"},

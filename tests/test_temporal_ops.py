@@ -228,3 +228,41 @@ def test_asof_join_matches_bruteforce_random(spark):
                 ).collect()
             }
             assert got_inner == {k: v for k, v in expect.items() if v is not None}
+
+
+def test_seasonal_decomposition_outage_day_gets_remainder_row(spark, tmp_path):
+    """A zero-event day must enter the frame as n=0 via the calendar
+    spine: the outage day itself gets a large-negative remainder (the
+    alert row), and neighbors keep true 7-calendar-day windows."""
+    import datetime as dt
+
+    from scylla_migrator_spark.plans.queries import QUERIES
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for d in range(21):
+        if d == 10:
+            continue  # full outage day: zero events
+        for _ in range(50):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=d), eid % 7, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "sfgap")
+    (tmp_path / "sfgap").mkdir()
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    out = {r["day"]: r for r in QUERIES["daily_seasonal_decomposition"](spark, sf_dir).collect()}
+    outage_day = min(out) + (10 - 3)  # first 3 days lack a full window
+    gap_days = [d for d, r in out.items() if r["n"] == 0]
+    assert len(gap_days) == 1
+    gap = out[gap_days[0]]
+    # the outage row exists and its remainder is strongly negative
+    assert gap["remainder"] < -20
+    # neighbors' trend reflects the dip: 7-day mean drops from 50 to 300/7
+    assert abs(out[gap_days[0]]["trend"] - 300 / 7) < 1e-6
+    assert outage_day == gap_days[0]
