@@ -97,25 +97,36 @@ def bloom_prune(
             f"bitmap has {len(words)} words, expected {(num_bits + 63) // 64}"
         )
     bm_col = "__bloom_bm"
-    if bm_col in df.columns:
+    tmp_cols = [bm_col] + [f"__bloom_p{i}" for i in range(num_hashes)]
+    clash = [c for c in tmp_cols if c in df.columns]
+    if clash:
         raise ValueError(
-            f"bloom_prune: input already has a {bm_col!r} column; rename it"
+            f"bloom_prune: input already has internal column(s) {clash}; "
+            "rename them"
         )
     key_sql = "`" + key_col.replace("`", "``") + "`"
     bitmap = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     probed = df.withColumn(bm_col, bitmap)
     terms = []
     for i in range(num_hashes):
-        pos = (
-            f"pmod(cast(conv(substring(md5(concat_ws(':', "
-            f"cast({key_sql} as string), '{i}')), 1, 8), 16, 10) as bigint), "
-            f"{num_bits})"
+        # each position is MATERIALIZED as one projected column so the
+        # bit test (index + shift) references a computed value instead of
+        # inlining the md5 expression twice per term — at k hashes that
+        # would be up to 2k hash evaluations per probe row
+        pos_col = f"__bloom_p{i}"
+        probed = probed.withColumn(
+            pos_col,
+            F.expr(
+                f"pmod(cast(conv(substring(md5(concat_ws(':', "
+                f"cast({key_sql} as string), '{i}')), 1, 8), 16, 10) as "
+                f"bigint), {num_bits})"
+            ),
         )
         terms.append(
-            f"((element_at({bm_col}, cast(({pos}) div 64 as int) + 1)"
-            f" >> pmod({pos}, 64)) & 1) = 1"
+            f"((element_at({bm_col}, cast({pos_col} div 64 as int) + 1)"
+            f" >> pmod({pos_col}, 64)) & 1) = 1"
         )
     predicate = " AND ".join(terms)
     if negate:
         predicate = f"NOT ({predicate})"
-    return probed.filter(predicate).drop(bm_col)
+    return probed.filter(predicate).drop(*tmp_cols)

@@ -225,6 +225,11 @@ def _history_bloom_gate(spark, cfg: "CurationConfig", st: dict, df: DataFrame) -
     it)."""
     from scylla_migrator_spark.functions import bloom as B
 
+    if "__hk" in df.columns:
+        raise ConfigError(
+            "history_bloom_dedup: the corpus already has a '__hk' column, "
+            "which this stage uses internally; rename it"
+        )
     hist = spark.read.parquet(st["history_path"])
     if "digest_column" in st:
         if st["digest_column"] not in hist.columns:

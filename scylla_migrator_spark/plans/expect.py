@@ -172,9 +172,12 @@ import re as _re
 _SPARK_EXPR_FORBIDDEN = _re.compile(
     r"\b(select|from|reflect|java_method|input_file_name|current_user|"
     r"session_user|current_database|rand|randn|shuffle|uuid|"
-    r"monotonically_increasing_id)\b",
+    r"monotonically_increasing_id|current_timestamp|current_date|now|"
+    r"unix_timestamp|localtimestamp|current_timezone)\b",
     _re.IGNORECASE,
 )
+
+_QUOTED_LITERAL = _re.compile(r"'[^']*'|\"[^\"]*\"")
 
 
 def _v_expression(p: dict) -> dict:
@@ -187,15 +190,23 @@ def _v_expression(p: dict) -> dict:
     # the JDBC WHERE sanitizer first (comment/terminator/control-char/
     # backslash rejection, balanced quotes, SQL keyword blocklist) ...
     expr = validate_where_filter(expr)
-    # ... then the Spark-specific hatches it cannot know about
+    # ... then the Spark-specific hatches it cannot know about: JVM
+    # invocation, subqueries, backtick identifiers (the parquet-path
+    # syntax), and non-deterministic or TIME-DEPENDENT functions (a
+    # contract verdict must be repeatable on unchanged data). String
+    # LITERALS are stripped before the keyword scan so data values like
+    # event_type IN ('select', 'click') stay expressible — the sanitizer
+    # already guaranteed quotes are balanced.
     if "`" in expr:
         raise ConfigError("expression must not contain backtick identifiers")
-    m = _SPARK_EXPR_FORBIDDEN.search(expr)
+    code_only = _QUOTED_LITERAL.sub("''", expr)
+    m = _SPARK_EXPR_FORBIDDEN.search(code_only)
     if m:
         raise ConfigError(
             f"expression contains forbidden construct {m.group(0)!r} "
-            "(subqueries, JVM invocation, and non-deterministic functions "
-            "are not allowed in a contract predicate)"
+            "(subqueries, JVM invocation, and non-deterministic or "
+            "time-dependent functions are not allowed in a contract "
+            "predicate)"
         )
     out = {"expression": expr, "min_ratio": 1.0}
     if "minRatio" in p:
@@ -337,8 +348,8 @@ def run_expectations(spark: SparkSession, cfg: ExpectationsConfig) -> dict:
             # Resolution errors (bad syntax past the sanitizer, unknown
             # columns) surface as ConfigError BEFORE the aggregate runs.
             try:
-                cond = F.expr(e["expression"]).cast("boolean")
-                df.select(cond)  # eager analysis: resolve columns now
+                cond = F.expr(e["expression"])
+                resolved = df.select(cond.alias("__cond"))  # eager analysis
             except ConfigError:
                 raise
             except Exception as exc:
@@ -346,6 +357,17 @@ def run_expectations(spark: SparkSession, cfg: ExpectationsConfig) -> dict:
                     f"expression expectation does not resolve against the "
                     f"table: {e['expression']!r} ({exc})"
                 ) from exc
+            from pyspark.sql.types import BooleanType
+
+            dtype = resolved.schema[0].dataType
+            if not isinstance(dtype, BooleanType):
+                # requiring BooleanType (not casting) avoids both ANSI
+                # CAST crashes mid-aggregate and silent nonzero->true
+                # coercion for numeric expressions
+                raise ConfigError(
+                    f"expression must be BOOLEAN, got {dtype.simpleString()}: "
+                    f"{e['expression']!r}"
+                )
             aggs.append(
                 F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias(f"ex_{i}")
             )

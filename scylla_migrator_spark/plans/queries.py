@@ -7940,6 +7940,80 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_quantiles(
+    df, group_cols, value_col, order_col, *, width, nbins, qs
+):
+    """Shared bin/cumulate/cross/interpolate/rank pipeline behind BOTH
+    histogram-quantile queries (global and per-group): one spelling of
+    the integer crossing rule (cum >= needed > cum_before with
+    needed = ceil(q*n/100)) and the double interpolation, so the
+    contract cannot diverge between the two. ``group_cols`` empty =
+    the global form."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(
+            *group_cols,
+            F.least(
+                F.lit(nbins - 1),
+                F.floor(F.col(value_col) / F.lit(width)).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qdf = df.sparkSession.range(1).select(
+        F.explode(F.expr("array(" + ", ".join(str(q) for q in qs) + ")")).alias("q")
+    )
+    crossed = qdf.crossJoin(F.broadcast(cum)).select(
+        "q",
+        *group_cols,
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        F.expr("(q * n + 99) div 100").alias("needed"),
+    )
+    chosen = crossed.where(
+        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__val"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    for c in group_cols:
+        ranked = ranked.withColumnRenamed(c, f"__r_{c}")
+    join_cond = F.col("rn") == F.col("needed")
+    for c in group_cols:
+        join_cond = join_cond & (F.col(f"__r_{c}") == F.col(c))
+    est = F.col("bin") * F.lit(width) + F.lit(width) * (
+        F.col("needed") - F.col("cum_before")
+    ) / F.col("cnt")
+    return chosen.join(ranked, join_cond).select(
+        *group_cols,
+        "q",
+        "needed",
+        F.round(est, 6).alias("est"),
+        F.col("__val").alias("exact"),
+        F.round(est - F.col("__val"), 6).alias("err"),
+    )
+
+
 @_register(
     "histogram_quantile_sketch",
     """
@@ -7990,49 +8064,14 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) exists only as the error readout — at scale you keep the
     histogram and drop the sort, which is the point the err column
     quantifies (bin width 2343.75 bounds the error)."""
-    from pyspark.sql import Window
-
-    nbins, width = 256, 2343.75
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    binned = orders.select(
-        F.least(
-            F.lit(nbins - 1), F.floor(F.col("o_totalprice") / F.lit(width)).cast("int")
-        ).alias("bin")
-    )
-    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    qs = spark.range(1).select(F.explode(F.expr("array(25, 50, 75, 95)")).alias("q"))
-    crossed = qs.crossJoin(F.broadcast(cum)).select(
-        "q",
-        "bin",
-        "cnt",
-        "cum",
-        (F.col("cum") - F.col("cnt")).alias("cum_before"),
-        F.expr("(q * n + 99) div 100").alias("needed"),
-    )
-    chosen = crossed.where(
-        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
-    )
-    w_rank = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_totalprice", F.row_number().over(w_rank).alias("rn")
-    )
-    est = F.col("bin") * F.lit(width) + F.lit(width) * (
-        F.col("needed") - F.col("cum_before")
-    ) / F.col("cnt")
-    return chosen.join(ranked, F.col("rn") == F.col("needed")).select(
-        "q",
-        "needed",
-        F.round(est, 6).alias("est"),
-        F.col("o_totalprice").alias("exact"),
-        F.round(est - F.col("o_totalprice"), 6).alias("err"),
+    return _histogram_quantiles(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [],
+        "o_totalprice",
+        "o_orderkey",
+        width=2343.75,
+        nbins=256,
+        qs=[25, 50, 75, 95],
     )
 
 
@@ -8150,14 +8189,12 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the err column is the measured cost of doing so. Estimator
     -m*ln(V/m) stays in double with an operation-order-identical
     oracle."""
+    from scylla_migrator_spark.analytics.text import _md5_int
+
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
     pos = ev.select(
         "event_type",
-        (
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 1024
-        ).alias("p"),
+        (_md5_int(F.col("user_id").cast("string")) % 1024).alias("p"),
     ).distinct()
     filled = pos.groupBy("event_type").agg(F.count("*").alias("filled_bits"))
     exact = ev.groupBy("event_type").agg(
@@ -8779,62 +8816,12 @@ def grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing, one double interpolation per (group, q)); the exact
     discrete per-group quantile rides along as the error readout —
     at scale the per-group total sort is the thing you drop."""
-    from pyspark.sql import Window
-
-    nbins, width = 256, 2.5
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    hist = (
-        ev.select(
-            "event_type",
-            F.least(
-                F.lit(nbins - 1),
-                F.floor(F.col("value") / F.lit(width)).cast("int"),
-            ).alias("bin"),
-        )
-        .groupBy("event_type", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    qs = spark.range(1).select(F.explode(F.expr("array(50, 95)")).alias("q"))
-    crossed = qs.crossJoin(F.broadcast(cum)).select(
-        "q",
-        "event_type",
-        "bin",
-        "cnt",
-        "cum",
-        (F.col("cum") - F.col("cnt")).alias("cum_before"),
-        F.expr("(q * n + 99) div 100").alias("needed"),
-    )
-    chosen = crossed.where(
-        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
-    )
-    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type", "value", F.row_number().over(w_rank).alias("rn")
-    ).withColumnRenamed("event_type", "rtype")
-    est = F.col("bin") * F.lit(width) + F.lit(width) * (
-        F.col("needed") - F.col("cum_before")
-    ) / F.col("cnt")
-    return chosen.join(
-        ranked,
-        (F.col("rtype") == F.col("event_type")) & (F.col("rn") == F.col("needed")),
-    ).select(
-        "event_type",
-        "q",
-        "needed",
-        F.round(est, 6).alias("est"),
-        F.col("value").alias("exact"),
-        F.round(est - F.col("value"), 6).alias("err"),
+    return _histogram_quantiles(
+        _t(spark, sf_dir, "events").select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        "event_id",
+        width=2.5,
+        nbins=256,
+        qs=[50, 95],
     )

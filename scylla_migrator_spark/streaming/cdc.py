@@ -51,7 +51,21 @@ class CdcReplicator:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        state = self._read_state(spark)
         drift_added: list[str] = []
+        if self.allow_schema_drift and state is not None:
+            # adopt columns earlier drift persisted into state BEFORE
+            # computing this batch's drift: a restarted replicator (fresh
+            # constructor value_cols) must not re-report long-known columns
+            # as new drift, and the compact below must not drop them
+            known = {*self.key_cols, *SEQ_COLS, OP_COL}
+            persisted = [
+                c
+                for c in state.columns
+                if c not in known and c not in self.value_cols
+            ]
+            if persisted:
+                self.value_cols = [*self.value_cols, *persisted]
         if self.allow_schema_drift:
             # DynamoDB/Alternator items are SCHEMALESS: a stream batch may
             # carry attributes never declared up front, or omit declared
@@ -83,19 +97,6 @@ class CdcReplicator:
             entry["drift_added"] = drift_added
         self.metrics.append(entry)
 
-        state = self._read_state(spark)
-        if self.allow_schema_drift and state is not None:
-            # a RESTARTED replicator only knows its constructor value_cols;
-            # re-adopt columns that earlier drift persisted into state, or
-            # the compact below would silently drop them from the target
-            known = {*self.key_cols, *SEQ_COLS, OP_COL}
-            persisted = [
-                c
-                for c in state.columns
-                if c not in known and c not in self.value_cols
-            ]
-            if persisted:
-                self.value_cols = [*self.value_cols, *persisted]
         merged = (
             batch
             if state is None

@@ -324,3 +324,5 @@ def test_schema_drift_survives_replicator_restart(spark, tmp_path):
     rows = {r["user_id"]: r for r in rep2.current(spark).collect()}
     assert rows[1]["tier"] == "gold"  # drifted column survived the restart
     assert rows[2]["tier"] is None
+    # a column adopted from persisted state is NOT re-reported as drift
+    assert "drift_added" not in rep2.metrics[0]
