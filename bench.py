@@ -230,6 +230,7 @@ HEADLINE = [
     "dup_graph_modularity",
     "daily_seasonal_decomposition",
     "grouped_quantile_sketch",
+    "weekly_p95_drift",
 ]
 
 

@@ -8825,3 +8825,103 @@ def grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbins=256,
         qs=[50, 95],
     )
+
+
+@_register(
+    "weekly_p95_drift",
+    """
+    WITH binned AS (
+      SELECT event_type,
+             (epoch_us(ts) // 604800000000)::BIGINT AS week,
+             least(255, CAST(floor(value / 2.5) AS INT)) AS bin
+      FROM events),
+    hist AS (SELECT event_type, week, bin, count(*) AS cnt
+             FROM binned GROUP BY event_type, week, bin),
+    cum AS (
+      SELECT event_type, week, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type, week ORDER BY bin)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type, week) AS n
+      FROM hist),
+    crossed AS (
+      SELECT event_type, week, bin, cnt, cum, cum - cnt AS cum_before,
+             (95 * n + 99) // 100 AS needed
+      FROM cum),
+    chosen AS (
+      SELECT event_type, week,
+             round(bin * 2.5 + 2.5 * (needed - cum_before) / cnt, 6) AS p95
+      FROM crossed WHERE cum >= needed AND cum - cnt < needed)
+    SELECT event_type, week, p95,
+           round(coalesce(p95 - lag(p95) OVER (PARTITION BY event_type
+                                               ORDER BY week), 0), 6)
+             AS wow_change
+    FROM chosen
+    """,
+)
+def weekly_p95_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency drift monitor: per-type weekly p95 of the event value
+    from the MERGEABLE histogram sketch, with week-over-week change —
+    the composition a production SLO dashboard actually runs (the mean
+    hides tail regressions; weekly_event_drift sees volume, this sees
+    the tail). State is |types| x |weeks| x 256 integers from one
+    map-side-combined pass; the lag window runs over the tiny
+    (type, week) sketch frame, never raw events. Same integer-crossing
+    + single-interpolation contract as _histogram_quantiles, without
+    the exact-sort error readout (at scale the sketch IS the
+    measurement; histogram_quantile_sketch quantifies its error)."""
+    from pyspark.sql import Window
+
+    nbins, width = 256, 2.5
+    week_ns = 604_800_000_000_000
+    hist = (
+        _fan(_t(spark, sf_dir, "events"))
+        .select(
+            "event_type",
+            F.expr(f"ts DIV {week_ns}").alias("week"),
+            F.least(
+                F.lit(nbins - 1), F.floor(F.col("value") / F.lit(width)).cast("int")
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "week", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "week")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type", "week")
+    cum = hist.select(
+        "event_type",
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    crossed = cum.select(
+        "event_type",
+        "week",
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+        F.expr("(95 * n + 99) div 100").alias("needed"),
+    )
+    p95 = F.round(
+        F.col("bin") * F.lit(width)
+        + F.lit(width) * (F.col("needed") - F.col("cum_before")) / F.col("cnt"),
+        6,
+    )
+    chosen = crossed.where(
+        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
+    ).select("event_type", "week", p95.alias("p95"))
+    w_lag = Window.partitionBy("event_type").orderBy("week")
+    return chosen.select(
+        "event_type",
+        "week",
+        "p95",
+        F.round(
+            F.coalesce(F.col("p95") - F.lag("p95").over(w_lag), F.lit(0.0)), 6
+        ).alias("wow_change"),
+    )
