@@ -76,9 +76,11 @@ def test_histogram_quantile_error_within_one_bin(spark, sf_dir):
     rows = QUERIES["histogram_quantile_sketch"](spark, sf_dir).collect()
     assert {r["q"] for r in rows} == {25, 50, 75, 95}
     for r in rows:
-        # interpolation lands inside the crossing bin; the exact discrete
-        # quantile lies in that same bin, so the gap is < one bin width
-        assert abs(r["err"]) < 2343.75, r
+        # interpolation lands inside the crossing bin (upper edge
+        # inclusive: needed == cnt maps to the bin's top); the exact
+        # discrete quantile lies in that same bin, so the gap is at most
+        # one bin width
+        assert abs(r["err"]) <= 2343.75, r
 
 
 def test_bloom_negate_keeps_only_definite_non_members(spark, sf_dir):
@@ -139,3 +141,31 @@ def test_bloom_totality_no_false_negatives(spark, build, probe, num_bits, num_ha
     assert members <= kept          # no false negatives
     assert not (anti & build)       # negate keeps no member
     assert kept | anti == set(probe)  # the two modes partition the probe
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=599999.0, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([25, 50, 75, 95]),
+)
+@settings(max_examples=10, deadline=None)
+def test_histogram_quantile_within_one_bin_any_distribution(spark, values, q):
+    """The crossing+interpolation contract, property form: for ANY value
+    distribution and any quantile, the histogram estimate lands inside
+    the crossing bin, so |est - exact_disc| < one bin width."""
+    from scylla_migrator_spark.plans.queries import _histogram_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    rows = _histogram_quantiles(
+        df, [], "v", "id", width=2343.75, nbins=256, qs=[q]
+    ).collect()
+    assert len(rows) == 1
+    # inclusive: one value at a bin's lower edge puts the estimate at the
+    # bin's upper edge - exactly one width away
+    assert abs(rows[0]["err"]) <= 2343.75, rows[0]
