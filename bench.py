@@ -231,6 +231,7 @@ HEADLINE = [
     "daily_seasonal_decomposition",
     "grouped_quantile_sketch",
     "weekly_p95_drift",
+    "linear_probe_training",
 ]
 
 

@@ -8925,3 +8925,175 @@ def weekly_p95_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("p95") - F.lag("p95").over(w_lag), F.lit(0.0)), 6
         ).alias("wow_change"),
     )
+
+
+@_register(
+    "linear_probe_training",
+    _hashed_emb_cte(16) + """,
+    lab AS (
+      SELECT e.doc_id, e.v,
+             CASE WHEN CAST(substr(d.source, 4) AS INT) % 2 = 0
+                  THEN 1 ELSE 0 END AS y
+      FROM emb e JOIN documents d USING (doc_id)),
+    nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+    dims AS (SELECT unnest(range(16)) AS j),
+    g1 AS (
+      SELECT j, sum(CAST((0.5 - y) * v[j + 1] AS DECIMAL(28,14))) AS g
+      FROM lab CROSS JOIN dims GROUP BY j),
+    w1 AS (SELECT j, CAST(g AS DOUBLE) * -0.5 / n AS w FROM g1, nn),
+    w1p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w1_0,
+             max(CASE WHEN j = 1 THEN w END) AS w1_1,
+             max(CASE WHEN j = 2 THEN w END) AS w1_2,
+             max(CASE WHEN j = 3 THEN w END) AS w1_3,
+             max(CASE WHEN j = 4 THEN w END) AS w1_4,
+             max(CASE WHEN j = 5 THEN w END) AS w1_5,
+             max(CASE WHEN j = 6 THEN w END) AS w1_6,
+             max(CASE WHEN j = 7 THEN w END) AS w1_7,
+             max(CASE WHEN j = 8 THEN w END) AS w1_8,
+             max(CASE WHEN j = 9 THEN w END) AS w1_9,
+             max(CASE WHEN j = 10 THEN w END) AS w1_10,
+             max(CASE WHEN j = 11 THEN w END) AS w1_11,
+             max(CASE WHEN j = 12 THEN w END) AS w1_12,
+             max(CASE WHEN j = 13 THEN w END) AS w1_13,
+             max(CASE WHEN j = 14 THEN w END) AS w1_14,
+             max(CASE WHEN j = 15 THEN w END) AS w1_15
+            FROM w1),
+    z1 AS (
+      SELECT l.doc_id, l.y, l.v,
+             w1_0 * v[1] + w1_1 * v[2] + w1_2 * v[3] + w1_3 * v[4] + w1_4 * v[5] + w1_5 * v[6] + w1_6 * v[7] + w1_7 * v[8] + w1_8 * v[9] + w1_9 * v[10] + w1_10 * v[11] + w1_11 * v[12] + w1_12 * v[13] + w1_13 * v[14] + w1_14 * v[15] + w1_15 * v[16] AS z
+      FROM lab l CROSS JOIN w1p),
+    r1 AS (SELECT doc_id, y, v, 1.0 / (1.0 + exp(-z)) - y AS r FROM z1),
+    g2 AS (
+      SELECT j, sum(CAST(r * v[j + 1] AS DECIMAL(28,14))) AS g
+      FROM r1 CROSS JOIN dims GROUP BY j),
+    w2 AS (
+      SELECT g2.j, w1.w + CAST(g2.g AS DOUBLE) * -0.5 / n AS w
+      FROM g2 JOIN w1 ON g2.j = w1.j, nn),
+    w2p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w2_0,
+             max(CASE WHEN j = 1 THEN w END) AS w2_1,
+             max(CASE WHEN j = 2 THEN w END) AS w2_2,
+             max(CASE WHEN j = 3 THEN w END) AS w2_3,
+             max(CASE WHEN j = 4 THEN w END) AS w2_4,
+             max(CASE WHEN j = 5 THEN w END) AS w2_5,
+             max(CASE WHEN j = 6 THEN w END) AS w2_6,
+             max(CASE WHEN j = 7 THEN w END) AS w2_7,
+             max(CASE WHEN j = 8 THEN w END) AS w2_8,
+             max(CASE WHEN j = 9 THEN w END) AS w2_9,
+             max(CASE WHEN j = 10 THEN w END) AS w2_10,
+             max(CASE WHEN j = 11 THEN w END) AS w2_11,
+             max(CASE WHEN j = 12 THEN w END) AS w2_12,
+             max(CASE WHEN j = 13 THEN w END) AS w2_13,
+             max(CASE WHEN j = 14 THEN w END) AS w2_14,
+             max(CASE WHEN j = 15 THEN w END) AS w2_15
+            FROM w2),
+    scored AS (
+      SELECT l.y,
+             w2_0 * v[1] + w2_1 * v[2] + w2_2 * v[3] + w2_3 * v[4] + w2_4 * v[5] + w2_5 * v[6] + w2_6 * v[7] + w2_7 * v[8] + w2_8 * v[9] + w2_9 * v[10] + w2_10 * v[11] + w2_11 * v[12] + w2_12 * v[13] + w2_13 * v[14] + w2_14 * v[15] + w2_15 * v[16] AS z
+      FROM lab l CROSS JOIN w2p),
+    acc AS (
+      SELECT sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+               AS train_correct
+      FROM scored)
+    SELECT w2.j AS dim, round(w2.w, 9) + 0.0 AS weight,
+           acc.train_correct, nn.n AS n_rows
+    FROM w2, acc, nn
+    """,
+)
+def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINED model with SQL-replayed training: a logistic-
+    regression probe (source-parity label) fit by two full-batch
+    gradient-descent iterations over the hashed bag-of-words features —
+    the quality-classifier/linear-probe shape (fastText-style filtering,
+    representation probing) done Spark-first. Output = the trained
+    16-dim weight vector + exact training accuracy.
+
+    Determinism at scale (the k-means/PageRank discipline applied to
+    SGD's deterministic sibling): full-batch GD makes each iteration ONE
+    map-side-combined per-dim aggregate; every per-row gradient
+    contribution truncates to DECIMAL(28,14) BEFORE the sum, so the
+    reduction is exact decimal addition and shuffle order cannot move a
+    weight. The sigmoid's exp and all weight updates run in double with
+    an operation-order-identical oracle (16-term dot products spelled
+    left-to-right in both engines); iteration 1 exploits sigma(0) = 0.5
+    exactly. Accuracy uses the sign rule z > 0 — an exact comparison,
+    no float threshold. Two iterations keep the unrolled oracle bounded;
+    the at-scale loop adds the localCheckpoint cadence
+    connected_components uses."""
+    feats = _fan(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v"),
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    nn = feats.agg(F.count("*").alias("n"))
+
+    def grad(rows, resid_col):
+        ex = rows.select(
+            resid_col.alias("r"), F.posexplode("v").alias("j", "xj")
+        )
+        return ex.groupBy("j").agg(
+            F.sum((F.col("r") * F.col("xj")).cast("decimal(28,14)")).alias("g")
+        )
+
+    def pivot_w(w, prefix):
+        return w.agg(
+            *[
+                F.max(F.when(F.col("j") == k, F.col("w"))).alias(f"{prefix}{k}")
+                for k in range(16)
+            ]
+        )
+
+    def dot(prefix):
+        expr = F.col(f"{prefix}0") * F.element_at("v", 1)
+        for k in range(1, 16):
+            expr = expr + F.col(f"{prefix}{k}") * F.element_at("v", k + 1)
+        return expr
+
+    g1 = grad(feats, F.lit(0.5) - F.col("y"))
+    w1 = g1.crossJoin(F.broadcast(nn)).select(
+        "j", (F.col("g").cast("double") * F.lit(-0.5) / F.col("n")).alias("w")
+    )
+    z1 = feats.crossJoin(F.broadcast(pivot_w(w1, "w1_"))).select(
+        "doc_id", "y", "v", dot("w1_").alias("z")
+    )
+    r1 = z1.select(
+        "doc_id",
+        "y",
+        "v",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("r"),
+    )
+    g2 = grad(r1, F.col("r"))
+    w2 = (
+        g2.join(w1.withColumnRenamed("w", "w_prev"), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j",
+            (
+                F.col("w_prev")
+                + F.col("g").cast("double") * F.lit(-0.5) / F.col("n")
+            ).alias("w"),
+        )
+    )
+    scored = feats.crossJoin(F.broadcast(pivot_w(w2, "w2_"))).select(
+        "y", dot("w2_").alias("z")
+    )
+    acc = scored.agg(
+        F.sum(
+            F.when((F.col("z") > 0) == (F.col("y") == 1), 1).otherwise(0)
+        ).alias("train_correct")
+    )
+    return (
+        w2.crossJoin(F.broadcast(acc))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("j").alias("dim"),
+            # + 0.0 normalizes IEEE negative zero (round can yield -0.0 in
+            # one engine and 0.0 in the other; str-canon would diverge)
+            (F.round("w", 9) + F.lit(0.0)).alias("weight"),
+            "train_correct",
+            F.col("n").alias("n_rows"),
+        )
+    )
