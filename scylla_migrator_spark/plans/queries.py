@@ -7943,12 +7943,14 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _histogram_quantiles(
     df, group_cols, value_col, order_col, *, width, nbins, qs
 ):
-    """Shared bin/cumulate/cross/interpolate/rank pipeline behind BOTH
-    histogram-quantile queries (global and per-group): one spelling of
-    the integer crossing rule (cum >= needed > cum_before with
-    needed = ceil(q*n/100)) and the double interpolation, so the
-    contract cannot diverge between the two. ``group_cols`` empty =
-    the global form."""
+    """Shared bin/cumulate/cross/interpolate/rank pipeline behind EVERY
+    histogram-quantile query (global, per-group, and the sketch-only
+    weekly-drift form): one spelling of the integer crossing rule
+    (cum >= needed > cum_before with needed = ceil(q*n/100)) and the
+    double interpolation, so the contract cannot diverge between
+    consumers. ``group_cols`` empty = the global form;
+    ``order_col=None`` = sketch-only (no exact-sort readout: returns
+    group_cols + q + needed + est)."""
     from pyspark.sql import Window
 
     hist = (
@@ -7990,6 +7992,13 @@ def _histogram_quantiles(
     chosen = crossed.where(
         (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
     )
+    est = F.col("bin") * F.lit(width) + F.lit(width) * (
+        F.col("needed") - F.col("cum_before")
+    ) / F.col("cnt")
+    if order_col is None:
+        return chosen.select(
+            *group_cols, "q", "needed", F.round(est, 6).alias("est")
+        )
     w_rank = Window.partitionBy(*group_cols).orderBy(value_col, order_col)
     ranked = df.select(
         *group_cols,
@@ -8001,9 +8010,6 @@ def _histogram_quantiles(
     join_cond = F.col("rn") == F.col("needed")
     for c in group_cols:
         join_cond = join_cond & (F.col(f"__r_{c}") == F.col(c))
-    est = F.col("bin") * F.lit(width) + F.lit(width) * (
-        F.col("needed") - F.col("cum_before")
-    ) / F.col("cnt")
     return chosen.join(ranked, join_cond).select(
         *group_cols,
         "q",
@@ -8871,53 +8877,17 @@ def weekly_p95_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement; histogram_quantile_sketch quantifies its error)."""
     from pyspark.sql import Window
 
-    nbins, width = 256, 2.5
     week_ns = 604_800_000_000_000
-    hist = (
-        _fan(_t(spark, sf_dir, "events"))
-        .select(
-            "event_type",
-            F.expr(f"ts DIV {week_ns}").alias("week"),
-            F.least(
-                F.lit(nbins - 1), F.floor(F.col("value") / F.lit(width)).cast("int")
-            ).alias("bin"),
-        )
-        .groupBy("event_type", "week", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
-    w_cum = (
-        Window.partitionBy("event_type", "week")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("event_type", "week")
-    cum = hist.select(
+    ev = _fan(_t(spark, sf_dir, "events")).select(
         "event_type",
-        "week",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+        F.expr(f"ts DIV {week_ns}").alias("week"),
+        "value",
     )
-    crossed = cum.select(
-        "event_type",
-        "week",
-        "bin",
-        "cnt",
-        "cum",
-        (F.col("cum") - F.col("cnt")).alias("cum_before"),
-        F.expr("(95 * n + 99) div 100").alias("needed"),
-    )
-    p95 = F.round(
-        F.col("bin") * F.lit(width)
-        + F.lit(width) * (F.col("needed") - F.col("cum_before")) / F.col("cnt"),
-        6,
-    )
-    chosen = crossed.where(
-        (F.col("cum") >= F.col("needed")) & (F.col("cum_before") < F.col("needed"))
-    ).select("event_type", "week", p95.alias("p95"))
+    p95 = _histogram_quantiles(
+        ev, ["event_type", "week"], "value", None, width=2.5, nbins=256, qs=[95]
+    ).select("event_type", "week", F.col("est").alias("p95"))
     w_lag = Window.partitionBy("event_type").orderBy("week")
-    return chosen.select(
+    return p95.select(
         "event_type",
         "week",
         "p95",
@@ -8932,7 +8902,7 @@ def weekly_p95_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _hashed_emb_cte(16) + """,
     lab AS (
       SELECT e.doc_id, e.v,
-             CASE WHEN CAST(substr(d.source, 4) AS INT) % 2 = 0
+             CASE WHEN TRY_CAST(substr(d.source, 4, 10) AS INT) % 2 = 0
                   THEN 1 ELSE 0 END AS y
       FROM emb e JOIN documents d USING (doc_id)),
     nn AS (SELECT count(*)::BIGINT AS n FROM lab),
@@ -9022,8 +8992,12 @@ def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _fan(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v"),
+        # TRY_CAST + fixed-length substr on BOTH engines: a non-numeric
+        # or over-long source suffix labels y=0 identically instead of
+        # crashing the oracle while Spark silently nulls through
         F.when(
-            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1)
+            F.expr("try_cast(substring(source, 4, 10) as int)") % 2 == 0,
+            F.lit(1),
         )
         .otherwise(F.lit(0))
         .alias("y"),
@@ -9077,23 +9051,32 @@ def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # ONE aggregate over the w2p-joined frame yields accuracy, n, AND
+    # carries the 16 weights (max of a constant column) — the w2 training
+    # subtree appears once in the final plan instead of twice, and the
+    # separate count scan folds in (review: the output branch previously
+    # re-derived scored/g2/g1/feats independently of the weight branch)
     scored = feats.crossJoin(F.broadcast(pivot_w(w2, "w2_"))).select(
-        "y", dot("w2_").alias("z")
+        "y", dot("w2_").alias("z"), *[f"w2_{k}" for k in range(16)]
     )
-    acc = scored.agg(
+    row = scored.agg(
         F.sum(
             F.when((F.col("z") > 0) == (F.col("y") == 1), 1).otherwise(0)
-        ).alias("train_correct")
+        ).alias("train_correct"),
+        F.count("*").alias("n_rows"),
+        *[F.max(F.col(f"w2_{k}")).alias(f"w2_{k}") for k in range(16)],
     )
-    return (
-        w2.crossJoin(F.broadcast(acc))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            F.col("j").alias("dim"),
-            # + 0.0 normalizes IEEE negative zero (round can yield -0.0 in
-            # one engine and 0.0 in the other; str-canon would diverge)
-            (F.round("w", 9) + F.lit(0.0)).alias("weight"),
-            "train_correct",
-            F.col("n").alias("n_rows"),
-        )
+    # + 0.0 normalizes IEEE negative zero (round can yield -0.0 in one
+    # engine and 0.0 in the other; str-canon would diverge)
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("dim"),
+                (F.round(F.col(f"w2_{k}"), 9) + F.lit(0.0)).alias("weight"),
+            )
+            for k in range(16)
+        ]
     )
+    return row.select(
+        F.explode(dims).alias("s"), "train_correct", "n_rows"
+    ).select("s.dim", "s.weight", "train_correct", "n_rows")
