@@ -1188,3 +1188,70 @@ def cross_corpus_lsh_candidates(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Segment-level (passage-level) corpus dedup with document
+    reconstruction — the CCNet / Dolma "remove duplicated paragraphs,
+    keep the document" operation (Wenzek et al. 2019 §3.1; exact dedup in
+    the reference operates at whole-row granularity, ``Cassandra.scala``
+    digest compare — this is its sub-document extension for training
+    corpora).
+
+    Each document is cut into NON-overlapping ``seg_tokens``-token
+    segments (the last may be shorter); an occurrence of a segment is
+    kept iff it is the corpus-wide FIRST occurrence of that segment text
+    under the total order (doc_id, seg_idx) — later repeats, whether in
+    other documents or later in the same document, are dropped. Each
+    document is then re-assembled from its surviving segments in order.
+
+    Output: one row per input document —
+    (id_col, n_segments, kept_segments, cleaned_text), where
+    ``cleaned_text`` is '' when every segment was a repeat.
+
+    Scale shape: segmentation is a scan-stage projection (sequence ->
+    slice -> posexplode, no Python). Shuffle 1 hash-partitions segment
+    occurrences by a 128-bit digest of the segment text to rank
+    first-vs-repeat (the segment text rides along once — reconstruction
+    needs it back, so carrying it here replaces a second join that would
+    shuffle the same bytes anyway); shuffle 2 regroups kept segments by
+    document. Both keys are high-cardinality and skew-free by
+    construction (digests), and no pair table or cross join ever forms —
+    cost is O(corpus segments), the same envelope CCNet runs at web
+    scale."""
+    if seg_tokens <= 0:
+        raise ValueError("seg_tokens must be positive")
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nseg = F.greatest(F.ceil(n / F.lit(float(seg_tokens))).cast("int"), F.lit(1))
+    segs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * F.lit(seg_tokens) + F.lit(1), seg_tokens)
+        ),
+    )
+    seg = df.select(F.col(id_col), F.posexplode(segs).alias("__pos", "seg_text")).select(
+        id_col, (F.col("__pos") + F.lit(1)).alias("seg_idx"), "seg_text"
+    )
+    w = Window.partitionBy(F.md5(F.col("seg_text"))).orderBy(id_col, "seg_idx")
+    ranked = seg.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(kept_struct).alias("kept_segments"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.getField("seg_text")
+            ),
+        ).alias("cleaned_text"),
+    )

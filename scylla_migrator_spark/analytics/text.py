@@ -671,3 +671,82 @@ def tfidf_hashed_features(
     return terms.groupBy(id_col, "bucket").agg(
         F.round(F.sum("t").cast("double"), 6).alias("w")
     )
+
+
+# the eight "must contain >= 2 of these" words from the Gopher quality
+# rules (Rae et al. 2021, arXiv 2112.11446 Appendix A1.1) — data, not code
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_stats(t: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_words, total_word_chars, alpha_words, distinct_stopword_hits) for
+    the Gopher rules — shared by the flag projection and the curation-stage
+    predicate so both surfaces apply byte-identical rule arithmetic."""
+    toks = tokens(t)
+    n = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(stop_arr, lambda m: F.array_contains(toks, m)))
+    return n, total_chars, alpha_words, stop_hits
+
+
+def gopher_pass(col: Column) -> Column:
+    """Boolean conjunction of the Gopher document-level rules (see
+    ``gopher_quality``) — the keep-predicate form for curation pipelines:
+    folds into the scan stage, no shuffle, no Python."""
+    n, total_chars, alpha_words, stop_hits = _gopher_stats(col)
+    return (
+        (n >= 50)
+        & (n <= 100000)
+        & (total_chars >= F.lit(3) * n)
+        & (total_chars <= F.lit(10) * n)
+        & (F.lit(10) * alpha_words >= F.lit(9) * n)
+        & (stop_hits >= 2)
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher rule-based document quality filter (Rae et al. 2021, arXiv
+    2112.11446 Appendix A1.1), the companion to the statistical
+    ``quality_features`` scorer: each published document-level rule becomes
+    an integer-exact 0/1 flag plus the measured statistic, and
+    ``pass_gopher`` is their conjunction.
+
+    Rules implemented (document-level; the line-level bullet/ellipsis rules
+    are omitted because this corpus model is single-line text):
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - >= 90% of words contain at least one alphabetic character
+    - at least 2 of the 8 designated English stopwords appear
+
+    Threshold comparisons are evaluated on cross-multiplied INTEGERS
+    (``total_chars >= 3 * n_words``), never on a floating quotient, so a
+    document sitting exactly on a published boundary flags identically on
+    every engine; the quotients themselves are emitted rounded to 6 dp for
+    reporting only.
+
+    Scale shape: one narrow whole-stage-codegen projection — no shuffle, no
+    Python, no join; the flags fold into any downstream curation scan (the
+    predicate form is ``gopher_pass`` / the ``gopher_filter`` curation
+    stage)."""
+    t = F.col(text_col)
+    n, total_chars, alpha_words, stop_hits = _gopher_stats(t)
+
+    def _flag(cond) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    return df.select(
+        "*",
+        n.alias("n_words"),
+        F.round(total_chars / n, 6).alias("mean_word_len"),
+        F.round(alpha_words / n, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        _flag((n >= 50) & (n <= 100000)).alias("flag_word_count"),
+        _flag(
+            (total_chars >= F.lit(3) * n) & (total_chars <= F.lit(10) * n)
+        ).alias("flag_mean_word_len"),
+        _flag(F.lit(10) * alpha_words >= F.lit(9) * n).alias("flag_alpha_words"),
+        _flag(stop_hits >= 2).alias("flag_stopwords"),
+        _flag(gopher_pass(t)).alias("pass_gopher"),
+    )

@@ -206,6 +206,7 @@ _OPS: dict[str, Any] = {
     "intra_doc_repetition_filter": _v_intra_dup,
     "exact_dedup": _v_exact_dedup,
     "near_dedup": _v_near_dedup,
+    "gopher_filter": _v_empty,
     "readability_filter": _v_readability,
     "diversity_filter": _v_diversity,
     "history_bloom_dedup": _v_history_bloom,
@@ -338,11 +339,44 @@ class CurationConfig:
 class CurationResult:
     df: DataFrame
     observations: list[tuple[str, Observation]] = field(default_factory=list)
+    # the observed frame per stage, parallel to `observations` — the
+    # recount fallback for stages whose metrics were optimized away
+    frames: list[tuple[str, DataFrame]] = field(default_factory=list)
 
     def counts(self) -> dict[str, int]:
         """Per-stage survivor counts. Valid AFTER an action on ``df`` (the
-        observations ride that action — zero extra passes)."""
-        return {name: int(obs.get["rows"]) for name, obs in self.observations}
+        observations ride that action — zero extra passes on the normal
+        path).
+
+        Degenerate-empty fallback: when some stage drops EVERY row, AQE's
+        empty-relation re-plan can eliminate CollectMetrics nodes from the
+        executed plan — Spark then completes those observations with the
+        schemaless EMPTY row (on which `Observation.get` dies JVM-side and
+        `getOrEmpty` NPEs), and that can hit every stage's metrics, not
+        just the post-empty ones. Such stages are detected (future not
+        completed within the shared poll deadline, or completed with the
+        empty row — `Row.size()` is the one safe probe) and RECOUNTED with
+        a per-stage count() on the retained frame, so the audit report
+        stays factual (the input count of a fully-filtered corpus is its
+        real size, not 0). The recount only ever runs in that degenerate
+        case; a pipeline with any surviving rows never pays it."""
+        import time
+
+        deadline = time.monotonic() + 10.0
+        frames = dict(self.frames)
+        out: dict[str, int] = {}
+        for name, obs in self.observations:
+            fut = obs._jo.future()
+            while not fut.isCompleted() and time.monotonic() < deadline:
+                time.sleep(0.02)
+            jrow = obs._jo.getRow() if fut.isCompleted() else None
+            if jrow is not None and jrow.size() > 0:
+                out[name] = int(obs.get["rows"])
+            elif name in frames:
+                out[name] = frames[name].count()
+            else:
+                out[name] = 0
+        return out
 
 
 def _stage_predicate(cfg: CurationConfig, st: dict) -> Column | None:
@@ -367,6 +401,11 @@ def _stage_predicate(cfg: CurationConfig, st: dict) -> Column | None:
         return alpha >= st["min_alpha_ratio"]
     if op == "lang_filter":
         return F.col(cfg.lang_column).isin(st["allow"])
+    if op == "gopher_filter":
+        # the published Gopher document-level rules as one scan-stage
+        # predicate (text.gopher_pass); parameterless by design — the
+        # thresholds are the paper's, not knobs
+        return TXT.gopher_pass(t)
     if op == "repetition_filter":
         return None  # needs the per-doc bigram aggregation (join stage)
     if op == "intra_doc_repetition_filter":
@@ -404,7 +443,9 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
             return frame
         obs = Observation(name)
         result.observations.append((name, obs))
-        return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+        result.frames.append((name, observed))
+        return observed
 
     df = _observe(df, "stage00_input")
     for i, st in enumerate(cfg.stages, start=1):

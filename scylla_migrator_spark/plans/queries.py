@@ -9080,3 +9080,104 @@ def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.explode(dims).alias("s"), "train_correct", "n_rows"
     ).select("s.dim", "s.weight", "train_correct", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# round-5d: passage-level corpus dedup + Gopher rule-based quality filter
+
+
+@_register(
+    "segment_dedup_reconstruct",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1) AS nseg
+      FROM toks),
+    seg AS (
+      SELECT doc_id,
+             unnest(generate_series(1, nseg)) AS seg_idx,
+             unnest(list_transform(generate_series(1, nseg),
+               i -> array_to_string(list_slice(t, (i - 1) * 16 + 1, i * 16), ' '))) AS seg_text
+      FROM sized),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(CASE WHEN rn = 1 THEN 1 END) AS kept_segments,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '')
+             AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Dolma-style passage-level dedup (dedup.segment_dedup, Wenzek
+    et al. 2019 §3.1): cut every document into non-overlapping 16-token
+    segments, keep only the corpus-wide first occurrence of each segment
+    text (ordered by doc_id then position), and re-assemble each document
+    from its surviving segments — the sub-document granularity between
+    whole-doc exact dedup (dedup_exact) and window-hash overlap detection
+    (substring_dup_fraction): repeats are REMOVED while the host
+    documents survive. The oracle replays the identical
+    first-occurrence window rank and ordered re-assembly in SQL."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return D.segment_dedup(docs, "text", "doc_id", seg_tokens=16)
+
+
+@_register(
+    "gopher_quality_flags",
+    """
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             len(w) AS nw,
+             list_sum(list_transform(w, x -> length(x))) AS tc,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 m -> list_contains(w, m))) AS sh
+      FROM t)
+    SELECT doc_id, source,
+           nw AS n_words,
+           round(tc / nw, 6) AS mean_word_len,
+           round(aw / nw, 6) AS alpha_word_ratio,
+           sh AS stop_hits,
+           CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS flag_word_count,
+           CASE WHEN tc >= 3 * nw AND tc <= 10 * nw THEN 1 ELSE 0 END AS flag_mean_word_len,
+           CASE WHEN 10 * aw >= 9 * nw THEN 1 ELSE 0 END AS flag_alpha_words,
+           CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+           CASE WHEN nw >= 50 AND nw <= 100000
+                 AND tc >= 3 * nw AND tc <= 10 * nw
+                 AND 10 * aw >= 9 * nw AND sh >= 2 THEN 1 ELSE 0 END AS pass_gopher
+    FROM s
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (text.gopher_quality, Rae et al.
+    2021 arXiv 2112.11446 Appendix A1.1): the published document-level
+    rules — word-count bounds, mean-word-length bounds, 90%-alphabetic
+    words, >= 2 designated stopwords — as integer-exact 0/1 flags plus
+    the conjunction verdict, evaluated with cross-multiplied integer
+    comparisons so boundary documents flag identically on both engines.
+    The heuristic-rule complement to the statistical text_quality
+    scorer; one shuffle-free codegen projection."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = TXT.gopher_quality(docs, "text")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "stop_hits",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_alpha_words",
+        "flag_stopwords",
+        "pass_gopher",
+    )

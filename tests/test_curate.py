@@ -154,13 +154,14 @@ def test_curation_yaml_example_decodes(tmp_path):
     assert [s["op"] for s in cfg.stages] == [
         "length_filter", "quality_filter", "lang_filter", "pii_redact",
         "repetition_filter", "intra_doc_repetition_filter",
-        "readability_filter", "diversity_filter", "exact_dedup",
-        "near_dedup",
+        "gopher_filter", "readability_filter", "diversity_filter",
+        "exact_dedup", "near_dedup",
     ]
     assert cfg.target_path == "/tmp/curated_documents"
     assert cfg.stages[5]["n"] == 8
-    assert cfg.stages[6] == {"op": "readability_filter", "min_flesch": -50.0, "max_flesch": 150.0}
-    assert cfg.stages[7] == {"op": "diversity_filter", "min_ttr": 0.2}
+    assert cfg.stages[6] == {"op": "gopher_filter"}
+    assert cfg.stages[7] == {"op": "readability_filter", "min_flesch": -50.0, "max_flesch": 150.0}
+    assert cfg.stages[8] == {"op": "diversity_filter", "min_ttr": 0.2}
 
 
 def test_curate_stream_rejects_join_stages(spark, corpus):
@@ -639,3 +640,73 @@ def test_history_bloom_report_semantics(spark, tmp_path):
     run_curation(spark, cfg)
     report = json.loads((tmp_path / "curated_out" / "_curation_report.json").read_text())
     assert "guaranteed-novel" in report["stages"][0]["semantics"]
+
+
+def test_gopher_filter_stage(spark, tmp_path):
+    """gopher_filter: the published Gopher document rules as one
+    parameterless scan-stage predicate, byte-identical to the
+    gopher_quality flag projection (shared _gopher_stats arithmetic)."""
+    from scylla_migrator_spark.analytics.text import gopher_quality
+
+    good = "the and " + " ".join(f"tok{i:03d}" for i in range(48))
+    rows = [
+        (1, good),                                # every rule passes
+        (2, "the and " + " ".join(["abc"] * 40)),  # 42 words: word-count fails
+        (3, good.replace("the and ", "zzz qqq ")),  # no designated stopwords
+        (4, "the and " + " ".join(["12345"] * 48)),  # alpha ratio fails
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [{"op": "gopher_filter"}],
+        }
+    )
+    result = curate(spark, cfg)
+    assert sorted(r["doc_id"] for r in result.df.collect()) == [1]
+    # the stage predicate and the flag projection agree doc-for-doc
+    flags = {
+        r["doc_id"]: r["pass_gopher"]
+        for r in gopher_quality(spark.read.parquet(src)).collect()
+    }
+    assert flags == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_gopher_filter_rejects_params():
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict(
+            {
+                "source": {"type": "parquet", "path": "/tmp/x"},
+                "stages": [{"op": "gopher_filter", "minWords": 10}],
+            }
+        )
+
+
+def test_fully_filtered_corpus_report_stays_factual(spark, corpus, tmp_path):
+    """When a stage drops EVERY row, AQE's empty-relation re-plan strips
+    the CollectMetrics nodes from the executed plan and Spark completes
+    the observations with the schemaless empty row (Observation.get dies
+    on it). run_curation must still finish, write the empty target plus
+    the report, and the report must stay FACTUAL: the input count is the
+    corpus size, not 0 (recount fallback)."""
+    tgt = str(tmp_path / "empty_out")
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": corpus},
+            "stages": [
+                {"op": "length_filter", "minTokens": 10**6},
+                {"op": "exact_dedup"},
+            ],
+            "target": {"type": "parquet", "path": tgt},
+        }
+    )
+    run_curation(spark, cfg)
+    assert spark.read.parquet(tgt).count() == 0
+    report = json.load(open(f"{tgt}/_curation_report.json"))
+    assert report["stage_counts"] == {
+        "stage00_input": 7,
+        "stage01_length_filter": 0,
+        "stage02_exact_dedup": 0,
+    }

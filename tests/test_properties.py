@@ -357,7 +357,7 @@ _cfg_value = st.recursive(
 _known_ops = st.sampled_from([
     "length_filter", "quality_filter", "lang_filter", "pii_redact",
     "repetition_filter", "intra_doc_repetition_filter", "exact_dedup",
-    "near_dedup", "readability_filter", "diversity_filter",
+    "near_dedup", "readability_filter", "diversity_filter", "gopher_filter",
 ])
 _stage = st.one_of(
     _cfg_value,

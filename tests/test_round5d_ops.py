@@ -1,0 +1,118 @@
+"""Round-5d operators: passage-level (segment) corpus dedup with document
+reconstruction, and the Gopher rule-based quality filter.
+
+Both also run under the full oracle-parity suite; these tests pin the edge
+semantics the fixture corpus cannot exercise: keep-first ordering across and
+within documents, short-document segmentation, full-repeat reconstruction to
+'', and integer-exact boundary behaviour of the Gopher thresholds."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from scylla_migrator_spark.analytics import dedup as D
+from scylla_migrator_spark.analytics import text as TXT
+
+
+def _seg(spark, rows, seg_tokens=2):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    out = D.segment_dedup(df, "text", "doc_id", seg_tokens=seg_tokens)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_segment_dedup_keeps_first_occurrence_across_docs(spark):
+    # doc 0 owns "a b"; doc 1 repeats it and keeps only its novel tail
+    got = _seg(spark, [(0, "a b c d"), (1, "a b x y")])
+    assert got[0] == {
+        "doc_id": 0, "n_segments": 2, "kept_segments": 2, "cleaned_text": "a b c d"
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_segments": 2, "kept_segments": 1, "cleaned_text": "x y"
+    }
+
+
+def test_segment_dedup_drops_repeat_within_one_doc(spark):
+    got = _seg(spark, [(0, "a b a b c d")])
+    assert got[0]["n_segments"] == 3
+    assert got[0]["kept_segments"] == 2
+    assert got[0]["cleaned_text"] == "a b c d"
+
+
+def test_segment_dedup_full_repeat_reconstructs_empty(spark):
+    got = _seg(spark, [(0, "a b"), (1, "a b")])
+    assert got[1] == {
+        "doc_id": 1, "n_segments": 1, "kept_segments": 0, "cleaned_text": ""
+    }
+
+
+def test_segment_dedup_short_doc_is_one_segment(spark):
+    got = _seg(spark, [(0, "solo")], seg_tokens=8)
+    assert got[0] == {
+        "doc_id": 0, "n_segments": 1, "kept_segments": 1, "cleaned_text": "solo"
+    }
+
+
+def test_segment_dedup_order_is_doc_id_then_position(spark):
+    # the shared segment sits LATE in doc 0 but doc 0 still wins it
+    # (corpus order is (doc_id, seg_idx), not position alone)
+    got = _seg(spark, [(0, "q r a b"), (1, "a b s t")])
+    assert got[0]["cleaned_text"] == "q r a b"
+    assert got[1]["cleaned_text"] == "s t"
+
+
+def test_segment_dedup_rejects_nonpositive_segment_size(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a")])
+    with pytest.raises(ValueError):
+        D.segment_dedup(df, "text", "doc_id", seg_tokens=0)
+
+
+def _gopher_one(spark, text):
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    return TXT.gopher_quality(df, "text").collect()[0].asDict()
+
+
+def test_gopher_boundaries_are_integer_exact(spark):
+    # exactly 50 words of exactly 3 chars each, with 2 designated stopwords:
+    # every rule sits ON its published boundary and must pass
+    words = ["the", "and"] + ["abc"] * 48
+    got = _gopher_one(spark, " ".join(words))
+    assert got["n_words"] == 50
+    assert got["flag_word_count"] == 1
+    assert got["flag_mean_word_len"] == 1  # mean exactly 3.0
+    assert got["flag_alpha_words"] == 1
+    assert got["flag_stopwords"] == 1
+    assert got["pass_gopher"] == 1
+
+
+def test_gopher_one_word_under_minimum_fails_word_count_only(spark):
+    words = ["the", "and"] + ["abc"] * 47  # 49 words
+    got = _gopher_one(spark, " ".join(words))
+    assert got["flag_word_count"] == 0
+    assert got["flag_mean_word_len"] == 1
+    assert got["pass_gopher"] == 0
+
+
+def test_gopher_alpha_ratio_exact_ninety_percent_passes(spark):
+    # 45 alphabetic + 5 numeric of 50 = exactly 90%
+    words = ["the", "and"] + ["abc"] * 43 + ["123"] * 5
+    got = _gopher_one(spark, " ".join(words))
+    assert got["flag_alpha_words"] == 1
+    sub = ["the", "and"] + ["abc"] * 42 + ["123"] * 6  # 88%
+    got2 = _gopher_one(spark, " ".join(sub))
+    assert got2["flag_alpha_words"] == 0
+
+
+def test_gopher_stopword_rule_counts_distinct_markers(spark):
+    # 'the' repeated 50 times is still only ONE designated stopword
+    got = _gopher_one(spark, " ".join(["the"] * 50))
+    assert got["stop_hits"] == 1
+    assert got["flag_stopwords"] == 0
+
+
+def test_gopher_mean_word_len_upper_bound(spark):
+    words = ["the", "with"] + ["a" * 11] * 48  # mean > 10
+    got = _gopher_one(spark, " ".join(words))
+    assert got["flag_mean_word_len"] == 0
+    assert got["pass_gopher"] == 0

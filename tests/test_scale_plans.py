@@ -561,3 +561,27 @@ def test_bloom_semi_join_probe_filters_before_exchange(spark, sf_dir):
     plan = plan_of(B.bloom_prune(orders, "o_custkey", words), mode="simple")
     assert "Exchange" not in plan
     assert "md5" in plan
+
+
+def test_gopher_quality_is_shuffle_free_projection(spark, sf_dir):
+    """gopher_quality_flags: every rule is a column expression over one
+    scan — no Exchange, no join, no Python anywhere in the plan."""
+    plan = plan_of(Q.QUERIES["gopher_quality_flags"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_segment_dedup_two_shuffles_one_generate(spark, sf_dir):
+    """segment_dedup: segmentation is ONE Generate in the scan stage; the
+    whole operation costs exactly two hash exchanges (rank by segment
+    digest, regroup by doc) — no pair table, no join, no cross product."""
+    from scylla_migrator_spark.analytics.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(segment_dedup(docs, "text", "doc_id"), mode="simple")
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
