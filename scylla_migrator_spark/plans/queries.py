@@ -9181,3 +9181,80 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag_stopwords",
         "pass_gopher",
     )
+
+
+@_register(
+    "leakage_free_split",
+    r"""
+    WITH RECURSIVE
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+    g AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS gk
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    a AS (
+      SELECT doc_id, gk,
+        CAST('0x' || substr(md5(CAST(gk AS VARCHAR) || 'groupsplit'), 1, 8) AS BIGINT) AS hv
+      FROM g)
+    SELECT CASE WHEN hv < CAST(round(0.05 * 4294967296) AS BIGINT) THEN 'val'
+                WHEN hv < CAST(round(0.10 * 4294967296) AS BIGINT) THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT gk) AS n_groups
+    FROM a GROUP BY split
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: assignment is keyed on the
+    near-dup CLUSTER (connected component of the simhash pair graph, from
+    the staged pair table dedup_components also reads), not the document —
+    so two near-duplicates can never straddle the train/test boundary and
+    inflate eval scores (the contamination path a doc-keyed hash split
+    leaves open; cf. benchmark_decontam for the cross-benchmark variant).
+    Singleton documents are their own group (coalesce to doc_id), so the
+    split stays a pure deterministic hash function and group membership is
+    the ONLY thing that moves a document relative to train_val_test_split.
+    Aggregated per split as (n_docs, n_groups) for value-checking; the
+    zero-crossing-pairs guarantee is pinned in pytest.
+
+    Scale shape: components cost is the dedup fixpoint already paid by the
+    dedup suite (staged pair table + min-label propagation); the split
+    itself adds one doc_id equi-join and a hash projection — no new pair
+    work, no extra shuffle beyond the label join."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("gk")
+    )
+    assigned = SAMP.assign_splits(
+        grouped, key_col="gk", val_frac=0.05, test_frac=0.05, salt="groupsplit"
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+    )

@@ -116,3 +116,33 @@ def test_gopher_mean_word_len_upper_bound(spark):
     got = _gopher_one(spark, " ".join(words))
     assert got["flag_mean_word_len"] == 0
     assert got["pass_gopher"] == 0
+
+
+def test_leakage_free_split_no_pair_straddles_splits(spark, sf_dir):
+    """The whole point of the cluster-keyed split: for EVERY near-dup pair,
+    both endpoints land in the same split (zero crossing pairs), while the
+    doc-keyed hash split leaves that unguaranteed. Also checks the split is
+    a total assignment (every doc, exactly once)."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics import sampling as SAMP
+    from scylla_migrator_spark.analytics.components import connected_components
+    from scylla_migrator_spark.plans.queries import _simhash_pairs_staged, _t
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("gk")
+    )
+    assigned = SAMP.assign_splits(
+        grouped, key_col="gk", val_frac=0.05, test_frac=0.05, salt="groupsplit"
+    ).select("doc_id", "split")
+    assert assigned.count() == docs.count()
+
+    a = assigned.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sp_a")
+    b = assigned.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sp_b")
+    crossing = pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sp_a") != F.col("sp_b"))
+    assert crossing.count() == 0
