@@ -8897,100 +8897,17 @@ def weekly_p95_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "linear_probe_training",
-    _hashed_emb_cte(16) + """,
-    lab AS (
-      SELECT e.doc_id, e.v,
-             CASE WHEN TRY_CAST(substr(d.source, 4, 10) AS INT) % 2 = 0
-                  THEN 1 ELSE 0 END AS y
-      FROM emb e JOIN documents d USING (doc_id)),
-    nn AS (SELECT count(*)::BIGINT AS n FROM lab),
-    dims AS (SELECT unnest(range(16)) AS j),
-    g1 AS (
-      SELECT j, sum(CAST((0.5 - y) * v[j + 1] AS DECIMAL(28,14))) AS g
-      FROM lab CROSS JOIN dims GROUP BY j),
-    w1 AS (SELECT j, CAST(g AS DOUBLE) * -0.5 / n AS w FROM g1, nn),
-    w1p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w1_0,
-             max(CASE WHEN j = 1 THEN w END) AS w1_1,
-             max(CASE WHEN j = 2 THEN w END) AS w1_2,
-             max(CASE WHEN j = 3 THEN w END) AS w1_3,
-             max(CASE WHEN j = 4 THEN w END) AS w1_4,
-             max(CASE WHEN j = 5 THEN w END) AS w1_5,
-             max(CASE WHEN j = 6 THEN w END) AS w1_6,
-             max(CASE WHEN j = 7 THEN w END) AS w1_7,
-             max(CASE WHEN j = 8 THEN w END) AS w1_8,
-             max(CASE WHEN j = 9 THEN w END) AS w1_9,
-             max(CASE WHEN j = 10 THEN w END) AS w1_10,
-             max(CASE WHEN j = 11 THEN w END) AS w1_11,
-             max(CASE WHEN j = 12 THEN w END) AS w1_12,
-             max(CASE WHEN j = 13 THEN w END) AS w1_13,
-             max(CASE WHEN j = 14 THEN w END) AS w1_14,
-             max(CASE WHEN j = 15 THEN w END) AS w1_15
-            FROM w1),
-    z1 AS (
-      SELECT l.doc_id, l.y, l.v,
-             w1_0 * v[1] + w1_1 * v[2] + w1_2 * v[3] + w1_3 * v[4] + w1_4 * v[5] + w1_5 * v[6] + w1_6 * v[7] + w1_7 * v[8] + w1_8 * v[9] + w1_9 * v[10] + w1_10 * v[11] + w1_11 * v[12] + w1_12 * v[13] + w1_13 * v[14] + w1_14 * v[15] + w1_15 * v[16] AS z
-      FROM lab l CROSS JOIN w1p),
-    r1 AS (SELECT doc_id, y, v, 1.0 / (1.0 + exp(-z)) - y AS r FROM z1),
-    g2 AS (
-      SELECT j, sum(CAST(r * v[j + 1] AS DECIMAL(28,14))) AS g
-      FROM r1 CROSS JOIN dims GROUP BY j),
-    w2 AS (
-      SELECT g2.j, w1.w + CAST(g2.g AS DOUBLE) * -0.5 / n AS w
-      FROM g2 JOIN w1 ON g2.j = w1.j, nn),
-    w2p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w2_0,
-             max(CASE WHEN j = 1 THEN w END) AS w2_1,
-             max(CASE WHEN j = 2 THEN w END) AS w2_2,
-             max(CASE WHEN j = 3 THEN w END) AS w2_3,
-             max(CASE WHEN j = 4 THEN w END) AS w2_4,
-             max(CASE WHEN j = 5 THEN w END) AS w2_5,
-             max(CASE WHEN j = 6 THEN w END) AS w2_6,
-             max(CASE WHEN j = 7 THEN w END) AS w2_7,
-             max(CASE WHEN j = 8 THEN w END) AS w2_8,
-             max(CASE WHEN j = 9 THEN w END) AS w2_9,
-             max(CASE WHEN j = 10 THEN w END) AS w2_10,
-             max(CASE WHEN j = 11 THEN w END) AS w2_11,
-             max(CASE WHEN j = 12 THEN w END) AS w2_12,
-             max(CASE WHEN j = 13 THEN w END) AS w2_13,
-             max(CASE WHEN j = 14 THEN w END) AS w2_14,
-             max(CASE WHEN j = 15 THEN w END) AS w2_15
-            FROM w2),
-    scored AS (
-      SELECT l.y,
-             w2_0 * v[1] + w2_1 * v[2] + w2_2 * v[3] + w2_3 * v[4] + w2_4 * v[5] + w2_5 * v[6] + w2_6 * v[7] + w2_7 * v[8] + w2_8 * v[9] + w2_9 * v[10] + w2_10 * v[11] + w2_11 * v[12] + w2_12 * v[13] + w2_13 * v[14] + w2_14 * v[15] + w2_15 * v[16] AS z
-      FROM lab l CROSS JOIN w2p),
-    acc AS (
-      SELECT sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
-               AS train_correct
-      FROM scored)
-    SELECT w2.j AS dim, round(w2.w, 9) + 0.0 AS weight,
-           acc.train_correct, nn.n AS n_rows
-    FROM w2, acc, nn
-    """,
-)
-def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed TRAINED model with SQL-replayed training: a logistic-
-    regression probe (source-parity label) fit by two full-batch
-    gradient-descent iterations over the hashed bag-of-words features —
-    the quality-classifier/linear-probe shape (fastText-style filtering,
-    representation probing) done Spark-first. Output = the trained
-    16-dim weight vector + exact training accuracy.
-
-    Determinism at scale (the k-means/PageRank discipline applied to
-    SGD's deterministic sibling): full-batch GD makes each iteration ONE
-    map-side-combined per-dim aggregate; every per-row gradient
-    contribution truncates to DECIMAL(28,14) BEFORE the sum, so the
-    reduction is exact decimal addition and shuffle order cannot move a
-    weight. The sigmoid's exp and all weight updates run in double with
-    an operation-order-identical oracle (16-term dot products spelled
-    left-to-right in both engines); iteration 1 exploits sigma(0) = 0.5
-    exactly. Accuracy uses the sign rule z > 0 — an exact comparison,
-    no float threshold. Two iterations keep the unrolled oracle bounded;
-    the at-scale loop adds the localCheckpoint cadence
-    connected_components uses."""
+def _probe_train(spark: SparkSession, sf_dir: str):
+    """The probe TRAINING plan shared by linear_probe_training and
+    probe_quality_selection: two unrolled full-batch GD iterations of a
+    logistic probe over hashed bag-of-words features (see
+    linear_probe_training's docstring for the determinism discipline).
+    Returns (feats, w2, pivot_w, dot): the labeled feature frame (with
+    source), the final per-dim weight frame, and the pivot/dot-product
+    helpers both consumers build their readout from."""
     feats = _fan(_t(spark, sf_dir, "documents")).select(
         "doc_id",
+        "source",
         TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v"),
         # TRY_CAST + fixed-length substr on BOTH engines: a non-numeric
         # or over-long source suffix labels y=0 identically instead of
@@ -9051,6 +8968,108 @@ def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    return feats, w2, pivot_w, dot
+
+
+# the probe TRAINING replay shared by linear_probe_training (weights +
+# accuracy readout) and probe_quality_selection (scoring readout): two
+# unrolled full-batch GD iterations ending at the pivoted weight row w2p
+_PROBE_TRAIN_CTE = _hashed_emb_cte(16) + """,
+    lab AS (
+      SELECT e.doc_id, e.v, d.source,
+             CASE WHEN TRY_CAST(substr(d.source, 4, 10) AS INT) % 2 = 0
+                  THEN 1 ELSE 0 END AS y
+      FROM emb e JOIN documents d USING (doc_id)),
+    nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+    dims AS (SELECT unnest(range(16)) AS j),
+    g1 AS (
+      SELECT j, sum(CAST((0.5 - y) * v[j + 1] AS DECIMAL(28,14))) AS g
+      FROM lab CROSS JOIN dims GROUP BY j),
+    w1 AS (SELECT j, CAST(g AS DOUBLE) * -0.5 / n AS w FROM g1, nn),
+    w1p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w1_0,
+             max(CASE WHEN j = 1 THEN w END) AS w1_1,
+             max(CASE WHEN j = 2 THEN w END) AS w1_2,
+             max(CASE WHEN j = 3 THEN w END) AS w1_3,
+             max(CASE WHEN j = 4 THEN w END) AS w1_4,
+             max(CASE WHEN j = 5 THEN w END) AS w1_5,
+             max(CASE WHEN j = 6 THEN w END) AS w1_6,
+             max(CASE WHEN j = 7 THEN w END) AS w1_7,
+             max(CASE WHEN j = 8 THEN w END) AS w1_8,
+             max(CASE WHEN j = 9 THEN w END) AS w1_9,
+             max(CASE WHEN j = 10 THEN w END) AS w1_10,
+             max(CASE WHEN j = 11 THEN w END) AS w1_11,
+             max(CASE WHEN j = 12 THEN w END) AS w1_12,
+             max(CASE WHEN j = 13 THEN w END) AS w1_13,
+             max(CASE WHEN j = 14 THEN w END) AS w1_14,
+             max(CASE WHEN j = 15 THEN w END) AS w1_15
+            FROM w1),
+    z1 AS (
+      SELECT l.doc_id, l.y, l.v,
+             w1_0 * v[1] + w1_1 * v[2] + w1_2 * v[3] + w1_3 * v[4] + w1_4 * v[5] + w1_5 * v[6] + w1_6 * v[7] + w1_7 * v[8] + w1_8 * v[9] + w1_9 * v[10] + w1_10 * v[11] + w1_11 * v[12] + w1_12 * v[13] + w1_13 * v[14] + w1_14 * v[15] + w1_15 * v[16] AS z
+      FROM lab l CROSS JOIN w1p),
+    r1 AS (SELECT doc_id, y, v, 1.0 / (1.0 + exp(-z)) - y AS r FROM z1),
+    g2 AS (
+      SELECT j, sum(CAST(r * v[j + 1] AS DECIMAL(28,14))) AS g
+      FROM r1 CROSS JOIN dims GROUP BY j),
+    w2 AS (
+      SELECT g2.j, w1.w + CAST(g2.g AS DOUBLE) * -0.5 / n AS w
+      FROM g2 JOIN w1 ON g2.j = w1.j, nn),
+    w2p AS (SELECT max(CASE WHEN j = 0 THEN w END) AS w2_0,
+             max(CASE WHEN j = 1 THEN w END) AS w2_1,
+             max(CASE WHEN j = 2 THEN w END) AS w2_2,
+             max(CASE WHEN j = 3 THEN w END) AS w2_3,
+             max(CASE WHEN j = 4 THEN w END) AS w2_4,
+             max(CASE WHEN j = 5 THEN w END) AS w2_5,
+             max(CASE WHEN j = 6 THEN w END) AS w2_6,
+             max(CASE WHEN j = 7 THEN w END) AS w2_7,
+             max(CASE WHEN j = 8 THEN w END) AS w2_8,
+             max(CASE WHEN j = 9 THEN w END) AS w2_9,
+             max(CASE WHEN j = 10 THEN w END) AS w2_10,
+             max(CASE WHEN j = 11 THEN w END) AS w2_11,
+             max(CASE WHEN j = 12 THEN w END) AS w2_12,
+             max(CASE WHEN j = 13 THEN w END) AS w2_13,
+             max(CASE WHEN j = 14 THEN w END) AS w2_14,
+             max(CASE WHEN j = 15 THEN w END) AS w2_15
+            FROM w2)"""
+
+
+@_register(
+    "linear_probe_training",
+    _PROBE_TRAIN_CTE + """,
+    scored AS (
+      SELECT l.y,
+             w2_0 * v[1] + w2_1 * v[2] + w2_2 * v[3] + w2_3 * v[4] + w2_4 * v[5] + w2_5 * v[6] + w2_6 * v[7] + w2_7 * v[8] + w2_8 * v[9] + w2_9 * v[10] + w2_10 * v[11] + w2_11 * v[12] + w2_12 * v[13] + w2_13 * v[14] + w2_14 * v[15] + w2_15 * v[16] AS z
+      FROM lab l CROSS JOIN w2p),
+    acc AS (
+      SELECT sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+               AS train_correct
+      FROM scored)
+    SELECT w2.j AS dim, round(w2.w, 9) + 0.0 AS weight,
+           acc.train_correct, nn.n AS n_rows
+    FROM w2, acc, nn
+    """,
+)
+def linear_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINED model with SQL-replayed training: a logistic-
+    regression probe (source-parity label) fit by two full-batch
+    gradient-descent iterations over the hashed bag-of-words features —
+    the quality-classifier/linear-probe shape (fastText-style filtering,
+    representation probing) done Spark-first. Output = the trained
+    16-dim weight vector + exact training accuracy.
+
+    Determinism at scale (the k-means/PageRank discipline applied to
+    SGD's deterministic sibling): full-batch GD makes each iteration ONE
+    map-side-combined per-dim aggregate; every per-row gradient
+    contribution truncates to DECIMAL(28,14) BEFORE the sum, so the
+    reduction is exact decimal addition and shuffle order cannot move a
+    weight. The sigmoid's exp and all weight updates run in double with
+    an operation-order-identical oracle (16-term dot products spelled
+    left-to-right in both engines); iteration 1 exploits sigma(0) = 0.5
+    exactly. Accuracy uses the sign rule z > 0 — an exact comparison,
+    no float threshold. Two iterations keep the unrolled oracle bounded;
+    the at-scale loop adds the localCheckpoint cadence
+    connected_components uses."""
+    feats, w2, pivot_w, dot = _probe_train(spark, sf_dir)
     # ONE aggregate over the w2p-joined frame yields accuracy, n, AND
     # carries the 16 weights (max of a constant column) — the w2 training
     # subtree appears once in the final plan instead of twice, and the
@@ -9257,4 +9276,50 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("gk").alias("n_groups"),
+    )
+
+
+@_register(
+    "probe_quality_selection",
+    _PROBE_TRAIN_CTE + """,
+    sc AS (
+      SELECT l.doc_id, l.source,
+             w2_0 * v[1] + w2_1 * v[2] + w2_2 * v[3] + w2_3 * v[4] + w2_4 * v[5] + w2_5 * v[6] + w2_6 * v[7] + w2_7 * v[8] + w2_8 * v[9] + w2_9 * v[10] + w2_10 * v[11] + w2_11 * v[12] + w2_12 * v[13] + w2_13 * v[14] + w2_14 * v[15] + w2_15 * v[16] AS z
+      FROM lab l CROSS JOIN w2p),
+    sel AS (
+      SELECT source, doc_id, z,
+             row_number() OVER (PARTITION BY source ORDER BY z DESC, doc_id) AS rnk
+      FROM sc)
+    SELECT source, doc_id, rnk AS rank, round(z, 9) + 0.0 AS z_score
+    FROM sel WHERE rnk <= 5
+    """,
+)
+def probe_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-scored data selection (the fastText/FineWeb-Edu quality-
+    filter pattern, inference half of linear_probe_training): score every
+    document with the TRAINED probe's logit and keep the top 5 per source.
+    Training and scoring are ONE composed plan — the tiny w2p weight row
+    broadcasts into the scoring scan, so selection costs one projection +
+    one per-source window over the corpus, and the oracle replays
+    training AND scoring in SQL with operation-order-identical dot
+    products (raw-z ordering is therefore exact across engines; ties
+    break by doc_id). The logit (monotone in the sigmoid) is the score —
+    no float threshold anywhere, and the z > 0 sign rule stays available
+    downstream exactly as in training accuracy."""
+    feats, w2, pivot_w, dot = _probe_train(spark, sf_dir)
+    from pyspark.sql import Window
+
+    scored = feats.crossJoin(F.broadcast(pivot_w(w2, "w2_"))).select(
+        "source", "doc_id", dot("w2_").alias("z")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            "rank",
+            (F.round("z", 9) + F.lit(0.0)).alias("z_score"),
+        )
     )
