@@ -232,6 +232,11 @@ HEADLINE = [
     "grouped_quantile_sketch",
     "weekly_p95_drift",
     "linear_probe_training",
+    # round-5d additions
+    "segment_dedup_reconstruct",
+    "gopher_quality_flags",
+    "leakage_free_split",
+    "probe_quality_selection",
 ]
 
 

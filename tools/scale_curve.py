@@ -151,6 +151,12 @@ def run_pipelines(
     )
 
     record(
+        "segment_dedup_reconstruct",
+        n_docs,
+        lambda: D.segment_dedup(docs, "text", "doc_id", seg_tokens=16).count(),
+    )
+
+    record(
         "levenshtein_capped_pairs",
         n_docs,
         lambda: D.edit_distance_pairs(
