@@ -1214,9 +1214,11 @@ def segment_dedup(
     (id_col, n_segments, kept_segments, cleaned_text), where
     ``cleaned_text`` is '' when every segment was a repeat.
 
-    Scale shape: segmentation is a scan-stage projection (sequence ->
-    slice -> posexplode, no Python). Shuffle 1 hash-partitions segment
-    occurrences by a 128-bit digest of the segment text to rank
+    Scale shape: segmentation is text.chunk_documents at
+    ``chunk_size == stride == seg_tokens`` (non-overlapping cover; one
+    materialized-token scan-stage projection, no Python — and ONE
+    segmentation implementation to maintain). Shuffle 1 hash-partitions
+    segment occurrences by a 128-bit digest of the segment text to rank
     first-vs-repeat (the segment text rides along once — reconstruction
     needs it back, so carrying it here replaces a second join that would
     shuffle the same bytes anyway); shuffle 2 regroups kept segments by
@@ -1224,21 +1226,16 @@ def segment_dedup(
     construction (digests), and no pair table or cross join ever forms —
     cost is O(corpus segments), the same envelope CCNet runs at web
     scale."""
-    if seg_tokens <= 0:
-        raise ValueError("seg_tokens must be positive")
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    nseg = F.greatest(F.ceil(n / F.lit(float(seg_tokens))).cast("int"), F.lit(1))
-    segs = F.transform(
-        F.sequence(F.lit(1), nseg),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - F.lit(1)) * F.lit(seg_tokens) + F.lit(1), seg_tokens)
-        ),
-    )
-    seg = df.select(F.col(id_col), F.posexplode(segs).alias("__pos", "seg_text")).select(
-        id_col, (F.col("__pos") + F.lit(1)).alias("seg_idx"), "seg_text"
+    from scylla_migrator_spark.analytics.text import chunk_documents
+
+    seg = chunk_documents(
+        df, text_col, id_col, chunk_size=seg_tokens, stride=seg_tokens
+    ).select(
+        id_col,
+        (F.col("chunk_idx") + F.lit(1)).alias("seg_idx"),
+        F.col("chunk_text").alias("seg_text"),
     )
     w = Window.partitionBy(F.md5(F.col("seg_text"))).orderBy(id_col, "seg_idx")
     ranked = seg.withColumn("__rn", F.row_number().over(w))

@@ -257,10 +257,16 @@ def chunk_documents(
     Plan shape: one narrow projection (sequence -> slice -> posexplode) with
     no shuffle and no Python; output rows ~= corpus_tokens / stride, each
     carrying only its own chunk text. At 100 TB this is a scan-stage map —
-    chunking never becomes a bottleneck stage of its own."""
+    chunking never becomes a bottleneck stage of its own. The token array
+    is MATERIALIZED in its own projection before the per-start transform:
+    inlining ``tokens(text)`` inside the lambda embeds the split subtree
+    once per chunk, and the plan must not rely on codegen subexpression
+    elimination to avoid O(tokens x chunks) re-tokenization on long
+    documents."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    toks = tokens(F.col(text_col))
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     all_starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     starts = F.filter(
@@ -268,7 +274,7 @@ def chunk_documents(
         lambda s: (s == F.lit(1)) | (s - F.lit(stride) + F.lit(chunk_size) - F.lit(1) < n),
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
-    return df.select(
+    return toked.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
@@ -678,32 +684,64 @@ def tfidf_hashed_features(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_stats(t: Column) -> tuple[Column, Column, Column, Column]:
-    """(n_words, total_word_chars, alpha_words, distinct_stopword_hits) for
-    the Gopher rules — shared by the flag projection and the curation-stage
-    predicate so both surfaces apply byte-identical rule arithmetic."""
+def _gopher_rules(t: Column) -> dict[str, Column]:
+    """The Gopher document-level statistics AND rule conditions, built ONCE
+    and shared by the flag projection (``gopher_quality``) and the
+    curation-stage predicate (``gopher_pass``) so both surfaces apply
+    byte-identical rule arithmetic — and so the conjunction can never
+    desynchronize from the individual flags.
+
+    Every threshold comparison is evaluated on cross-multiplied INTEGERS
+    (``total_chars >= 3 * n_words``; the ellipsis rule compares the raw
+    replaced-char delta, 3x the occurrence count, against ``3 * n``), never
+    on a floating quotient, so a document sitting exactly on a published
+    boundary flags identically on every engine."""
     toks = tokens(t)
     n = F.size(toks)
     total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     stop_hits = F.size(F.filter(stop_arr, lambda m: F.array_contains(toks, m)))
-    return n, total_chars, alpha_words, stop_hits
+    # symbol-to-word ratio: occurrence counts via replace-delta (replace is
+    # left-to-right non-overlapping in both Spark and DuckDB, so '....'
+    # counts one ellipsis in both)
+    hash_delta = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_delta = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    return {
+        "n": n,
+        "total_chars": total_chars,
+        "alpha_words": alpha_words,
+        "stop_hits": stop_hits,
+        "hash_count": hash_delta,
+        "ellipsis_count": (ellipsis_delta / 3).cast("int"),
+        "cond_word_count": (n >= 50) & (n <= 100000),
+        "cond_mean_word_len": (total_chars >= F.lit(3) * n)
+        & (total_chars <= F.lit(10) * n),
+        "cond_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * n,
+        "cond_symbol_ratio": (F.lit(10) * hash_delta <= n)
+        & (F.lit(10) * ellipsis_delta <= F.lit(3) * n),
+        "cond_stopwords": stop_hits >= 2,
+    }
+
+
+_GOPHER_CONDS = (
+    "cond_word_count",
+    "cond_mean_word_len",
+    "cond_alpha_words",
+    "cond_symbol_ratio",
+    "cond_stopwords",
+)
 
 
 def gopher_pass(col: Column) -> Column:
     """Boolean conjunction of the Gopher document-level rules (see
     ``gopher_quality``) — the keep-predicate form for curation pipelines:
     folds into the scan stage, no shuffle, no Python."""
-    n, total_chars, alpha_words, stop_hits = _gopher_stats(col)
-    return (
-        (n >= 50)
-        & (n <= 100000)
-        & (total_chars >= F.lit(3) * n)
-        & (total_chars <= F.lit(10) * n)
-        & (F.lit(10) * alpha_words >= F.lit(9) * n)
-        & (stop_hits >= 2)
-    )
+    r = _gopher_rules(col)
+    out = r[_GOPHER_CONDS[0]]
+    for k in _GOPHER_CONDS[1:]:
+        out = out & r[k]
+    return out
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -711,42 +749,46 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     2112.11446 Appendix A1.1), the companion to the statistical
     ``quality_features`` scorer: each published document-level rule becomes
     an integer-exact 0/1 flag plus the measured statistic, and
-    ``pass_gopher`` is their conjunction.
+    ``pass_gopher`` is their conjunction (built from the SAME condition
+    objects, so flags and verdict cannot drift apart).
 
-    Rules implemented (document-level; the line-level bullet/ellipsis rules
-    are omitted because this corpus model is single-line text):
+    Rules implemented, at the paper's published thresholds (the LINE-level
+    bullet/ellipsis rules are omitted because this corpus model is
+    single-line text; the symbol-ratio rule below is the paper's
+    document-level one):
     - 50 <= word count <= 100,000
     - 3 <= mean word length <= 10
-    - >= 90% of words contain at least one alphabetic character
+    - >= 80% of words contain at least one alphabetic character
+    - symbol-to-word ratio <= 0.1 for '#' and for '...'
     - at least 2 of the 8 designated English stopwords appear
 
-    Threshold comparisons are evaluated on cross-multiplied INTEGERS
-    (``total_chars >= 3 * n_words``), never on a floating quotient, so a
-    document sitting exactly on a published boundary flags identically on
-    every engine; the quotients themselves are emitted rounded to 6 dp for
-    reporting only.
+    Integer-exact thresholds: see ``_gopher_rules``. The quotients are
+    emitted rounded to 6 dp for reporting only.
 
     Scale shape: one narrow whole-stage-codegen projection — no shuffle, no
     Python, no join; the flags fold into any downstream curation scan (the
     predicate form is ``gopher_pass`` / the ``gopher_filter`` curation
     stage)."""
-    t = F.col(text_col)
-    n, total_chars, alpha_words, stop_hits = _gopher_stats(t)
+    r = _gopher_rules(F.col(text_col))
 
     def _flag(cond) -> Column:
         return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
 
+    pass_all = r[_GOPHER_CONDS[0]]
+    for k in _GOPHER_CONDS[1:]:
+        pass_all = pass_all & r[k]
     return df.select(
         "*",
-        n.alias("n_words"),
-        F.round(total_chars / n, 6).alias("mean_word_len"),
-        F.round(alpha_words / n, 6).alias("alpha_word_ratio"),
-        stop_hits.alias("stop_hits"),
-        _flag((n >= 50) & (n <= 100000)).alias("flag_word_count"),
-        _flag(
-            (total_chars >= F.lit(3) * n) & (total_chars <= F.lit(10) * n)
-        ).alias("flag_mean_word_len"),
-        _flag(F.lit(10) * alpha_words >= F.lit(9) * n).alias("flag_alpha_words"),
-        _flag(stop_hits >= 2).alias("flag_stopwords"),
-        _flag(gopher_pass(t)).alias("pass_gopher"),
+        r["n"].alias("n_words"),
+        F.round(r["total_chars"] / r["n"], 6).alias("mean_word_len"),
+        F.round(r["alpha_words"] / r["n"], 6).alias("alpha_word_ratio"),
+        r["hash_count"].alias("hash_count"),
+        r["ellipsis_count"].alias("ellipsis_count"),
+        r["stop_hits"].alias("stop_hits"),
+        _flag(r["cond_word_count"]).alias("flag_word_count"),
+        _flag(r["cond_mean_word_len"]).alias("flag_mean_word_len"),
+        _flag(r["cond_alpha_words"]).alias("flag_alpha_words"),
+        _flag(r["cond_symbol_ratio"]).alias("flag_symbol_ratio"),
+        _flag(r["cond_stopwords"]).alias("flag_stopwords"),
+        _flag(pass_all).alias("pass_gopher"),
     )

@@ -366,16 +366,26 @@ class CurationResult:
         frames = dict(self.frames)
         out: dict[str, int] = {}
         for name, obs in self.observations:
-            fut = obs._jo.future()
+            jo = getattr(obs, "_jo", None)
+            if jo is None:
+                # no JVM handle (e.g. a Spark Connect Observation): the
+                # degenerate-empty probe is classic-session-only; use the
+                # public blocking getter as before
+                out[name] = int(obs.get["rows"])
+                continue
+            fut = jo.future()
             while not fut.isCompleted() and time.monotonic() < deadline:
                 time.sleep(0.02)
-            jrow = obs._jo.getRow() if fut.isCompleted() else None
+            jrow = jo.getRow() if fut.isCompleted() else None
             if jrow is not None and jrow.size() > 0:
                 out[name] = int(obs.get["rows"])
             elif name in frames:
                 out[name] = frames[name].count()
-            else:
-                out[name] = 0
+            else:  # pragma: no cover - _observe appends both in lockstep
+                raise RuntimeError(
+                    f"observation {name!r} has no metrics and no retained "
+                    "frame to recount — observations/frames desynchronized"
+                )
         return out
 
 

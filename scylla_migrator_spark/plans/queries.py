@@ -9151,13 +9151,15 @@ def segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gopher_quality_flags",
     """
     WITH t AS (
-      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') AS w
       FROM documents),
     s AS (
       SELECT doc_id, source,
              len(w) AS nw,
              list_sum(list_transform(w, x -> length(x))) AS tc,
              len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+             length(text) - length(replace(text, '#', '')) AS hd,
+             length(text) - length(replace(text, '...', '')) AS ed,
              len(list_filter(['the','be','to','of','and','that','have','with'],
                  m -> list_contains(w, m))) AS sh
       FROM t)
@@ -9165,22 +9167,28 @@ def segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
            nw AS n_words,
            round(tc / nw, 6) AS mean_word_len,
            round(aw / nw, 6) AS alpha_word_ratio,
+           hd AS hash_count,
+           CAST(ed // 3 AS INT) AS ellipsis_count,
            sh AS stop_hits,
            CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS flag_word_count,
            CASE WHEN tc >= 3 * nw AND tc <= 10 * nw THEN 1 ELSE 0 END AS flag_mean_word_len,
-           CASE WHEN 10 * aw >= 9 * nw THEN 1 ELSE 0 END AS flag_alpha_words,
+           CASE WHEN 5 * aw >= 4 * nw THEN 1 ELSE 0 END AS flag_alpha_words,
+           CASE WHEN 10 * hd <= nw AND 10 * ed <= 3 * nw THEN 1 ELSE 0 END AS flag_symbol_ratio,
            CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
            CASE WHEN nw >= 50 AND nw <= 100000
                  AND tc >= 3 * nw AND tc <= 10 * nw
-                 AND 10 * aw >= 9 * nw AND sh >= 2 THEN 1 ELSE 0 END AS pass_gopher
+                 AND 5 * aw >= 4 * nw
+                 AND 10 * hd <= nw AND 10 * ed <= 3 * nw
+                 AND sh >= 2 THEN 1 ELSE 0 END AS pass_gopher
     FROM s
     """,
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (text.gopher_quality, Rae et al.
     2021 arXiv 2112.11446 Appendix A1.1): the published document-level
-    rules — word-count bounds, mean-word-length bounds, 90%-alphabetic
-    words, >= 2 designated stopwords — as integer-exact 0/1 flags plus
+    rules — word-count bounds, mean-word-length bounds, 80%-alphabetic
+    words, symbol-to-word ratio caps for '#' and '...', >= 2 designated
+    stopwords — as integer-exact 0/1 flags plus
     the conjunction verdict, evaluated with cross-multiplied integer
     comparisons so boundary documents flag identically on both engines.
     The heuristic-rule complement to the statistical text_quality
@@ -9193,10 +9201,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "mean_word_len",
         "alpha_word_ratio",
+        "hash_count",
+        "ellipsis_count",
         "stop_hits",
         "flag_word_count",
         "flag_mean_word_len",
         "flag_alpha_words",
+        "flag_symbol_ratio",
         "flag_stopwords",
         "pass_gopher",
     )

@@ -94,14 +94,37 @@ def test_gopher_one_word_under_minimum_fails_word_count_only(spark):
     assert got["pass_gopher"] == 0
 
 
-def test_gopher_alpha_ratio_exact_ninety_percent_passes(spark):
-    # 45 alphabetic + 5 numeric of 50 = exactly 90%
-    words = ["the", "and"] + ["abc"] * 43 + ["123"] * 5
+def test_gopher_alpha_ratio_exact_eighty_percent_passes(spark):
+    # the paper's threshold is 80% of words with an alphabetic character:
+    # 40 alphabetic + 10 numeric of 50 = exactly 80% -> pass
+    words = ["the", "and"] + ["abc"] * 38 + ["123"] * 10
     got = _gopher_one(spark, " ".join(words))
     assert got["flag_alpha_words"] == 1
-    sub = ["the", "and"] + ["abc"] * 42 + ["123"] * 6  # 88%
+    sub = ["the", "and"] + ["abc"] * 37 + ["123"] * 11  # 78%
     got2 = _gopher_one(spark, " ".join(sub))
     assert got2["flag_alpha_words"] == 0
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    # symbol-to-word ratio > 0.1 for '#' or '...' fails the document;
+    # exactly 0.1 (5 symbols / 50 words) sits ON the boundary and passes
+    base = ["the", "and"] + ["abc"] * 48
+    got = _gopher_one(spark, " ".join(base) + " " + "# " * 5)
+    # 5 hashes over 55 words: 50 <= 55 -> passes
+    assert got["hash_count"] == 5
+    assert got["flag_symbol_ratio"] == 1
+    many = " ".join(base) + " " + "# " * 7  # 70 > 57: fails
+    got2 = _gopher_one(spark, many)
+    assert got2["flag_symbol_ratio"] == 0
+    assert got2["pass_gopher"] == 0
+    ell = " ".join(base) + " ... ... ... ... ... ... ..."  # 7/57 > 0.1
+    got3 = _gopher_one(spark, ell)
+    assert got3["ellipsis_count"] == 7
+    assert got3["flag_symbol_ratio"] == 0
+    # '....' counts as ONE ellipsis under left-to-right replace semantics
+    got4 = _gopher_one(spark, " ".join(base) + " ....")
+    assert got4["ellipsis_count"] == 1
+    assert got4["flag_symbol_ratio"] == 1
 
 
 def test_gopher_stopword_rule_counts_distinct_markers(spark):
