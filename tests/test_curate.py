@@ -710,3 +710,37 @@ def test_fully_filtered_corpus_report_stays_factual(spark, corpus, tmp_path):
         "stage01_length_filter": 0,
         "stage02_exact_dedup": 0,
     }
+
+
+def test_gopher_filter_gates_a_stream(spark, tmp_path):
+    """gopher_filter is a pure scan-stage predicate, so the SAME config
+    stage gates a live stream with no state store or watermark — the
+    batch/stream unification contract extended to the Gopher rules."""
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    good = "the and " + " ".join(f"tok{i:03d}" for i in range(48))
+    rows = [(1, good), (2, "too short"), (3, good.replace("the and ", "zz qq "))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [{"op": "gopher_filter"}],
+        }
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        curate_stream(stream, cfg)
+        .writeStream.format("memory")
+        .queryName("gopher_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM gopher_gate_test").collect()
+    )
+    assert got == [1]
