@@ -237,6 +237,8 @@ HEADLINE = [
     "gopher_quality_flags",
     "leakage_free_split",
     "probe_quality_selection",
+    "vocab_growth_curve",
+    "good_turing_spectrum",
 ]
 
 

@@ -9334,3 +9334,106 @@ def probe_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("z", 9) + F.lit(0.0)).alias("z_score"),
         )
     )
+
+
+@_register(
+    "vocab_growth_curve",
+    r"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word, doc_id
+      FROM documents),
+    fs AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY word),
+    b AS (
+      SELECT CAST(first_doc * 10 // (m + 1) AS INT) AS bucket,
+             count(*) AS new_words
+      FROM fs, mx GROUP BY bucket)
+    SELECT bucket, new_words,
+           sum(new_words) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM b
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth profile (tokenizer/vocab budgeting):
+    march through the corpus in doc_id order, bucketed into 10 equal id
+    ranges, and report how many NEW word types each bucket introduces
+    plus the cumulative vocabulary size — the V(n) curve that decides
+    how large a trained vocabulary must be before OOV flattens (cf.
+    vocab_coverage_oov for a fixed vocab, bpe_train_merges for building
+    one).
+
+    Scale shape: first-occurrence is ONE map-side-combined min aggregate
+    over the exploded (word, doc_id) pairs — the same shuffle envelope as
+    a word count; the growth curve itself is a 10-row window. No sort of
+    the corpus, no iterative scan-per-bucket."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    first = (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    buckets = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("first_doc") * 10 / (F.col("m") + 1))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "bucket", "new_words", F.sum("new_words").over(w).alias("cum_vocab")
+    )
+
+
+@_register(
+    "good_turing_spectrum",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents),
+    cnt AS (SELECT word, count(*) AS r FROM w GROUP BY word),
+    spec AS (SELECT r, count(*) AS n_types FROM cnt GROUP BY r)
+    SELECT a.r AS freq, a.n_types,
+           round((a.r + 1) * b.n_types / a.n_types, 6) AS gt_adjusted
+    FROM spec a LEFT JOIN spec b ON b.r = a.r + 1
+    """,
+)
+def good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies spectrum: N_r = number of word
+    types occurring exactly r times, with the GT-adjusted count
+    r* = (r+1) * N_{r+1} / N_r (NULL where the spectrum has no successor
+    — both engines emit the same NULL). The smoothing table behind
+    unseen-mass estimation for the NLL/perplexity family
+    (unigram_nll_score), and the Zipf-tail readout that says how much of
+    the vocabulary is hapax legomena (singleton types = noise/typo mass a
+    vocab budget should not spend on).
+
+    Scale shape: two map-side-combined aggregates (word count, then
+    count-of-counts — the second is over at most a few thousand distinct
+    r values at any corpus size) and a spectrum self-join on r+1 that
+    Spark broadcasts. Output is O(distinct frequencies), tiny forever."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("text"))
+    cnt = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    spec = cnt.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
+    nxt = spec.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("__nn"))
+    return (
+        spec.join(nxt, "r", "left")
+        .select(
+            F.col("r").alias("freq"),
+            "n_types",
+            F.round((F.col("r") + 1) * F.col("__nn") / F.col("n_types"), 6).alias(
+                "gt_adjusted"
+            ),
+        )
+    )

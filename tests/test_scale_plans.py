@@ -585,3 +585,21 @@ def test_segment_dedup_two_shuffles_one_generate(spark, sf_dir):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_vocab_growth_heavy_agg_precedes_tiny_window(spark, sf_dir):
+    """vocab_growth_curve: the corpus-scale work is a map-side-combined
+    min aggregate (partial_min before the exchange); the unpartitioned
+    running-sum window only ever sees the 10 bucket rows."""
+    plan = plan_of(Q.QUERIES["vocab_growth_curve"](spark, sf_dir), mode="formatted")
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan
+
+
+def test_good_turing_spectrum_join_broadcasts(spark, sf_dir):
+    """good_turing_spectrum: the r+1 successor join is over the tiny
+    count-of-counts table and must broadcast, never shuffle-merge."""
+    plan = plan_of(Q.QUERIES["good_turing_spectrum"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
