@@ -9349,8 +9349,8 @@ def probe_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS new_words
       FROM fs, mx GROUP BY bucket)
     SELECT bucket, new_words,
-           sum(new_words) OVER (ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+           (sum(new_words) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_vocab
     FROM b
     """,
 )
@@ -9377,9 +9377,11 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         first.crossJoin(F.broadcast(mx))
         .select(
-            (F.col("first_doc") * 10 / (F.col("m") + 1))
-            .cast("int")
-            .alias("bucket")
+            # Exact integer floor-division (DIV), matching the oracle's `//`:
+            # double division + cast can round across an integer boundary for
+            # large ids, and non-ANSI long multiply could wrap where DuckDB
+            # promotes.
+            F.expr("CAST(first_doc * 10 DIV (m + 1) AS INT)").alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("new_words"))
@@ -9428,7 +9430,7 @@ def good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = cnt.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
     nxt = spec.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("__nn"))
     return (
-        spec.join(nxt, "r", "left")
+        spec.join(F.broadcast(nxt), "r", "left")
         .select(
             F.col("r").alias("freq"),
             "n_types",
