@@ -239,6 +239,8 @@ HEADLINE = [
     "probe_quality_selection",
     "vocab_growth_curve",
     "good_turing_spectrum",
+    "kneser_ney_bigram_lm",
+    "embedding_distribution_distance",
 ]
 
 

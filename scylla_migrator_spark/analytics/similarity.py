@@ -491,3 +491,67 @@ def knn_graph(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def distribution_distance_diag(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    id_out: tuple[str, str] = ("label_a", "label_b"),
+) -> DataFrame:
+    """Diagonal-covariance Fréchet distance between the embedding
+    distributions of every group pair (the FID family, Heusel et al.
+    2017, restricted to per-dimension variances — the form that stays a
+    pure aggregate at any scale):
+
+        d²(A,B) = Σ_d [ (μ_Ad − μ_Bd)² + σ²_Ad + σ²_Bd − 2·sqrt(σ²_Ad·σ²_Bd) ]
+
+    The corpus-slice drift detector in embedding space: how far apart two
+    sources/labels/snapshots are as DISTRIBUTIONS, complementing the
+    per-pair detectors (embedding_near_dup_pairs) and the scalar JS
+    divergence over token space (source_js_divergence).
+
+    Scale shape: ONE posexplode pass -> (group, dim) grid aggregate with
+    map-side combine; per-dim sums and sums-of-squares accumulate as
+    DECIMAL so the reduction is associative-exact (shuffle-order
+    independent). The (group, dim) stats table is k·d rows — the pairwise
+    stage is a broadcast self-join on dim, k²·d rows, trivial forever.
+    Per-dim terms are computed in IEEE double from exact decimal inputs
+    with a fixed expression tree, truncated to DECIMAL(28,12) so the
+    final per-pair sum is again order-independent; rounded to 6 dp."""
+    a_col, b_col = id_out
+    vdec = F.col("v").cast("decimal(18,9)")
+    stats = (
+        df.select(F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("g", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(vdec).alias("sv"),
+            F.sum(vdec * vdec).alias("sq"),
+        )
+        .select(
+            "g",
+            "dim",
+            (F.col("sv").cast("double") / F.col("n")).alias("mu"),
+            F.greatest(
+                F.col("sq").cast("double") / F.col("n")
+                - (F.col("sv").cast("double") / F.col("n"))
+                * (F.col("sv").cast("double") / F.col("n")),
+                F.lit(0.0),
+            ).alias("var"),
+        )
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    term = (
+        (F.col("a.mu") - F.col("b.mu")) * (F.col("a.mu") - F.col("b.mu"))
+        + F.col("a.var")
+        + F.col("b.var")
+        - F.lit(2.0) * F.sqrt(F.col("a.var") * F.col("b.var"))
+    ).cast("decimal(28,12)")
+    pairs = a.join(
+        F.broadcast(b),
+        on=[F.col("a.dim") == F.col("b.dim"), F.col("a.g") < F.col("b.g")],
+    ).select(F.col("a.g").alias(a_col), F.col("b.g").alias(b_col), term.alias("term"))
+    return pairs.groupBy(a_col, b_col).agg(
+        F.round(F.sum("term").cast("double"), 6).alias("fid_diag")
+    )

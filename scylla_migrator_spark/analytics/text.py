@@ -792,3 +792,63 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         _flag(r["cond_stopwords"]).alias("flag_stopwords"),
         _flag(pass_all).alias("pass_gopher"),
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    min_count: int = 5,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    Ney 1995; Chen & Goodman 1999 eq. 4.25) for the supported bigrams:
+
+        P_KN(w2|w1) = (c(w1,w2) - d) / c(w1,.)
+                      + d * N1+(w1,.) / c(w1,.) * N1+(.,w2) / N1+(.,.)
+
+    with absolute discount d and the CONTINUATION unigram (how many
+    distinct left-contexts a word follows, not how often it occurs) as
+    the backoff mass — the distinction that stops high-count but
+    single-context words ("Francisco") from soaking up backoff
+    probability. This is the smoothing family behind the KenLM-style
+    perplexity filters used in corpus curation (CCNet); bigram_nll is
+    the add-one baseline, this is the production-grade estimator.
+
+    Output is support-filtered (pair_count >= min_count) so the result
+    is the collocation-sized head table, not the full transition matrix.
+
+    Scale shape: ONE map-side-combined bigram count; every statistic
+    (prefix totals, forward/backward continuation counts, the global
+    distinct-bigram scalar) derives from that count table with
+    vocab-sized aggregates, joined back broadcast (same posture as
+    bigram_nll's prefix table). All probability arithmetic happens in
+    IEEE double with a literally identical expression tree on the
+    DuckDB oracle side — exact integer inputs, correctly-rounded ops,
+    rounded to 6 dp."""
+    d = F.lit(discount)
+    bg = df.select(
+        F.explode(word_bigrams(F.col(text_col))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    pre = c2.groupBy("w1").agg(
+        F.sum("c").alias("cp"), F.count("*").alias("n_fwd")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n_bwd"))
+    nbig = c2.agg(F.count("*").alias("nbig"))
+    p_kn = (
+        (F.col("c") - d) / F.col("cp")
+        + d * F.col("n_fwd") / F.col("cp") * F.col("n_bwd") / F.col("nbig")
+    )
+    return (
+        c2.filter(F.col("c") >= min_count)
+        .join(F.broadcast(pre), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(nbig))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+    )

@@ -9439,3 +9439,79 @@ def good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "kneser_ney_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    pre AS (SELECT w1, sum(c)::BIGINT AS cp, count(*)::BIGINT AS n_fwd
+            FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_bwd FROM c2 GROUP BY w2),
+    nb AS (SELECT count(*)::BIGINT AS nbig FROM c2)
+    SELECT w1, w2, c AS pair_count,
+           round((c - CAST(0.75 AS DOUBLE)) / cp
+                 + CAST(0.75 AS DOUBLE) * n_fwd / cp * n_bwd / nbig, 6) AS p_kn
+    FROM c2 JOIN pre USING (w1) JOIN cont USING (w2), nb
+    WHERE c >= 5
+    """,
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (text.kneser_ney_bigram; Chen &
+    Goodman 1999): absolute-discount bigram probabilities backed off to
+    the CONTINUATION unigram — the KenLM/CCNet-family estimator behind
+    production perplexity filters, where bigram_nll_score is the add-one
+    baseline. Support-filtered to the collocation-sized head table.
+
+    Scale shape: one map-side-combined bigram count; prefix/continuation
+    stats are vocab-sized aggregates over that table, joined back
+    broadcast; the global distinct-bigram scalar is a broadcast one-row
+    join. Probability arithmetic is a fixed IEEE-double expression tree,
+    identical in the oracle."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("text"))
+    return TXT.kneser_ney_bigram(docs, "text", discount=0.75, min_count=5)
+
+
+@_register(
+    "embedding_distribution_distance",
+    """
+    WITH s AS (
+      SELECT label, dim::INT AS dim, count(*)::BIGINT AS n,
+             sum(CAST(embedding[dim] AS DECIMAL(18,9))) AS sv,
+             sum(CAST(embedding[dim] AS DECIMAL(18,9))
+                 * CAST(embedding[dim] AS DECIMAL(18,9))) AS sq
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(dim)
+      GROUP BY label, dim),
+    st AS (
+      SELECT label, dim, CAST(sv AS DOUBLE) / n AS mu,
+             greatest(CAST(sq AS DOUBLE) / n
+                      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n),
+                      CAST(0 AS DOUBLE)) AS var
+      FROM s),
+    t AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST((a.mu - b.mu) * (a.mu - b.mu) + a.var + b.var
+                  - 2 * sqrt(a.var * b.var) AS DECIMAL(28,12)) AS term
+      FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label)
+    SELECT label_a, label_b, round(CAST(sum(term) AS DOUBLE), 6) AS fid_diag
+    FROM t GROUP BY label_a, label_b
+    """,
+)
+def embedding_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Fréchet distance between every label pair's
+    embedding distribution (similarity.distribution_distance_diag — the
+    FID family, Heusel et al. 2017, per-dimension variances): the
+    corpus-slice drift detector in embedding space, complementing
+    pairwise near-dup detectors and token-space JS divergence.
+
+    Scale shape: one posexplode pass -> (label, dim) grid aggregate with
+    decimal-exact sums/sums-of-squares; the k·d stats table self-joins
+    broadcast on dim (k²·d rows, trivial forever); per-dim terms truncate
+    to decimal so the per-pair reduction stays order-independent."""
+    emb = _fan(_t(spark, sf_dir, "embeddings").select("label", "embedding"))
+    return SIM.distribution_distance_diag(emb, "embedding", "label")

@@ -756,3 +756,87 @@ def test_overlap_pairs_capped_consistent_universe(spark):
     }
     assert got.get((100, 101)) == 1.0
     assert not any(200 in pair for pair in got)
+
+
+def test_kneser_ney_matches_pure_python_reference(spark):
+    """kneser_ney_bigram at min_count=1 pinned bigram-for-bigram against a
+    direct pure-Python implementation of Chen & Goodman eq. 4.25, and the
+    interpolated-KN mass identity: for each w1, the emitted probabilities
+    plus the backoff mass routed to unseen continuations sum to exactly 1."""
+    from scylla_migrator_spark.analytics import text as TXT
+
+    corpus = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "the cat and the dog sat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["p_kn"])
+        for r in TXT.kneser_ney_bigram(df, "text", min_count=1).collect()
+    }
+
+    # pure-Python reference
+    from collections import Counter
+
+    d = 0.75
+    bigrams = Counter()
+    for t in corpus:
+        w = t.split()
+        for i in range(len(w) - 1):
+            bigrams[(w[i], w[i + 1])] += 1
+    cp = Counter()
+    n_fwd = Counter()
+    n_bwd = Counter()
+    for (w1, w2), c in bigrams.items():
+        cp[w1] += c
+        n_fwd[w1] += 1
+        n_bwd[w2] += 1
+    nbig = len(bigrams)
+    for (w1, w2), c in bigrams.items():
+        want = (c - d) / cp[w1] + d * n_fwd[w1] / cp[w1] * n_bwd[w2] / nbig
+        assert got[(w1, w2)][0] == c
+        assert abs(got[(w1, w2)][1] - want) < 1e-6, (w1, w2)
+    assert set(got) == set(bigrams)
+
+    # mass identity: observed mass + backoff-to-unseen mass == 1 per context
+    for w1 in cp:
+        obs = sum(
+            (c - d) / cp[w1] + d * n_fwd[w1] / cp[w1] * n_bwd[w2] / nbig
+            for (a, w2), c in bigrams.items()
+            if a == w1
+        )
+        unseen = (
+            d
+            * n_fwd[w1]
+            / cp[w1]
+            * (1 - sum(n_bwd[w2] for (a, w2) in bigrams if a == w1) / nbig)
+        )
+        assert abs(obs + unseen - 1.0) < 1e-12, w1
+
+
+def test_distribution_distance_identical_groups_zero_shift_exact(spark):
+    """distribution_distance_diag: two groups drawn identically give
+    distance 0; shifting one group by delta in every dimension gives
+    exactly dims * delta^2 (means shift, variances unchanged)."""
+    import random
+
+    rng = random.Random(7)
+    dims, n = 6, 40
+    base = [[rng.uniform(-1, 1) for _ in range(dims)] for _ in range(n)]
+    delta = 0.5
+    rows = (
+        [(0, v) for v in base]
+        + [(1, list(v)) for v in base]
+        + [(2, [x + delta for x in v]) for v in base]
+    )
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r["label_a"], r["label_b"]): r["fid_diag"]
+        for r in SIM.distribution_distance_diag(df).collect()
+    }
+    assert got[(0, 1)] == 0.0
+    # float32 ingestion + decimal truncation keep ~1e-4 of dims*delta^2
+    assert abs(got[(0, 2)] - dims * delta * delta) < 1e-3
+    assert abs(got[(1, 2)] - dims * delta * delta) < 1e-3

@@ -603,3 +603,29 @@ def test_good_turing_spectrum_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_kneser_ney_stats_join_broadcasts(spark, sf_dir):
+    """kneser_ney_bigram_lm: the corpus-scale work is ONE map-side-combined
+    bigram count; prefix/continuation/global stats join back broadcast —
+    no shuffle-merge join and no Python anywhere."""
+    plan = plan_of(Q.QUERIES["kneser_ney_bigram_lm"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_embedding_distribution_distance_single_grid_agg(spark, sf_dir):
+    """embedding_distribution_distance: one posexplode Generate feeding a
+    map-side-combined (label, dim) grid aggregate (partial sums before the
+    exchange); the pairwise stage broadcasts the k*d stats table — never a
+    cartesian, never a shuffle-merge join."""
+    df = Q.QUERIES["embedding_distribution_distance"](spark, sf_dir)
+    simple = plan_of(df, mode="simple")
+    assert simple.count("Generate") == 2  # one posexplode per self-join side
+    plan = plan_of(df, mode="formatted")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
