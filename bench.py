@@ -241,6 +241,7 @@ HEADLINE = [
     "good_turing_spectrum",
     "kneser_ney_bigram_lm",
     "embedding_distribution_distance",
+    "zipf_slope_by_source",
 ]
 
 

@@ -9515,3 +9515,72 @@ def embedding_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFra
     to decimal so the per-pair reduction stays order-independent."""
     emb = _fan(_t(spark, sf_dir, "embeddings").select("label", "embedding"))
     return SIM.distribution_distance_diag(emb, "embedding", "label")
+
+
+@_register(
+    "zipf_slope_by_source",
+    r"""
+    WITH wd AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    f AS (SELECT source, w, count(*)::BIGINT AS freq FROM wd GROUP BY source, w),
+    r AS (
+      SELECT source, freq,
+             row_number() OVER (PARTITION BY source ORDER BY freq DESC, w) AS rank
+      FROM f),
+    d AS (
+      SELECT source, CAST(ln(rank) AS DECIMAL(18,9)) AS x,
+             CAST(ln(freq) AS DECIMAL(18,9)) AS y
+      FROM r WHERE rank <= 200),
+    s AS (
+      SELECT source, count(*)::BIGINT AS n_ranks,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+      FROM d GROUP BY source)
+    SELECT source, n_ranks,
+           round((n_ranks*sxy - sx*sy) / (n_ranks*sxx - sx*sx), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source: least-squares slope of
+    ln(freq) on ln(rank) over each source's top-200 word ranks — natural
+    text sits near -1; spam, boilerplate, or machine-generated slices
+    bend the curve (the classic corpus-health readout next to
+    lexical_diversity and the Heaps/Good-Turing profiles).
+
+    Scale shape: one map-side-combined (source, word) count; the ranking
+    window partitions BY SOURCE (never a global sort) and the regression
+    consumes a fixed 200 rows per source. Transcendental terms truncate
+    to DECIMAL(18,9) before the exact-moment sums (the value_trend_slope
+    discipline), so the OLS arithmetic is shuffle-order independent."""
+    from pyspark.sql import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("source", "text"))
+    freq = (
+        docs.select("source", F.explode(TXT.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    rw = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = freq.withColumn("rank", F.row_number().over(rw)).filter(
+        F.col("rank") <= 200
+    )
+    x = F.log(F.col("rank").cast("double")).cast("decimal(18,9)")
+    y = F.log(F.col("freq").cast("double")).cast("decimal(18,9)")
+    s = (
+        ranked.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_ranks"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n_ranks").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select("source", "n_ranks", F.round(slope, 6).alias("zipf_slope"))

@@ -629,3 +629,15 @@ def test_embedding_distribution_distance_single_grid_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zipf_slope_window_is_source_partitioned(spark, sf_dir):
+    """zipf_slope_by_source: the ranking window partitions by source —
+    the plan must never collapse to a single-partition global sort; the
+    word count is map-side combined and nothing runs in Python."""
+    df = Q.QUERIES["zipf_slope_by_source"](spark, sf_dir)
+    plan = plan_of(df, mode="formatted")
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
