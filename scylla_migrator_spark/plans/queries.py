@@ -1256,18 +1256,24 @@ def _hashed_emb_cte(dim: int) -> str:
 
 @_register(
     "hashed_bow_embeddings",
-    _hashed_emb_cte(16) + "\n    SELECT doc_id, v FROM emb",
+    _hashed_emb_cte(16)
+    + "\n    SELECT doc_id, array_to_string(v, ',') AS v_csv FROM emb",
 )
 def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free text -> vector bridge: signed feature-hashing bag-of-words
     embedding (Weinberger et al. 2009) as a pure scan-stage column
     expression (text.hashed_bow_embedding) — integer-summed array<long>,
-    so the whole vector is value-hash oracle-checked. Gives every
-    embedding operator (ANN, kNN graph, SemDedup, centroids) a raw-text
-    on-ramp with no external encoder."""
+    so the whole vector is value-hash oracle-checked. The query surface
+    serializes the vector to a comma-joined string (scalar output
+    contract: no container-typed columns leave a registry query — see
+    tests/test_registry_lint.py); internal vector consumers (ANN,
+    SemDedup, centroids) use the raw array builder directly."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
-        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v")
+        "doc_id",
+        F.concat_ws(
+            ",", TXT.hashed_bow_embedding(F.col("text"), dim=16)
+        ).alias("v_csv"),
     )
 
 

@@ -55,7 +55,19 @@ QUERY_NAMES = sorted(entry_mod.queries())
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
-    spark_df = q(spark, sf_dir).toPandas()
+    sdf = q(spark, sf_dir)
+    # output contract: no container-typed columns (the driver's pandas
+    # canonicalizer cannot sort list cells) — plan-only twin of
+    # tests/test_registry_lint.py, applied here to streaming entries too
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"query {name!r} emits container-typed column(s) {bad}"
+    spark_df = sdf.toPandas()
     if name not in oracles:
         assert len(spark_df) >= 0  # rows-only check for non-SQL ops
         return

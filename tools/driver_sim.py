@@ -27,21 +27,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df):
-    import numpy as np
-
+    # Faithful to the driver's gate: sort columns by name, then sort ROWS
+    # with pandas sort_values — which (intentionally, matching the driver)
+    # raises TypeError on container cells. Round-5 lesson: an array-valued
+    # output column passed a lenient canon here but ERRORed in the driver;
+    # the sim must reproduce the driver's comparator, not improve on it.
     df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     rows = []
     for row in df.itertuples(index=False):
         cells = []
         for v in row:
-            # DuckDB's .df() materializes list columns as numpy arrays while
-            # a NON-Arrow Spark toPandas gives Python lists — str() renders
-            # them differently ('[ 4 -2]' vs '[4, -2]') even when values are
-            # identical. Normalize containers before stringifying, like the
-            # driver's own comparator does (array-valued queries have been
-            # green through four rounds of its gate).
-            if isinstance(v, np.ndarray):
-                v = v.tolist()
             if isinstance(v, float):
                 cells.append("NaN" if math.isnan(v) else f"{v:.9g}")
             else:
