@@ -8,8 +8,10 @@ models of a small target corpus and the raw pool, then samples proportional
 to the weights. This module implements the unigram form (the hashed-feature
 generalization changes only the token -> feature-id projection).
 
-Scale shape: ONE explode pass over the corpus; the per-word count table is
-broadcast back to the token stream (vocab-sized, not corpus-sized); the
+Scale shape: ONE explode pass over the corpus; the vocab-sized per-word
+count table joins back to the token stream under the ``text._stats_side``
+policy (no forced broadcast — AQE broadcasts when the measured vocabulary
+is small, falls back to a shuffle join at web-scale vocabularies); the
 per-document score is a decimal-truncated associative sum, so it is exact
 under any shuffle order and replayable in ANSI SQL.
 """
@@ -19,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scylla_migrator_spark.analytics.text import tokens
+from scylla_migrator_spark.analytics.text import _stats_side, tokens
 
 
 def dsir_log_weights(
@@ -27,6 +29,7 @@ def dsir_log_weights(
     is_target: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight under add-one-smoothed
     unigram LMs of the target slice vs the raw remainder.
@@ -61,7 +64,7 @@ def dsir_log_weights(
         - F.log((F.col("c_r") + 1) / (F.col("t_r") + F.col("v")))
     ).cast("decimal(18,9)")
     scored = (
-        toks.join(F.broadcast(counts), "w")
+        toks.join(_stats_side(counts, broadcast_stats), "w")
         .join(F.broadcast(scalars))
         .select(F.col(id_col), F.col("__tgt"), term.alias("lw"))
     )

@@ -33,6 +33,28 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def _stats_side(df: DataFrame, broadcast_stats: bool) -> DataFrame:
+    """Join-side hint policy for VOCABULARY-SIZED statistics tables
+    (unigram counts, bigram prefixes, document frequencies, continuation
+    counts).
+
+    These tables are small at test scale but unbounded at corpus scale —
+    a 100 TB heterogeneous corpus has 10^8-10^9 distinct tokens, past
+    Spark's broadcast limit and the driver's memory. A forced
+    ``F.broadcast`` hint would remove Catalyst's freedom to fall back to
+    a shuffle join, so the default here is NO hint: AQE measures the
+    built side at runtime and broadcasts exactly when it is actually
+    small (same plan as the hint at fixture scale, a sort-merge join at
+    web scale). Callers that KNOW their vocabulary is bounded (e.g. a
+    fixed tokenizer vocab) can pass ``broadcast_stats=True`` to pin the
+    broadcast.
+
+    One-row SCALAR tables (corpus totals, vocab size) keep their
+    explicit ``F.broadcast`` at the call sites — a single row is safe at
+    any scale and the hint avoids a pointless exchange."""
+    return F.broadcast(df) if broadcast_stats else df
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -315,24 +337,30 @@ def vocab_top_terms(
     )
 
 
-def unigram_nll(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_stats: bool = False,
+) -> DataFrame:
     """Unigram negative-log-likelihood quality score: each document's mean
     -ln p(w) under the corpus's own unigram distribution — the simplest
     member of the perplexity-filter family (documents that "surprise" the
     corpus LM are outliers: boilerplate, noise, wrong language).
 
-    Plan: explode tokens once; the count table joins back to the token
-    stream on the token itself (broadcast at any realistic vocab size);
-    total-count is a broadcast scalar. Per-token terms are truncated to
-    DECIMAL(18,9) BEFORE the per-document sum so the reduction is
-    associative-exact and cross-engine stable (ln differs by ulps between
-    libms; 9 dp is far above ulp noise and far below any meaningful score
-    difference)."""
+    Plan: explode tokens once; the vocab-sized count table joins back to
+    the token stream with the ``_stats_side`` policy (AQE-chosen by
+    default — broadcast when measured small, shuffle join at web-scale
+    vocabularies); total-count is a broadcast one-row scalar. Per-token
+    terms are truncated to DECIMAL(18,9) BEFORE the per-document sum so
+    the reduction is associative-exact and cross-engine stable (ln
+    differs by ulps between libms; 9 dp is far above ulp noise and far
+    below any meaningful score difference)."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
     cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
     total = cnt.agg(F.sum("c").alias("total"))
     scored = (
-        toks.join(F.broadcast(cnt), "w")
+        toks.join(_stats_side(cnt, broadcast_stats), "w")
         .join(F.broadcast(total))
         .select(
             F.col(id_col),
@@ -383,7 +411,10 @@ def word_bigrams(col: Column) -> Column:
 
 
 def bigram_nll(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Conditional bigram-LM negative log likelihood per document: mean
     -ln p(w_i | w_{i-1}) under the corpus's own add-one-smoothed bigram LM —
@@ -396,12 +427,14 @@ def bigram_nll(
     with fewer than 2 tokens have no bigrams and are excluded.
 
     Shape: one zipped-shifted-slices bigram pass (no per-element tokenizer
-    re-evaluation). The PREFIX count table and the vocab scalar broadcast
-    (vocab-sized); the bigram-transition table does NOT get a broadcast
-    hint — observed transitions grow toward corpus size on heterogeneous
-    text, so that join is left to AQE (broadcast when it measures small,
-    shuffle join when it doesn't). Per-term DECIMAL(18,9) truncation keeps
-    the transcendental sum shuffle-order exact."""
+    re-evaluation). Neither the bigram-transition table nor the PREFIX
+    count table gets a forced broadcast hint — both are unbounded at
+    corpus scale (transitions grow toward corpus size, prefixes toward
+    vocabulary size), so both joins are left to AQE via ``_stats_side``
+    (broadcast when measured small, shuffle join when not); only the
+    one-row vocab scalar broadcasts unconditionally. Per-term
+    DECIMAL(18,9) truncation keeps the transcendental sum shuffle-order
+    exact."""
     toks = tokens(F.col(text_col))
     bg = df.select(
         F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("p")
@@ -416,7 +449,7 @@ def bigram_nll(
     )
     scored = (
         bg.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        .join(_stats_side(c1, broadcast_stats), "w1")
         .join(F.broadcast(vocab))
         .select(F.col(id_col), term.alias("nll"))
     )
@@ -431,6 +464,7 @@ def collocation_pmi(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 5,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Adjacent-token collocation mining: pointwise mutual information of
     each word bigram against its slot-marginal frequencies — the classic
@@ -447,8 +481,12 @@ def collocation_pmi(
 
     Shape: ONE zipped-shifted-slices bigram pass; the pair table is
     aggregated map-side; slot marginals derive from the PAIR COUNTS (a
-    second small aggregation, not a second corpus scan); marginals
-    broadcast back onto the min_count-filtered pairs. No row ever
+    second small aggregation, not a second corpus scan); marginals join
+    back onto the min_count-filtered pairs under the ``_stats_side``
+    policy (vocab-sized — AQE-chosen join strategy by default; only the
+    one-row total broadcasts unconditionally). The min_count support
+    filter runs BEFORE the marginal joins, so at corpus scale the probe
+    side is the collocation head, not the hapax tail. No row ever
     carries text beyond the two words. Output: (w1, w2, pair_count,
     pmi)."""
     bg = df.select(
@@ -468,8 +506,8 @@ def collocation_pmi(
     )
     return (
         c12.filter(F.col("pair_count") >= min_count)
-        .join(F.broadcast(c_l), "w1")
-        .join(F.broadcast(c_r), "w2")
+        .join(_stats_side(c_l, broadcast_stats), "w1")
+        .join(_stats_side(c_r, broadcast_stats), "w2")
         .join(F.broadcast(m))
         .select("w1", "w2", "pair_count", pmi.alias("pmi"))
     )
@@ -626,6 +664,7 @@ def tfidf_hashed_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 16,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """TF-IDF-weighted feature hashing: the corpus-aware variant of
     :func:`hashed_bow_embedding` — each token contributes
@@ -637,8 +676,9 @@ def tfidf_hashed_features(
     ONE tokenize pass — the corpus collapses to the (doc, token, tf) table
     first, and both the document-frequency aggregate and the weighted terms
     derive from it (a second reference to the raw explode would re-tokenize
-    the whole corpus); the df table joins back broadcast (bounded by
-    vocabulary, not corpus). Each term is tf * sign * idf with the idf
+    the whole corpus); the vocab-sized df table joins back under the
+    ``_stats_side`` policy (AQE-chosen by default — a web-scale
+    vocabulary must not be force-broadcast). Each term is tf * sign * idf with the idf
     truncated to DECIMAL(18,9) BEFORE the integer multiply and the
     per-(doc, bucket) sum, so the reduction is associative-exact and
     cross-engine stable (the unigram_nll idiom — ln differs by ulps
@@ -652,7 +692,7 @@ def tfidf_hashed_features(
     n_total = df.select(F.count(F.lit(1)).alias("n"))
     h = F.col("h")
     terms = (
-        tok_counts.join(F.broadcast(dfw), "w")
+        tok_counts.join(_stats_side(dfw, broadcast_stats), "w")
         .join(F.broadcast(n_total))
         .select(
             F.col(id_col),
@@ -800,6 +840,7 @@ def kneser_ney_bigram(
     id_col: str = "doc_id",
     discount: float = 0.75,
     min_count: int = 5,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
     Ney 1995; Chen & Goodman 1999 eq. 4.25) for the supported bigrams:
@@ -821,8 +862,13 @@ def kneser_ney_bigram(
     Scale shape: ONE map-side-combined bigram count; every statistic
     (prefix totals, forward/backward continuation counts, the global
     distinct-bigram scalar) derives from that count table with
-    vocab-sized aggregates, joined back broadcast (same posture as
-    bigram_nll's prefix table). All probability arithmetic happens in
+    vocab-sized aggregates. The min_count support filter runs BEFORE
+    the statistic joins (the probe side is the head table), and the
+    vocab-sized prefix/continuation tables join under the
+    ``_stats_side`` policy — no forced broadcast; AQE picks broadcast
+    vs shuffle from measured size (same posture as bigram_nll). Only
+    the one-row distinct-bigram scalar broadcasts unconditionally.
+    All probability arithmetic happens in
     IEEE double with a literally identical expression tree on the
     DuckDB oracle side — exact integer inputs, correctly-rounded ops,
     rounded to 6 dp."""
@@ -842,8 +888,8 @@ def kneser_ney_bigram(
     )
     return (
         c2.filter(F.col("c") >= min_count)
-        .join(F.broadcast(pre), "w1")
-        .join(F.broadcast(cont), "w2")
+        .join(_stats_side(pre, broadcast_stats), "w1")
+        .join(_stats_side(cont, broadcast_stats), "w2")
         .join(F.broadcast(nbig))
         .select(
             "w1",

@@ -398,14 +398,73 @@ def test_ingest_dedup_and_oov_probe_joins_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
 
 
-def test_dsir_count_table_broadcasts(spark, sf_dir):
-    """DSIR joins the vocab count table and the scalar totals back to the
-    token stream — both must broadcast (vocab-sized, not corpus-sized)."""
+def test_dsir_count_table_join_is_aqe_chosen(spark, sf_dir):
+    """DSIR joins the vocab count table back to the token stream. The count
+    table is vocabulary-sized — unbounded at corpus scale — so it must NOT
+    carry a forced broadcast hint: AQE broadcasts when the measured build
+    side is small and falls back to a shuffle join when it is not. Only the
+    one-row scalar-totals join keeps its unconditional broadcast."""
     plan = plan_of(Q.QUERIES["dsir_importance_weights"](spark, sf_dir), mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars join
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+VOCAB_STATS_FNS = [
+    ("unigram_nll", lambda TXT, SEL, df: TXT.unigram_nll(df)),
+    ("bigram_nll", lambda TXT, SEL, df: TXT.bigram_nll(df)),
+    ("collocation_pmi", lambda TXT, SEL, df: TXT.collocation_pmi(df, min_count=1)),
+    ("tfidf_hashed_features", lambda TXT, SEL, df: TXT.tfidf_hashed_features(df)),
+    ("kneser_ney_bigram", lambda TXT, SEL, df: TXT.kneser_ney_bigram(df, min_count=1)),
+    (
+        "dsir_log_weights",
+        lambda TXT, SEL, df: SEL.dsir_log_weights(df, F.col("doc_id") % 2 == 0),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,build", VOCAB_STATS_FNS, ids=[n for n, _ in VOCAB_STATS_FNS])
+def test_vocab_stats_join_not_forced_broadcast(spark, sf_dir, name, build):
+    """The de-broadcast contract for the perplexity/PMI/TF-IDF/KN/DSIR
+    family: when the statistics table EXCEEDS the autoBroadcast threshold
+    (simulated with threshold = -1), the plan must compile WITHOUT a
+    BroadcastHashJoin for the vocab-sized stats join — i.e. the hint is
+    advisory (absent), not forced. A forced ``F.broadcast`` would plan a
+    BroadcastExchange regardless of the threshold, which is exactly the
+    100 TB failure mode (10^8-row vocab > driver memory). The one-row
+    scalar joins (BroadcastNestedLoopJoin) are exempt: a single row is
+    safe at any scale."""
+    from scylla_migrator_spark.analytics import selection as SEL
+    from scylla_migrator_spark.analytics import text as TXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(build(TXT, SEL, docs), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, (
+        f"{name}: stats join still forces a broadcast above the threshold"
+    )
+    assert "CartesianProduct" not in plan, name
+    # and the escape hatch still pins the broadcast when the caller
+    # KNOWS the vocabulary is bounded
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kw = {"broadcast_stats": True}
+        if name == "dsir_log_weights":
+            pinned = SEL.dsir_log_weights(docs, F.col("doc_id") % 2 == 0, **kw)
+        else:
+            fn = getattr(TXT, name)
+            pinned = (
+                fn(docs, min_count=1, **kw)
+                if name in ("collocation_pmi", "kneser_ney_bigram")
+                else fn(docs, **kw)
+            )
+        pinned_plan = plan_of(pinned, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in pinned_plan, name
 
 
 def test_substring_dup_is_equi_join_on_window_hash(spark, sf_dir):
@@ -501,7 +560,7 @@ def test_new_analytics_plans_no_cartesian_no_python(spark, sf_dir):
         "cohort_retention": dict(min_bcast=0),
         "event_transition_matrix": dict(min_bcast=0),
         "levenshtein_near_pairs": dict(min_bcast=0),  # gram equi-joins only
-        "tfidf_hashed_features": dict(min_bcast=1),   # df/N broadcast
+        "tfidf_hashed_features": dict(min_bcast=0),   # df join AQE-chosen (de-broadcast posture)
         "hashed_bow_embeddings": dict(min_bcast=0),
         "dup_graph_degree_distribution": dict(min_bcast=0),
     }
