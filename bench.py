@@ -242,7 +242,37 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "embedding_distribution_distance",
     "zipf_slope_by_source",
+    # round-6 additions
+    "kneser_ney_trigram_lm",
+    "kn_doc_nll_score",
+    "kn_perplexity_gate",
 ]
+
+
+def _is_streaming_scenario(name: str, fn) -> bool:
+    """A scenario whose callable runs a Structured Streaming query (or a
+    multi-micro-batch replay) internally. These are exposed to micro-batch
+    trigger-scheduling jitter that batch queries are not — observed 2x
+    swings between runs of identical code at fixture scale — so they get
+    median-of-3 timing instead of a single reading. Detection: the stream_
+    naming convention (several scenarios drive streams through helpers in
+    streaming/, so their own source has no readStream literal) plus a
+    source scan for direct stream construction."""
+    import inspect
+
+    if name.startswith("stream_"):
+        return True
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # pragma: no cover
+        return False
+    return "writeStream" in src or "readStream" in src
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
 def main() -> None:
@@ -255,6 +285,7 @@ def main() -> None:
     rows = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in ("orders", "lineitem", "events", "documents", "embeddings")}
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     # a registered query missing from HEADLINE silently vanishes from the
     # per-round numbers — surface it instead
@@ -271,12 +302,30 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCHMARK_ERROR | scenario={name} err={errors[name]!r}", file=sys.stderr)
             continue
+        if _is_streaming_scenario(name, fn):
+            # streaming scenarios: micro-batch trigger scheduling and
+            # checkpoint-dir timing make a single reading swing up to 2x
+            # between runs of identical code (observed r4->r5 on
+            # stream_scd2_history). Median-of-3 with the relative spread
+            # recorded, so a real plan regression is distinguishable from
+            # trigger jitter in the per-round history.
+            samples = [dt]
+            for _ in range(2):
+                try:
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    samples.append(time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001 - keep prior samples
+                    break
+            dt = _median(samples)
+            if len(samples) > 1 and dt > 0:
+                spreads[name] = round((max(samples) - min(samples)) / dt, 3)
         # one retry for fast queries: a single reading is exposed to GC /
         # JIT / page-cache interference from the previous query (observed
-        # 10x outliers); min-of-two is stable. Slow queries (streaming
-        # setup, iterative) skip the retry to bound total bench time. A
-        # retry failure keeps the successful first measurement.
-        if dt < 8.0:
+        # 10x outliers); min-of-two is stable. Slow batch queries
+        # (iterative) skip the retry to bound total bench time. A retry
+        # failure keeps the successful first measurement.
+        elif dt < 8.0:
             try:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
@@ -305,11 +354,18 @@ def main() -> None:
             "primaryKey": ["order_id"],
         }
     )
+    # migration scenarios share the streaming scenarios' run-to-run jitter
+    # (savepoint-dump and directory-swap timing at fixture scale; observed
+    # 1.7x between identical-code runs) — median-of-3 with recorded spread
     try:
-        t0 = time.perf_counter()
-        n = migrate(spark, cfg).count()
-        dt = time.perf_counter() - t0
+        samples, n = [], 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = migrate(spark, cfg).count()
+            samples.append(time.perf_counter() - t0)
+        dt = _median(samples)
         timings["migrate_pipeline"] = round(dt, 3)
+        spreads["migrate_pipeline"] = round((max(samples) - min(samples)) / dt, 3)
         print(
             f"BENCHMARK_RESULT | scenario=parquet_to_parquet_migration rows={n} "
             f"durationMs={int(dt*1000)} rowsPerSec={int(n / dt) if dt > 0 else 0}",
@@ -351,10 +407,16 @@ def main() -> None:
         }
     )
     try:
-        t0 = time.perf_counter()
-        n = migrate(spark, cfg_ts).count()
-        dt = time.perf_counter() - t0
+        samples, n = [], 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = migrate(spark, cfg_ts).count()
+            samples.append(time.perf_counter() - t0)
+        dt = _median(samples)
         timings["migrate_exploded_timestamps"] = round(dt, 3)
+        spreads["migrate_exploded_timestamps"] = round(
+            (max(samples) - min(samples)) / dt, 3
+        )
         print(
             f"BENCHMARK_RESULT | scenario=cql_to_scylla_preserve_timestamps rows={n} "
             f"durationMs={int(dt*1000)} rowsPerSec={int(rows['orders'] / dt) if dt > 0 else 0}",
@@ -376,6 +438,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # relative (max-min)/median spread for the median-of-3 scenarios
+        # (streaming + migration): a per-round number moving within its
+        # recorded spread is trigger/savepoint jitter, not a regression
+        "spread": spreads,
+        "timing": "streaming+migration=median_of_3; batch<8s=min_of_2",
         "sf": sf,
         "stateful_path": _stateful.LAST_TOTALS_PATH
         or (

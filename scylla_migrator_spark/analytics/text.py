@@ -876,7 +876,13 @@ def kneser_ney_bigram(
     bg = df.select(
         F.explode(word_bigrams(F.col(text_col))).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # four consumers (probe side + three statistics) derive from the count
+    # table; localCheckpoint stops each branch re-tokenizing the corpus
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     pre = c2.groupBy("w1").agg(
         F.sum("c").alias("cp"), F.count("*").alias("n_fwd")
     )
@@ -897,4 +903,163 @@ def kneser_ney_bigram(
             F.col("c").alias("pair_count"),
             F.round(p_kn, 6).alias("p_kn"),
         )
+    )
+
+
+def word_trigrams(col: Column) -> Column:
+    """Array of (w1, w2, w3) structs for adjacent word triples — ONE zipped
+    pass over three shifted slices of the token array (the word_bigrams
+    idiom one order up). Empty for texts with fewer than 3 tokens."""
+    toks = tokens(col)
+    width = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, width).alias("w1"),
+        F.slice(toks, 2, width).alias("w2"),
+        F.slice(toks, 3, width).alias("w3"),
+    )
+
+
+def kneser_ney_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    min_count: int = 5,
+    broadcast_stats: bool = False,
+) -> DataFrame:
+    """Interpolated trigram Kneser-Ney probabilities (Chen & Goodman 1999
+    §4.1.6) for the supported trigrams — the estimator order used by the
+    KenLM-style perplexity filters in CCNet-family curation pipelines:
+
+        P_KN(w3|w1 w2) = (c(w1w2w3) - d) / c(w1w2·)
+                         + d · N1+(w1w2·) / c(w1w2·) · P_KN(w3|w2)
+
+    where the BIGRAM level uses continuation counts (how many distinct
+    left contexts a bigram continues, not how often it occurs):
+
+        P_KN(w3|w2) = (N1+(·w2w3) - d) / N1+(·w2·)
+                      + d · N1+(w2·) / N1+(·w2·) · N1+(·w3) / N1+(··)
+
+    All observed n-grams have count >= 1 > d, so no max(·,0) clamp is
+    needed on the supported set. Output is support-filtered
+    (trigram_count >= min_count): the collocation-sized head table, not
+    the full transition tensor.
+
+    Scale shape: ONE map-side-combined trigram count; every lower-order
+    statistic (prefix totals, continuation bigrams, continuation
+    marginals, the global distinct-continuation scalar) derives from that
+    count table with vocab-sized aggregates. The support filter runs
+    BEFORE the statistic joins, and all vocab-sized tables join under the
+    ``_stats_side`` policy (AQE-chosen — no forced broadcast); only the
+    one-row scalar broadcasts unconditionally. Probability arithmetic is
+    a fixed IEEE-double expression tree, replayed identically by the
+    DuckDB oracle, rounded to 6 dp."""
+    d = F.lit(discount)
+    tg = df.select(F.explode(word_trigrams(F.col(text_col))).alias("p")).select(
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+    # six statistic tables derive from the trigram counts; without a
+    # materialization Spark re-tokenizes and re-shingles the WHOLE corpus
+    # once per derived branch (observed 8x wall-clock). localCheckpoint
+    # pins the count table — vocab-scale rows of four small columns, the
+    # corpus text never persists
+    c3 = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # trigram-level prefix stats: c(w1w2.) and N1+(w1w2.)
+    pre2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c").alias("cp2"), F.count("*").alias("n_fwd2")
+    )
+    # continuation bigrams: N1+(.w2w3) = distinct w1 per (w2,w3) = row
+    # count of the (already-distinct) trigram table grouped by (w2,w3);
+    # checkpointed for the same reason — three statistics derive from it
+    c2c = (
+        c3.groupBy("w2", "w3")
+        .agg(F.count("*").alias("cc"))
+        .localCheckpoint(eager=False)
+    )
+    # bigram-level continuation prefix: N1+(.w2.) and N1+(w2.)
+    pre1 = c2c.groupBy("w2").agg(
+        F.sum("cc").alias("cp1"), F.count("*").alias("n_fwd1")
+    )
+    # continuation unigram: N1+(.w3) and the global N1+(..)
+    cont = c2c.groupBy("w3").agg(F.count("*").alias("n_bwd"))
+    ntot = c2c.agg(F.count("*").alias("ncont"))
+    p2 = (
+        (F.col("cc") - d) / F.col("cp1")
+        + d * F.col("n_fwd1") / F.col("cp1") * F.col("n_bwd") / F.col("ncont")
+    )
+    p3 = (F.col("c") - d) / F.col("cp2") + d * F.col("n_fwd2") / F.col("cp2") * p2
+    return (
+        c3.filter(F.col("c") >= min_count)
+        .join(_stats_side(pre2, broadcast_stats), ["w1", "w2"])
+        .join(_stats_side(c2c, broadcast_stats), ["w2", "w3"])
+        .join(_stats_side(pre1, broadcast_stats), "w2")
+        .join(_stats_side(cont, broadcast_stats), "w3")
+        .join(F.broadcast(ntot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c").alias("trigram_count"),
+            F.round(p3, 6).alias("p_kn"),
+        )
+    )
+
+
+def kn_doc_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_stats: bool = False,
+) -> DataFrame:
+    """Per-document Kneser-Ney NLL: mean -ln P_KN(w2|w1) over the
+    document's bigrams under the corpus's own interpolated bigram KN LM
+    (kneser_ney_bigram's estimator, unfiltered — scoring needs every
+    observed transition, and on the training corpus itself every scored
+    bigram IS observed, so P_KN > 0 always). This is the doc-level score
+    the CCNet-style perplexity gate thresholds on: high NLL = the
+    document's transitions surprise the corpus LM (shuffled text, spam,
+    wrong language); bigram_nll is the add-one baseline of the same gate.
+
+    Shape: two corpus passes — one builds the bigram count table (which
+    localCheckpoints so its three derived statistics don't re-tokenize
+    the corpus once each), one scores the per-doc bigram stream against
+    it; vocab-sized stats join under ``_stats_side`` (AQE-chosen); the
+    one-row scalar broadcasts. Each
+    per-bigram term truncates to DECIMAL(18,9) BEFORE the per-document
+    sum (order-independent transcendental reduction), mean rounded to
+    6 dp. Documents with fewer than 2 tokens have no bigrams and are
+    absent from the output — a perplexity gate must pass them through
+    explicitly (see plans/curate.py::kn_perplexity_filter)."""
+    d = F.lit(discount)
+    bg = df.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pre = c2.groupBy("w1").agg(F.sum("c").alias("cp"), F.count("*").alias("n_fwd"))
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n_bwd"))
+    nbig = c2.agg(F.count("*").alias("nbig"))
+    p_kn = (
+        (F.col("c") - d) / F.col("cp")
+        + d * F.col("n_fwd") / F.col("cp") * F.col("n_bwd") / F.col("nbig")
+    )
+    scored = (
+        bg.join(_stats_side(c2, broadcast_stats), ["w1", "w2"])
+        .join(_stats_side(pre, broadcast_stats), "w1")
+        .join(_stats_side(cont, broadcast_stats), "w2")
+        .join(F.broadcast(nbig))
+        .select(F.col(id_col), (-F.log(p_kn)).cast("decimal(18,9)").alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_kn_nll"),
     )

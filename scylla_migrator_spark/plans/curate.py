@@ -197,6 +197,14 @@ def _v_diversity(params: dict) -> dict:
     return {"min_ttr": _require_number(params, "minTTR", 0.0, 1.0)}
 
 
+def _v_kn_perplexity(params: dict) -> dict:
+    _reject_extras(params, {"maxAvgNll", "discount"})
+    out = {"max_avg_nll": _require_number(params, "maxAvgNll", 0.0, 100.0)}
+    if "discount" in params:
+        out["discount"] = _require_number(params, "discount", 0.0, 1.0)
+    return out
+
+
 _OPS: dict[str, Any] = {
     "length_filter": _v_length,
     "quality_filter": _v_quality,
@@ -210,6 +218,7 @@ _OPS: dict[str, Any] = {
     "readability_filter": _v_readability,
     "diversity_filter": _v_diversity,
     "history_bloom_dedup": _v_history_bloom,
+    "kn_perplexity_filter": _v_kn_perplexity,
 }
 
 
@@ -487,6 +496,26 @@ def curate(spark: SparkSession, cfg: CurationConfig, observe: bool = True) -> Cu
             df = _observe(
                 D.drop_exact_duplicates(df, cfg.text_column, cfg.id_column), name
             )
+        elif st["op"] == "kn_perplexity_filter":
+            # CCNet-style perplexity gate: corpus-trained interpolated
+            # bigram Kneser-Ney, drop documents whose mean transition NLL
+            # exceeds the threshold. ANTI-join on the over-threshold ids:
+            # documents with no bigrams (0/1 tokens) have no score row and
+            # PASS — a perplexity gate cannot judge what it cannot score
+            # (length_filter is the stage that drops stubs). The LM trains
+            # on the corpus AS SEEN AT THIS STAGE (post upstream filters),
+            # like the batch repetition stage.
+            drop = (
+                TXT.kn_doc_nll(
+                    df,
+                    cfg.text_column,
+                    cfg.id_column,
+                    discount=st.get("discount", 0.75),
+                )
+                .filter(F.col("avg_kn_nll") > st["max_avg_nll"])
+                .select(cfg.id_column)
+            )
+            df = _observe(df.join(drop, cfg.id_column, "left_anti"), name)
         elif st["op"] == "near_dedup":
             # pairwise keeper rule: MinHash-LSH candidate pairs always come
             # out (id_a < id_b), so dropping every id_b keeps each document

@@ -9484,6 +9484,133 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kneser_ney_trigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    tg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+    -- MATERIALIZED: six statistics derive from the trigram counts; inlined
+    -- CTEs re-run the unnest+index explode per consumer (observed 55 s ->
+    -- 0.3 s at sf0.001) — the oracle-side twin of the Spark localCheckpoint
+    c3 AS MATERIALIZED (
+      SELECT w1, w2, w3, count(*)::BIGINT AS c FROM tg GROUP BY w1, w2, w3),
+    pre2 AS (SELECT w1, w2, sum(c)::BIGINT AS cp2, count(*)::BIGINT AS n_fwd2
+             FROM c3 GROUP BY w1, w2),
+    c2c AS MATERIALIZED (
+      SELECT w2, w3, count(*)::BIGINT AS cc FROM c3 GROUP BY w2, w3),
+    pre1 AS (SELECT w2, sum(cc)::BIGINT AS cp1, count(*)::BIGINT AS n_fwd1
+             FROM c2c GROUP BY w2),
+    cont AS (SELECT w3, count(*)::BIGINT AS n_bwd FROM c2c GROUP BY w3),
+    nt AS (SELECT count(*)::BIGINT AS ncont FROM c2c)
+    SELECT w1, w2, w3, c AS trigram_count,
+           round((c - CAST(0.75 AS DOUBLE)) / cp2
+                 + CAST(0.75 AS DOUBLE) * n_fwd2 / cp2
+                   * ((cc - CAST(0.75 AS DOUBLE)) / cp1
+                      + CAST(0.75 AS DOUBLE) * n_fwd1 / cp1 * n_bwd / ncont),
+                 6) AS p_kn
+    FROM c3 JOIN pre2 USING (w1, w2) JOIN c2c USING (w2, w3)
+            JOIN pre1 USING (w2) JOIN cont USING (w3), nt
+    WHERE c >= 3
+    """,
+)
+def kneser_ney_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney LM (text.kneser_ney_trigram; Chen &
+    Goodman 1999 §4.1.6): absolute-discount trigram probabilities backed
+    off through continuation-count bigrams to the continuation unigram —
+    the estimator order KenLM-style CCNet perplexity filters actually run.
+    kneser_ney_bigram_lm is the order below; bigram_nll_score the add-one
+    baseline. Support-filtered head table; all vocab-sized statistic
+    joins AQE-chosen (de-broadcast posture), one-row scalar broadcast."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("text"))
+    return TXT.kneser_ney_trigram(docs, "text", discount=0.75, min_count=3)
+
+
+@_register(
+    "kn_doc_nll_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    pre AS (SELECT w1, sum(c)::BIGINT AS cp, count(*)::BIGINT AS n_fwd
+            FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_bwd FROM c2 GROUP BY w2),
+    nb AS (SELECT count(*)::BIGINT AS nbig FROM c2),
+    scored AS (
+      SELECT doc_id,
+             CAST(-ln((c - CAST(0.75 AS DOUBLE)) / cp
+                      + CAST(0.75 AS DOUBLE) * n_fwd / cp * n_bwd / nbig)
+                  AS DECIMAL(18,9)) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2), nb)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_kn_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def kn_doc_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level Kneser-Ney NLL (text.kn_doc_nll): mean -ln
+    P_KN(w2|w1) per document under the corpus's own interpolated bigram
+    KN LM — the doc score the CCNet-style perplexity gate thresholds on
+    (the kn_perplexity_filter curation stage applies exactly this score;
+    see kn_perplexity_gate). Decimal-truncated per-bigram terms make the
+    transcendental sum shuffle-order exact."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.kn_doc_nll(docs, "text", "doc_id", discount=0.75)
+
+
+@_register(
+    "kn_perplexity_gate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    pre AS (SELECT w1, sum(c)::BIGINT AS cp, count(*)::BIGINT AS n_fwd
+            FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_bwd FROM c2 GROUP BY w2),
+    nb AS (SELECT count(*)::BIGINT AS nbig FROM c2),
+    scored AS (
+      SELECT doc_id,
+             CAST(-ln((c - CAST(0.75 AS DOUBLE)) / cp
+                      + CAST(0.75 AS DOUBLE) * n_fwd / cp * n_bwd / nbig)
+                  AS DECIMAL(18,9)) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2), nb),
+    agg AS (
+      SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_kn_nll
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    WHERE agg.avg_kn_nll IS NULL OR agg.avg_kn_nll <= 3.42
+    """,
+)
+def kn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kn_perplexity_filter CURATION STAGE end-to-end (plans/curate.py):
+    a config-driven pipeline whose one stage trains the interpolated
+    bigram KN LM on the corpus and drops every document whose mean
+    transition NLL exceeds the threshold — the CCNet perplexity gate.
+    Documents too short to score (no bigrams) pass through (the oracle's
+    LEFT JOIN ... IS NULL branch). Returns the surviving (doc_id,
+    source) set; the oracle replays LM training, scoring, and the gate in
+    SQL."""
+    from scylla_migrator_spark.plans.curate import CurationConfig, curate
+
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "stages": [{"op": "kn_perplexity_filter", "maxAvgNll": 3.42}],
+        }
+    )
+    return curate(spark, cfg, observe=False).df.select("doc_id", "source")
+
+
+@_register(
     "embedding_distribution_distance",
     """
     WITH s AS (

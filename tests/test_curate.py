@@ -744,3 +744,70 @@ def test_gopher_filter_gates_a_stream(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM gopher_gate_test").collect()
     )
     assert got == [1]
+
+
+def test_kn_perplexity_filter_stage(spark, tmp_path):
+    """kn_perplexity_filter: trains the interpolated bigram KN LM on the
+    corpus and drops documents whose mean transition NLL exceeds the
+    threshold. Repeated natural-looking transitions score LOW (the LM has
+    seen them); a document of unique never-repeated transitions scores
+    HIGH. Unscorable stubs (0/1 tokens) pass through."""
+    common = "the cat sat on the mat and then " * 4
+    rows = [(i, common + f"tail{i}") for i in range(1, 9)]
+    # doc 9: every bigram unique corpus-wide -> maximal surprise
+    rows.append((9, " ".join(f"odd{i}" for i in range(40))))
+    rows.append((10, "stub"))  # one token: no bigrams, must pass
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+
+    from scylla_migrator_spark.analytics.text import kn_doc_nll
+
+    scores = {
+        r["doc_id"]: r["avg_kn_nll"]
+        for r in kn_doc_nll(spark.read.parquet(src)).collect()
+    }
+    assert 10 not in scores  # unscorable
+    assert scores[9] > max(scores[i] for i in range(1, 9))
+    cut = (scores[9] + max(scores[i] for i in range(1, 9))) / 2
+
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [{"op": "kn_perplexity_filter", "maxAvgNll": round(cut, 4)}],
+        }
+    )
+    kept = sorted(r["doc_id"] for r in curate(spark, cfg, observe=False).df.collect())
+    assert kept == list(range(1, 9)) + [10]
+
+
+def test_kn_perplexity_filter_validation():
+    for stage, msg in [
+        ({"op": "kn_perplexity_filter"}, "maxAvgNll"),
+        ({"op": "kn_perplexity_filter", "maxAvgNll": -1}, "maxAvgNll"),
+        ({"op": "kn_perplexity_filter", "maxAvgNll": 3, "bogus": 1}, "bogus"),
+        ({"op": "kn_perplexity_filter", "maxAvgNll": 3, "discount": 2}, "discount"),
+    ]:
+        with pytest.raises(ConfigError, match=msg):
+            CurationConfig.from_dict(
+                {"source": {"type": "parquet", "path": "/x"}, "stages": [stage]}
+            )
+
+
+def test_kn_perplexity_filter_rejected_on_stream(spark, tmp_path):
+    """Corpus-global LM training cannot run on a stream — compose-time
+    rejection, not a silent no-op (the curate_stream contract)."""
+    from scylla_migrator_spark.plans.curate import curate_stream
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": src},
+            "stages": [{"op": "kn_perplexity_filter", "maxAvgNll": 3.0}],
+        }
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ConfigError, match="corpus-global"):
+        curate_stream(stream, cfg)

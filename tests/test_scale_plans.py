@@ -416,6 +416,11 @@ VOCAB_STATS_FNS = [
     ("tfidf_hashed_features", lambda TXT, SEL, df: TXT.tfidf_hashed_features(df)),
     ("kneser_ney_bigram", lambda TXT, SEL, df: TXT.kneser_ney_bigram(df, min_count=1)),
     (
+        "kneser_ney_trigram",
+        lambda TXT, SEL, df: TXT.kneser_ney_trigram(df, min_count=1),
+    ),
+    ("kn_doc_nll", lambda TXT, SEL, df: TXT.kn_doc_nll(df)),
+    (
         "dsir_log_weights",
         lambda TXT, SEL, df: SEL.dsir_log_weights(df, F.col("doc_id") % 2 == 0),
     ),
@@ -458,7 +463,8 @@ def test_vocab_stats_join_not_forced_broadcast(spark, sf_dir, name, build):
             fn = getattr(TXT, name)
             pinned = (
                 fn(docs, min_count=1, **kw)
-                if name in ("collocation_pmi", "kneser_ney_bigram")
+                if name
+                in ("collocation_pmi", "kneser_ney_bigram", "kneser_ney_trigram")
                 else fn(docs, **kw)
             )
         pinned_plan = plan_of(pinned, mode="simple")
