@@ -246,6 +246,9 @@ HEADLINE = [
     "kneser_ney_trigram_lm",
     "kn_doc_nll_score",
     "kn_perplexity_gate",
+    "ccnet_perplexity_buckets",
+    "containment_prefix_pairs",
+    "dup_graph_k_core",
 ]
 
 

@@ -232,3 +232,42 @@ def label_propagation(
             .select("v", "lbl")
         )
     return lbl
+
+
+def k_core(
+    pairs: DataFrame, id_a: str, id_b: str, k: int = 2, rounds: int = 4
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Batagelj & Zaversnik
+    2003's peel, unrolled): repeatedly delete every vertex whose degree in
+    the SURVIVING subgraph is below k; what remains after convergence is
+    the k-core — the maximal subgraph where every vertex keeps >= k
+    neighbors. On a near-dup graph the 2-core separates real duplicate
+    clusters from the isolated-edge noise a single spurious LSH collision
+    creates (an edge whose endpoints have no other support peels away;
+    LPA keeps it as a 2-community), making this the strictest of the
+    dup-graph quality lenses (components ⊇ LPA communities ⊇ k-core).
+
+    Rounds are a FIXED unrollable count (the label_propagation contract)
+    so SQL oracles replay the peel CTE-for-CTE; identical fixed rounds on
+    both sides compare equal even before convergence, and the graphs this
+    engine builds (bounded-degree near-dup graphs) converge in a handful
+    of peels. Scale shape: each round is ONE degree aggregation over the
+    surviving edge list plus two semi-joins carrying 8-byte ids — no
+    vertex ever carries text — with the edge list localCheckpointed per
+    round (the connected_components lineage-reset cadence). Returns
+    (v, core_degree): the surviving vertices with their degree inside
+    the k-core."""
+    edges = pairs.select(
+        F.col(id_a).alias("s"), F.col(id_b).alias("d")
+    ).unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+    for _ in range(rounds):
+        deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        edges = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("s").alias("v")).agg(
+        F.count("*").alias("core_degree")
+    )

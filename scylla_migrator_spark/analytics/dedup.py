@@ -944,6 +944,92 @@ def jaccard_prefix_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Directed token-SET CONTAINMENT join by prefix filtering: all
+    same-block ordered pairs (a, b), a != b, with
+
+        C(a -> b) = |tokens_a INTERSECT tokens_b| / |tokens_a| >= t
+
+    — the asymmetric complement of jaccard_prefix_pairs. Jaccard misses
+    the quote/excerpt case entirely (a 50-token excerpt inside a
+    5000-token page has Jaccard ~ 0.01 but containment 1.0); containment
+    is the dedup-family operator for detecting EMBEDDED duplication:
+    quoted passages, boilerplate-wrapped reposts, chunk-of-a-document
+    training leaks.
+
+    Prefix filter (directed form of the Bayardo/Xiao lemma): if
+    C(a->b) >= t then a misses at most ``sz_a - ceil(t*sz_a)`` of its own
+    tokens from b, so among a's first ``sz_a - ceil(t*sz_a) + 1`` tokens
+    under the global rare-first order at least one is in b — the PROBE
+    side indexes only that prefix, and loses nothing. The INDEXED side
+    must carry its full token set (the denominator ignores b, so b's
+    suffix can still hold a's prefix tokens); hot tokens therefore keep
+    full posting lists on the b side, but they enter the join only
+    through the rare-first PROBE prefixes, which is exactly where the
+    global order makes them scarce. The size filter
+    ``sz_b * td >= sz_a * tn`` (from |A∩B| <= sz_b) prunes
+    small-b candidates before the verify. All threshold comparisons are
+    exact integer arithmetic on the rational t = tn/td; the oracle is
+    the unblocked pairwise definition, proving the filter lossless.
+    Output: (id_a, id_b, overlap, containment[6 dp]) — DIRECTED, so a
+    contained-in-b and b-contained-in-a are distinct rows."""
+    tn, td = threshold_num, threshold_den
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    tok = base.select("doc_id", "blk", "sz", F.explode("toks").alias("w"))
+    dfc = tok.groupBy("w").agg(F.count("*").alias("dfc"))
+    from pyspark.sql.window import Window
+
+    ordered = tok.join(dfc, "w").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "w")),
+    )
+    # probe prefix: sz - ceil(t*sz) + 1 rare-first tokens, ceil in integers
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("sz") - ((F.col("sz") * tn + (td - 1)) / td).cast("long") + 1
+    ).select("doc_id", "blk", "sz", "w")
+    a, b = prefix.alias("a"), tok.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.w") == F.col("b.w"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+                # |A INTERSECT B| <= sz_b, so need sz_b >= ceil(t*sz_a)
+                F.col("b.sz") * td >= F.col("a.sz") * tn,
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "w", F.col("sz").alias("sza"))
+    tb = tok.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "sza")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return inter.filter(F.col("overlap") * td >= F.col("sza") * tn).select(
+        "id_a",
+        "id_b",
+        "overlap",
+        F.round(F.col("overlap") / F.col("sza"), 6).alias("containment"),
+    )
+
+
 def edit_distance_pairs(
     keys: DataFrame,
     *,

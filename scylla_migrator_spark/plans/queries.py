@@ -2229,6 +2229,35 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "containment_prefix_pairs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::BIGINT AS overlap,
+           round(len(list_intersect(a.s, b.s)) / len(a.s), 6) AS containment
+    FROM tk a JOIN tk b ON a.source = b.source AND a.doc_id != b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10 >= len(a.s) * 9
+    """,
+)
+def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED token-set containment >= 9/10 join (dedup.containment_pairs):
+    the asymmetric dedup operator Jaccard cannot express — a quoted
+    excerpt inside a long page has near-zero Jaccard but containment 1.0,
+    so this is the detector for embedded duplication (quotes, boilerplate
+    reposts, chunk-level training leaks). Probe-side rare-first prefix
+    filter keeps hot tokens out of the join's probe side; integer-exact
+    rational threshold; the oracle is the unblocked pairwise definition,
+    proving the prefix filter lossless."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    return D.containment_pairs(
+        docs, "text", "doc_id", block_col="source", threshold_num=9, threshold_den=10
+    )
+
+
+@_register(
     "winnowing_fingerprint_pairs",
     r"""
     WITH toks AS (
@@ -2725,7 +2754,7 @@ def simhash_banded_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
 
 
-def _kmeans_assign_cte(name: str, cent: str) -> str:
+def _kmeans_assign_cte(name: str, cent: str, base: str = "base") -> str:
     """Assignment CTE: nearest centroid by the same argmax the engine's
     ivf_assign computes (dot/|c| desc, ties by centroid index)."""
     return f"""{name} AS (
@@ -2734,34 +2763,36 @@ def _kmeans_assign_cte(name: str, cent: str) -> str:
                row_number() OVER (PARTITION BY b.vec_id
                   ORDER BY list_dot_product(b.v, c.cv)
                            / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cidx) AS rn
-        FROM base b CROSS JOIN {cent} c) WHERE rn = 1)"""
+        FROM {base} b CROSS JOIN {cent} c) WHERE rn = 1)"""
 
 
-def _kmeans_train_parts(iters: int, n: int, dim: int) -> list[str]:
+def _kmeans_train_parts(iters: int, n: int, dim: int, p: str = "") -> list[str]:
     """Shared DuckDB replay of similarity.kmeans_centroids — seed =
     lowest-``n`` ids, then ``iters`` unrolled (assign -> decimal-exact
     per-dim mean, round 6) rounds; the final centroid CTE is
-    ``cent{iters}``. Used by both the IVF oracle and the SemDedup oracle so
-    the two can never drift from each other (or from the engine)."""
+    ``{p}cent{iters}``. Used by the IVF, SemDedup, doc-cluster AND
+    (prefixed, once per subspace) product-quantization oracles so none
+    can drift from the engine or each other. ``p`` prefixes every CTE
+    name including the ``{p}base`` input relation."""
     parts = [
-        f"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
-             FROM base ORDER BY vec_id LIMIT {n})""",
+        f"""{p}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+             FROM {p}base ORDER BY vec_id LIMIT {n})""",
     ]
     for t in range(iters):
-        parts.append(_kmeans_assign_cte(f"assign{t}", f"cent{t}"))
+        parts.append(_kmeans_assign_cte(f"{p}assign{t}", f"{p}cent{t}", f"{p}base"))
         parts.append(
-            f"""upd{t + 1} AS (
+            f"""{p}upd{t + 1} AS (
       SELECT a.centroid_id AS cidx, gs.i AS pos,
              round(CAST(sum(CAST(a.v[gs.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m
-      FROM assign{t} a CROSS JOIN generate_series(1, {dim}) AS gs(i)
+      FROM {p}assign{t} a CROSS JOIN generate_series(1, {dim}) AS gs(i)
       GROUP BY a.centroid_id, gs.i)"""
         )
         parts.append(
-            f"cent{t + 1}l AS (SELECT cidx, list(m ORDER BY pos) AS cv FROM upd{t + 1} GROUP BY cidx)"
+            f"{p}cent{t + 1}l AS (SELECT cidx, list(m ORDER BY pos) AS cv FROM {p}upd{t + 1} GROUP BY cidx)"
         )
         parts.append(
-            f"""cent{t + 1} AS (SELECT p.cidx, coalesce(u.cv, p.cv) AS cv
-      FROM cent{t} p LEFT JOIN cent{t + 1}l u USING (cidx))"""
+            f"""{p}cent{t + 1} AS (SELECT p.cidx, coalesce(u.cv, p.cv) AS cv
+      FROM {p}cent{t} p LEFT JOIN {p}cent{t + 1}l u USING (cidx))"""
         )
     return parts
 
@@ -8236,7 +8267,7 @@ def linear_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the tie-break and the hamming<=8 pair predicate cannot silently
 # diverge between oracles (mirrors analytics/components.py::
 # label_propagation by contract).
-_SIMHASH_LPA_CTES = r"""WITH h AS (
+_SIMHASH_EDGES_CTES = r"""WITH h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
                             w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
@@ -8247,12 +8278,14 @@ _SIMHASH_LPA_CTES = r"""WITH h AS (
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 8),
     edges AS (SELECT id_a AS s, id_b AS d FROM prs
-              UNION ALL SELECT id_b, id_a FROM prs),
+              UNION ALL SELECT id_b, id_a FROM prs)"""
+
+_SIMHASH_LPA_CTES = _SIMHASH_EDGES_CTES + r""",
     l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM edges),
     r1 AS (SELECT e.d AS v, l.lbl, count(*)::BIGINT AS cnt
            FROM edges e JOIN l0 l ON e.s = l.v GROUP BY e.d, l.lbl),
@@ -8310,6 +8343,55 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = lbl.groupBy("lbl").agg(F.count("*").alias("community_size"))
     return lbl.join(sz, "lbl").select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("community"), "community_size"
+    )
+
+
+def _k_core_cte(k: int, rounds: int) -> str:
+    """Unrolled peel rounds for the k-core oracle — CTE-for-CTE replay of
+    analytics/components.py::k_core (fixed round count on both sides, so
+    results compare equal even before convergence)."""
+    parts = []
+    prev = "edges"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{r} AS (SELECT s, count(*)::BIGINT AS deg FROM {prev} GROUP BY s),
+    v{r} AS (SELECT s FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.s, e.d FROM {prev} e
+      JOIN v{r} a ON e.s = a.s JOIN v{r} b ON e.d = b.s)"""
+        )
+        prev = f"e{r}"
+    return (
+        ","
+        + ",".join(parts)
+        + f"""
+    SELECT s AS doc_id, count(*)::BIGINT AS core_degree
+    FROM {prev} GROUP BY s"""
+    )
+
+
+@_register(
+    "dup_graph_k_core",
+    _SIMHASH_EDGES_CTES + _k_core_cte(k=2, rounds=4),
+)
+def dup_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the near-dup pair graph
+    (analytics/components.py::k_core; Batagelj & Zaversnik 2003 peel,
+    unrolled to 4 synchronous rounds): the 2-core strips every vertex
+    that cannot keep 2 neighbors as peeling proceeds, separating real
+    duplicate clusters from the isolated edges a single spurious LSH
+    collision creates — the strictest dup-graph quality lens
+    (components ⊇ LPA communities ⊇ k-core). Per round: one degree
+    aggregation + two semi-joins on 8-byte ids, edge list
+    localCheckpointed (the connected_components cadence); the oracle
+    replays the peel CTE-for-CTE. Shares the staged pair table with the
+    other dup_graph_* consumers."""
+    from scylla_migrator_spark.analytics.components import k_core
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    return k_core(pairs, "id_a", "id_b", k=2, rounds=4).withColumnRenamed(
+        "v", "doc_id"
     )
 
 
@@ -9608,6 +9690,81 @@ def kn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return curate(spark, cfg, observe=False).df.select("doc_id", "source")
+
+
+
+@_register(
+    "ccnet_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    pre AS (SELECT w1, sum(c)::BIGINT AS cp, count(*)::BIGINT AS n_fwd
+            FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS n_bwd FROM c2 GROUP BY w2),
+    nb AS (SELECT count(*)::BIGINT AS nbig FROM c2),
+    scored AS (
+      SELECT doc_id,
+             CAST(-ln((c - CAST(0.75 AS DOUBLE)) / cp
+                      + CAST(0.75 AS DOUBLE) * n_fwd / cp * n_bwd / nbig)
+                  AS DECIMAL(18,9)) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2), nb),
+    agg AS MATERIALIZED (
+      SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_kn_nll
+      FROM scored GROUP BY doc_id),
+    lng AS (SELECT a.doc_id, d.lang, a.avg_kn_nll
+            FROM agg a JOIN documents d USING (doc_id)),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(avg_kn_nll, CAST(1 AS DOUBLE) / 3) AS c_head,
+             quantile_cont(avg_kn_nll, CAST(1 AS DOUBLE) / 3 * 2) AS c_mid
+      FROM lng GROUP BY lang)
+    SELECT doc_id, lang,
+           CASE WHEN avg_kn_nll <= c_head THEN 'head'
+                WHEN avg_kn_nll <= c_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lng JOIN cuts USING (lang)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, bucket documents by corpus-LM perplexity terciles — 'head'
+    (lowest NLL third) is the high-quality slice CCNet-style pipelines
+    train on, 'tail' the discard candidate. Scored with kn_doc_nll (the
+    interpolated bigram KN of kn_doc_nll_score).
+
+    Scale shape: NO per-document window and NO global sort — the tercile
+    cutoffs are a per-language exact-percentile AGGREGATE (language-count
+    rows, a bounded enum, so the cutoff table broadcasts), and the bucket
+    label is a scan-stage comparison against the broadcast cutoffs (the
+    quality_percentile_filter pattern; at 100 TB swap percentile for
+    approx_percentile, plan shape unchanged). Interpolated percentiles on
+    the 6 dp-rounded scores use the same (n-1)·q linear-interpolation
+    formula in both engines."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    scores = TXT.kn_doc_nll(docs, "text", "doc_id", discount=0.75)
+    lng = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    third = F.lit(1).cast("double") / F.lit(3)
+    cuts = lng.groupBy("lang").agg(
+        F.percentile("avg_kn_nll", third).alias("c_head"),
+        F.percentile("avg_kn_nll", third * 2).alias("c_mid"),
+    )
+    nll = F.col("avg_kn_nll")
+    return (
+        lng.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(nll <= F.col("c_head"), F.lit("head"))
+            .when(nll <= F.col("c_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
 
 
 @_register(

@@ -184,6 +184,7 @@ def test_enable_stream_timeout():
         enable_dynamo_stream(cat, "t1", max_retries=3)
 
 
+@pytest.mark.slow
 def test_snapshot_then_stream_enables_source_stream(spark, tmp_path):
     """K9 wired into T5: the source table's stream must be ENABLED before the
     snapshot copy begins."""

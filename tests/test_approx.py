@@ -3,6 +3,8 @@ gate; here we pin them against exact answers)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.plans import queries as Q
@@ -85,6 +87,7 @@ def test_sketch_merge_distinct_within_tolerance(spark, sf_dir):
     assert abs(row["approx_distinct_users"] - exact) <= max(2, 0.03 * exact)
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_recall_beats_seed_standin(spark):
     """The Lloyd's-trained centroids (iters=2) must give average recall@10
     at least as good as the old lowest-16-id stand-in (iters=0) over a

@@ -108,6 +108,7 @@ from hypothesis import strategies as st
     num_hashes=st.integers(min_value=1, max_value=4),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_bloom_totality_no_false_negatives(spark, build, probe, num_bits, num_hashes):
     """TOTALITY over arbitrary key sets, bitmap sizes, and hash counts:
     every build-side key still probes as a member (no false negatives),
@@ -153,6 +154,7 @@ def test_bloom_totality_no_false_negatives(spark, build, probe, num_bits, num_ha
     q=st.sampled_from([25, 50, 75, 95]),
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_histogram_quantile_within_one_bin_any_distribution(spark, values, q):
     """The crossing+interpolation contract, property form: for ANY value
     distribution and any quantile, the histogram estimate lands inside

@@ -11,6 +11,11 @@ import sys
 
 import yaml
 
+import pytest
+
+# CLI integration: each test boots a fresh interpreter + SparkSession
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

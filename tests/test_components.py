@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.analytics.components import connected_components
@@ -80,6 +82,7 @@ def test_random_graph_matches_union_find(spark):
     assert got == truth
 
 
+@pytest.mark.slow
 def test_two_phase_matches_label_propagation_random(spark):
     """large-star/small-star equals min-label propagation on random graphs,
     long chains (the adversarial case it exists for), and cliques."""

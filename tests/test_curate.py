@@ -114,6 +114,7 @@ def test_config_validation_errors(mutate, msg, corpus):
         CurationConfig.from_dict(raw)
 
 
+@pytest.mark.slow
 def test_curate_cli(spark, corpus, tmp_path):
     """curate subcommand in a SUBPROCESS (its spark.stop() must not disturb
     the shared test session — same posture as test_cli_compact)."""

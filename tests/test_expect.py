@@ -122,6 +122,7 @@ def test_expectations_unknown_column_fails_fast(spark, tmp_path):
         run_expectations(spark, cfg)
 
 
+@pytest.mark.slow
 def test_expect_cli_exit_codes(spark, table, tmp_path):
     """expect subcommand in a subprocess: exit 1 on failed expectations
     with the JSON report on stdout; exit 0 when all pass."""

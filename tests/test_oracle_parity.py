@@ -11,6 +11,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.parity
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

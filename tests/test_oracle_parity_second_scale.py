@@ -3,8 +3,12 @@ test_oracle_parity, but at a SECOND scale (sf0.01 — conftest's default
 is sf0.001) — catches fixture-size assumptions (hardcoded counts, seeds
 that only exist at one scale, window tie patterns) a single-scale gate
 would miss. Skips itself if the two directories coincide (zero added
-coverage then). Env-gated (one extra full registry pass); run with
-SGS_PARITY_SECOND_SCALE=1."""
+coverage then).
+
+ON by default since round 6 (it carries the ``parity`` marker, so the
+fast loop still excludes it — see pytest.ini): an off-by-default gate
+let scale assumptions land silently between rounds. Opt OUT with
+SGS_PARITY_SECOND_SCALE=0."""
 
 from __future__ import annotations
 
@@ -16,17 +20,20 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.test_oracle_parity import TABLES, _canon
 
+pytestmark = pytest.mark.parity
+
 SF_DIR = "/root/testdata/sf0.01"
 
 from tests.conftest import SF_DIR as _DEFAULT_SF_DIR
 
-# enabled only on demand (a second full-registry pass), and only when it
-# adds a genuinely different scale than the main gate's directory. When
-# disabled, the parameter list is empty so the module reports ONE skip
-# instead of one per query.
-_ENABLED = bool(os.environ.get("SGS_PARITY_SECOND_SCALE")) and os.path.realpath(
-    SF_DIR
-) != os.path.realpath(_DEFAULT_SF_DIR)
+# a second full-registry pass: on unless explicitly disabled, and only
+# when it adds a genuinely different scale than the main gate's
+# directory. When disabled, the parameter list is empty so the module
+# reports ONE skip instead of one per query.
+_ENABLED = os.environ.get("SGS_PARITY_SECOND_SCALE", "1") not in (
+    "0",
+    "false",
+) and os.path.realpath(SF_DIR) != os.path.realpath(_DEFAULT_SF_DIR)
 
 
 @pytest.fixture(scope="module")

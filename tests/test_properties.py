@@ -200,6 +200,7 @@ def test_murmur3_token_total_and_stable(data):
     )
 )
 @settings(max_examples=5, deadline=None)
+@pytest.mark.slow
 def test_upsert_sequence_equals_dict_semantics(spark_prop, batches):
     """Any sequence of partition-scoped upserts equals last-writer-wins dict
     application (the serving-table contract, independent of bucketing)."""

@@ -25,6 +25,10 @@ from pyspark.sql import types as T
 
 import __spark_entry__ as entry_mod
 
+# registry-wide (one case per query): rides with the parity tier; the
+# full parity suite asserts the identical schema contract inline anyway
+pytestmark = pytest.mark.parity
+
 _CONTAINER = (T.ArrayType, T.MapType, T.StructType)
 
 

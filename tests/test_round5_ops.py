@@ -10,6 +10,8 @@ seeding, assignment, or updates."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.analytics import dedup as D
@@ -38,6 +40,7 @@ def test_semdedup_kmeans_cluster_cost_not_worse_than_standin(spark):
     assert trained <= standin * 1.05  # balance must hold, small slack
 
 
+@pytest.mark.slow
 def test_semdedup_prune_recall_not_worse_than_standin(spark):
     """Truth = every vector with a lower-id cosine>=tau partner ANYWHERE
     (unclustered all-pairs). SemDedup only catches pairs that share a

@@ -38,9 +38,12 @@ def test_small_dims_broadcast_in_star_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parity
 def test_no_python_eval_in_hot_paths(spark, sf_dir):
     """Every oracle-backed batch query must stay JVM-side (whole-stage
-    codegen); Python appears only in the explicitly-Arrow multimodal path."""
+    codegen); Python appears only in the explicitly-Arrow multimodal path.
+    Registry-wide (one plan build per query), so it rides the parity tier
+    like test_registry_lint."""
     skip = {
         "multimodal_fake_features",  # mapInPandas by design
         "udtf_sentence_split",  # the Python UDTF surface, by design

@@ -180,6 +180,7 @@ def test_asof_join_strict_excludes_same_instant(spark):
     assert strict == {100: None, 200: "at-150"}
 
 
+@pytest.mark.slow
 def test_asof_join_matches_bruteforce_random(spark):
     """Randomized equivalence vs an O(n^2) reference across all four mode
     combinations (inclusive/strict x inner/left), seeded for determinism.

@@ -278,6 +278,7 @@ def test_intra_doc_duplication(spark):
 # --- distributed linear algebra -------------------------------------------
 
 
+@pytest.mark.slow
 def test_power_iteration_matches_numpy(spark, sf_dir):
     import numpy as np
 
