@@ -249,6 +249,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "containment_prefix_pairs",
     "dup_graph_k_core",
+    "pq_codebook_quantize",
 ]
 
 

@@ -182,15 +182,31 @@ def ivf_assign(
       (best_score, best_index); the naive
       ``array_position(sims, array_max(sims))`` references ``sims`` twice
       and Spark re-inlines the whole 16-cosine computation per reference."""
+    v = F.col(vec_col).cast("array<double>")
+    best = nearest_centroid_expr(v, centroids)
+    return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
+
+
+def nearest_centroid_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """The argmax-centroid COLUMN EXPRESSION behind ivf_assign (and, per
+    subspace, pq_assign): index of the centroid maximizing dot(v, c)/|c|.
+
+    Two expression-level choices that halve-and-halve the per-row work:
+    - argmax over ``dot(v, c)/|c|`` instead of full cosine — ``|v|`` is a
+      common positive factor across centroids, so it cannot change the
+      argmax and is never computed (|c| folds to a Python constant).
+    - the score array is consumed exactly ONCE by a fold that carries
+      (best_score, best_index); the naive
+      ``array_position(sims, array_max(sims))`` references ``sims`` twice
+      and Spark re-inlines the whole 16-cosine computation per reference.
+    The centroid MATRIX is one literal expression and the scores come
+    from ONE zip_with lambda instead of k separate dot-fold expressions:
+    every k-means iteration plans a FRESH expression (new centroid
+    literals), and Catalyst analysis/optimization of the per-centroid
+    fold list costs ~2x the collapsed form (measured; results
+    bit-identical — same product order, division after the fold)."""
     import math
 
-    v = F.col(vec_col).cast("array<double>")
-    # the centroid MATRIX is one literal expression and the 16 scores come
-    # from ONE zip_with lambda instead of 16 separate dot-fold expressions:
-    # every k-means iteration plans a FRESH expression (new centroid
-    # literals), and Catalyst analysis/optimization of the per-centroid
-    # fold list costs ~2x the collapsed form (measured; results
-    # bit-identical — same product order, division after the fold)
     if all(math.isfinite(float(x)) for c in centroids for x in c):
         mat = F.expr(
             "array("
@@ -211,12 +227,11 @@ def ivf_assign(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda s, i: F.struct(s.alias("s"), i.alias("i")),
     )
-    best = F.aggregate(
+    return F.aggregate(
         pairs,
         F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
     )["i"]
-    return df.select(F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id"))
 
 
 def _cos_py(a: list[float], b: list[float]) -> float:
@@ -554,4 +569,70 @@ def distribution_distance_diag(
     ).select(F.col("a.g").alias(a_col), F.col("b.g").alias(b_col), term.alias("term"))
     return pairs.groupBy(a_col, b_col).agg(
         F.round(F.sum("term").cast("double"), 6).alias("fid_diag")
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jegou et al. TPAMI 2011):
+    split the D-dim embedding into ``m`` contiguous subspaces of D/m dims
+    and train an independent deterministic Lloyd's k-means
+    (:func:`kmeans_centroids` — lowest-id seed, decimal-exact mean
+    updates) per subspace. A PQ code compresses a vector to ``m`` small
+    ints (here m*2 bits-ish vs D*4 bytes) while distances remain
+    computable per-subspace from k*m lookup tables — THE memory lever for
+    billion-vector ANN: at 100 TB of embeddings the raw vectors don't fit
+    hot storage, the PQ codes do.
+
+    Returns ``m`` codebooks of ``k`` centroids each. Cost: m * iters
+    passes, each identical in shape to one IVF training pass (slice is a
+    scan-stage projection; the update shuffle carries k * D/m partial
+    sums per partition). Train on a deterministic sample at extreme
+    scale, like kmeans_centroids."""
+    dim = len(df.select(vec_col).head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    return [
+        kmeans_centroids(
+            df.select(F.col(id_col), F.slice(v, s * sub + 1, sub).alias("v")),
+            n_centroids=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col="v",
+        )
+        for s in range(m)
+    ]
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector against trained PQ codebooks: one ``code_{s}``
+    INT column per subspace (the argmax-cosine assignment of
+    :func:`nearest_centroid_expr` on the sliced vector — the spherical-PQ
+    variant matching this engine's cosine ANN family). Pure scan-stage
+    column expressions: the codebooks ride the plan as literals, no join,
+    no shuffle, no Python — the 100 TB encode is one narrow projection.
+    Output: (id, code_0 .. code_{m-1})."""
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        *[
+            nearest_centroid_expr(F.slice(v, s * sub + 1, sub), book)
+            .cast("int")
+            .alias(f"code_{s}")
+            for s, book in enumerate(codebooks)
+        ],
     )

@@ -6142,6 +6142,59 @@ def _kmeans_centroids_staged(
     )
 
 
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Oracle for product quantization: per subspace, slice the vector and
+    replay the SAME shared Lloyd's training + assignment CTEs (prefixed so
+    the four trainings coexist in one statement), then join the m
+    assignments back on vec_id. Mirrors similarity.pq_codebooks/pq_assign
+    subspace for subspace."""
+    sub = dim // m
+    parts = ["WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    sel = ["f.vec_id"]
+    joins = "allv f"
+    for s in range(m):
+        p = f"s{s}"
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"{p}base AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM allv)")
+        parts.extend(_kmeans_train_parts(iters, k, sub, p=p))
+        parts.append(_kmeans_assign_cte(f"{p}a", f"{p}cent{iters}", f"{p}base"))
+        sel.append(f"{p}a.centroid_id::INT AS code_{s}")
+        joins += f" JOIN {p}a ON f.vec_id = {p}a.vec_id"
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT "
+        + ", ".join(sel)
+        + f"\n    FROM {joins}"
+    )
+
+
+@_register("pq_codebook_quantize", _pq_sql(m=4, k=4, iters=2, dim=64))
+def pq_codebook_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011; similarity.pq_codebooks /
+    pq_assign): the 64-dim embeddings split into 4 subspaces, an
+    independent deterministic Lloyd's k-means (k=4, 2 rounds) trained per
+    subspace, and every vector encoded to 4 small int codes — the memory
+    lever that keeps billion-vector ANN hot (codes + k*m codebook rows
+    replace the raw vectors; distances come from per-subspace lookup
+    tables). Training is build-once staged like the IVF quantizer; the
+    encode itself is a pure scan-stage projection (codebooks ride as
+    literals — no join, no shuffle, no Python). The oracle replays all
+    four trainings and assignments through the shared Lloyd's CTEs."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    return SIM.pq_assign(emb, books, "vec_id", "embedding")
+
+
 def _stream_ivf_sql(iters: int = 2, n: int = 16, dim: int = 64) -> str:
     """Oracle for streaming IVF ingest: the ingested partition layout must
     hold exactly the BATCH assignment of every vector (batch/stream

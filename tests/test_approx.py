@@ -132,3 +132,30 @@ def test_ivf_kmeans_recall_beats_seed_standin(spark):
     assert kmeans >= standin
     assert kmeans >= 0.65 * 10 * len(queries)  # avg recall@10 >= 6.5
     emb.unpersist()
+
+
+def test_pq_codes_match_per_subspace_ivf_assign(spark, sf_dir):
+    """pq_assign is definitionally the per-subspace ivf_assign: encoding
+    with the trained codebooks must equal slicing the vector and running
+    the coarse assignment per subspace."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = SIM.pq_codebooks(emb, m=4, k=4, iters=1)
+    got = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(4)]
+        for r in SIM.pq_assign(emb, books).collect()
+    }
+    assert got, "empty encode"
+    v = F.col("embedding").cast("array<double>")
+    for s in range(4):
+        sliced = emb.select("vec_id", F.slice(v, s * 16 + 1, 16).alias("v"))
+        want = {
+            r["vec_id"]: r["centroid_id"]
+            for r in SIM.ivf_assign(sliced, books[s], "vec_id", "v").collect()
+        }
+        assert {k: c[s] for k, c in got.items()} == want, f"subspace {s}"
+    # codes land in [0, k)
+    assert all(0 <= c < 4 for cs in got.values() for c in cs)
