@@ -250,6 +250,7 @@ HEADLINE = [
     "containment_prefix_pairs",
     "dup_graph_k_core",
     "pq_codebook_quantize",
+    "pq_adc_ann_topk",
 ]
 
 

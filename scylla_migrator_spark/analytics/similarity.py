@@ -636,3 +636,45 @@ def pq_assign(
             for s, book in enumerate(codebooks)
         ],
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC of Jegou et al. 2011): score
+    every vector from its PQ CODES alone — score = sum over subspaces of
+    dot(query_slice_s, codeword[code_s]) — and take the k best by that
+    inner-product approximation (ties by id).
+
+    The m lookup tables (k entries each) are computed DRIVER-side from the
+    trained codebooks and ride the plan as literal arrays; per row the
+    scan does m integer lookups + an (m-1)-add fold. This is why PQ is
+    the memory lever at 100 TB: the raw vectors never load — a corpus
+    stored as (id, m codes) plus a k*m table answers ANN probes. Exact
+    re-rank of the ADC top-k' against raw vectors (k' ~ 4k) is the
+    standard refinement; this returns the pure-ADC ranking so the
+    approximation itself is oracle-checkable. Summation is fixed-order
+    (subspace 0..m-1), scores rounded to 6 dp."""
+    sub = len(codebooks[0][0])
+    tables = [
+        [
+            sum(float(q) * float(c) for q, c in zip(query_vec[s * sub : (s + 1) * sub], cw))
+            for cw in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    codes = pq_assign(df, codebooks, id_col, vec_col)
+    score = None
+    for s, tab in enumerate(tables):
+        term = F.element_at(lit_vec(tab), F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    return (
+        codes.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -6168,6 +6168,73 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+def _pq_adc_sql(
+    m: int = 4, kc: int = 4, iters: int = 2, dim: int = 64, k: int = 10
+) -> str:
+    """Oracle for PQ asymmetric-distance top-k: the _pq_sql training +
+    assignment CTEs, then per-subspace score = dot(query_slice, assigned
+    codeword) — algebraically identical to the engine's driver-side
+    lookup tables (table[code] IS dot(q_s, codeword)) — summed in fixed
+    subspace order and top-k'd with id tiebreak."""
+    sub = dim // m
+    parts = [
+        "WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM allv WHERE vec_id = 0)",
+    ]
+    score_terms = []
+    joins = "allv f CROSS JOIN q"
+    for s in range(m):
+        p = f"s{s}"
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"{p}base AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM allv)")
+        parts.extend(_kmeans_train_parts(iters, kc, sub, p=p))
+        parts.append(_kmeans_assign_cte(f"{p}a", f"{p}cent{iters}", f"{p}base"))
+        joins += (
+            f" JOIN {p}a ON f.vec_id = {p}a.vec_id"
+            f" JOIN {p}cent{iters} {p}c ON {p}a.centroid_id = {p}c.cidx"
+        )
+        score_terms.append(f"list_dot_product(qv[{lo}:{hi}], {p}c.cv)")
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT f.vec_id, round({' + '.join(score_terms)}, 6) AS adc_score
+    FROM {joins}
+    ORDER BY adc_score DESC, f.vec_id LIMIT {k}"""
+    )
+
+
+@_register("pq_adc_ann_topk", _pq_adc_sql(m=4, kc=4, iters=2, dim=64, k=10))
+def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN (similarity.pq_adc_topk): score the whole
+    corpus from its 4 PQ codes alone — per row, 4 lookup-table reads and
+    a 3-add fold; the raw vectors never load. This is the memory-bound
+    ANN path at 100 TB (codes + a k*m table instead of the vectors),
+    normally refined by an exact re-rank of the ADC head. Shares the
+    build-once staged codebooks with pq_codebook_quantize; the oracle
+    recomputes each lookup as dot(query_slice, assigned codeword) —
+    algebraically the same table."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    return SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
+
+
 @_register("pq_codebook_quantize", _pq_sql(m=4, k=4, iters=2, dim=64))
 def pq_codebook_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jegou et al. 2011; similarity.pq_codebooks /

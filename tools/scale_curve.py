@@ -39,6 +39,7 @@ from scylla_migrator_spark.analytics import similarity as SIM  # noqa: E402
 from scylla_migrator_spark.analytics import text as TXT  # noqa: E402
 from scylla_migrator_spark.analytics.components import (  # noqa: E402
     connected_components,
+    k_core,
     label_propagation,
 )
 
@@ -193,6 +194,34 @@ def run_pipelines(
         return label_propagation(pairs, "id_a", "id_b", rounds=3).count()
 
     record("dup_graph_label_propagation", n_docs, lpa)
+
+    record(
+        "containment_prefix_pairs",
+        n_docs,
+        lambda: D.containment_pairs(
+            docs, "text", "doc_id", block_col="source",
+            threshold_num=9, threshold_den=10,
+        ).count(),
+    )
+
+    record(
+        "kneser_ney_trigram_lm",
+        n_docs,
+        lambda: TXT.kneser_ney_trigram(docs, "text", min_count=3).count(),
+    )
+
+    record(
+        "kn_doc_nll_score",
+        n_docs,
+        lambda: TXT.kn_doc_nll(docs, "text", "doc_id").count(),
+    )
+
+    def kcore() -> int:
+        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
+        return k_core(pairs, "id_a", "id_b", k=2, rounds=4).count()
+
+    record("dup_graph_k_core", n_docs, kcore)
 
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
