@@ -251,6 +251,8 @@ HEADLINE = [
     "dup_graph_k_core",
     "pq_codebook_quantize",
     "pq_adc_ann_topk",
+    "kn3_doc_nll_score",
+    "stream_pq_encode",
 ]
 
 

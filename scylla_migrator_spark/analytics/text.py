@@ -1063,3 +1063,71 @@ def kn_doc_nll(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_kn_nll"),
     )
+
+
+def kn3_doc_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_stats: bool = False,
+) -> DataFrame:
+    """Order-3 document perplexity: mean -ln P_KN(w3|w1 w2) per document
+    under the corpus's own interpolated TRIGRAM Kneser-Ney LM
+    (kneser_ney_trigram's estimator, unfiltered) — the order CCNet-grade
+    filters actually score at; kn_doc_nll is the bigram form. On the
+    training corpus every scored trigram is observed, so the interpolated
+    probability is always positive.
+
+    Shape: two corpus passes (count-table build + scoring), with the
+    trigram count table and the continuation-bigram table both
+    localCheckpointed — five statistics derive from them. Vocab-sized
+    stats join under ``_stats_side`` (AQE-chosen); only the one-row
+    scalar broadcasts. Per-trigram terms truncate to DECIMAL(18,9)
+    pre-sum; mean rounded to 6 dp. Documents with fewer than 3 tokens
+    are unscored (absent), like kn_doc_nll's contract."""
+    d = F.lit(discount)
+    tg = df.select(
+        F.col(id_col), F.explode(word_trigrams(F.col(text_col))).alias("p")
+    ).select(
+        id_col,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+    c3 = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pre2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c").alias("cp2"), F.count("*").alias("n_fwd2")
+    )
+    c2c = (
+        c3.groupBy("w2", "w3")
+        .agg(F.count("*").alias("cc"))
+        .localCheckpoint(eager=False)
+    )
+    pre1 = c2c.groupBy("w2").agg(
+        F.sum("cc").alias("cp1"), F.count("*").alias("n_fwd1")
+    )
+    cont = c2c.groupBy("w3").agg(F.count("*").alias("n_bwd"))
+    ntot = c2c.agg(F.count("*").alias("ncont"))
+    p2 = (
+        (F.col("cc") - d) / F.col("cp1")
+        + d * F.col("n_fwd1") / F.col("cp1") * F.col("n_bwd") / F.col("ncont")
+    )
+    p3 = (F.col("c") - d) / F.col("cp2") + d * F.col("n_fwd2") / F.col("cp2") * p2
+    scored = (
+        tg.join(_stats_side(c3, broadcast_stats), ["w1", "w2", "w3"])
+        .join(_stats_side(pre2, broadcast_stats), ["w1", "w2"])
+        .join(_stats_side(c2c, broadcast_stats), ["w2", "w3"])
+        .join(_stats_side(pre1, broadcast_stats), "w2")
+        .join(_stats_side(cont, broadcast_stats), "w3")
+        .join(F.broadcast(ntot))
+        .select(F.col(id_col), (-F.log(p3)).cast("decimal(18,9)").alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_kn3_nll"),
+    )

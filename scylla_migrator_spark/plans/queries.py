@@ -6235,6 +6235,49 @@ def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
 
 
+@_register("stream_pq_encode", _pq_sql(m=4, k=4, iters=2, dim=64))
+def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PQ index maintenance (batch/stream unification for the
+    codes table): the embeddings replayed as two micro-batches, each
+    arriving vector encoded to its 4 PQ codes by the STATELESS literal
+    lookup projection (pq_assign — zero stateful operators, no watermark,
+    no state store: a PQ code depends on the trained codebooks alone, so
+    encoding composes with any ingest feed). Codebooks are the SAME
+    build-once staged artifact the batch quantize and ADC probe share;
+    after the replay the codes table equals the batch encode exactly —
+    the oracle is the batch _pq_sql."""
+    import os
+
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            _fan(emb), m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", emb.filter(F.col("vec_id") % 2 == 0)),
+                ("1", emb.filter(F.col("vec_id") % 2 == 1)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    return _run_available_now(SIM.pq_assign(stream, books), "append")
+
+
 @_register("pq_codebook_quantize", _pq_sql(m=4, k=4, iters=2, dim=64))
 def pq_codebook_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jegou et al. 2011; similarity.pq_codebooks /
@@ -9762,6 +9805,50 @@ def kn_doc_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental sum shuffle-order exact."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return TXT.kn_doc_nll(docs, "text", "doc_id", discount=0.75)
+
+
+@_register(
+    "kn3_doc_nll_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    tg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+    c3 AS MATERIALIZED (
+      SELECT w1, w2, w3, count(*)::BIGINT AS c FROM tg GROUP BY w1, w2, w3),
+    pre2 AS (SELECT w1, w2, sum(c)::BIGINT AS cp2, count(*)::BIGINT AS n_fwd2
+             FROM c3 GROUP BY w1, w2),
+    c2c AS MATERIALIZED (
+      SELECT w2, w3, count(*)::BIGINT AS cc FROM c3 GROUP BY w2, w3),
+    pre1 AS (SELECT w2, sum(cc)::BIGINT AS cp1, count(*)::BIGINT AS n_fwd1
+             FROM c2c GROUP BY w2),
+    cont AS (SELECT w3, count(*)::BIGINT AS n_bwd FROM c2c GROUP BY w3),
+    nt AS (SELECT count(*)::BIGINT AS ncont FROM c2c),
+    scored AS (
+      SELECT doc_id,
+             CAST(-ln((c - CAST(0.75 AS DOUBLE)) / cp2
+                      + CAST(0.75 AS DOUBLE) * n_fwd2 / cp2
+                        * ((cc - CAST(0.75 AS DOUBLE)) / cp1
+                           + CAST(0.75 AS DOUBLE) * n_fwd1 / cp1 * n_bwd / ncont))
+                  AS DECIMAL(18,9)) AS nll
+      FROM tg JOIN c3 USING (w1, w2, w3) JOIN pre2 USING (w1, w2)
+              JOIN c2c USING (w2, w3) JOIN pre1 USING (w2) JOIN cont USING (w3), nt)
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_kn3_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def kn3_doc_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-3 document perplexity (text.kn3_doc_nll): mean -ln
+    P_KN(w3|w1 w2) per document under the corpus's own interpolated
+    trigram Kneser-Ney LM — the order CCNet-grade filters score at
+    (kn_doc_nll_score is the bigram form, bigram_nll_score the add-one
+    baseline: the full estimator ladder). Two corpus passes, both count
+    tables localCheckpointed, vocab-sized stats joins AQE-chosen,
+    decimal-truncated transcendental sum."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.kn3_doc_nll(docs, "text", "doc_id", discount=0.75)
 
 
 @_register(
