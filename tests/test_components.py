@@ -121,3 +121,25 @@ def test_two_phase_raises_when_fixpoint_not_reached(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with _pt.raises(RuntimeError, match="max_iter"):
         connected_components_two_phase(df, max_iter=0).collect()
+
+
+def test_k_core_peels_pendant_edges(spark):
+    """Hand graph: a triangle (1,2,3) with a pendant chain 3-4-5. The
+    2-core is exactly the triangle: vertex 5 (deg 1) peels in round 1,
+    which drops 4 to deg 1 so it peels in round 2; every triangle vertex
+    keeps degree 2."""
+    from scylla_migrator_spark.analytics.components import k_core
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {r["v"]: r["core_degree"] for r in k_core(pairs, "id_a", "id_b", k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_forest(spark):
+    """A tree has no 2-core — everything peels."""
+    from scylla_migrator_spark.analytics.components import k_core
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    assert k_core(pairs, "id_a", "id_b", k=2, rounds=4).count() == 0

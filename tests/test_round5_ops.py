@@ -843,3 +843,48 @@ def test_distribution_distance_identical_groups_zero_shift_exact(spark):
     # float32 ingestion + decimal truncation keep ~1e-4 of dims*delta^2
     assert abs(got[(0, 2)] - dims * delta * delta) < 1e-3
     assert abs(got[(1, 2)] - dims * delta * delta) < 1e-3
+
+
+def test_containment_pairs_lossless_and_directed(spark):
+    """The probe-side prefix filter must lose nothing vs the direct
+    pairwise definition, and containment is DIRECTED: the excerpt is
+    contained in the page, not vice versa."""
+    from scylla_migrator_spark.analytics.dedup import containment_pairs
+
+    page = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))  # fully inside page
+    rows = [
+        (1, "s", page),
+        (2, "s", excerpt),
+        (3, "s", " ".join(f"z{i}" for i in range(12))),  # unrelated
+        (4, "other", excerpt),  # same text, different block: no pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", "source", threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert got == {(2, 1): 1.0}  # excerpt -> page only, directed
+
+    # brute-force cross-check at a looser threshold on richer data
+    import itertools
+
+    rows2 = [
+        (i, "s", " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(8)
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "source", "text"])
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            df2, "text", "doc_id", "source", threshold_num=3, threshold_den=4
+        ).collect()
+    }
+    toks = {i: set(t.split()) for i, _, t in rows2}
+    want2 = {
+        (a, b)
+        for a, b in itertools.permutations(toks, 2)
+        if len(toks[a] & toks[b]) * 4 >= len(toks[a]) * 3
+    }
+    assert got2 == want2
