@@ -156,7 +156,7 @@ def test_curation_yaml_example_decodes(tmp_path):
         "length_filter", "quality_filter", "lang_filter", "pii_redact",
         "repetition_filter", "intra_doc_repetition_filter",
         "gopher_filter", "readability_filter", "diversity_filter",
-        "exact_dedup", "near_dedup",
+        "exact_dedup", "near_dedup", "kn_perplexity_filter",
     ]
     assert cfg.target_path == "/tmp/curated_documents"
     assert cfg.stages[5]["n"] == 8
