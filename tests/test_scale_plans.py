@@ -709,3 +709,40 @@ def test_zipf_slope_window_is_source_partitioned(spark, sf_dir):
     assert "partial_count" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_plans_no_cartesian_no_python(spark, sf_dir):
+    """Round-6 queries: no cross join (the one-row scalar
+    BroadcastNestedLoopJoins excepted), no Python row eval."""
+    for name in (
+        "kneser_ney_trigram_lm",
+        "kn_doc_nll_score",
+        "kn3_doc_nll_score",
+        "ccnet_perplexity_buckets",
+        "containment_prefix_pairs",
+        "dup_graph_k_core",
+        "pq_codebook_quantize",
+        "pq_adc_ann_topk",
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_pq_encode_is_narrow_projection(spark, sf_dir):
+    """The PQ encode must stay a scan-stage projection: codebooks ride as
+    literals, so the plan has NO join and NO aggregate-shuffle — only the
+    harness _fan repartition exchange."""
+    plan = plan_of(Q.QUERIES["pq_codebook_quantize"](spark, sf_dir), mode="simple")
+    for op in ("Join", "HashAggregate", "Window", "Generate"):
+        assert op not in plan, f"pq encode plans a {op}: not a narrow projection"
+
+
+def test_ccnet_buckets_no_per_row_window(spark, sf_dir):
+    """The tercile split must come from broadcast aggregate cutoffs, not a
+    per-document ranking window — at 100 TB a per-language ntile is a
+    single-reducer sort. The only Window operators allowed are inside the
+    doc-grain NLL scorer (none exist there either)."""
+    plan = plan_of(Q.QUERIES["ccnet_perplexity_buckets"](spark, sf_dir), mode="simple")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # the cutoffs table joins broadcast
