@@ -253,6 +253,7 @@ HEADLINE = [
     "pq_adc_ann_topk",
     "kn3_doc_nll_score",
     "stream_pq_encode",
+    "weighted_reservoir_sample",
 ]
 
 

@@ -177,3 +177,34 @@ def stratified_topn(
         .filter(F.col(rank_col) <= n)
         .drop("__h")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    seed: str = "wres0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
+    A-Res rule (IPL 2006): draw u_i ~ U(0,1) per row and take the top-k by
+    u_i^(1/w_i) — exactly a weighted sample without replacement, the
+    one-pass distributed form of "sample documents proportional to quality
+    score / token count". Computed in log space (key = ln(u)/w, same
+    ordering, no underflow at large weights).
+
+    u is the salted md5 unit hash (derandomized — replayable in SQL and
+    stable across runs/engines), the key is one scan-stage expression, and
+    the selection is TakeOrderedAndProject (per-partition top-k + driver
+    merge; no global sort) — one pass at any scale. Zero/negative weights
+    are excluded (their inclusion probability is 0). Ties broken by id.
+    Output: (id, weight, key[8 dp])."""
+    w = F.col(weight_col).cast("double")
+    u = (_unit_hash(F.col(id_col), seed) + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), F.round(key, 8).alias("skey"))
+        .orderBy(F.desc("skey"), F.asc(id_col))
+        .limit(k)
+    )

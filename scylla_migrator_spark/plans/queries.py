@@ -9808,6 +9808,35 @@ def kn_doc_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_reservoir_sample",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, weight,
+             round(ln((CAST('0x' || substr(md5(doc_id::VARCHAR || 'wres0'), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0) / weight, 8) AS skey
+      FROM w WHERE weight > 0)
+    SELECT doc_id, weight, skey FROM keyed ORDER BY skey DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    sampling.weighted_sample_topk): top-20 documents by ln(u)/w with w =
+    token count — "sample proportional to length/quality" as ONE
+    derandomized scan-stage key + TakeOrderedAndProject (per-partition
+    top-k, no global sort, no RNG state; the md5-salted uniform makes the
+    draw replayable in SQL and shuffle-order independent)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weighted = docs.select(
+        "doc_id", TXT.token_count(F.col("text")).cast("double").alias("w")
+    )
+    return SAMP.weighted_sample_topk(weighted, "w", k=20, seed="wres0")
+
+
+@_register(
     "kn3_doc_nll_score",
     r"""
     WITH toks AS (
