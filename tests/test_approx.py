@@ -159,3 +159,25 @@ def test_pq_codes_match_per_subspace_ivf_assign(spark, sf_dir):
         assert {k: c[s] for k, c in got.items()} == want, f"subspace {s}"
     # codes land in [0, k)
     assert all(0 <= c < 4 for cs in got.values() for c in cs)
+
+
+@pytest.mark.slow
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """ADC@10 with m=4,k=4 (a 6-bit-ish code) is crude, but the approximate
+    ranking must still be far better than chance: the exact cosine top-10
+    should overlap the ADC top-30 head well above the random baseline
+    (30/2000)."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    books = SIM.pq_codebooks(emb, m=4, k=4, iters=2)
+    adc = {r["vec_id"] for r in SIM.pq_adc_topk(emb, books, qv, k=30).collect()}
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=10).collect()]
+    recall = sum(1 for v in exact if v in adc) / len(exact)
+    n = emb.count()
+    random_expect = 30 / n
+    assert recall >= 0.3, (recall, random_expect)
+    assert recall > 2 * random_expect, (recall, random_expect)
