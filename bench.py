@@ -254,6 +254,7 @@ HEADLINE = [
     "kn3_doc_nll_score",
     "stream_pq_encode",
     "weighted_reservoir_sample",
+    "pq_adc_rerank_topk",
 ]
 
 

@@ -678,3 +678,28 @@ def pq_adc_topk(
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_adc_rerank_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 30,
+) -> DataFrame:
+    """The production PQ probe: ADC shortlist (codes only — raw vectors
+    never load for the scan) then EXACT cosine re-rank of the shortlist
+    against raw vectors. Refinement buys back the quantization error
+    where it matters (the head) at the cost of ``shortlist`` random
+    vector fetches — at 100 TB that's the difference between scanning
+    codes (GBs) and scanning vectors (TBs), with exact top-k quality
+    whenever the true top-k survives into the shortlist. The shortlist id
+    set is tiny, so it broadcasts into a left-semi probe of the vector
+    table (partition-prunable when the table is laid out by id)."""
+    cand_ids = pq_adc_topk(
+        df, codebooks, query_vec, id_col, vec_col, k=shortlist
+    ).select(id_col)
+    cands = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return brute_force_topk(cands, query_vec, id_col, vec_col, k)

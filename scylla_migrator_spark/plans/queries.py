@@ -6169,7 +6169,12 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 
 def _pq_adc_sql(
-    m: int = 4, kc: int = 4, iters: int = 2, dim: int = 64, k: int = 10
+    m: int = 4,
+    kc: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+    rerank_from: int | None = None,
 ) -> str:
     """Oracle for PQ asymmetric-distance top-k: the _pq_sql training +
     assignment CTEs, then per-subspace score = dot(query_slice, assigned
@@ -6194,12 +6199,27 @@ def _pq_adc_sql(
             f" JOIN {p}cent{iters} {p}c ON {p}a.centroid_id = {p}c.cidx"
         )
         score_terms.append(f"list_dot_product(qv[{lo}:{hi}], {p}c.cv)")
-    return (
-        ",\n    ".join(parts)
-        + f"""
+    if rerank_from is None:
+        return (
+            ",\n    ".join(parts)
+            + f"""
     SELECT f.vec_id, round({' + '.join(score_terms)}, 6) AS adc_score
     FROM {joins}
     ORDER BY adc_score DESC, f.vec_id LIMIT {k}"""
+        )
+    # refinement form: ADC shortlist CTE, then exact cosine re-rank of the
+    # shortlist against the raw vectors (similarity.pq_adc_rerank_topk)
+    parts.append(
+        f"""adc AS (SELECT f.vec_id FROM {joins}
+      ORDER BY round({' + '.join(score_terms)}, 6) DESC, f.vec_id
+      LIMIT {rerank_from})"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+    FROM allv b JOIN adc USING (vec_id), q
+    ORDER BY cos DESC, b.vec_id LIMIT {k}"""
     )
 
 
@@ -6233,6 +6253,42 @@ def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .head()[0]
     ]
     return SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
+
+
+@_register(
+    "pq_adc_rerank_topk",
+    _pq_adc_sql(m=4, kc=4, iters=2, dim=64, k=10, rerank_from=30),
+)
+def pq_adc_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ probe (similarity.pq_adc_rerank_topk): ADC
+    shortlist of 30 from the codes alone, then EXACT cosine re-rank to the
+    top-10 against raw vectors — refinement buys back quantization error
+    at the head for `shortlist` random vector fetches (codes-scan GBs vs
+    vector-scan TBs at 100 TB). Shortlist ids broadcast into a left-semi
+    probe. Shares the staged codebooks; the oracle replays ADC shortlist
+    + re-rank in SQL."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    return SIM.pq_adc_rerank_topk(
+        emb, books, qv, "vec_id", "embedding", k=10, shortlist=30
+    )
 
 
 @_register("stream_pq_encode", _pq_sql(m=4, k=4, iters=2, dim=64))
