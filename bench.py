@@ -331,16 +331,27 @@ def main() -> None:
                 spreads[name] = round((max(samples) - min(samples)) / dt, 3)
         # one retry for fast queries: a single reading is exposed to GC /
         # JIT / page-cache interference from the previous query (observed
-        # 10x outliers); min-of-two is stable. Slow batch queries
-        # (iterative) skip the retry to bound total bench time. A retry
-        # failure keeps the successful first measurement.
+        # 10x outliers); min-of-two is stable. When the two readings
+        # DISAGREE by >30% the noise clearly hit one of them — take a
+        # third and keep the min (adaptive: only the noisy scenarios pay,
+        # measured ~19/224 per run). Slow batch queries (iterative) skip
+        # retries to bound total bench time; a retry failure keeps the
+        # successful first measurement.
         elif dt < 8.0:
             try:
                 t0 = time.perf_counter()
+                dt2 = None
                 n = fn(spark, sf_dir).count()
-                dt = min(dt, time.perf_counter() - t0)
+                dt2 = time.perf_counter() - t0
+                if max(dt, dt2) > 1.3 * min(dt, dt2):
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    dt = min(dt, dt2, time.perf_counter() - t0)
+                else:
+                    dt = min(dt, dt2)
             except Exception:  # noqa: BLE001
-                pass
+                if dt2 is not None:
+                    dt = min(dt, dt2)
         timings[name] = round(dt, 3)
         base_rows = rows["lineitem"] if "pricing" in name else rows["orders"]
         print(
@@ -472,6 +483,27 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass
+    # the driver's artifact keeps only the LAST ~2000 stdout chars, so the
+    # full line above can never parse from its capture (observed: r3-r5
+    # artifacts all have parsed:null). Emit a compact trailer line that
+    # fits entirely inside the tail — same headline metric, per-query
+    # detail deferred to BENCH_LOCAL.json, plus the 10 slowest scenarios
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_scenarios": len(timings),
+        "n_errors": len(errors),
+        "stateful_path": out["stateful_path"],
+        "timing": out["timing"],
+        "max_spread": max(spreads.values()) if spreads else 0.0,
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "full_results": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
