@@ -255,6 +255,7 @@ HEADLINE = [
     "stream_pq_encode",
     "weighted_reservoir_sample",
     "pq_adc_rerank_topk",
+    "session_overlap_pairs",
 ]
 
 

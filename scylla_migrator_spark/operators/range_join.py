@@ -68,3 +68,57 @@ def range_join_points(
         .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
         .drop(_BUCKET)
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_cols: list[str],
+    t0_col: str = "t0",
+    t1_col: str = "t1",
+    bucket_width: int = 3_600_000_000_000,
+    antisym_col: str | None = None,
+) -> DataFrame:
+    """INTERVAL-INTERVAL overlap join: all pairs of intervals with
+    ``a.t0 <= b.t1 AND b.t0 <= a.t1`` — concurrency detection (overlapping
+    sessions, co-active users, booking conflicts), the two-sided sibling
+    of :func:`range_join_points`.
+
+    Same scale design: both sides explode into the coarse buckets they
+    span, candidates come from a plain equi-join on the bucket (shuffle
+    machinery + AQE apply, no theta-join), the exact overlap predicate
+    filters, and — because two long intervals can co-occupy several
+    buckets — a DISTINCT on the pair identity dedups multi-bucket
+    matches. ``antisym_col`` (e.g. the user id) orders the pair
+    (a < b) so each overlap appears once; output carries both sides' id
+    columns plus ``overlap_ns`` (integer-exact:
+    ``least(t1s) - greatest(t0s)``)."""
+    lo, hi = F.col(t0_col), F.col(t1_col)
+    bucketed = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(bucket_width)), F.floor(hi / F.lit(bucket_width))
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("__bkt"), *[F.col(c).alias(f"{c}_a") for c in (*id_cols, t0_col, t1_col)]
+    )
+    b = bucketed.select(
+        F.col("__bkt"), *[F.col(c).alias(f"{c}_b") for c in (*id_cols, t0_col, t1_col)]
+    )
+    cond = [
+        F.col(f"{t0_col}_a") <= F.col(f"{t1_col}_b"),
+        F.col(f"{t0_col}_b") <= F.col(f"{t1_col}_a"),
+    ]
+    if antisym_col is not None:
+        cond.append(F.col(f"{antisym_col}_a") < F.col(f"{antisym_col}_b"))
+    pair_ids = [f"{c}_a" for c in id_cols] + [f"{c}_b" for c in id_cols]
+    overlap = F.least(F.col(f"{t1_col}_a"), F.col(f"{t1_col}_b")) - F.greatest(
+        F.col(f"{t0_col}_a"), F.col(f"{t0_col}_b")
+    )
+    return (
+        a.join(b, on=[a["__bkt"] == b["__bkt"], *cond])
+        .select(*pair_ids, overlap.cast("long").alias("overlap_ns"))
+        .distinct()
+    )

@@ -2440,6 +2440,68 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "session_overlap_pairs",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+    sids AS (
+      SELECT user_id, tns,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    iv AS (SELECT user_id, sid, min(tns) AS t0, max(tns) AS t1
+           FROM sids GROUP BY user_id, sid)
+    SELECT a.user_id AS user_id_a, a.sid::BIGINT AS sid_a,
+           b.user_id AS user_id_b, b.sid::BIGINT AS sid_b,
+           (least(a.t1, b.t1) - greatest(a.t0, b.t0))::BIGINT AS overlap_ns
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERVAL overlap join (operators/range_join.py::
+    interval_overlap_pairs): which users' 30-min-gap sessions were
+    CONCURRENT — the two-sided sibling of the as-of/range joins
+    (co-activity detection, booking conflicts, concurrency analysis).
+    Intervals explode into the coarse hour buckets they span, candidates
+    come from a plain bucket equi-join (shuffle machinery + AQE apply —
+    never a theta join), the exact overlap predicate filters, and a
+    DISTINCT dedups multi-bucket matches; overlap_ns is integer-exact.
+    The oracle is the unblocked pairwise inequality join, proving the
+    bucketing lossless."""
+    from pyspark.sql.window import Window
+
+    from scylla_migrator_spark.operators.range_join import interval_overlap_pairs
+
+    ev = _t(spark, sf_dir, "events")  # ts is epoch-nanos long
+    gap_ns = 30 * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull() | (F.col("ts") - F.col("prev_ts") > gap_ns), 1
+        ).otherwise(0),
+    )
+    sids = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sids.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    return interval_overlap_pairs(
+        iv, ["user_id", "sid"], "t0", "t1", antisym_col="user_id"
+    )
+
+
+@_register(
     "median_value_by_event_type",
     """
     SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
