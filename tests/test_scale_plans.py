@@ -723,6 +723,10 @@ def test_round6_plans_no_cartesian_no_python(spark, sf_dir):
         "dup_graph_k_core",
         "pq_codebook_quantize",
         "pq_adc_ann_topk",
+        "pq_adc_rerank_topk",
+        "weighted_reservoir_sample",
+        "session_overlap_pairs",
+        "kn_perplexity_gate",
     ):
         plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
         assert "CartesianProduct" not in plan, name
