@@ -256,6 +256,8 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "pq_adc_rerank_topk",
     "session_overlap_pairs",
+    "basket_item_pair_lift",
+    "skipgram_cooccurrence_pmi",
 ]
 
 

@@ -1131,3 +1131,80 @@ def kn3_doc_nll(
         F.count("*").alias("n_trigrams"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_kn3_nll"),
     )
+
+
+def skipgram_cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    broadcast_stats: bool = False,
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence PMI — the word2vec/GloVe
+    PREPROCESSING statistic: directed (center, context) counts for every
+    offset 1..``window`` in both directions, with PMI against the center
+    marginals. collocation_pmi is the window=1 adjacent special case;
+    the window>=2 form is what SGNS negative-sampling tables and
+    co-occurrence-factorization embeddings (Levy & Goldberg 2014: SGNS
+    factorizes this exact shifted-PMI matrix) consume.
+
+    Plan: ONE corpus scan — all 2*window shifted-slice zips concatenate
+    into a single array and explode once (the shingles() lesson: never
+    re-evaluate the tokenizer per offset); the pair table aggregates
+    map-side; marginals derive from the pair table (no second scan);
+    min_count filters BEFORE the marginal joins; vocab-sized marginals
+    join under the ``_stats_side`` policy (AQE-chosen). Counts are exact
+    integers, PMI is one 6 dp-rounded ln. Output: (w1, w2, cooc, pmi)
+    with w1 < w2 (the directed matrix is symmetric, so the lower
+    triangle carries everything; cooc is ONE orientation's directed
+    count — the symmetric event count is exactly 2x, and PMI is
+    invariant to that doubling because the total T doubles with it)."""
+    toks = tokens(F.col(text_col))
+    zips = []
+    for o in range(1, window + 1):
+        width = F.greatest(F.size(toks) - F.lit(o), F.lit(0))
+        left, right = F.slice(toks, 1, width), F.slice(toks, o + 1, width)
+        zips.append(
+            F.zip_with(
+                left, right, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        )
+        zips.append(
+            F.zip_with(
+                right, left, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        )
+    pairs = df.select(F.explode(F.concat(*zips)).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cooc"))
+        .localCheckpoint(eager=False)
+    )
+    marg = cnt.groupBy("w1").agg(F.sum("cooc").alias("cm"))
+    total = cnt.agg(F.sum("cooc").alias("t"))
+    pmi = F.round(
+        F.log(
+            F.col("cooc").cast("double")
+            * F.col("t")
+            / (F.col("cma").cast("double") * F.col("cmb"))
+        ),
+        6,
+    )
+    return (
+        cnt.filter((F.col("cooc") >= min_count) & (F.col("w1") < F.col("w2")))
+        .join(
+            _stats_side(marg.select(F.col("w1"), F.col("cm").alias("cma")), broadcast_stats),
+            "w1",
+        )
+        .join(
+            _stats_side(
+                marg.select(F.col("w1").alias("w2"), F.col("cm").alias("cmb")),
+                broadcast_stats,
+            ),
+            "w2",
+        )
+        .join(F.broadcast(total))
+        .select("w1", "w2", "cooc", pmi.alias("pmi"))
+    )

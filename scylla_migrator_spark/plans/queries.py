@@ -2502,6 +2502,77 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skipgram_cooccurrence_pmi",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    prs AS (
+      SELECT t[i] AS w1, t[i + o] AS w2
+      FROM toks, unnest(generate_series(1, 3)) AS g(o),
+           unnest(generate_series(1, len(t) - o)) AS u(i)
+      UNION ALL
+      SELECT t[i + o] AS w1, t[i] AS w2
+      FROM toks, unnest(generate_series(1, 3)) AS g(o),
+           unnest(generate_series(1, len(t) - o)) AS u(i)),
+    cnt AS MATERIALIZED (
+      SELECT w1, w2, count(*)::BIGINT AS cooc FROM prs GROUP BY w1, w2),
+    marg AS (SELECT w1, sum(cooc)::BIGINT AS cm FROM cnt GROUP BY w1),
+    tot AS (SELECT sum(cooc)::BIGINT AS t FROM cnt)
+    SELECT c.w1, c.w2, c.cooc,
+           round(ln(CAST(c.cooc AS DOUBLE) * tot.t
+                    / (CAST(ma.cm AS DOUBLE) * mb.cm)), 6) AS pmi
+    FROM cnt c
+    JOIN marg ma ON c.w1 = ma.w1
+    JOIN marg mb ON c.w2 = mb.w1, tot
+    WHERE c.cooc >= 5 AND c.w1 < c.w2
+    """,
+)
+def skipgram_cooccurrence_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence PMI (text.skipgram_cooccurrence_pmi,
+    window=3): the word2vec/GloVe preprocessing matrix — SGNS factorizes
+    exactly this shifted-PMI matrix (Levy & Goldberg 2014);
+    collocation_pmi_pairs is the window=1 special case. One corpus scan
+    (all shifted-slice zips concatenated, single explode), map-side pair
+    aggregation, min_count before the AQE-chosen marginal joins."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("text"))
+    return TXT.skipgram_cooccurrence_pmi(docs, "text", window=3, min_count=5)
+
+
+@_register(
+    "basket_item_pair_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    n AS (SELECT count(DISTINCT bk)::BIGINT AS n FROM items),
+    sup AS (SELECT it, count(*)::BIGINT AS s FROM items GROUP BY it),
+    pairs AS (
+      SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS pair_count
+      FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY a.it, b.it
+      HAVING count(*) >= 3)
+    SELECT item_a, item_b, pair_count,
+           round(pair_count / sa.s, 6) AS confidence,
+           round(pair_count * n.n / (sa.s * sb.s), 6) AS lift
+    FROM pairs
+    JOIN sup sa ON pairs.item_a = sa.it
+    JOIN sup sb ON pairs.item_b = sb.it, n
+    """,
+)
+def basket_item_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (analytics/basket.py::
+    item_pair_lift; Agrawal-Srikant pairwise level): parts co-purchased
+    in >= 3 orders with confidence and lift — the candidate generator for
+    frequently-bought-together surfaces. The pair join keys on the
+    BASKET, so fan-out is bounded by basket width, never item popularity;
+    min_support filters before the catalog-sized support joins (which
+    stay AQE-chosen, no forced broadcast); exact integer counts, two
+    6 dp double divisions."""
+    from scylla_migrator_spark.analytics.basket import item_pair_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_pair_lift(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@_register(
     "median_value_by_event_type",
     """
     SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
