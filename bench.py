@@ -258,6 +258,8 @@ HEADLINE = [
     "session_overlap_pairs",
     "basket_item_pair_lift",
     "skipgram_cooccurrence_pmi",
+    "bm25_sparse_topk",
+    "rrf_hybrid_retrieval",
 ]
 
 

@@ -703,3 +703,50 @@ def pq_adc_rerank_topk(
     ).select(id_col)
     cands = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     return brute_force_topk(cands, query_vec, id_col, vec_col, k)
+
+
+def rank_by(df: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic 1-based rank (score desc, id asc) — the
+    shortlist-ranking helper for fusion. Meant for TOP-K SHORTLISTS
+    (tens-hundreds of rows), where the single-partition window is free;
+    never call it on a corpus-sized frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return df.select(F.col(id_col), F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR 2009): combine ranked
+    shortlists from heterogeneous retrievers —
+
+        rrf(d) = sum_over_lists 1 / (c + rank_list(d))
+
+    — the standard score-free fusion for hybrid retrieval (BM25 sparse +
+    embedding dense), robust to incomparable score scales because only
+    RANKS enter. Documents absent from a list contribute 0 for it.
+
+    Each input must be a (id, rank) shortlist (see :func:`rank_by`);
+    fusion is a chain of full-outer joins over k-bounded frames — tiny by
+    construction, the corpus-sized work happened inside each retriever.
+    Output: (id, rrf[6dp]) top-k, ties by id."""
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(F.col(id_col), F.col("rank").alias(f"r{i}"))
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        t = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"r{i}")), F.lit(0.0)
+        )
+        score = t if score is None else score + t
+    return (
+        fused.select(F.col(id_col), F.round(score, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1208,3 +1208,68 @@ def skipgram_cooccurrence_pmi(
         .join(F.broadcast(total))
         .select("w1", "w2", "cooc", pmi.alias("pmi"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    broadcast_stats: bool = False,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson-Sparck Jones family): score every
+    document against a bag of query terms,
+
+        score(d) = sum_t idf(t) * tf(t,d)*(k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))    (the Lucene form)
+
+    — the sparse half of a hybrid retrieval stack (the dense half is the
+    ANN family; fuse with rrf_fuse). Term statistics are corpus-trained.
+
+    Plan shape: the exploded token stream filters to the query terms AT
+    THE SCAN (an isin over a handful of literals — the posting-list
+    read), so everything downstream is sized by documents-containing-
+    query-terms, not the corpus; per-(doc,term) tf aggregates map-side;
+    df/doc-length statistics join back under ``_stats_side`` (the
+    query-term df table is bounded by the query size and will always
+    measure broadcastable — the hint freedom costs nothing); the final
+    top-k is TakeOrderedAndProject. Per-term scores truncate to
+    DECIMAL(18,9) pre-sum (order-independent transcendental reduction),
+    final score rounded to 6 dp, ties by id."""
+    terms = [t for t in query_terms if t]
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    lens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    scalars = lens.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("w").isin(terms))
+    tf = qtoks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = (
+        idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    ).cast("decimal(18,9)")
+    scored = (
+        tf.join(_stats_side(dfreq, broadcast_stats), "w")
+        .join(lens, id_col)
+        .join(F.broadcast(scalars))
+        .select(F.col(id_col), term_score.alias("ts"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("ts").cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

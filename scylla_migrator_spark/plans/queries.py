@@ -2539,6 +2539,123 @@ def skipgram_cooccurrence_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bm25_sparse_topk",
+    r"""
+    WITH lens AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+      FROM documents),
+    sc AS (SELECT count(*)::BIGINT AS n, sum(dl) / count(*) AS avgdl FROM lens),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks
+           WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w),
+    dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (sc.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+                  AS DECIMAL(18,9)) AS ts
+      FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id), sc)
+    SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (text.bm25_topk, Lucene idf form) for the query
+    bag {spark, join, window} — the SPARSE half of a hybrid retrieval
+    stack (dense half: the ANN family; fusion: rrf_hybrid_retrieval).
+    The token stream filters to the query terms at the scan (the
+    posting-list read), so all downstream work is sized by matching
+    documents, not the corpus; decimal-truncated per-term scores;
+    TakeOrderedAndProject top-k."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TXT.bm25_topk(docs, ["spark", "join", "window"], "text", "doc_id", k=10)
+
+
+def _rrf_hybrid_sql() -> str:
+    """Oracle for hybrid retrieval: BM25 top-30 + hashed-dense top-30,
+    fused by reciprocal rank. Reuses the shared hashed-embedding CTEs for
+    the dense side; the query embedding is the same md5 math applied to
+    the literal query text."""
+    return (
+        _hashed_emb_cte(16)
+        + r""",
+    lens AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+      FROM documents),
+    sc AS (SELECT count(*)::BIGINT AS n, sum(dl) / count(*) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM
+             (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+           WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w),
+    dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+    bmsc AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (sc.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+                  AS DECIMAL(18,9)) AS ts
+      FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id), sc),
+    bmtop AS (
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+      FROM bmsc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 30),
+    qh AS (SELECT list_transform(regexp_split_to_array('spark join window', '\s+'),
+                                 w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs),
+    qe AS (SELECT list_transform(generate_series(0, 15),
+             j -> CAST(coalesce(list_sum(list_transform(hs,
+                    h -> CASE WHEN h % 16 = j
+                         THEN (CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                         ELSE 0 END)), 0) AS BIGINT)) AS qv
+           FROM qh),
+    dtop AS (
+      SELECT doc_id,
+             round(list_cosine_similarity(CAST(emb.v AS DOUBLE[]),
+                                          CAST(qe.qv AS DOUBLE[])), 6) AS cos
+      FROM emb, qe ORDER BY cos DESC, doc_id LIMIT 30),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bmtop),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM dtop),
+    f AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, r1.r AS ra, r2.r AS rb
+          FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+    SELECT doc_id,
+           round(coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0), 6) AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
+    )
+
+
+@_register("rrf_hybrid_retrieval", _rrf_hybrid_sql())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 sparse top-30 (text.bm25_topk) and
+    hashed-embedding dense cosine top-30 for the SAME query text, fused
+    by reciprocal-rank fusion (similarity.rrf_fuse; Cormack 2009) —
+    score-free fusion is the production answer to incomparable
+    sparse/dense score scales. The corpus-sized work happens inside each
+    retriever (posting-list-filtered BM25; scan-stage hashed embeddings);
+    ranking and fusion operate on k-bounded shortlists. Fully
+    SQL-replayed including the query-text embedding."""
+    q_text = "spark join window"
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sparse = TXT.bm25_topk(docs, q_text.split(), "text", "doc_id", k=30)
+    emb = docs.select(
+        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v")
+    )
+    qv = [
+        float(x)
+        for x in spark.range(1)
+        .select(TXT.hashed_bow_embedding(F.lit(q_text), dim=16).alias("q"))
+        .head()["q"]
+    ]
+    dense = SIM.brute_force_topk(emb, qv, "doc_id", "v", k=30)
+    return SIM.rrf_fuse(
+        [SIM.rank_by(sparse, "bm25"), SIM.rank_by(dense, "cos")],
+        "doc_id",
+        k=10,
+        c=60,
+    )
+
+
+@_register(
     "basket_item_pair_lift",
     """
     WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
