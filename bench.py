@@ -260,6 +260,8 @@ HEADLINE = [
     "skipgram_cooccurrence_pmi",
     "bm25_sparse_topk",
     "rrf_hybrid_retrieval",
+    "cusum_changepoint",
+    "psi_value_drift",
 ]
 
 

@@ -2656,6 +2656,172 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "psi_value_drift",
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_ns(ts) < cut THEN 0 ELSE 1 END AS half,
+             least(greatest(CAST(floor(value / 40.0) AS BIGINT), 0), 9) AS bin
+      FROM events, med),
+    counts AS (
+      SELECT event_type, half, bin, count(*)::BIGINT AS c
+      FROM binned GROUP BY 1, 2, 3),
+    grid AS (SELECT DISTINCT event_type, bin FROM counts),
+    tot AS (SELECT event_type, half, sum(c)::BIGINT AS t FROM counts GROUP BY 1, 2),
+    nb AS (SELECT event_type, count(*)::BIGINT AS nbins FROM grid GROUP BY 1),
+    pr AS (
+      SELECT g.event_type, g.bin,
+             (coalesce(cr.c, 0) + 0.5) / (tr.t + 0.5 * nb.nbins) AS p_ref,
+             (coalesce(cc.c, 0) + 0.5) / (tc.t + 0.5 * nb.nbins) AS p_cur
+      FROM grid g
+      JOIN nb ON g.event_type = nb.event_type
+      JOIN tot tr ON g.event_type = tr.event_type AND tr.half = 0
+      JOIN tot tc ON g.event_type = tc.event_type AND tc.half = 1
+      LEFT JOIN counts cr ON g.event_type = cr.event_type AND g.bin = cr.bin AND cr.half = 0
+      LEFT JOIN counts cc ON g.event_type = cc.event_type AND g.bin = cc.bin AND cc.half = 1)
+    SELECT event_type,
+           round(sum(CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(18,9)))::DOUBLE, 6)
+             AS psi
+    FROM pr GROUP BY event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (the industry-standard ML-monitoring
+    drift metric; cf. Karakoulas 2004 credit-scoring practice) of the
+    event-value distribution, first time-half (reference) vs second
+    (current), per event type:
+
+        PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    with fixed-width value bins (clamped decile-ish grid) and +0.5
+    add-half smoothing over the observed-bin grid so empty bins stay
+    finite. <0.1 = stable, 0.1-0.25 = moderate shift, >0.25 = act — the
+    JS-divergence twin in the units practitioners already alert on.
+
+    Scale shape: one map-side-combined (type, half, bin) count; the grid,
+    totals, and bin-count tables all derive from it (bounded by
+    types x bins — broadcastable, but left AQE-chosen); per-bin terms
+    truncate to DECIMAL(18,9) pre-sum. The time split point is an
+    integer-exact (min+max)//2 epoch-nanos midpoint, one broadcast
+    scalar."""
+    ev = _t(spark, sf_dir, "events")
+    # `div` = integer division: (min+max) ~ 3.4e18 exceeds double-exact
+    # range, so a /2-through-double midpoint could differ from the
+    # oracle's // by a few hundred ns and flip a row's half
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    binned = ev.join(F.broadcast(med)).select(
+        "event_type",
+        F.when(F.col("ts") < F.col("cut"), F.lit(0)).otherwise(F.lit(1)).alias("half"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(40.0)).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("c")
+    )
+    counts = counts.localCheckpoint(eager=False)  # grid/totals/nbins all derive
+    grid = counts.select("event_type", "bin").distinct()
+    tot = counts.groupBy("event_type", "half").agg(F.sum("c").alias("t"))
+    nb = grid.groupBy("event_type").agg(F.count("*").alias("nbins"))
+    cr = counts.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("c").alias("c_ref")
+    )
+    cc = counts.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("c").alias("c_cur")
+    )
+    tr = tot.filter(F.col("half") == 0).select("event_type", F.col("t").alias("t_ref"))
+    tc = tot.filter(F.col("half") == 1).select("event_type", F.col("t").alias("t_cur"))
+    p_ref = (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("t_ref") + F.lit(0.5) * F.col("nbins")
+    )
+    p_cur = (F.coalesce(F.col("c_cur"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("t_cur") + F.lit(0.5) * F.col("nbins")
+    )
+    term = ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(18,9)")
+    pr = (
+        grid.join(nb, "event_type")
+        .join(tr, "event_type")
+        .join(tc, "event_type")
+        .join(cr, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .select("event_type", term.alias("term"))
+    )
+    return pr.groupBy("event_type").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi")
+    )
+
+
+@_register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, sum(c) / count(*) AS mu FROM daily GROUP BY 1),
+    cs AS (
+      SELECT d.event_type, d.day_idx,
+             sum(d.c - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day_idx
+                                   ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily d JOIN m USING (event_type)),
+    ranked AS (
+      SELECT event_type, day_idx, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day_idx) AS rn
+      FROM cs)
+    SELECT event_type, day_idx AS changepoint_day,
+           round(abs(cusum), 6) AS max_abs_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) per event type: the day
+    where the cumulative deviation of daily volume from its mean peaks —
+    the classic single-changepoint estimator for level shifts in a
+    monitored series (pipeline-volume regressions, ingest anomalies).
+    Everything runs at DAY grain: the corpus collapses to (type, day)
+    counts in one map-side-combined pass, and the running-sum/argmax
+    windows operate on ~30 rows per type — no data-sized window, no
+    global sort. Integer day index (epoch-days) avoids date types;
+    deterministic tie-break on earliest day."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    # `div` is 64-bit INTEGER division — ts/8.64e13 through a double would
+    # lose ulps at epoch-nanos magnitude and could flip a boundary day
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day_idx"),
+    ).agg(F.count("*").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        (F.sum("c") / F.count("*")).alias("mu")
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = daily.join(m, "event_type").withColumn(
+        "cusum", F.sum(F.col("c") - F.col("mu")).over(wsum)
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("day_idx")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_idx").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+        )
+    )
+
+
+@_register(
     "basket_item_pair_lift",
     """
     WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
