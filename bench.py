@@ -262,6 +262,7 @@ HEADLINE = [
     "rrf_hybrid_retrieval",
     "cusum_changepoint",
     "psi_value_drift",
+    "sorted_neighborhood_blocking",
 ]
 
 

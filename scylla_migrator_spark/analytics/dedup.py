@@ -1338,3 +1338,58 @@ def segment_dedup(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95
+    merge/purge): sort records by a blocking key and emit every pair
+    within ``window`` positions — the classic entity-resolution candidate
+    generator that catches near-dups whose keys are lexicographically
+    ADJACENT rather than token-identical (typos in the leading field,
+    serial numbers, names), complementing the LSH/q-gram blockers.
+
+    Scale shape: the global rank comes from
+    operators/ranking.py::distributed_row_number (range partitioner +
+    per-partition offsets — NEVER a single-reducer window), and the
+    within-window pair join is an EQUI-join on the rank bucket
+    ``rn div window`` (each left row probes its own and the next bucket,
+    so a pair at gap <= window always shares a probed bucket) with the
+    exact gap filter after — no inequality join. Output: (id_a, id_b,
+    rank_gap), ordered pairs by rank; tie-safe because (key, id) is a
+    total order."""
+    from scylla_migrator_spark.operators.ranking import distributed_row_number
+
+    ranked = distributed_row_number(
+        df.select(F.col(id_col), F.col(key_col).alias("__key")),
+        ["__key", id_col],
+        "rn",
+    )
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(
+                (F.col("rn") / window).cast("long"),
+                (F.col("rn") / window).cast("long") + 1,
+            )
+        ).alias("bkt"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rn").alias("rn_b"),
+        (F.col("rn") / window).cast("long").alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= window)
+        )
+        .select("id_a", "id_b", (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"))
+        .distinct()
+    )

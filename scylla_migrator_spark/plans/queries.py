@@ -2755,6 +2755,31 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sorted_neighborhood_blocking",
+    """
+    WITH k AS (SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.rn - a.rn)::BIGINT AS rank_gap
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    """,
+)
+def sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez & Stolfo
+    SIGMOD'95 merge/purge; dedup.sorted_neighborhood_pairs): candidate
+    pairs within 3 positions of the key-sorted order — catches near-dups
+    whose keys are lexicographically ADJACENT (leading-field typos, serial
+    ids) that token-set blockers miss. The global rank comes from
+    operators/ranking.py::distributed_row_number (range partitioner +
+    per-partition offsets — never the single-reducer orderBy window), and
+    the within-window join is an equi-join on the rank bucket; the oracle
+    is the plain global row_number + inequality join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring(F.col("text"), 1, 24)).alias("key")
+    )
+    return D.sorted_neighborhood_pairs(docs, "key", "doc_id", window=3)
+
+
+@_register(
     "cusum_changepoint",
     """
     WITH daily AS (

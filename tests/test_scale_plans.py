@@ -750,3 +750,34 @@ def test_ccnet_buckets_no_per_row_window(spark, sf_dir):
     plan = plan_of(Q.QUERIES["ccnet_perplexity_buckets"](spark, sf_dir), mode="simple")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # the cutoffs table joins broadcast
+
+
+def test_distributed_row_number_matches_global_window(spark, sf_dir):
+    """The range-partition + offsets construction must be bit-identical to
+    the single-reducer global row_number for a total order, WITHOUT a
+    SinglePartition exchange in the plan."""
+    from pyspark.sql.window import Window
+
+    from scylla_migrator_spark.operators.ranking import distributed_row_number
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.col("text"), 1, 24)).alias("key")
+    )
+    got = distributed_row_number(docs, ["key", "doc_id"], "rn")
+    want = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("key", "doc_id"))
+    )
+    g = {r["doc_id"]: r["rn"] for r in got.collect()}
+    w = {r["doc_id"]: r["rn"] for r in want.collect()}
+    assert g == w
+    plan = plan_of(got, mode="simple")
+    assert "SinglePartition" not in plan
+
+
+def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):
+    plan = plan_of(
+        Q.QUERIES["sorted_neighborhood_blocking"](spark, sf_dir), mode="simple"
+    )
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
