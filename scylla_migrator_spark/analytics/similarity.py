@@ -579,6 +579,7 @@ def pq_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebook training (Jegou et al. TPAMI 2011):
     split the D-dim embedding into ``m`` contiguous subspaces of D/m dims
@@ -594,8 +595,16 @@ def pq_codebooks(
     passes, each identical in shape to one IVF training pass (slice is a
     scan-stage projection; the update shuffle carries k * D/m partial
     sums per partition). Train on a deterministic sample at extreme
-    scale, like kmeans_centroids."""
-    dim = len(df.select(vec_col).head()[0])
+    scale, like kmeans_centroids. Pass ``dim`` to skip the one-row
+    dimension-probe job."""
+    if dim is None:
+        probe = df.select(vec_col).head()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                f"pq_codebooks: input has no non-null {vec_col!r} rows — "
+                "cannot infer the embedding dimension (pass dim= explicitly)"
+            )
+        dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m

@@ -89,7 +89,10 @@ def interval_overlap_pairs(
     filters, and — because two long intervals can co-occupy several
     buckets — a DISTINCT on the pair identity dedups multi-bucket
     matches. ``antisym_col`` (e.g. the user id) orders the pair
-    (a < b) so each overlap appears once; output carries both sides' id
+    (a < b) so each overlap appears once; when omitted, the FULL
+    ``id_cols`` tuple orders the pair instead (lexicographic struct
+    comparison) — identity pairs are always excluded and each unordered
+    pair appears exactly once either way. Output carries both sides' id
     columns plus ``overlap_ns`` (integer-exact:
     ``least(t1s) - greatest(t0s)``)."""
     lo, hi = F.col(t0_col), F.col(t1_col)
@@ -113,6 +116,13 @@ def interval_overlap_pairs(
     ]
     if antisym_col is not None:
         cond.append(F.col(f"{antisym_col}_a") < F.col(f"{antisym_col}_b"))
+    else:
+        # no caller-chosen ordering column: order by the full id tuple so
+        # identity pairs drop and each unordered pair appears exactly once
+        cond.append(
+            F.struct(*[F.col(f"{c}_a") for c in id_cols])
+            < F.struct(*[F.col(f"{c}_b") for c in id_cols])
+        )
     pair_ids = [f"{c}_a" for c in id_cols] + [f"{c}_b" for c in id_cols]
     overlap = F.least(F.col(f"{t1_col}_a"), F.col(f"{t1_col}_b")) - F.greatest(
         F.col(f"{t0_col}_a"), F.col(f"{t0_col}_b")

@@ -19,6 +19,18 @@ The result is bit-identical to the global ``row_number`` for a TOTAL order
 one range shuffle. This is the primitive behind sorted-neighborhood
 blocking (dedup.sorted_neighborhood_pairs) and any "global rank/ntile at
 scale" need.
+
+Correctness-critical detail: the range-partitioned frame is materialized
+ONCE (``localCheckpoint``) before the per-partition counts are collected.
+Spark's RangePartitioner derives its boundaries from a reservoir SAMPLE
+whose seed depends on the per-job RDD id — two independent executions of
+the same ``repartitionByRange`` lineage are not guaranteed the same
+boundaries once the sampler stops seeing every row. Without the
+checkpoint, the offsets job and the consumer job could disagree on which
+rows live in which partition and the "global" ranks would silently be
+wrong at scale. The checkpoint pins one physical partitioning that both
+jobs read; its storage cost is one pass over the ranked columns, which
+the construction needs anyway.
 """
 
 from __future__ import annotations
@@ -40,10 +52,16 @@ def distributed_row_number(
     range boundaries."""
     from pyspark.sql.window import Window
 
+    spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the range partitioning ONCE so the offsets job and the
+    # consumer job read the SAME physical partitions (see module docstring:
+    # range boundaries are sample-derived per execution otherwise).
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # the partition-local sort below feeds the per-partition window; the
     # cross-partition order is already guaranteed by the range partitioner
@@ -51,19 +69,18 @@ def distributed_row_number(
         r["__pid"]: r["c"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-    off_expr = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(sizes)]),
-            F.array(*[F.lit(offsets[p]) for p in sorted(sizes)]),
-        ),
-        F.col("__pid"),
-    )
+    # broadcast join, not a per-partition literal map: at 100k partitions a
+    # literal map is a 100k-entry expression in every task's codegen.
+    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint")
     w = Window.partitionBy("__pid").orderBy(*cols)
     return (
-        ranged.withColumn(out_col, F.row_number().over(w) + off_expr)
-        .drop("__pid")
+        ranged.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            out_col, F.row_number().over(w) + F.coalesce("__off", F.lit(0))
+        )
+        .drop("__pid", "__off")
     )

@@ -774,6 +774,55 @@ def test_distributed_row_number_matches_global_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_distributed_row_number_pins_one_materialized_ranging(spark, sf_dir):
+    """The offsets job and the consumer job MUST read the same physical
+    partitioning. Range boundaries are sample-derived per execution, so the
+    only safe shape is: the repartitionByRange lineage is cut (checkpointed)
+    before the counts collect — the consumer plan scans the materialized
+    RDD and contains NO live range exchange that a re-execution could
+    re-sample differently. The offsets ride a broadcast join, not a
+    per-partition literal map."""
+    from scylla_migrator_spark.operators.ranking import distributed_row_number
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.col("text"), 1, 24)).alias("key")
+    )
+    got = distributed_row_number(docs, ["key", "doc_id"], "rn")
+    plan = plan_of(got, mode="simple")
+    assert "rangepartitioning" not in plan.lower(), (
+        "consumer plan re-executes the range exchange: boundaries can be "
+        "re-sampled differently from the offsets job"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_distributed_row_number_stable_under_tiny_sampler(spark, sf_dir):
+    """Force the range sampler to see almost nothing (the at-scale regime
+    where unpinned boundaries diverge between executions): ranks must still
+    be a permutation of 1..N with no duplicates or holes, and repeated
+    materializations of the SAME returned frame must agree."""
+    from scylla_migrator_spark.operators.ranking import distributed_row_number
+
+    old = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition", None)
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "2")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.lower(F.substring(F.col("text"), 1, 24)).alias("key")
+        )
+        got = distributed_row_number(docs, ["key", "doc_id"], "rn", num_partitions=16)
+        first = {r["doc_id"]: r["rn"] for r in got.collect()}
+        second = {r["doc_id"]: r["rn"] for r in got.collect()}
+        assert first == second, "re-materialization produced different ranks"
+        n = docs.count()
+        assert sorted(first.values()) == list(range(1, n + 1))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+        else:
+            spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", old)
+
+
 def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):
     plan = plan_of(
         Q.QUERIES["sorted_neighborhood_blocking"](spark, sf_dir), mode="simple"

@@ -111,6 +111,25 @@ def test_range_join_rejects_ambiguity_and_bad_width(intervals_points):
         range_join_points(iv, clash, ["k"], "s", "e", "s", bucket_width=10)
 
 
+def test_interval_overlap_no_antisym_excludes_identity_and_mirrors(spark):
+    """With antisym_col omitted, each unordered overlapping pair appears
+    exactly once (ordered by the full id tuple) and no interval pairs with
+    itself."""
+    from scylla_migrator_spark.operators.range_join import interval_overlap_pairs
+
+    iv = spark.createDataFrame(
+        [("u1", 1, 0, 100), ("u1", 2, 50, 150), ("u2", 1, 10, 20), ("u2", 2, 300, 400)],
+        "uid string, sid long, t0 long, t1 long",
+    )
+    out = interval_overlap_pairs(iv, ["uid", "sid"], "t0", "t1", bucket_width=1000)
+    rows = {(r.uid_a, r.sid_a, r.uid_b, r.sid_b): r.overlap_ns for r in out.collect()}
+    # overlapping: (u1,1)x(u1,2) gap 50; (u1,1)x(u2,1); (u1,2)x(u2,1)? t0=50>t1=20 no
+    assert rows == {
+        ("u1", 1, "u1", 2): 50,
+        ("u1", 1, "u2", 1): 10,
+    }
+
+
 class TestScd2History:
     def test_collapses_unchanged_runs(self, spark):
         from scylla_migrator_spark.operators.scd import scd2_history
