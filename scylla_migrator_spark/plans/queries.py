@@ -10607,3 +10607,103 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return s.select("source", "n_ranks", F.round(slope, 6).alias("zipf_slope"))
+
+
+# ===========================================================================
+# Batch: ANN approximation QUALITY as oracle-backed metrics — recall@k of
+# each approximate ranking against the exact cosine ranking. At 100 TB the
+# knob you actually tune is the recall/cost curve (planes, nprobe, codebook
+# size); promoting recall to a full value oracle means a quantizer or
+# bucketing regression fails CORRECTNESS, not just a pytest threshold.
+# ===========================================================================
+
+
+def _recall_sql(approx_name: str, k: int = 10) -> str:
+    """Oracle for recall@k: the approximate top-k and the exact cosine
+    top-k are both ALREADY fully SQL-replayed registry oracles — nest them
+    as CTEs and count the id intersection. Every ranking involved is
+    deterministic (round-6 tiebreaks), so recall is a deterministic scalar
+    with a full value oracle, not a threshold test."""
+    return f"""
+    WITH approx AS ({ORACLES[approx_name]}),
+    exact AS ({ORACLES["ann_cosine_topk"]})
+    SELECT {k} AS k, count(*)::BIGINT AS hits,
+           round(count(*) / {k}.0, 6) AS recall
+    FROM approx JOIN exact USING (vec_id)
+    """
+
+
+def _recall_of(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """count(approx_ids ∩ exact_ids) / k — two k-row inputs, so the
+    intersection join is a trivially broadcast k-vs-k probe."""
+    hits = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return hits.agg(F.count("*").alias("hits")).select(
+        F.lit(k).alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / float(k), 6).alias("recall"),
+    )
+
+
+@_register("lsh_recall_at_k", _recall_sql("lsh_ann_topk"))
+def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 4-plane hyperplane-LSH probe (lsh_ann_topk) against
+    the exact cosine ranking (ann_cosine_topk) — the quality axis of the
+    LSH recall/cost trade (more planes = smaller buckets = cheaper probes,
+    lower recall). Both rankings replay in SQL, so the recall value itself
+    is hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    approx = SIM.lsh_topk(emb, qv, "vec_id", "embedding", k=10, planes=4)
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
+
+
+@_register("ivf_recall_at_k", _recall_sql("ivf_ann_topk"))
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe (16 centroids, nprobe=4 — ivf_ann_topk)
+    against the exact cosine ranking: the nprobe tuning signal. Shares the
+    build-once staged quantizer with the IVF family; the oracle replays
+    training, probe, re-rank AND the exact ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    approx = SIM.ivf_topk(
+        emb,
+        qv,
+        "vec_id",
+        "embedding",
+        k=10,
+        centroids=_kmeans_centroids_staged(spark, sf_dir, n=16, iters=2),
+    )
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
+
+
+@_register("pq_adc_recall_at_k", _recall_sql("pq_adc_ann_topk"))
+def pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the pure-ADC PQ scan (pq_adc_ann_topk) against the
+    exact cosine ranking — the quantization-error readout that justifies
+    the re-rank stage (pq_adc_rerank_topk buys this gap back). A codebook
+    regression (seeding, mean updates, subspace slicing) moves this value
+    and fails the hash oracle."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    approx = SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
