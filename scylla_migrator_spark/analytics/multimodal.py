@@ -740,3 +740,49 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+def image_dhash_fingerprints(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprints over decoded PPM
+    pixels: per image, grayscale the ``grid`` x ``grid`` pixel grid
+    ((r+g+b)//3 — integer-exact) and emit one bit per horizontally adjacent
+    pair (``1`` where left < right), LSB = (y=0, x=0). The gradient
+    direction survives brightness/contrast shifts, which is what makes
+    dHash the standard cheap image near-dup key.
+
+    Input is the flat ``(asset_id, data)`` frame that
+    :func:`resize_ppm_nn` emits — compose ``synth/ingest -> resize(grid,
+    grid) -> dhash``. Output: ``(asset_id, sh)`` where ``sh`` packs
+    ``(grid-1)*grid`` bits into a non-negative long (grid=8 -> 56 bits,
+    inside the sign bit), ready for dedup.simhash_banded_pairs' banded
+    Hamming join — the same bucket-then-verify LSH shape the text SimHash
+    path uses, now over images. Imperative byte work lives in one
+    Arrow-batched ``mapInPandas``; the hash itself is 8 bytes per image,
+    so the pair join never shuffles pixels."""
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("sh", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data in pdf["data"]:
+                m = decode_ppm(bytes(data))
+                if m["width"] != grid or m["height"] != grid:
+                    raise ValueError(
+                        f"dhash expects a {grid}x{grid} image (resize first), "
+                        f"got {m['width']}x{m['height']}"
+                    )
+                pix = m["pixels"]
+                gray = [
+                    (pix[i * 3] + pix[i * 3 + 1] + pix[i * 3 + 2]) // 3
+                    for i in range(grid * grid)
+                ]
+                sh = 0
+                for y in range(grid):
+                    for x in range(grid - 1):
+                        if gray[y * grid + x] < gray[y * grid + x + 1]:
+                            sh |= 1 << (y * (grid - 1) + x)
+                hashes.append(sh)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "sh": hashes})
+
+    return df.select("asset_id", "data").mapInPandas(run, schema)

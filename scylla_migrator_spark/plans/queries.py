@@ -10707,3 +10707,79 @@ def pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
     exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
     return _recall_of(approx, exact, k=10)
+
+
+@_register(
+    "image_phash_dup_pairs",
+    # Oracle replays the full deterministic pipeline in SQL: the doc-head
+    # "thumbnail" payload (first 61 chars — prime length, so the 16-wide
+    # RGB tiling stride 96 never aliases to a constant row pattern) tiled
+    # into a 16x16x3 PPM (byte i of the payload at tiled position i % nb),
+    # nearest-neighbor resize to 8x8 (source pixel (2x, 2y) ->
+    # tiled byte offset 96y+6x), integer grayscale (r+g+b)//3, a 56-bit
+    # dHash (bit y*7+x set where gray(x,y) < gray(x+1,y)), the SAME
+    # 8-band Hamming-LSH blocking, and the exact popcount verify.
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(substr(text, 1, 61))) AS hx,
+             octet_length(encode(substr(text, 1, 61))) AS nb
+      FROM documents),
+    g AS (
+      SELECT doc_id, ys.y AS y, xs.x AS x,
+        (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 1) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 2) % nb) + 1, 2) AS INT)) // 3 AS gray
+      FROM h
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs),
+    dh AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.gray < r.gray
+                           THEN 1::BIGINT << (l.y * 7 + l.x)
+                           ELSE 0::BIGINT END) AS BIGINT) AS sh
+      FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      GROUP BY l.doc_id),
+    bands AS (
+      SELECT doc_id, sh, bs.b AS band_id, (sh >> (7 * bs.b)) & 127 AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 4
+    """,
+)
+def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — perceptual dHash over decoded
+    pixels, banded Hamming LSH for the pair join (the single most common
+    multimodal curation need; no reference analog — extension surface per
+    SURVEY §7.2.9). Pipeline: documents' bytes become REAL 16x16 P6 PPMs
+    (synth_ppm_assets — genuine containers, no media files in the repo),
+    the existing Arrow resize path downsamples to the 8x8 dHash grid
+    (multimodal.resize_ppm_nn), multimodal.image_dhash_fingerprints packs
+    the 56 gradient bits, and dedup.simhash_banded_pairs reuses the text
+    SimHash band machinery verbatim (8 bands x 7 bits; hamming <= 4 < 8
+    bands, so the pigeonhole guarantee makes the blocking LOSSLESS — the
+    oracle proves it by replaying band join + verify exactly).
+
+    100 TB shape: pixels stay inside one Arrow mapInPandas per image; the
+    pair join shuffles 8-byte hashes, never pixels — identical scale
+    posture to the text SimHash blocker."""
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _fan(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+        )
+    )
+    ppm = MM.synth_ppm_assets(docs, "doc_id", "payload", width=16, height=16)
+    assets = MM.make_asset_table(
+        ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+    )
+    small = MM.resize_ppm_nn(assets, 8, 8)
+    fp = MM.image_dhash_fingerprints(small, grid=8)
+    return D.simhash_banded_pairs(
+        fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
+    )

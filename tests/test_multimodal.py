@@ -356,3 +356,47 @@ def test_decode_gif_truncated_raises_valueerror():
     )
     with pytest.raises(ValueError):
         decode_gif(bytes(hdr) + b"\x00\x00")
+
+
+def test_image_dhash_known_grid_and_banded_near_dup(spark):
+    """dHash bit semantics pinned against a hand-computed 8x8 grid, then a
+    1-pixel perturbation must surface as a small-Hamming banded pair."""
+    from scylla_migrator_spark.analytics.dedup import simhash_banded_pairs
+    from scylla_migrator_spark.analytics.multimodal import (
+        encode_ppm,
+        image_dhash_fingerprints,
+    )
+
+    # gray(i) = i for pixel index i (r=g=b=i): every row strictly increases,
+    # so all 56 bits are set
+    ramp = bytes(b for i in range(64) for b in (i, i, i))
+    # flip one gradient: make pixel (y=0, x=3) brighter than (y=0, x=4)
+    bumped = bytearray(ramp)
+    bumped[3 * 3] = bumped[3 * 3 + 1] = bumped[3 * 3 + 2] = 200
+    df = spark.createDataFrame(
+        [(1, encode_ppm(8, 8, ramp)), (2, encode_ppm(8, 8, bytes(bumped)))],
+        "asset_id long, data binary",
+    )
+    fp = {r["asset_id"]: r["sh"] for r in image_dhash_fingerprints(df).collect()}
+    assert fp[1] == (1 << 56) - 1
+    # bumping pixel 3 flips bits (y=0,x=2): gray 2<200 stays 1... and
+    # (y=0,x=3): gray 200<4 now 0 -> exactly one bit differs
+    assert bin(fp[1] ^ fp[2]).count("1") == 1
+    pairs = simhash_banded_pairs(
+        image_dhash_fingerprints(df), "asset_id", sh_col="sh",
+        bits=56, bands=8, max_hamming=4,
+    ).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 1)]
+
+
+def test_image_dhash_rejects_wrong_grid(spark):
+    from scylla_migrator_spark.analytics.multimodal import (
+        encode_ppm,
+        image_dhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, encode_ppm(4, 4, bytes(48)))], "asset_id long, data binary"
+    )
+    with pytest.raises(Exception, match="8x8"):
+        image_dhash_fingerprints(df).collect()

@@ -46,6 +46,7 @@ def test_no_python_eval_in_hot_paths(spark, sf_dir):
     like test_registry_lint."""
     skip = {
         "multimodal_fake_features",  # mapInPandas by design
+        "image_phash_dup_pairs",  # Arrow pixel decode/resize/dhash by design
         "udtf_sentence_split",  # the Python UDTF surface, by design
         "stream_windowed_counts",  # executes a stream on call
         "stream_dedup_watermark",
@@ -821,6 +822,28 @@ def test_distributed_row_number_stable_under_tiny_sampler(spark, sf_dir):
             spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
         else:
             spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", old)
+
+
+def test_image_phash_banded_join_shuffles_hashes_not_pixels(spark, sf_dir):
+    """The image near-dup pair join must be an equi-join on the band key
+    over 8-byte hashes: pixels stay inside the Arrow stages (exactly three
+    MapInPandas — synth, resize, dhash — per join side), the join itself is
+    never a cross product, and no binary column crosses the band join."""
+    plan = plan_of(Q.QUERIES["image_phash_dup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # self-join: 3 Arrow stages per side; formatted mode prints each node
+    # twice (tree + detail block)
+    assert plan.count("MapInPandas") == 12
+    # the join is keyed on the band, and its input carries ids + hashes
+    # only — the binary 'data' column is pruned before the join
+    lines = plan.splitlines()
+    key_lines = [ln for ln in lines if ln.startswith("Left keys")]
+    assert key_lines and all("band_id" in ln and "band_val" in ln for ln in key_lines)
+    join_inputs = [
+        lines[i] for i, ln in enumerate(lines) if ln.startswith("Join condition")
+    ]
+    assert join_inputs and all("data" not in ln for ln in join_inputs)
 
 
 def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):

@@ -223,6 +223,24 @@ def run_pipelines(
 
     record("dup_graph_k_core", n_docs, kcore)
 
+    def image_phash() -> int:
+        from scylla_migrator_spark.analytics import multimodal as MM
+
+        payload = docs.select(
+            "doc_id",
+            F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+        )
+        ppm = MM.synth_ppm_assets(payload, "doc_id", "payload", width=16, height=16)
+        assets = MM.make_asset_table(
+            ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+        )
+        fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
+        return D.simhash_banded_pairs(
+            fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
+        ).count()
+
+    record("image_phash_dup_pairs", n_docs, image_phash)
+
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
         # expected cluster width -> the pair join stays linear per row);
