@@ -263,6 +263,13 @@ HEADLINE = [
     "cusum_changepoint",
     "psi_value_drift",
     "sorted_neighborhood_blocking",
+    "lsh_recall_at_k",
+    "ivf_recall_at_k",
+    "pq_adc_recall_at_k",
+    "image_phash_dup_pairs",
+    "ks_value_drift",
+    "unigram_lm_train",
+    "unigram_token_count",
 ]
 
 

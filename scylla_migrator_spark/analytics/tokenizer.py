@@ -318,3 +318,243 @@ def segment_with_merges(
         F.size(words).alias("n_words"),
         n_pieces.alias("n_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model), the second production tokenizer family
+# beside BPE. Same compressed-state posture as train_bpe: ONE corpus pass
+# builds the word-frequency table, then every EM round is vocab-sized work:
+#
+# * seed vocabulary = every single character (coverage guarantee) + the
+#   top-`top_multi` most frequent substrings up to `max_piece_len` chars
+#   (Kudo's frequent-substring seeding; the trim-down that SentencePiece
+#   does by iterative pruning is done once, up front, so the round count
+#   is fixed and the oracle can replay CTE-for-CTE);
+# * E-step = EXACT expected piece counts by forward-backward over each
+#   word's segmentation lattice — the alpha/beta DP runs as an
+#   ``F.aggregate`` fold over character positions (whole-stage codegen,
+#   no Python), with the per-word piece->prob lookup built by ONE
+#   vocab-sized broadcast join (bounded by construction: <= alphabet +
+#   top_multi rows — the staged-centroid posture, not a corpus-sized
+#   broadcast);
+# * M-step = renormalized expected counts. Per-edge expected counts
+#   truncate to DECIMAL(18,9) BEFORE the sum (the value_trend_slope
+#   discipline), so the aggregation is shuffle-order independent and the
+#   DuckDB oracle replays it bit-for-bit; the double arithmetic inside
+#   the folds is a fixed left-to-right chain evaluated identically by
+#   both engines.
+#
+# Determinism contract: seed ties break lexicographically on the piece;
+# Viterbi segmentation ties prefer the SHORTER piece (strict > when a
+# longer candidate challenges); all rounding happens once, at the output.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 3
+
+
+def _piece_edges(words: DataFrame, max_len: int = UNIGRAM_MAX_PIECE_LEN) -> DataFrame:
+    """Every (word, start, len, piece) lattice edge with start 0-based and
+    start+len <= |word| — the shared input of seeding, EM, and Viterbi."""
+    n = F.length("word")
+    grid = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.lit(max_len)),
+                lambda k: F.struct(j.alias("j"), k.alias("k")),
+            ),
+        )
+    )
+    return (
+        words.select("word", "cnt", F.explode(grid).alias("e"))
+        .select("word", "cnt", F.col("e.j").alias("j"), F.col("e.k").alias("k"))
+        .filter(F.col("j") + F.col("k") <= F.length("word"))
+        .withColumn("piece", F.col("word").substr(F.col("j") + 1, F.col("k")))
+    )
+
+
+def substring_seed_vocab(
+    words: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    top_multi: int = 128,
+) -> DataFrame:
+    """Seed (piece, p): all single characters plus the ``top_multi`` most
+    frequent multi-character substrings (count desc, piece asc),
+    probability proportional to occurrence count over the selected set."""
+    subs = _piece_edges(words, max_piece_len).groupBy("piece").agg(
+        F.sum("cnt").alias("c")
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(top_multi)
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return vocab.join(F.broadcast(tot)).select(
+        "piece", (F.col("c").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+
+
+def _prob_key(j, k):
+    """Map key for the per-word piece-prob lookup: start*4 + len (len <= 3)."""
+    return (j * 4 + k).cast("int")
+
+
+def _with_lattice(
+    words: DataFrame, probs: DataFrame, max_piece_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """Attach the per-word (start*4+len -> prob) map; returns (edges, words+pm)."""
+    edges = _piece_edges(words, max_piece_len).join(F.broadcast(probs), "piece")
+    pm = edges.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    _prob_key(F.col("j"), F.col("k")).alias("key"),
+                    F.col("p").alias("value"),
+                )
+            )
+        ).alias("pm")
+    )
+    return edges, words.join(pm, "word")
+
+
+def _pk(i_start, k: int):
+    """Lattice-edge prob from the per-word map (null when absent)."""
+    return F.try_element_at(F.col("pm"), _prob_key(i_start, F.lit(k)))
+
+
+def unigram_em_round(
+    words: DataFrame,
+    probs: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """One exact EM round: forward-backward expected piece counts over
+    every word's lattice (weighted by word frequency), renormalized.
+
+    alpha[t] = sum_k p(t-k, k) * alpha[t-k]   (alpha[0] = 1)
+    beta[t]  = sum_k p(t, k)  * beta[t+k]     (beta[n] = 1)
+    E[piece at (j, k)] = cnt * alpha[j] * p * beta[j+k] / alpha[n]
+
+    The term order of each sum is pinned (k = 1, 2, 3 left to right) so
+    the oracle's recursive-CTE replay produces bit-identical doubles."""
+    edges, w = _with_lattice(words, probs, max_piece_len)
+    n = F.length("word")
+
+    def astep(acc, i):
+        t1 = F.coalesce(_pk(i - 1, 1) * F.try_element_at(acc, i.cast("int")), F.lit(0.0))
+        t2 = F.coalesce(
+            F.when(i >= 2, _pk(i - 2, 2) * F.try_element_at(acc, (i - 1).cast("int"))),
+            F.lit(0.0),
+        )
+        t3 = F.coalesce(
+            F.when(i >= 3, _pk(i - 3, 3) * F.try_element_at(acc, (i - 2).cast("int"))),
+            F.lit(0.0),
+        )
+        return F.concat(acc, F.array(t1 + t2 + t3))
+
+    def bstep(acc, j):
+        t1 = F.coalesce(_pk(j, 1) * F.try_element_at(acc, F.lit(1)), F.lit(0.0))
+        t2 = F.coalesce(
+            F.when(j + 2 <= n, _pk(j, 2) * F.try_element_at(acc, F.lit(2))), F.lit(0.0)
+        )
+        t3 = F.coalesce(
+            F.when(j + 3 <= n, _pk(j, 3) * F.try_element_at(acc, F.lit(3))), F.lit(0.0)
+        )
+        return F.concat(F.array(t1 + t2 + t3), acc)
+
+    one = F.array(F.lit(1.0))
+    st = w.select(
+        "word",
+        F.aggregate(F.sequence(F.lit(1), n), one, astep).alias("al"),
+        F.aggregate(F.sequence(n - 1, F.lit(0), F.lit(-1)), one, bstep).alias("be"),
+    )
+    g = edges.join(st, "word").select(
+        "piece",
+        (
+            F.col("cnt")
+            * F.try_element_at("al", F.col("j") + 1)
+            * F.col("p")
+            * F.try_element_at("be", F.col("j") + F.col("k") + 1)
+            / F.element_at("al", F.lit(-1))
+        )
+        .cast("decimal(18,9)")
+        .alias("ec"),
+    )
+    ec = g.groupBy("piece").agg(F.sum("ec").alias("ec"))
+    tot = ec.agg(F.sum("ec").alias("t"))
+    return ec.join(F.broadcast(tot)).select(
+        "piece", (F.col("ec").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+
+
+def train_unigram(
+    df: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    top_multi: int = 128,
+) -> DataFrame:
+    """Train the unigram LM: substring-seeded vocab, ``rounds`` exact EM
+    rounds. Returns (piece, p). The word table is the only corpus-pass;
+    each round's cost is proportional to |vocab| * max word length."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    words = word_frequency_table(df, text_col).localCheckpoint()
+    probs = substring_seed_vocab(words, max_piece_len, top_multi)
+    for _ in range(rounds):
+        # cut the plan between rounds: the probs table is vocab-sized
+        # (alphabet + top_multi rows), but the fold expressions stack and
+        # Catalyst re-optimizes the whole tree per round otherwise — the
+        # components.py/text.py lineage-reset cadence
+        probs = unigram_em_round(words, probs, max_piece_len).localCheckpoint()
+    return probs
+
+
+def unigram_viterbi_counts(
+    words: DataFrame,
+    probs: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """Per-word Viterbi piece count under a trained unigram vocab: the DP
+    carries (best prob, piece count) per position; a longer piece wins a
+    tie only when STRICTLY better (shortest-piece tie-break, pinned in the
+    oracle with the same nested CASE order). Single-character coverage in
+    the seed guarantees every word segments. Output: (word, n_pieces)."""
+    _, w = _with_lattice(words, probs, max_piece_len)
+    n = F.length("word")
+    zero = F.struct(
+        F.array(F.lit(1.0)).alias("bl"), F.array(F.lit(0)).alias("cl")
+    )
+
+    def step(acc, i):
+        bl, cl = acc["bl"], acc["cl"]
+        t1 = F.coalesce(_pk(i - 1, 1) * F.try_element_at(bl, i.cast("int")), F.lit(0.0))
+        t2 = F.coalesce(
+            F.when(i >= 2, _pk(i - 2, 2) * F.try_element_at(bl, (i - 1).cast("int"))),
+            F.lit(0.0),
+        )
+        t3 = F.coalesce(
+            F.when(i >= 3, _pk(i - 3, 3) * F.try_element_at(bl, (i - 2).cast("int"))),
+            F.lit(0.0),
+        )
+        b12 = F.when(t2 > t1, t2).otherwise(t1)
+        best = F.when(t3 > b12, t3).otherwise(b12)
+        cnt = (
+            F.when(t3 > b12, F.try_element_at(cl, (i - 2).cast("int")) + 1)
+            .when(t2 > t1, F.try_element_at(cl, (i - 1).cast("int")) + 1)
+            .otherwise(F.try_element_at(cl, i.cast("int")) + 1)
+        )
+        return F.struct(
+            F.concat(bl, F.array(best)).alias("bl"),
+            F.concat(cl, F.array(cnt)).alias("cl"),
+        )
+
+    return w.select(
+        "word",
+        F.element_at(
+            F.aggregate(F.sequence(F.lit(1), n), zero, step)["cl"], F.lit(-1)
+        ).alias("n_pieces"),
+    )

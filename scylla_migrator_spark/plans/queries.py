@@ -10783,3 +10783,271 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_banded_pairs(
         fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
     )
+
+
+@_register(
+    "ks_value_drift",
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    h AS (
+      SELECT event_type, value,
+             CASE WHEN epoch_ns(ts) < cut THEN 1 ELSE 0 END AS is_ref
+      FROM events, med),
+    vc AS (
+      SELECT event_type, value,
+             sum(is_ref)::BIGINT AS c1, sum(1 - is_ref)::BIGINT AS c2
+      FROM h GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+      FROM vc GROUP BY 1 HAVING sum(c1) > 0 AND sum(c2) > 0),
+    cum AS (
+      SELECT event_type, value,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2
+      FROM vc)
+    SELECT event_type, round(max(abs(cum1 / n1 - cum2 / n2)), 6) AS ks_d
+    FROM cum JOIN tot USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type —
+    D = max_x |F_ref(x) - F_cur(x)| between the value distributions of the
+    first time half (reference) and the second (current). EXACT, not
+    binned: the supremum over empirical CDFs is attained at an observed
+    value, so evaluating at every distinct value is the whole statistic.
+    Completes the monitoring family: PSI (binned, practitioner units),
+    CUSUM (mean shift in time), KS (distribution-free shape shift).
+
+    Scale shape (the CUSUM/PSI posture): one map-side-combined
+    (type, value) count pivoted to per-half counts carries the data from
+    there — the CDF window and the max run over DISTINCT values per type
+    (~1.8k here), never raw rows, and partition BY TYPE (no global sort).
+    The time split is the integer-exact (min+max) div 2 epoch midpoint.
+    If per-type distinct values ever rival row count (continuous sensor
+    values at 100 TB), quantize `value` to a measurement-precision grid
+    first — the statistic degrades gracefully and the shape is unchanged.
+    CDF ratios are exact-integer divisions evaluated identically by both
+    engines; rounding happens once, after the max."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    h = ev.join(F.broadcast(med)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.col("cut"), F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
+    )
+    vc = h.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c2"),
+    )
+    tot = (
+        vc.groupBy("event_type")
+        .agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = vc.select(
+        "event_type",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    d = cum.join(tot, "event_type").select(
+        "event_type",
+        F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")).alias("d"),
+    )
+    return d.groupBy("event_type").agg(F.round(F.max("d"), 6).alias("ks_d"))
+
+
+def _unigram_parts(rounds: int = 2, top_multi: int = 128) -> list[str]:
+    """Unrolled unigram-LM training CTEs (Kudo 2018 — the SentencePiece
+    unigram family; analytics/tokenizer.py::train_unigram), shared by the
+    trainer and encoder oracles. Round ``r``'s forward/backward lattice
+    DPs run as recursive CTEs over character positions carrying the
+    alpha/beta list state (the per-position recurrence can't unroll like
+    the k-means rounds — word length is data-dependent); everything else
+    is CTE-for-CTE the engine's plan. Term order inside each DP sum is
+    k = 1, 2, 3 left to right, matching the engine's folds exactly, and
+    per-edge expected counts truncate to DECIMAL(18,9) before the
+    shuffle-order-independent sum."""
+    parts = [
+        r"""WITH RECURSIVE words AS MATERIALIZED (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents) t
+      WHERE len(w) > 0 GROUP BY w)""",
+        """subs AS MATERIALIZED (
+      SELECT substr(word, g.i, kk.k) AS piece, sum(cnt)::BIGINT AS c
+      FROM words, UNNEST(generate_series(1, len(word))) AS g(i),
+           (SELECT unnest([1, 2, 3]) AS k) kk
+      WHERE g.i + kk.k - 1 <= len(word)
+      GROUP BY piece)""",
+        f"""vocab AS MATERIALIZED (
+      SELECT piece, c FROM subs WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c FROM subs WHERE len(piece) > 1
+        ORDER BY c DESC, piece LIMIT {top_multi}))""",
+        """probs0 AS MATERIALIZED (
+      SELECT piece, CAST(c AS DOUBLE)
+                    / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab) AS p
+      FROM vocab)""",
+        """edges AS MATERIALIZED (
+      SELECT w.word, w.cnt, g.i - 1 AS j, kk.k AS k,
+             substr(w.word, g.i, kk.k) AS piece
+      FROM words w, UNNEST(generate_series(1, len(w.word))) AS g(i),
+           (SELECT unnest([1, 2, 3]) AS k) kk
+      WHERE g.i + kk.k - 1 <= len(w.word))""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""alpha{r} AS (
+      SELECT word, cnt, len(word) AS n, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al
+      FROM words
+      UNION ALL
+      SELECT a.word, a.cnt, a.n, a.i + 1,
+             list_append(a.al,
+               coalesce(p1.p * a.al[a.i + 1], 0.0)
+             + coalesce(p2.p * a.al[a.i], 0.0)
+             + coalesce(p3.p * a.al[a.i - 1], 0.0))
+      FROM alpha{r} a
+      LEFT JOIN probs{r} p1 ON p1.piece = substr(a.word, a.i + 1, 1)
+      LEFT JOIN probs{r} p2 ON a.i >= 1 AND p2.piece = substr(a.word, a.i, 2)
+      LEFT JOIN probs{r} p3 ON a.i >= 2 AND p3.piece = substr(a.word, a.i - 1, 3)
+      WHERE a.i < a.n)"""
+        )
+        parts.append(
+            f"""beta{r} AS (
+      SELECT word, len(word) AS n, len(word) AS j, [CAST(1.0 AS DOUBLE)] AS be
+      FROM words
+      UNION ALL
+      SELECT b.word, b.n, b.j - 1,
+             list_prepend(
+               coalesce(p1.p * b.be[1], 0.0)
+             + coalesce(p2.p * b.be[2], 0.0)
+             + coalesce(p3.p * b.be[3], 0.0), b.be)
+      FROM beta{r} b
+      LEFT JOIN probs{r} p1 ON p1.piece = substr(b.word, b.j, 1)
+      LEFT JOIN probs{r} p2 ON b.j + 1 <= b.n AND p2.piece = substr(b.word, b.j, 2)
+      LEFT JOIN probs{r} p3 ON b.j + 2 <= b.n AND p3.piece = substr(b.word, b.j, 3)
+      WHERE b.j > 0)"""
+        )
+        parts.append(
+            f"""ec{r} AS MATERIALIZED (
+      SELECT e.piece,
+             CAST(e.cnt * a.al[e.j + 1] * p.p * b.be[e.j + e.k + 1]
+                  / a.al[a.n + 1] AS DECIMAL(18,9)) AS ec
+      FROM edges e
+      JOIN probs{r} p ON e.piece = p.piece
+      JOIN (SELECT word, n, al FROM alpha{r} WHERE i = n) a ON e.word = a.word
+      JOIN (SELECT word, be FROM beta{r} WHERE j = 0) b ON e.word = b.word)"""
+        )
+        parts.append(
+            f"""probs{r + 1} AS MATERIALIZED (
+      SELECT piece, CAST(sum(ec) AS DOUBLE)
+                    / (SELECT CAST(sum(ec) AS DOUBLE) FROM ec{r}) AS p
+      FROM ec{r} GROUP BY piece)"""
+        )
+    return parts
+
+
+def _unigram_train_sql(rounds: int = 2, top_multi: int = 128, top_out: int = 20) -> str:
+    parts = _unigram_parts(rounds, top_multi)
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT piece, round(p, 6) AS p FROM probs{rounds}
+    ORDER BY p DESC, piece LIMIT {top_out}"""
+    )
+
+
+def _unigram_count_sql(rounds: int = 2, top_multi: int = 128) -> str:
+    parts = [
+        *_unigram_parts(rounds, top_multi),
+        f"""vit AS (
+      SELECT word, len(word) AS n, 0 AS i,
+             [CAST(1.0 AS DOUBLE)] AS bl, [0] AS cl
+      FROM words
+      UNION ALL
+      SELECT word, n, i + 1,
+             list_append(bl, CASE WHEN t3 > (CASE WHEN t2 > t1 THEN t2 ELSE t1 END)
+                                  THEN t3
+                                  ELSE (CASE WHEN t2 > t1 THEN t2 ELSE t1 END) END),
+             list_append(cl, CASE WHEN t3 > (CASE WHEN t2 > t1 THEN t2 ELSE t1 END)
+                                  THEN cl[i - 1] + 1
+                                  WHEN t2 > t1 THEN cl[i] + 1
+                                  ELSE cl[i + 1] + 1 END)
+      FROM (
+        SELECT v.*,
+               coalesce(p1.p * v.bl[v.i + 1], 0.0) AS t1,
+               coalesce(p2.p * v.bl[v.i], 0.0) AS t2,
+               coalesce(p3.p * v.bl[v.i - 1], 0.0) AS t3
+        FROM vit v
+        LEFT JOIN probs{rounds} p1 ON p1.piece = substr(v.word, v.i + 1, 1)
+        LEFT JOIN probs{rounds} p2 ON v.i >= 1 AND p2.piece = substr(v.word, v.i, 2)
+        LEFT JOIN probs{rounds} p3 ON v.i >= 2 AND p3.piece = substr(v.word, v.i - 1, 3)
+        WHERE v.i < v.n) s)""",
+        """wnp AS MATERIALIZED (SELECT word, cl[n + 1] AS np FROM vit WHERE i = n)""",
+        r"""doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0)""",
+    ]
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words, sum(wnp.np)::BIGINT AS n_pieces
+    FROM doc_words dw JOIN wnp ON dw.w = wnp.word
+    GROUP BY dw.doc_id"""
+    )
+
+
+@_register("unigram_lm_train", _unigram_train_sql(2))
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+    family — tokenizer.train_unigram): substring-seeded vocabulary, two
+    EXACT EM rounds (forward-backward expected piece counts over each
+    word's segmentation lattice, renormalized), top-20 pieces by final
+    probability. The second production tokenizer family beside BPE, built
+    on the same compressed state: ONE corpus pass makes the word-frequency
+    table; each EM round is |vocab| * max-word-length work — alpha/beta
+    DPs fold in whole-stage codegen, the piece-prob lookup is a bounded
+    broadcast (alphabet + top-128 substrings), and expected counts
+    truncate to DECIMAL(18,9) pre-sum so the aggregate is shuffle-order
+    independent. The oracle replays seeding, both EM rounds (recursive-CTE
+    lattice DPs with pinned k=1,2,3 term order), and the renormalizations."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    probs = TOK.train_unigram(_fan(_t(spark, sf_dir, "documents")), rounds=2)
+    return (
+        probs.orderBy(F.desc("p"), F.asc("piece"))
+        .limit(20)
+        .select("piece", F.round("p", 6).alias("p"))
+    )
+
+
+@_register("unigram_token_count", _unigram_count_sql(2))
+def unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED unigram LM: Viterbi
+    piece count per word (DP carrying best-prob and count lists; shorter
+    piece wins exact ties — pinned in both engines), joined back to the
+    exploded corpus — (doc_id, n_words, n_pieces). The whole trainer
+    replays inside the oracle, so the count witnesses the full
+    train-then-encode pipeline like bpe_segment_counts does for BPE."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    words = TOK.word_frequency_table(docs).localCheckpoint()
+    probs = TOK.substring_seed_vocab(words)
+    for _ in range(2):
+        probs = TOK.unigram_em_round(words, probs).localCheckpoint()
+    wnp = TOK.unigram_viterbi_counts(words, probs)
+    dw = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    return dw.join(wnp, "word").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"), F.sum("n_pieces").alias("n_pieces")
+    )

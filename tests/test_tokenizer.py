@@ -461,3 +461,118 @@ def test_bpe_sql_oracle_does_not_merge_mid_symbol(spark):
         for r in con.sql(_bpe_train_sql(3) + " ORDER BY merge_rank").fetchall()
     ]
     assert oracle == engine
+
+
+def _unigram_reference(texts: list[str], rounds: int = 2, top_multi: int = 128):
+    """Pure-Python unigram-LM EM (the engine-independent witness): seed from
+    substring counts, exact forward-backward expected counts truncated to
+    9 decimal places before the sum, renormalize."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                words[w] += 1
+    subs: Counter = Counter()
+    for w, c in words.items():
+        for j in range(len(w)):
+            for k in (1, 2, 3):
+                if j + k <= len(w):
+                    subs[w[j : j + k]] += c
+    vocab = {p: c for p, c in subs.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subs.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[:top_multi]
+        )
+    )
+    tot = sum(vocab.values())
+    probs = {p: c / tot for p, c in vocab.items()}
+
+    def dec9(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.000000001"), rounding=ROUND_HALF_UP)
+
+    for _ in range(rounds):
+        ec: dict[str, Decimal] = {}
+        for w, c in words.items():
+            n = len(w)
+            al = [1.0] + [0.0] * n
+            for t in range(1, n + 1):
+                s = 0.0
+                for k in (1, 2, 3):
+                    if t - k >= 0 and w[t - k : t] in probs:
+                        s += probs[w[t - k : t]] * al[t - k]
+                al[t] = s
+            be = [0.0] * n + [1.0]
+            for t in range(n - 1, -1, -1):
+                s = 0.0
+                for k in (1, 2, 3):
+                    if t + k <= n and w[t : t + k] in probs:
+                        s += probs[w[t : t + k]] * be[t + k]
+                be[t] = s
+            for j in range(n):
+                for k in (1, 2, 3):
+                    piece = w[j : j + k]
+                    if j + k <= n and piece in probs:
+                        g = c * al[j] * probs[piece] * be[j + k] / al[n]
+                        ec[piece] = ec.get(piece, Decimal(0)) + dec9(g)
+        t2 = float(sum(ec.values()))
+        probs = {p: float(v) / t2 for p, v in ec.items()}
+    return words, probs
+
+
+def test_train_unigram_matches_reference(spark, sf_dir):
+    """The distributed EM (folded lattice DPs, decimal-truncated expected
+    counts) must equal the sequential reference to 6 decimals — seeding,
+    both rounds, tie-breaks and float-op order included."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["piece"]: round(r["p"], 6)
+        for r in TOK.train_unigram(docs, rounds=2).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    _, want = _unigram_reference(texts, rounds=2)
+    assert got == {p: round(v, 6) for p, v in want.items()}
+
+
+def test_unigram_viterbi_counts_vs_reference(spark, sf_dir):
+    """Viterbi piece counts under the trained vocab: shortest-piece
+    tie-break, guaranteed single-char coverage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words_df = TOK.word_frequency_table(docs).localCheckpoint()
+    probs = TOK.substring_seed_vocab(words_df)
+    for _ in range(2):
+        probs = TOK.unigram_em_round(words_df, probs).localCheckpoint()
+    got = {
+        r["word"]: r["n_pieces"]
+        for r in TOK.unigram_viterbi_counts(words_df, probs).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    words, pref = _unigram_reference(texts, rounds=2)
+
+    def viterbi_count(w: str) -> int:
+        n = len(w)
+        bl, cl = [1.0] + [0.0] * n, [0] * (n + 1)
+        for i in range(1, n + 1):
+            t = [0.0, 0.0, 0.0]
+            for k in (1, 2, 3):
+                if i - k >= 0 and w[i - k : i] in pref:
+                    t[k - 1] = pref[w[i - k : i]] * bl[i - k]
+            b12, c12 = (t[1], cl[i - 2] + 1) if t[1] > t[0] else (t[0], cl[i - 1] + 1)
+            bl[i], cl[i] = (t[2], cl[i - 3] + 1) if t[2] > b12 else (b12, c12)
+        return cl[n]
+
+    assert got == {w: viterbi_count(w) for w in words}
+
+
+def test_unigram_em_zero_rounds_is_seed(spark):
+    df = spark.createDataFrame([(1, "ab ab b")], ["doc_id", "text"])
+    probs = {r["piece"]: r["p"] for r in TOK.train_unigram(df, rounds=0).collect()}
+    # counts: a=2, b=3, ab=2 -> total 7
+    assert probs == {"a": 2 / 7, "b": 3 / 7, "ab": 2 / 7}
+    with pytest.raises(ValueError, match="rounds"):
+        TOK.train_unigram(df, rounds=-1)
