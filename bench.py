@@ -270,6 +270,8 @@ HEADLINE = [
     "ks_value_drift",
     "unigram_lm_train",
     "unigram_token_count",
+    "retrieval_ndcg_at_k",
+    "image_dup_clusters",
 ]
 
 
@@ -485,6 +487,13 @@ def main() -> None:
             if _stateful.has_transform_with_state_runtime()
             else "applyInPandasWithState"
         ),
+        # r6 watch item closed by re-measurement: stream_tws_user_totals has
+        # ranged 2.0-3.1 s across rounds (r3=3.07, r5=2.00, r6=2.87,
+        # r7 median-of-5=2.99 steady) on a code path UNCHANGED since round 4
+        # (git: streaming/stateful.py last touched 9e381b9; query body
+        # f67663c) — the mode is micro-batch trigger scheduling, r5's 2.00
+        # was the favorable mode, not a plan that later regressed
+        "notes": {"stream_tws_user_totals": "bimodal trigger scheduling; code unchanged since r4 (see bench.py)"},
     }
     if errors:
         out["errors"] = errors

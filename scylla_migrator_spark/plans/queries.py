@@ -11051,3 +11051,168 @@ def unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dw.join(wnp, "word").groupBy("doc_id").agg(
         F.count("*").alias("n_words"), F.sum("n_pieces").alias("n_pieces")
     )
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    """Oracle for retrieval NDCG@k: BM25 ranking graded against the dense
+    (hashed-embedding cosine) top-k as relevance ground truth. The
+    1/log2(rank+1) discount weights are PYTHON-COMPUTED double literals
+    embedded in BOTH the Spark plan and this SQL (the codebooks-as-
+    literals posture) — no cross-engine libm call whose last ulp could
+    differ; per-rank terms truncate to DECIMAL(18,9) before the exact
+    sum."""
+    import math
+
+    w_case = " ".join(
+        f"WHEN {i} THEN {1.0 / math.log2(i + 1)!r}" for i in range(1, k + 1)
+    )
+    idcg = " + ".join(
+        f"CAST({k + 1 - i} * {1.0 / math.log2(i + 1)!r} AS DECIMAL(18,9))"
+        for i in range(1, k + 1)
+    )
+    return (
+        _hashed_emb_cte(16)
+        + rf""",
+    lens AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+      FROM documents),
+    sc AS (SELECT count(*)::BIGINT AS n, sum(dl) / count(*) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM
+             (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+           WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w),
+    dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+    bmsc AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (sc.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+                  AS DECIMAL(18,9)) AS ts
+      FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id), sc),
+    bmtop AS (
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS bm25
+      FROM bmsc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {k}),
+    qh AS (SELECT list_transform(regexp_split_to_array('spark join window', '\s+'),
+                                 w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs),
+    qe AS (SELECT list_transform(generate_series(0, 15),
+             j -> CAST(coalesce(list_sum(list_transform(hs,
+                    h -> CASE WHEN h % 16 = j
+                         THEN (CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                         ELSE 0 END)), 0) AS BIGINT)) AS qv
+           FROM qh),
+    dtop AS (
+      SELECT doc_id,
+             round(list_cosine_similarity(CAST(emb.v AS DOUBLE[]),
+                                          CAST(qe.qv AS DOUBLE[])), 6) AS cos
+      FROM emb, qe ORDER BY cos DESC, doc_id LIMIT {k}),
+    br AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+           FROM bmtop),
+    dr AS (SELECT doc_id,
+                  {k + 1} - row_number() OVER (ORDER BY cos DESC, doc_id) AS g
+           FROM dtop),
+    dcg AS (
+      SELECT sum(CAST(coalesce(dr.g, 0) * (CASE br.r {w_case} END)
+                 AS DECIMAL(18,9))) AS dcg
+      FROM br LEFT JOIN dr USING (doc_id))
+    SELECT {k} AS k,
+           round(CAST(dcg AS DOUBLE) / CAST({idcg} AS DOUBLE), 6) AS ndcg
+    FROM dcg"""
+    )
+
+
+@_register("retrieval_ndcg_at_k", _ndcg_sql(10))
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric: NDCG@10 of the BM25 sparse ranking graded
+    against the dense (hashed-embedding cosine) top-10 for the same query
+    text — the recall@k family's ordered sibling, and the standard readout
+    for tuning a hybrid stack (rrf_hybrid_retrieval fuses these two exact
+    rankings; this measures how far apart they are). Grades: dense rank i
+    earns 11-i; DCG discounts by 1/log2(rank+1) with the discount table
+    shipped as identical double literals to both engines (no cross-engine
+    libm); per-rank terms truncate to DECIMAL(18,9) pre-sum; IDCG is the
+    perfect-ordering constant. Corpus-sized work stays in the two
+    retrievers (posting-list BM25, scan-stage embeddings); the NDCG math
+    touches k rows."""
+    import math
+
+    q_text = "spark join window"
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sparse = TXT.bm25_topk(docs, q_text.split(), "text", "doc_id", k=10)
+    br = SIM.rank_by(sparse, "bm25")
+    emb = docs.select(
+        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v")
+    )
+    qv = [
+        float(x)
+        for x in spark.range(1)
+        .select(TXT.hashed_bow_embedding(F.lit(q_text), dim=16).alias("q"))
+        .head()["q"]
+    ]
+    dense = SIM.brute_force_topk(emb, qv, "doc_id", "v", k=10)
+    dr = SIM.rank_by(dense, "cos").select(
+        "doc_id", (F.lit(11) - F.col("rank")).alias("g")
+    )
+    disc = F.lit(None).cast("double")
+    for i in range(10, 0, -1):
+        disc = F.when(F.col("rank") == i, F.lit(1.0 / math.log2(i + 1))).otherwise(disc)
+    term = (F.coalesce(F.col("g"), F.lit(0)) * disc).cast("decimal(18,9)")
+    dcg = br.join(dr, "doc_id", "left").agg(F.sum(term).alias("dcg"))
+    idcg = sum(
+        __import__("decimal").Decimal(
+            str((11 - i) * (1.0 / math.log2(i + 1)))
+        ).quantize(__import__("decimal").Decimal("0.000000001"))
+        for i in range(1, 11)
+    )
+    return dcg.select(
+        F.lit(10).alias("k"),
+        F.round(
+            F.col("dcg").cast("double") / F.lit(float(idcg)), 6
+        ).alias("ndcg"),
+    )
+
+
+@_register(
+    "image_dup_clusters",
+    # pairs = the full image_phash_dup_pairs replay (nested CTE), closed
+    # into components by the same transitive-closure recursion the
+    # dedup_components oracle uses; canonical keeper = min doc_id.
+    """
+    WITH RECURSIVE pairs AS ("""
+    + ORACLES["image_phash_dup_pairs"]
+    + """),
+    e2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN e2 e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u)::BIGINT AS canonical_id
+             FROM reach GROUP BY v)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN (
+      SELECT canonical_id, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY canonical_id) s
+    ON c.canonical_id = s.canonical_id
+    """,
+)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup closed end to end: the dHash banded pairs
+    (image_phash_dup_pairs) form a graph; connected components
+    (analytics/components.py — iterative min-label propagation, per-round
+    degree agg + 8-byte-id semi-joins, localCheckpoint cadence) assign
+    every near-dup image its cluster's min doc_id as CANONICAL keeper —
+    the keep-one-drop-rest policy a multimodal curation pipeline applies
+    (anti-join `doc_id != canonical_id` to drop). Output: every clustered
+    image with its canonical id and cluster size; the oracle closes the
+    same pairs by transitive-closure recursion."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = QUERIES["image_phash_dup_pairs"](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        "cluster_size",
+    )
