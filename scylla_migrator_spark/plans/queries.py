@@ -11216,3 +11216,103 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("canonical_id"),
         "cluster_size",
     )
+
+
+@_register(
+    "multimodal_consensus_dup_pairs",
+    """
+    WITH tp AS ("""
+    + ORACLES["simhash_hamming_pairs"]
+    + """),
+    ip AS ("""
+    + ORACLES["image_phash_dup_pairs"]
+    + """)
+    SELECT tp.id_a, tp.id_b, tp.hamming AS text_hamming, ip.hamming AS image_hamming
+    FROM tp JOIN ip ON tp.id_a = ip.id_a AND tp.id_b = ip.id_b
+    """,
+)
+def multimodal_consensus_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL consensus near-dup: pairs flagged by BOTH the text
+    SimHash blocker (hamming<=8, 32-bit token-vote fingerprints) AND the
+    image dHash blocker (hamming<=4 on the rendered-head perceptual hash)
+    — the precision-first intersection a curation pipeline applies when a
+    single modality's false positives are too expensive to drop on
+    (text-only catches paraphrase-ish noise, image-only catches layout
+    coincidences; agreement is strong evidence). Pure composition: both
+    pair generators are existing oracle-backed queries, joined on the
+    pair identity — at 100 TB the join shuffles two already-blocked pair
+    tables keyed by (id_a, id_b), nothing corpus-sized."""
+    tp = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select(
+        "id_a", "id_b", F.col("hamming").alias("text_hamming")
+    )
+    ip = QUERIES["image_phash_dup_pairs"](spark, sf_dir).select(
+        "id_a", "id_b", F.col("hamming").alias("image_hamming")
+    )
+    return tp.join(ip, ["id_a", "id_b"])
+
+
+@_register(
+    "stream_image_phash_encode",
+    # oracle = the batch dHash state: the stateless streaming encode of the
+    # two replayed halves must equal the batch fingerprint table exactly
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(substr(text, 1, 61))) AS hx,
+             octet_length(encode(substr(text, 1, 61))) AS nb
+      FROM documents),
+    g AS (
+      SELECT doc_id, ys.y AS y, xs.x AS x,
+        (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 1) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 2) % nb) + 1, 2) AS INT)) // 3 AS gray
+      FROM h
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs)
+    SELECT l.doc_id AS asset_id,
+           CAST(sum(CASE WHEN l.gray < r.gray
+                         THEN 1::BIGINT << (l.y * 7 + l.x)
+                         ELSE 0::BIGINT END) AS BIGINT) AS sh
+    FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+    GROUP BY l.doc_id
+    """,
+)
+def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image-index maintenance (batch/stream unification for the
+    perceptual-hash table, the stream_pq_encode posture for images): the
+    documents replayed as two micro-batches, each arriving "image" synthed,
+    resized, and dHash-fingerprinted by the SAME stateless Arrow stages
+    the batch path uses — zero stateful operators, no watermark (a dHash
+    depends on the image bytes alone, so encoding composes with any
+    ingest feed). After the replay the fingerprint table equals the batch
+    encode exactly; the banded pair join then runs on it incrementally."""
+    import os
+
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+    )
+    stage = os.path.join(
+        "/tmp", f"sgs_doc_payload_halves_{_stage_tag(sf_dir, 'documents')}"
+    )
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", docs.filter(F.col("doc_id") % 2 == 0)),
+                ("1", docs.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    ppm = MM.synth_ppm_assets(stream, "doc_id", "payload", width=16, height=16)
+    assets = MM.make_asset_table(
+        ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+    )
+    fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
+    return _run_available_now(fp, "append")
