@@ -274,6 +274,7 @@ HEADLINE = [
     "image_dup_clusters",
     "multimodal_consensus_dup_pairs",
     "stream_image_phash_encode",
+    "unigram_prune_retrain",
 ]
 
 

@@ -558,3 +558,46 @@ def unigram_viterbi_counts(
             F.aggregate(F.sequence(F.lit(1), n), zero, step)["cl"], F.lit(-1)
         ).alias("n_pieces"),
     )
+
+
+def unigram_prune(probs: DataFrame, keep_multi: int = 48) -> DataFrame:
+    """Vocabulary pruning between EM rounds (the trim step of Kudo's
+    EM -> prune -> EM loop): keep every single-character piece (coverage
+    guarantee) plus the ``keep_multi`` highest-probability multi-character
+    pieces (ties lexical on the piece), renormalized to sum 1. The
+    renormalization sum runs over DECIMAL(18,9)-truncated probabilities so
+    it is shuffle-order independent and SQL-replayable; the division back
+    is double-exact on both engines."""
+    chars = probs.filter(F.length("piece") == 1)
+    multi = (
+        probs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("p"), F.asc("piece"))
+        .limit(keep_multi)
+    )
+    kept = chars.unionByName(multi)
+    tot = kept.agg(F.sum(F.col("p").cast("decimal(18,9)")).alias("t"))
+    return kept.join(F.broadcast(tot)).select(
+        "piece", (F.col("p") / F.col("t").cast("double")).alias("p")
+    )
+
+
+def train_unigram_pruned(
+    df: DataFrame,
+    rounds_before: int = 2,
+    keep_multi: int = 48,
+    rounds_after: int = 1,
+    text_col: str = "text",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    top_multi: int = 128,
+) -> DataFrame:
+    """The full SentencePiece-style loop: seed -> EM x rounds_before ->
+    prune to (alphabet + keep_multi) -> EM x rounds_after. Returns the
+    final (piece, p) vocabulary."""
+    words = word_frequency_table(df, text_col).localCheckpoint()
+    probs = substring_seed_vocab(words, max_piece_len, top_multi)
+    for _ in range(rounds_before):
+        probs = unigram_em_round(words, probs, max_piece_len).localCheckpoint()
+    probs = unigram_prune(probs, keep_multi).localCheckpoint()
+    for _ in range(rounds_after):
+        probs = unigram_em_round(words, probs, max_piece_len).localCheckpoint()
+    return probs

@@ -10902,8 +10902,16 @@ def _unigram_parts(rounds: int = 2, top_multi: int = 128) -> list[str]:
       WHERE g.i + kk.k - 1 <= len(w.word))""",
     ]
     for r in range(rounds):
-        parts.append(
-            f"""alpha{r} AS (
+        parts.extend(_unigram_em_round_parts(str(r), f"probs{r}", f"probs{r + 1}"))
+    return parts
+
+
+def _unigram_em_round_parts(tag: str, probs_in: str, probs_out: str) -> list[str]:
+    """One EM round's CTEs (alpha/beta recursions + expected counts +
+    renormalized output probs), parameterized by the input/output prob
+    table names so prune stages can splice between rounds."""
+    return [
+        f"""alpha{tag} AS (
       SELECT word, cnt, len(word) AS n, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al
       FROM words
       UNION ALL
@@ -10912,14 +10920,12 @@ def _unigram_parts(rounds: int = 2, top_multi: int = 128) -> list[str]:
                coalesce(p1.p * a.al[a.i + 1], 0.0)
              + coalesce(p2.p * a.al[a.i], 0.0)
              + coalesce(p3.p * a.al[a.i - 1], 0.0))
-      FROM alpha{r} a
-      LEFT JOIN probs{r} p1 ON p1.piece = substr(a.word, a.i + 1, 1)
-      LEFT JOIN probs{r} p2 ON a.i >= 1 AND p2.piece = substr(a.word, a.i, 2)
-      LEFT JOIN probs{r} p3 ON a.i >= 2 AND p3.piece = substr(a.word, a.i - 1, 3)
-      WHERE a.i < a.n)"""
-        )
-        parts.append(
-            f"""beta{r} AS (
+      FROM alpha{tag} a
+      LEFT JOIN {probs_in} p1 ON p1.piece = substr(a.word, a.i + 1, 1)
+      LEFT JOIN {probs_in} p2 ON a.i >= 1 AND p2.piece = substr(a.word, a.i, 2)
+      LEFT JOIN {probs_in} p3 ON a.i >= 2 AND p3.piece = substr(a.word, a.i - 1, 3)
+      WHERE a.i < a.n)""",
+        f"""beta{tag} AS (
       SELECT word, len(word) AS n, len(word) AS j, [CAST(1.0 AS DOUBLE)] AS be
       FROM words
       UNION ALL
@@ -10928,29 +10934,24 @@ def _unigram_parts(rounds: int = 2, top_multi: int = 128) -> list[str]:
                coalesce(p1.p * b.be[1], 0.0)
              + coalesce(p2.p * b.be[2], 0.0)
              + coalesce(p3.p * b.be[3], 0.0), b.be)
-      FROM beta{r} b
-      LEFT JOIN probs{r} p1 ON p1.piece = substr(b.word, b.j, 1)
-      LEFT JOIN probs{r} p2 ON b.j + 1 <= b.n AND p2.piece = substr(b.word, b.j, 2)
-      LEFT JOIN probs{r} p3 ON b.j + 2 <= b.n AND p3.piece = substr(b.word, b.j, 3)
-      WHERE b.j > 0)"""
-        )
-        parts.append(
-            f"""ec{r} AS MATERIALIZED (
+      FROM beta{tag} b
+      LEFT JOIN {probs_in} p1 ON p1.piece = substr(b.word, b.j, 1)
+      LEFT JOIN {probs_in} p2 ON b.j + 1 <= b.n AND p2.piece = substr(b.word, b.j, 2)
+      LEFT JOIN {probs_in} p3 ON b.j + 2 <= b.n AND p3.piece = substr(b.word, b.j, 3)
+      WHERE b.j > 0)""",
+        f"""ec{tag} AS MATERIALIZED (
       SELECT e.piece,
              CAST(e.cnt * a.al[e.j + 1] * p.p * b.be[e.j + e.k + 1]
                   / a.al[a.n + 1] AS DECIMAL(18,9)) AS ec
       FROM edges e
-      JOIN probs{r} p ON e.piece = p.piece
-      JOIN (SELECT word, n, al FROM alpha{r} WHERE i = n) a ON e.word = a.word
-      JOIN (SELECT word, be FROM beta{r} WHERE j = 0) b ON e.word = b.word)"""
-        )
-        parts.append(
-            f"""probs{r + 1} AS MATERIALIZED (
+      JOIN {probs_in} p ON e.piece = p.piece
+      JOIN (SELECT word, n, al FROM alpha{tag} WHERE i = n) a ON e.word = a.word
+      JOIN (SELECT word, be FROM beta{tag} WHERE j = 0) b ON e.word = b.word)""",
+        f"""{probs_out} AS MATERIALIZED (
       SELECT piece, CAST(sum(ec) AS DOUBLE)
-                    / (SELECT CAST(sum(ec) AS DOUBLE) FROM ec{r}) AS p
-      FROM ec{r} GROUP BY piece)"""
-        )
-    return parts
+                    / (SELECT CAST(sum(ec) AS DOUBLE) FROM ec{tag}) AS p
+      FROM ec{tag} GROUP BY piece)""",
+    ]
 
 
 def _unigram_train_sql(rounds: int = 2, top_multi: int = 128, top_out: int = 20) -> str:
@@ -11316,3 +11317,70 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
     return _run_available_now(fp, "append")
+
+
+def _unigram_prune_sql(
+    rounds_before: int = 2,
+    keep_multi: int = 48,
+    rounds_after: int = 1,
+    top_multi: int = 128,
+    top_out: int = 20,
+) -> str:
+    """Oracle for the pruned retrain: the shared seed + EM-round CTEs,
+    then the prune (keep chars + top-`keep_multi` multi-char pieces by
+    prob, renormalized over decimal-truncated probabilities), then more
+    EM rounds spliced onto the pruned table."""
+    parts = _unigram_parts(rounds_before, top_multi)
+    r = rounds_before
+    parts.append(
+        f"""kept{r} AS MATERIALIZED (
+      SELECT piece, p FROM probs{r} WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, p FROM (
+        SELECT piece, p FROM probs{r} WHERE len(piece) > 1
+        ORDER BY p DESC, piece LIMIT {keep_multi}))"""
+    )
+    parts.append(
+        f"""pruned{r} AS MATERIALIZED (
+      SELECT piece,
+             p / (SELECT CAST(sum(CAST(p AS DECIMAL(18,9))) AS DOUBLE)
+                  FROM kept{r}) AS p
+      FROM kept{r})"""
+    )
+    prev = f"pruned{r}"
+    for i in range(rounds_after):
+        out = f"pprobs{i + 1}"
+        parts.extend(_unigram_em_round_parts(f"p{i}", prev, out))
+        prev = out
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT piece, round(p, 6) AS p FROM {prev}
+    ORDER BY p DESC, piece LIMIT {top_out}"""
+    )
+
+
+@_register("unigram_prune_retrain", _unigram_prune_sql(2, 48, 1))
+def unigram_prune_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE SentencePiece-style training loop (Kudo 2018 §3.2:
+    alternate EM with vocabulary trimming): seed -> 2 exact EM rounds ->
+    prune to alphabet + top-48 multi-char pieces (renormalized over
+    decimal-truncated probs) -> 1 more EM round on the pruned lattice.
+    Pruning changes the lattices (dropped pieces stop absorbing
+    probability mass), so the retrained distribution is a genuinely new
+    fixpoint, not a filtered view — the oracle splices the prune CTEs
+    between the shared EM-round replays and re-runs the full
+    forward-backward on the pruned vocabulary."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    probs = TOK.train_unigram_pruned(
+        _fan(_t(spark, sf_dir, "documents")),
+        rounds_before=2,
+        keep_multi=48,
+        rounds_after=1,
+    )
+    return (
+        probs.orderBy(F.desc("p"), F.asc("piece"))
+        .limit(20)
+        .select("piece", F.round("p", 6).alias("p"))
+    )
