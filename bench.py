@@ -275,6 +275,7 @@ HEADLINE = [
     "multimodal_consensus_dup_pairs",
     "stream_image_phash_encode",
     "unigram_prune_retrain",
+    "pq_rerank_recall_at_k",
 ]
 
 

