@@ -276,6 +276,7 @@ HEADLINE = [
     "stream_image_phash_encode",
     "unigram_prune_retrain",
     "pq_rerank_recall_at_k",
+    "audio_phash_dup_pairs",
 ]
 
 

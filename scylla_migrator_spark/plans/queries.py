@@ -11423,3 +11423,76 @@ def pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
     return _recall_of(approx, exact, k=10)
+
+
+@_register(
+    "audio_phash_dup_pairs",
+    # Oracle replays the whole pipeline byte-for-byte: the doc-head
+    # payload (first 61 chars tiled to 464 bytes) becomes the 8-bit PCM
+    # stream, 29 frames of nb//29 samples each get an exact INTEGER
+    # energy sum((b-128)^2), 28 gradient bits pack into the hash, and the
+    # same 4-band Hamming-LSH blocking + popcount verify runs in SQL.
+    """
+    WITH h AS (
+      SELECT doc_id,
+             hex(encode(substr(repeat(substr(text, 1, 61), 8), 1, 464))) AS hx,
+             octet_length(encode(substr(repeat(substr(text, 1, 61), 8), 1, 464))) AS nb
+      FROM documents),
+    e AS (
+      SELECT doc_id, fk.f AS f,
+             CAST(sum((CAST('0x' || substring(hx, 2*((nb // 29) * fk.f + bi.i) + 1, 2) AS INT) - 128)
+                    * (CAST('0x' || substring(hx, 2*((nb // 29) * fk.f + bi.i) + 1, 2) AS INT) - 128))
+                  AS BIGINT) AS en
+      FROM h
+      CROSS JOIN (SELECT unnest(generate_series(0, 28)) AS f) fk,
+           UNNEST(generate_series(0, nb // 29 - 1)) AS bi(i)
+      GROUP BY doc_id, fk.f),
+    dh AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.en < r.en THEN 1::BIGINT << l.f
+                           ELSE 0::BIGINT END) AS BIGINT) AS sh
+      FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+      GROUP BY l.doc_id),
+    bands AS (
+      SELECT doc_id, sh, bs.b AS band_id, (sh >> (7 * bs.b)) & 127 AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def audio_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — frame-energy gradient hash over
+    the REAL WAV decode path, banded Hamming LSH for the pair join:
+    doc-head bytes become genuine 8-bit PCM RIFF/WAVE files
+    (synth_wav_assets — real containers, no media in the repo),
+    multimodal.audio_energy_fingerprints parses them back
+    (multimodal.decode_wav) and packs 28 adjacent-frame energy-gradient
+    bits, and dedup.simhash_banded_pairs reuses the band machinery
+    (4 bands x 7 bits; hamming <= 3 < 4 bands -> pigeonhole-lossless,
+    oracle-proved). Completes the perceptual-dedup family across text
+    (SimHash), image (dHash), and audio (energy envelope); frame
+    energies are exact integers, so the whole pipeline replays in SQL
+    with zero float pinning. 100 TB shape: PCM stays inside one Arrow
+    stage, the pair join shuffles 8-byte hashes."""
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _fan(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.encode(
+                F.substring(F.repeat(F.substring(F.col("text"), 1, 61), 8), 1, 464),
+                "UTF-8",
+            ).alias("payload"),
+            F.lit(8000).cast("int").alias("rate"),
+        )
+    )
+    wavs = MM.synth_wav_assets(docs, "doc_id", "payload", "rate")
+    assets = MM.make_asset_table(wavs, "asset_id", "data", kind="audio", mime="audio/wav")
+    fp = MM.audio_energy_fingerprints(assets, frames=29)
+    return D.simhash_banded_pairs(
+        fp, "asset_id", sh_col="sh", bits=28, bands=4, max_hamming=3
+    )

@@ -400,3 +400,35 @@ def test_image_dhash_rejects_wrong_grid(spark):
     )
     with pytest.raises(Exception, match="8x8"):
         image_dhash_fingerprints(df).collect()
+
+
+def test_audio_energy_hash_known_pcm_and_banded_pair(spark):
+    """Energy-gradient bit semantics pinned on hand-built PCM, then a
+    small perturbation surfaces as a banded Hamming pair."""
+    from scylla_migrator_spark.analytics.dedup import simhash_banded_pairs
+    from scylla_migrator_spark.analytics.multimodal import (
+        audio_energy_fingerprints,
+        encode_wav,
+        make_asset_table,
+    )
+
+    # 29 frames x 2 samples; frame f has samples (128, 128+f) -> energy f^2,
+    # strictly increasing -> all 28 bits set
+    ramp = bytes(b for f in range(29) for b in (128, 128 + f))
+    # kill frame 1's energy (both samples 128): e0=0, e1=0 -> bit0 (e0<e1)
+    # flips OFF; bit1 (e1<e2) stays on -> exactly one bit differs
+    bumped = bytearray(ramp)
+    bumped[3] = 128
+    df = spark.createDataFrame(
+        [(1, encode_wav(ramp, 8000)), (2, encode_wav(bytes(bumped), 8000))],
+        "asset_id long, data binary",
+    )
+    assets = make_asset_table(df, "asset_id", "data", kind="audio", mime="audio/wav")
+    fp = {r["asset_id"]: r["sh"] for r in audio_energy_fingerprints(assets).collect()}
+    assert fp[1] == (1 << 28) - 1
+    assert bin(fp[1] ^ fp[2]).count("1") == 1
+    pairs = simhash_banded_pairs(
+        audio_energy_fingerprints(assets), "asset_id", sh_col="sh",
+        bits=28, bands=4, max_hamming=3,
+    ).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 1)]
