@@ -432,3 +432,70 @@ def test_audio_energy_hash_known_pcm_and_banded_pair(spark):
         bits=28, bands=4, max_hamming=3,
     ).collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 1)]
+
+
+def test_perceptual_banding_is_lossless_at_threshold(spark, sf_dir):
+    """The pigeonhole guarantee, verified empirically: the banded Hamming
+    join returns EXACTLY the pairs an unblocked all-pairs popcount scan
+    finds at the threshold — for both the image dHash (8 bands, h<=4) and
+    the audio energy hash (4 bands, h<=3)."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics.dedup import simhash_banded_pairs
+    from scylla_migrator_spark.analytics.multimodal import (
+        audio_energy_fingerprints,
+        image_dhash_fingerprints,
+        make_asset_table,
+        resize_ppm_nn,
+        synth_ppm_assets,
+        synth_wav_assets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 61), "UTF-8").alias("payload"),
+        F.encode(
+            F.substring(F.repeat(F.substring("text", 1, 61), 8), 1, 464), "UTF-8"
+        ).alias("tiled"),
+        F.lit(8000).cast("int").alias("rate"),
+    )
+    ppm = synth_ppm_assets(docs, "doc_id", "payload", width=16, height=16)
+    img_fp = image_dhash_fingerprints(
+        resize_ppm_nn(
+            make_asset_table(ppm, "asset_id", "data", "image", "image/x-portable-pixmap"),
+            8,
+            8,
+        )
+    ).localCheckpoint()
+    wav = synth_wav_assets(
+        docs.select("doc_id", F.col("tiled").alias("payload"), "rate"),
+        "doc_id",
+        "payload",
+        "rate",
+    )
+    aud_fp = audio_energy_fingerprints(
+        make_asset_table(wav, "asset_id", "data", "audio", "audio/wav")
+    ).localCheckpoint()
+
+    for fp, bits, bands, h in ((img_fp, 56, 8, 4), (aud_fp, 28, 4, 3)):
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_banded_pairs(
+                fp, "asset_id", sh_col="sh", bits=bits, bands=bands, max_hamming=h
+            ).collect()
+        }
+        a, b = fp.alias("a"), fp.alias("b")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.asset_id") < F.col("b.asset_id"))
+            .select(
+                F.col("a.asset_id").alias("id_a"),
+                F.col("b.asset_id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+                ).alias("ham"),
+            )
+            .filter(F.col("ham") <= h)
+            .collect()
+        }
+        assert banded == exact and exact, f"bits={bits}: banding lost pairs"
