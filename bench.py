@@ -277,6 +277,7 @@ HEADLINE = [
     "unigram_prune_retrain",
     "pq_rerank_recall_at_k",
     "audio_phash_dup_pairs",
+    "rrf_ndcg_at_k",
 ]
 
 

@@ -11054,14 +11054,35 @@ def unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ndcg_sql(k: int = 10) -> str:
-    """Oracle for retrieval NDCG@k: BM25 ranking graded against the dense
-    (hashed-embedding cosine) top-k as relevance ground truth. The
-    1/log2(rank+1) discount weights are PYTHON-COMPUTED double literals
-    embedded in BOTH the Spark plan and this SQL (the codebooks-as-
-    literals posture) — no cross-engine libm call whose last ulp could
-    differ; per-rank terms truncate to DECIMAL(18,9) before the exact
-    sum."""
+def _ndcg_frame(rank_df: DataFrame, grade_df: DataFrame, k: int) -> DataFrame:
+    """DCG/IDCG over a ranked shortlist and a graded ground-truth shortlist:
+    joins on doc_id, discounts by the Python-computed 1/log2(rank+1)
+    literal table (identical doubles to the SQL oracle), truncates each
+    term to DECIMAL(18,9) pre-sum, divides by the perfect-ordering IDCG."""
+    import decimal as _dec
+    import math
+
+    disc = F.lit(None).cast("double")
+    for i in range(k, 0, -1):
+        disc = F.when(F.col("rank") == i, F.lit(1.0 / math.log2(i + 1))).otherwise(disc)
+    term = (F.coalesce(F.col("g"), F.lit(0)) * disc).cast("decimal(18,9)")
+    dcg = rank_df.join(grade_df, "doc_id", "left").agg(F.sum(term).alias("dcg"))
+    idcg = sum(
+        _dec.Decimal(str((k + 1 - i) * (1.0 / math.log2(i + 1)))).quantize(
+            _dec.Decimal("0.000000001")
+        )
+        for i in range(1, k + 1)
+    )
+    return dcg.select(
+        F.lit(k).alias("k"),
+        F.round(F.col("dcg").cast("double") / F.lit(float(idcg)), 6).alias("ndcg"),
+    )
+
+
+def _ndcg_discount_sql(k: int) -> tuple[str, str]:
+    """The (rank-discount CASE, IDCG expression) SQL fragments with the
+    1/log2(rank+1) weights as PYTHON-COMPUTED double literals — identical
+    doubles to the Spark plan's, no cross-engine libm."""
     import math
 
     w_case = " ".join(
@@ -11071,6 +11092,18 @@ def _ndcg_sql(k: int = 10) -> str:
         f"CAST({k + 1 - i} * {1.0 / math.log2(i + 1)!r} AS DECIMAL(18,9))"
         for i in range(1, k + 1)
     )
+    return w_case, idcg
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    """Oracle for retrieval NDCG@k: BM25 ranking graded against the dense
+    (hashed-embedding cosine) top-k as relevance ground truth. The
+    1/log2(rank+1) discount weights are PYTHON-COMPUTED double literals
+    embedded in BOTH the Spark plan and this SQL (the codebooks-as-
+    literals posture) — no cross-engine libm call whose last ulp could
+    differ; per-rank terms truncate to DECIMAL(18,9) before the exact
+    sum."""
+    w_case, idcg = _ndcg_discount_sql(k)
     return (
         _hashed_emb_cte(16)
         + rf""",
@@ -11153,23 +11186,7 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     dr = SIM.rank_by(dense, "cos").select(
         "doc_id", (F.lit(11) - F.col("rank")).alias("g")
     )
-    disc = F.lit(None).cast("double")
-    for i in range(10, 0, -1):
-        disc = F.when(F.col("rank") == i, F.lit(1.0 / math.log2(i + 1))).otherwise(disc)
-    term = (F.coalesce(F.col("g"), F.lit(0)) * disc).cast("decimal(18,9)")
-    dcg = br.join(dr, "doc_id", "left").agg(F.sum(term).alias("dcg"))
-    idcg = sum(
-        __import__("decimal").Decimal(
-            str((11 - i) * (1.0 / math.log2(i + 1)))
-        ).quantize(__import__("decimal").Decimal("0.000000001"))
-        for i in range(1, 11)
-    )
-    return dcg.select(
-        F.lit(10).alias("k"),
-        F.round(
-            F.col("dcg").cast("double") / F.lit(float(idcg)), 6
-        ).alias("ndcg"),
-    )
+    return _ndcg_frame(br, dr, k=10)
 
 
 @_register(
@@ -11496,3 +11513,71 @@ def audio_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_banded_pairs(
         fp, "asset_id", sh_col="sh", bits=28, bands=4, max_hamming=3
     )
+
+
+def _dense_top_sql(k: int = 10) -> str:
+    """Standalone dense (hashed-embedding cosine) top-k for the query text
+    'spark join window' — the grading ground truth the NDCG family shares."""
+    return (
+        _hashed_emb_cte(16)
+        + rf""",
+    qh AS (SELECT list_transform(regexp_split_to_array('spark join window', '\s+'),
+                                 w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs),
+    qe AS (SELECT list_transform(generate_series(0, 15),
+             j -> CAST(coalesce(list_sum(list_transform(hs,
+                    h -> CASE WHEN h % 16 = j
+                         THEN (CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                         ELSE 0 END)), 0) AS BIGINT)) AS qv
+           FROM qh)
+    SELECT doc_id,
+           round(list_cosine_similarity(CAST(emb.v AS DOUBLE[]),
+                                        CAST(qe.qv AS DOUBLE[])), 6) AS cos
+    FROM emb, qe ORDER BY cos DESC, doc_id LIMIT {k}"""
+    )
+
+
+def _rrf_ndcg_sql(k: int = 10) -> str:
+    w_case, idcg = _ndcg_discount_sql(k)
+    return f"""
+    WITH fused AS ({ORACLES["rrf_hybrid_retrieval"]}),
+    fr AS (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS r
+           FROM fused),
+    dt AS ({_dense_top_sql(k)}),
+    dr AS (SELECT doc_id,
+                  {k + 1} - row_number() OVER (ORDER BY cos DESC, doc_id) AS g
+           FROM dt),
+    dcg AS (
+      SELECT sum(CAST(coalesce(dr.g, 0) * (CASE fr.r {w_case} END)
+                 AS DECIMAL(18,9))) AS dcg
+      FROM fr LEFT JOIN dr USING (doc_id))
+    SELECT {k} AS k,
+           round(CAST(dcg AS DOUBLE) / CAST({idcg} AS DOUBLE), 6) AS ndcg
+    FROM dcg"""
+
+
+@_register("rrf_ndcg_at_k", _rrf_ndcg_sql(10))
+def rrf_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the RRF-FUSED ranking against the same dense ground
+    truth retrieval_ndcg_at_k grades BM25 against — the pair of rows
+    quantifies what fusion buys: BM25 alone sits low (the sparse and
+    dense views disagree), the fusion pulls the dense list's members up
+    without seeing either score scale. Same literal-discount/decimal
+    NDCG math; the oracle nests the full fusion replay."""
+    fused = QUERIES["rrf_hybrid_retrieval"](spark, sf_dir)
+    fr = SIM.rank_by(fused, "rrf")
+    q_text = "spark join window"
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = docs.select(
+        "doc_id", TXT.hashed_bow_embedding(F.col("text"), dim=16).alias("v")
+    )
+    qv = [
+        float(x)
+        for x in spark.range(1)
+        .select(TXT.hashed_bow_embedding(F.lit(q_text), dim=16).alias("q"))
+        .head()["q"]
+    ]
+    dense = SIM.brute_force_topk(emb, qv, "doc_id", "v", k=10)
+    dr = SIM.rank_by(dense, "cos").select(
+        "doc_id", (F.lit(11) - F.col("rank")).alias("g")
+    )
+    return _ndcg_frame(fr, dr, k=10)
