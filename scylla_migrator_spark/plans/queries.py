@@ -11167,8 +11167,6 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfect-ordering constant. Corpus-sized work stays in the two
     retrievers (posting-list BM25, scan-stage embeddings); the NDCG math
     touches k rows."""
-    import math
-
     q_text = "spark join window"
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sparse = TXT.bm25_topk(docs, q_text.split(), "text", "doc_id", k=10)
@@ -11303,6 +11301,8 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on the image bytes alone, so encoding composes with any
     ingest feed). After the replay the fingerprint table equals the batch
     encode exactly; the banded pair join then runs on it incrementally."""
+    import hashlib
+    import inspect
     import os
 
     from scylla_migrator_spark.analytics import multimodal as MM
@@ -11311,8 +11311,14 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
     )
+    # the stage stores a TRANSFORMED payload, so its key must cover the
+    # transform spec (the staged-cache-versioning lesson): hash this
+    # function's own source into the path
+    ver = hashlib.md5(
+        inspect.getsource(stream_image_phash_encode).encode()
+    ).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_doc_payload_halves_{_stage_tag(sf_dir, 'documents')}"
+        "/tmp", f"sgs_doc_payload_halves_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
