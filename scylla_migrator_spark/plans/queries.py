@@ -10779,7 +10779,10 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
     )
     small = MM.resize_ppm_nn(assets, 8, 8)
-    fp = MM.image_dhash_fingerprints(small, grid=8)
+    # materialize the 16-byte/row fingerprints before the banded SELF-join:
+    # otherwise each join side re-runs the whole synth/resize/dhash Arrow
+    # pipeline over the pixels (and at 100 TB re-decodes the corpus twice)
+    fp = MM.image_dhash_fingerprints(small, grid=8).localCheckpoint(eager=True)
     return D.simhash_banded_pairs(
         fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
     )
@@ -11515,7 +11518,9 @@ def audio_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = MM.synth_wav_assets(docs, "doc_id", "payload", "rate")
     assets = MM.make_asset_table(wavs, "asset_id", "data", kind="audio", mime="audio/wav")
-    fp = MM.audio_energy_fingerprints(assets, frames=29)
+    # fingerprints checkpoint before the banded self-join (the image-phash
+    # rationale: never decode the PCM twice)
+    fp = MM.audio_energy_fingerprints(assets, frames=29).localCheckpoint(eager=True)
     return D.simhash_banded_pairs(
         fp, "asset_id", sh_col="sh", bits=28, bands=4, max_hamming=3
     )

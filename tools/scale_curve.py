@@ -234,12 +234,36 @@ def run_pipelines(
         assets = MM.make_asset_table(
             ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
         )
-        fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
+        fp = MM.image_dhash_fingerprints(
+            MM.resize_ppm_nn(assets, 8, 8), grid=8
+        ).localCheckpoint(eager=True)
         return D.simhash_banded_pairs(
             fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
         ).count()
 
     record("image_phash_dup_pairs", n_docs, image_phash)
+
+    def audio_phash() -> int:
+        from scylla_migrator_spark.analytics import multimodal as MM
+
+        payload = docs.select(
+            "doc_id",
+            F.encode(
+                F.substring(F.repeat(F.substring(F.col("text"), 1, 61), 8), 1, 464),
+                "UTF-8",
+            ).alias("payload"),
+            F.lit(8000).cast("int").alias("rate"),
+        )
+        wav = MM.synth_wav_assets(payload, "doc_id", "payload", "rate")
+        fp = MM.audio_energy_fingerprints(
+            MM.make_asset_table(wav, "asset_id", "data", "audio", "audio/wav"),
+            frames=29,
+        ).localCheckpoint(eager=True)
+        return D.simhash_banded_pairs(
+            fp, "asset_id", sh_col="sh", bits=28, bands=4, max_hamming=3
+        ).count()
+
+    record("audio_phash_dup_pairs", n_docs, audio_phash)
 
     def semdedup() -> int:
         # scale recipe: cluster count grows with the corpus (constant
