@@ -278,6 +278,7 @@ HEADLINE = [
     "pq_rerank_recall_at_k",
     "audio_phash_dup_pairs",
     "rrf_ndcg_at_k",
+    "holt_trend_forecast",
 ]
 
 

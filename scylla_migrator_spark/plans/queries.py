@@ -11592,3 +11592,101 @@ def rrf_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.lit(11) - F.col("rank")).alias("g")
     )
     return _ndcg_frame(fr, dr, k=10)
+
+
+@_register(
+    "holt_trend_forecast",
+    # Holt's linear-trend double exponential smoothing (Holt 1957) over the
+    # day-grain counts, alpha=0.5 beta=0.3, 7-day-ahead forecast. The
+    # recursion carries (level, trend) day by day — same arithmetic chain
+    # as the engine's fold, so the doubles match bit-for-bit.
+    """
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      FROM daily),
+    nd AS (SELECT event_type, count(*)::BIGINT AS n FROM seq
+           GROUP BY 1 HAVING count(*) >= 2),
+    init AS (
+      SELECT a.event_type, 2 AS rn,
+             CAST(a.y AS DOUBLE) AS l, CAST(b.y - a.y AS DOUBLE) AS b
+      FROM seq a JOIN seq b ON a.event_type = b.event_type
+                           AND a.rn = 1 AND b.rn = 2
+      JOIN nd ON a.event_type = nd.event_type),
+    hw AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT h.event_type, h.rn + 1,
+             0.5 * d.y + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+      FROM hw h JOIN seq d ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+    SELECT hw.event_type,
+           round(l + 7 * b, 6) AS forecast_7d,
+           round(l, 6) AS level,
+           round(b, 6) AS trend
+    FROM hw JOIN nd ON hw.event_type = nd.event_type AND hw.rn = nd.n
+    """,
+)
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast (double exponential smoothing, Holt
+    1957) of daily event volume per type, 7 days ahead — the monitoring
+    family's forward-looking member beside the retrospective CUSUM/PSI/KS.
+    alpha=0.5 (level), beta=0.3 (trend), initialized l=y1, b=y2-y1.
+
+    Scale shape (the CUSUM day-grain posture): ONE map-side-combined
+    (type, day) count; the smoothing recursion folds over each type's
+    ~30-element ordered daily array inside whole-stage codegen (collect
+    to an array per TYPE, never per row — bounded by days-in-window), so
+    there is no per-row window and no driver loop. The fixed-order
+    double chain is replayed by the oracle's recursive CTE bit-for-bit;
+    rounding happens once, at the output."""
+    from pyspark.sql.window import Window  # noqa: F401 (posture parity)
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.expr("ts div 86400000000000").alias("day_idx"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("y"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day_idx"), F.col("y")))
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 2)
+        .select(
+            "event_type", F.transform("s", lambda e: e["y"].cast("double")).alias("ys")
+        )
+    )
+    a, b_ = F.lit(0.5), F.lit(0.3)
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+    )
+
+    # complements as LITERALS (0.5, 0.7), not 1-alpha computed in-plan:
+    # 1.0 - 0.3 is one ulp off the double literal 0.7, and the oracle's
+    # recursion uses the literals
+    def step(acc, y):
+        lt = a * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        bt = b_ * (lt - acc["l"]) + F.lit(0.7) * acc["b"]
+        return F.struct(lt.alias("l"), bt.alias("b"))
+
+    fitted = series.select(
+        "event_type",
+        F.aggregate(
+            F.slice("ys", 3, F.greatest(F.size("ys") - 2, F.lit(0))), init, step
+        ).alias("hb"),
+    )
+    return fitted.select(
+        "event_type",
+        F.round(F.col("hb.l") + 7 * F.col("hb.b"), 6).alias("forecast_7d"),
+        F.round("hb.l", 6).alias("level"),
+        F.round("hb.b", 6).alias("trend"),
+    )
