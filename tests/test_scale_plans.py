@@ -846,6 +846,18 @@ def test_image_phash_banded_join_shuffles_hashes_not_pixels(spark, sf_dir):
     assert join_inputs and all("data" not in ln for ln in join_inputs)
 
 
+def test_distributed_row_number_empty_and_singleton(spark):
+    """Degenerate inputs: empty frame (empty offsets table) and a single
+    row must not crash and keep the schema contract."""
+    from scylla_migrator_spark.operators.ranking import distributed_row_number
+
+    empty = spark.createDataFrame([], "k string, id long")
+    out = distributed_row_number(empty, ["k", "id"], "rn")
+    assert out.count() == 0 and out.columns == ["k", "id", "rn"]
+    one = spark.createDataFrame([("a", 1)], "k string, id long")
+    assert distributed_row_number(one, ["k", "id"]).collect()[0]["rn"] == 1
+
+
 def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):
     plan = plan_of(
         Q.QUERIES["sorted_neighborhood_blocking"](spark, sf_dir), mode="simple"
