@@ -279,6 +279,7 @@ HEADLINE = [
     "audio_phash_dup_pairs",
     "rrf_ndcg_at_k",
     "holt_trend_forecast",
+    "weighted_stratified_sample",
 ]
 
 

@@ -208,3 +208,41 @@ def weighted_sample_topk(
         .orderBy(F.desc("skey"), F.asc(id_col))
         .limit(k)
     )
+
+
+def weighted_stratified_topk(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    k: int = 5,
+    seed: str = "wres0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PER-STRATUM weighted sampling without replacement: the
+    Efraimidis-Spirakis A-Res key of :func:`weighted_sample_topk`
+    (log-space ln(u)/w with the derandomized md5 unit hash), selected
+    top-k WITHIN each stratum via a stratum-partitioned window — the
+    fixed-per-group form of "sample proportional to quality, balanced by
+    source" a corpus-mixing pipeline draws eval/inspection sets with.
+
+    Scale shape: one scan-stage key (no RNG state), one window
+    partitioned BY STRATUM (the stratified_topn posture — never a global
+    sort), ties by id. Zero/negative weights excluded. Output:
+    (stratum, id, weight, key[8 dp])."""
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (_unit_hash(F.col(id_col), seed) + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / w
+    keyed = df.filter(w > 0).select(
+        F.col(stratum_col),
+        F.col(id_col),
+        w.alias("weight"),
+        F.round(key, 8).alias("skey"),
+    )
+    win = Window.partitionBy(stratum_col).orderBy(F.desc("skey"), F.asc(id_col))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -11690,3 +11690,41 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hb.l", 6).alias("level"),
         F.round("hb.b", 6).alias("trend"),
     )
+
+
+@_register(
+    "weighted_stratified_sample",
+    r"""
+    WITH w AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT source, doc_id, weight,
+             round(ln((CAST('0x' || substr(md5(doc_id::VARCHAR || 'wres0'), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0) / weight, 8) AS skey
+      FROM w WHERE weight > 0),
+    r AS (
+      SELECT source, doc_id, weight, skey,
+             row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT source, doc_id, weight, skey FROM r WHERE rk <= 5
+    """,
+)
+def weighted_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling without replacement
+    (sampling.weighted_stratified_topk): 5 documents per source drawn
+    proportional to token count by the Efraimidis-Spirakis key — the
+    stratified completion of weighted_reservoir_sample (global) and
+    stratified_eval_sample (unweighted): quality/length-proportional AND
+    source-balanced in one pass. Derandomized md5 uniform -> the draw
+    replays in SQL; the only window partitions by source."""
+    from scylla_migrator_spark.analytics import sampling as SAMP
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("source", "doc_id", "text"))
+    w = docs.select(
+        "source", "doc_id", F.size(TXT.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return SAMP.weighted_stratified_topk(
+        w, "source", "n_tokens", k=5, seed="wres0", id_col="doc_id"
+    )
