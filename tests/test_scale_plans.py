@@ -826,15 +826,15 @@ def test_distributed_row_number_stable_under_tiny_sampler(spark, sf_dir):
 
 def test_image_phash_banded_join_shuffles_hashes_not_pixels(spark, sf_dir):
     """The image near-dup pair join must be an equi-join on the band key
-    over 8-byte hashes: pixels stay inside the Arrow stages (exactly three
-    MapInPandas — synth, resize, dhash — per join side), the join itself is
-    never a cross product, and no binary column crosses the band join."""
+    over 8-byte hashes. The synth/resize/dhash Arrow pipeline is
+    materialized into the fingerprint checkpoint BEFORE the self-join, so
+    the join plan contains NO Arrow stage at all (pixels physically cannot
+    cross it), is never a cross product, and carries ids + hashes only."""
     plan = plan_of(Q.QUERIES["image_phash_dup_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # self-join: 3 Arrow stages per side; formatted mode prints each node
-    # twice (tree + detail block)
-    assert plan.count("MapInPandas") == 12
+    # the pixel pipeline ran once, into the checkpoint — not in this plan
+    assert "MapInPandas" not in plan
     # the join is keyed on the band, and its input carries ids + hashes
     # only — the binary 'data' column is pruned before the join
     lines = plan.splitlines()
