@@ -140,36 +140,107 @@ def _banded(sig_df: DataFrame, keep_cols: list[str], num_hashes: int, bands: int
     )
 
 
+def _expand_fp_pairs(
+    fp_pairs: DataFrame,
+    members: DataFrame,
+    extra_cols: list[str],
+) -> DataFrame:
+    """Expand distinct-fingerprint pairs (__fp_a, __fp_b, extra...) back to
+    member id pairs, plus the intra-group (identical-fingerprint) pairs.
+
+    ``members`` is (__mid, __msh). The two legs are disjoint by construction
+    (cross pairs have __fp_a != __fp_b; intra pairs share one fingerprint),
+    and each member id carries exactly one fingerprint, so the union needs
+    no final distinct. Intra pairs get hamming/extra = 0 where applicable —
+    identical fingerprints are distance zero in every banded-Hamming scheme
+    this serves."""
+    cross = (
+        fp_pairs.join(
+            members.alias("ma"), F.col("__fp_a") == F.col("ma.__msh")
+        )
+        .join(members.alias("mb"), F.col("__fp_b") == F.col("mb.__msh"))
+        .select(
+            F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_a"),
+            F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_b"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+    intra = (
+        members.alias("ma")
+        .join(
+            members.alias("mb"),
+            on=[
+                F.col("ma.__msh") == F.col("mb.__msh"),
+                F.col("ma.__mid") < F.col("mb.__mid"),
+            ],
+        )
+        .select(
+            F.col("ma.__mid").alias("id_a"),
+            F.col("mb.__mid").alias("id_b"),
+            *[F.lit(0).cast("int").alias(c) for c in extra_cols],
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: rows sharing any band bucket.
 
-    Plan: signature (one shuffle, see minhash_signatures) -> posexplode bands
-    -> shuffle on (band_id, band_hash) -> self-equi-join within buckets. At
-    100 TB the band-bucket join is the dominant shuffle and its key space is
-    uniform by construction; no cross join ever materializes."""
+    Hot-bucket governance (the 100 TB skew guard): the band self-join runs
+    over DISTINCT signatures only. Exact-duplicate content — the dominant
+    degenerate fingerprint at corpus scale (boilerplate, empty pages) —
+    collapses to ONE row per band bucket before the join instead of m rows
+    producing ~m^2/2 candidates; member pairs are recovered afterwards by
+    two id-keyed expansion joins (identical-signature groups expand
+    directly as guaranteed candidates, since equal signatures share every
+    band). ``max_band_freq`` additionally caps residual hot buckets among
+    DISTINCT signatures (near-constant but non-identical content): buckets
+    whose distinct-signature frequency exceeds the cap are quarantined
+    before the join — the ``max_doc_freq`` stop-shingle posture of
+    _shingle_pair_intersections (identical-signature groups bypass the
+    cap — they are guaranteed candidates and never enter the band join).
+
+    Plan: signature (one shuffle, see minhash_signatures) -> distinct on the
+    signature digest -> posexplode bands -> shuffle on (band_id, band_hash)
+    -> self-equi-join within DISTINCT-signature buckets -> expand to member
+    ids. No cross join ever materializes."""
     sig_df = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = _banded(sig_df, [id_col], num_hashes, bands)
+    keyed = sig_df.select(
+        F.col(id_col), F.col("sig"), F.sha2(F.concat_ws(",", "sig"), 256).alias("__fp")
+    )
+    members = keyed.select(F.col(id_col).alias("__mid"), F.col("__fp").alias("__msh"))
+    distinct_sigs = keyed.select("__fp", "sig").dropDuplicates(["__fp"])
+    banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands)
+    if max_band_freq is not None:
+        keep = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bf"))
+            .filter(F.col("__bf") <= max_band_freq)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(keep, ["band_id", "band_hash"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    fp_pairs = (
         left.join(
             right,
             on=[
                 F.col("l.band_id") == F.col("r.band_id"),
                 F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                F.col("l.__fp") < F.col("r.__fp"),
             ],
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .select(F.col("l.__fp").alias("__fp_a"), F.col("r.__fp").alias("__fp_b"))
         .distinct()
     )
-    return pairs
+    return _expand_fp_pairs(fp_pairs, members, [])
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -393,6 +464,60 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), *carry, sh.alias("sh"))
 
 
+def _simhash_banded_distinct(
+    fp: DataFrame, sh_col: str, bits: int, bands: int
+) -> DataFrame:
+    """(__fp, band_id, band_val) over the DISTINCT fingerprints of ``fp`` —
+    the band-join input. Split out so the skew test and the plan pin can
+    assert the collapse directly: |rows| == |distinct fingerprints| * bands
+    regardless of how many members share a fingerprint."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    return (
+        fp.select(F.col(sh_col).alias("__fp"))
+        .distinct()
+        .select(
+            "__fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftright(F.col("__fp"), b * w)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("__fp", "bb.band_id", "bb.band_val")
+    )
+
+
+def simhash_hot_bands(
+    fp: DataFrame,
+    sh_col: str = "sh",
+    bits: int = 32,
+    bands: int = 4,
+    max_band_freq: int = 1024,
+) -> DataFrame:
+    """Quarantine report for simhash_banded_pairs' ``max_band_freq`` cap:
+    (band_id, band_val, n_fingerprints) for every band bucket whose
+    DISTINCT-fingerprint frequency exceeds the cap — the buckets the capped
+    join excludes. The stop-shingle report posture (see
+    _shingle_pair_intersections) applied to band space."""
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    return (
+        _simhash_banded_distinct(fp, sh_col, bits, bands)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .filter(F.col("n_fingerprints") > max_band_freq)
+    )
+
+
 def simhash_banded_pairs(
     fp: DataFrame,
     id_col: str,
@@ -400,6 +525,7 @@ def simhash_banded_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Band-prefix LSH blocking for SimHash — the 100 TB candidate
     generator: split each ``bits``-bit fingerprint into ``bands`` equal
@@ -409,61 +535,67 @@ def simhash_banded_pairs(
     value) — bucketed shuffle keys, never an all-pairs or whole-corpus
     block self-join. Candidates are then verified with the exact popcount.
 
+    Hot-bucket governance: the band join runs over DISTINCT fingerprints
+    (see _simhash_banded_distinct). Degenerate content — solid-color
+    thumbnails, blank pages, exact duplicates — collapses to ONE
+    fingerprint, which without the collapse would put m member rows in one
+    band bucket and plan ~m^2/2 join candidates; here it contributes one
+    row per band, and its member pairs come back through the expansion
+    joins as hamming-0 pairs (identical fingerprints are trivially within
+    any threshold). ``max_band_freq`` optionally quarantines residual hot
+    buckets among the distinct fingerprints (near-constant but non-equal
+    content, e.g. the all-dark/all-bright dHash neighborhoods); excluded
+    buckets are reported by simhash_hot_bands. Intra-group (hamming-0)
+    pairs are never quarantined — they bypass banding entirely.
+
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
-    Plan shape: one explode to (id, band_id, band_val), one equi-join on
-    the band key, distinct on the pair, exact verify — the same
-    bucket-then-verify shape as MinHash LSH (``lsh_pairs``)."""
+    Plan shape: distinct-fingerprint aggregate, one explode to (fp,
+    band_id, band_val), one equi-join on the band key, popcount verify,
+    distinct on the fingerprint pair, two id-keyed expansion joins plus the
+    identical-fingerprint self-equi-join — bucket-then-verify like MinHash
+    LSH, with the bucket population bounded by fingerprint diversity, not
+    corpus size."""
     if bands <= max_hamming:
         raise ValueError(
             f"pigeonhole guarantee needs bands > max_hamming (got {bands} <= {max_hamming})"
         )
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
-    w = bits // bands
-    mask = (1 << w) - 1
-    banded = fp.select(
-        F.col(id_col),
-        F.col(sh_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col(sh_col), b * w)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, sh_col, "bb.band_id", "bb.band_val")
+    members = fp.select(F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh"))
+    banded = _simhash_banded_distinct(fp, sh_col, bits, bands)
+    if max_band_freq is not None:
+        keep = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("__bf"))
+            .filter(F.col("__bf") <= max_band_freq)
+            .select("band_id", "band_val")
+        )
+        banded = banded.join(keep, ["band_id", "band_val"], "left_semi")
     a, b_ = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col(f"a.{sh_col}").bitwiseXOR(F.col(f"b.{sh_col}"))).cast(
-        "int"
-    )
+    ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))).cast("int")
     # verify with the popcount BEFORE the pair-dedup: the filter is a cheap
     # per-candidate expression inside the join stage, and it shrinks the
     # rows entering the dropDuplicates exchange to the true matches (a pair
     # can surface from up to `bands` buckets); hamming is functional on the
-    # pair so deduping after the filter is equivalent
-    return (
+    # fingerprint pair so deduping after the filter is equivalent
+    fp_pairs = (
         a.join(
             b_,
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_val") == F.col("b.band_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col("a.__fp") < F.col("b.__fp"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__fp").alias("__fp_a"),
+            F.col("b.__fp").alias("__fp_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["__fp_a", "__fp_b"])
     )
+    return _expand_fp_pairs(fp_pairs, members, ["hamming"])
 
 
 def simhash(col: Column, bits: int = 32) -> Column:

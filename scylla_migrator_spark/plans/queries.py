@@ -6683,7 +6683,7 @@ def pq_adc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     qv = [
@@ -6717,7 +6717,7 @@ def pq_adc_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     qv = [
@@ -6754,7 +6754,7 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            _fan(emb), m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            _fan(emb), m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
@@ -6796,7 +6796,7 @@ def pq_codebook_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     return SIM.pq_assign(emb, books, "vec_id", "embedding")
@@ -10694,7 +10694,7 @@ def pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     qv = [
@@ -10723,7 +10723,8 @@ def pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id, hex(encode(substr(text, 1, 61))) AS hx,
              octet_length(encode(substr(text, 1, 61))) AS nb
-      FROM documents),
+      FROM documents
+      WHERE octet_length(encode(substr(text, 1, 61))) > 0),
     g AS (
       SELECT doc_id, ys.y AS y, xs.x AS x,
         (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
@@ -10773,6 +10774,10 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
         )
+        # empty payloads are excluded on BOTH engines (r7 ADVICE): the Spark
+        # side used to zero-pad them while the oracle leaned on DuckDB's
+        # NULL-on-mod-zero — coincidental agreement, now an explicit rule
+        .filter(F.length(F.col("payload")) > 0)
     )
     ppm = MM.synth_ppm_assets(docs, "doc_id", "payload", width=16, height=16)
     assets = MM.make_asset_table(
@@ -11070,9 +11075,12 @@ def _ndcg_frame(rank_df: DataFrame, grade_df: DataFrame, k: int) -> DataFrame:
         disc = F.when(F.col("rank") == i, F.lit(1.0 / math.log2(i + 1))).otherwise(disc)
     term = (F.coalesce(F.col("g"), F.lit(0)) * disc).cast("decimal(18,9)")
     dcg = rank_df.join(grade_df, "doc_id", "left").agg(F.sum(term).alias("dcg"))
+    # HALF_UP, not the Decimal default HALF_EVEN: the oracle's CAST(... AS
+    # DECIMAL(18,9)) in DuckDB and Spark's decimal cast both round half
+    # away from zero, so an exact 10th-decimal tie must go the same way
     idcg = sum(
         _dec.Decimal(str((k + 1 - i) * (1.0 / math.log2(i + 1)))).quantize(
-            _dec.Decimal("0.000000001")
+            _dec.Decimal("0.000000001"), rounding=_dec.ROUND_HALF_UP
         )
         for i in range(1, k + 1)
     )
@@ -11278,7 +11286,8 @@ def multimodal_consensus_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     WITH h AS (
       SELECT doc_id, hex(encode(substr(text, 1, 61))) AS hx,
              octet_length(encode(substr(text, 1, 61))) AS nb
-      FROM documents),
+      FROM documents
+      WHERE octet_length(encode(substr(text, 1, 61))) > 0),
     g AS (
       SELECT doc_id, ys.y AS y, xs.x AS x,
         (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
@@ -11310,9 +11319,14 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.analytics import multimodal as MM
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+        )
+        # same explicit empty-payload rule as image_phash_dup_pairs
+        .filter(F.length(F.col("payload")) > 0)
     )
     # the stage stores a TRANSFORMED payload, so its key must cover the
     # transform spec (the staged-cache-versioning lesson): hash this
@@ -11434,7 +11448,7 @@ def pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         lambda: SIM.pq_codebooks(
-            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding"
+            emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
     qv = [
@@ -11463,7 +11477,8 @@ def pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              hex(encode(substr(repeat(substr(text, 1, 61), 8), 1, 464))) AS hx,
              octet_length(encode(substr(repeat(substr(text, 1, 61), 8), 1, 464))) AS nb
-      FROM documents),
+      FROM documents
+      WHERE octet_length(encode(substr(repeat(substr(text, 1, 61), 8), 1, 464))) >= 29),
     e AS (
       SELECT doc_id, fk.f AS f,
              CAST(sum((CAST('0x' || substring(hx, 2*((nb // 29) * fk.f + bi.i) + 1, 2) AS INT) - 128)
@@ -11515,6 +11530,11 @@ def audio_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
             F.lit(8000).cast("int").alias("rate"),
         )
+        # corpus-shaped guard (r7 ADVICE): payloads shorter than the frame
+        # count can't fill one sample per frame — audio_energy_fingerprints
+        # raises on them by contract, and the oracle's generate_series would
+        # silently drop them; exclude them identically on BOTH engines
+        .filter(F.length(F.col("payload")) >= 29)
     )
     wavs = MM.synth_wav_assets(docs, "doc_id", "payload", "rate")
     assets = MM.make_asset_table(wavs, "asset_id", "data", kind="audio", mime="audio/wav")

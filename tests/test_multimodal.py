@@ -499,3 +499,55 @@ def test_perceptual_banding_is_lossless_at_threshold(spark, sf_dir):
             .collect()
         }
         assert banded == exact and exact, f"bits={bits}: banding lost pairs"
+
+
+def test_perceptual_queries_survive_degenerate_docs(spark, tmp_path):
+    """r7 ADVICE regression: documents too short to fill one audio frame
+    (text < 4 chars) used to abort audio_phash_dup_pairs with a ValueError
+    mid-job, and empty docs relied on DuckDB NULL-on-mod-zero in the image
+    oracle. Both engines now EXCLUDE degenerate payloads by an explicit
+    identical rule — verified by running engine AND oracle on a corpus
+    that contains them."""
+    import duckdb
+
+    from scylla_migrator_spark.plans import queries as Q
+
+    rows = [
+        (1, ""),  # empty: image + audio excluded
+        (2, "ab"),  # 2 bytes -> tiled 16 < 29: audio excluded, image kept
+        (3, "xyz"),  # 3 bytes -> tiled 24 < 29: audio excluded, image kept
+        (4, "the quick brown fox jumps over the lazy dog padding padding"),
+        (5, "the quick brown fox jumps over the lazy dog padding padding"),
+        (6, "ab"),  # duplicate of 2: image hamming-0 partner
+    ]
+    sf_dir = str(tmp_path / "sfdeg")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("image_phash_dup_pairs", "audio_phash_dup_pairs"):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in Q.QUERIES[name](spark, sf_dir).collect()
+        }
+        want = {
+            (a, b, h)
+            for a, b, h in con.execute(Q.ORACLES[name]).fetchall()
+        }
+        assert got == want, name
+        assert all(1 not in (a, b) for a, b, _ in got), f"{name} kept the empty doc"
+    # the exact-duplicate pair of short-but-image-valid docs survives the
+    # image path (hamming 0) and is absent from audio (both excluded there)
+    img = {
+        (r["id_a"], r["id_b"])
+        for r in Q.QUERIES["image_phash_dup_pairs"](spark, sf_dir).collect()
+    }
+    assert (2, 6) in img
+    aud = {
+        (r["id_a"], r["id_b"])
+        for r in Q.QUERIES["audio_phash_dup_pairs"](spark, sf_dir).collect()
+    }
+    assert all(a not in (1, 2, 3, 6) and b not in (1, 2, 3, 6) for a, b in aud)

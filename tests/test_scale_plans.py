@@ -835,11 +835,18 @@ def test_image_phash_banded_join_shuffles_hashes_not_pixels(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the pixel pipeline ran once, into the checkpoint — not in this plan
     assert "MapInPandas" not in plan
-    # the join is keyed on the band, and its input carries ids + hashes
-    # only — the binary 'data' column is pruned before the join
+    # the candidate join is keyed on the band; the member-expansion joins
+    # are keyed on the 8-byte fingerprint; every join input carries ids +
+    # hashes only — the binary 'data' column is pruned before all of them
     lines = plan.splitlines()
     key_lines = [ln for ln in lines if ln.startswith("Left keys")]
-    assert key_lines and all("band_id" in ln and "band_val" in ln for ln in key_lines)
+    assert any("band_id" in ln and "band_val" in ln for ln in key_lines)
+    assert key_lines and all(
+        ("band_id" in ln and "band_val" in ln)
+        or "__fp" in ln  # candidate-pair -> member expansion
+        or "__msh" in ln  # identical-fingerprint intra-group join
+        for ln in key_lines
+    )
     join_inputs = [
         lines[i] for i, ln in enumerate(lines) if ln.startswith("Join condition")
     ]
@@ -865,3 +872,124 @@ def test_sorted_neighborhood_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_banded_lsh_collapses_exact_fingerprints_under_skew(spark):
+    """Hot-bucket governance (r7 verdict task #1): with 33% of the corpus
+    sharing ONE fingerprint (blank pages / solid thumbnails at corpus
+    scale), the band-join input must hold |distinct fingerprints| * bands
+    rows — sub-quadratic candidate generation — while the emitted pair set
+    still EXACTLY matches the unblocked all-pairs popcount scan."""
+    from scylla_migrator_spark.analytics.dedup import (
+        _simhash_banded_distinct,
+        simhash_banded_pairs,
+    )
+
+    base = 0x5A5A5A5A
+    # 100 identical fingerprints + 200 distinct ones with varied hamming
+    fps = [(i, base) for i in range(1, 101)]
+    fps += [(100 + i, (base ^ (1 << (i % 32)) ^ ((i * 2654435761) & 0xFFFF0000)) & 0xFFFFFFFF)
+            for i in range(1, 201)]
+    fp = spark.createDataFrame(fps, "doc_id long, sh long")
+    n_distinct = len({v for _, v in fps})
+    banded = _simhash_banded_distinct(fp, "sh", 32, 4)
+    # the collapse: band-join input is fingerprint-diversity-sized, not
+    # corpus-sized (300 members * 4 bands = 1200 without the collapse)
+    assert banded.count() == n_distinct * 4
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_banded_pairs(
+            fp, "doc_id", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for ia, va in fps:
+        for ib, vb in fps:
+            if ia < ib and bin(va ^ vb).count("1") <= 3:
+                want[(ia, ib)] = bin(va ^ vb).count("1")
+    assert got == want
+    # the 100-member group contributes its full hamming-0 clique
+    assert sum(1 for (a, b) in got if a <= 100 and b <= 100) == 100 * 99 // 2
+
+
+def test_banded_lsh_max_band_freq_quarantines_hot_buckets(spark):
+    """Residual skew among DISTINCT fingerprints: 50 fingerprints equal on
+    three of four bands put 50 rows in each of those band buckets; the cap
+    quarantines exactly those buckets (reported by simhash_hot_bands) while
+    hamming-0 member pairs (cap-exempt by design) still flow."""
+    from scylla_migrator_spark.analytics.dedup import (
+        simhash_banded_pairs,
+        simhash_hot_bands,
+    )
+
+    base = 0x00343434  # top byte clear: band 3 value = i, bands 0-2 shared
+    rows = [(i, base | (i << 24)) for i in range(50)]
+    rows.append((90, base))  # exact duplicate of i=0's fingerprint
+    fp = spark.createDataFrame(rows, "doc_id long, sh long")
+    hot = simhash_hot_bands(fp, "sh", bits=32, bands=4, max_band_freq=10).collect()
+    assert sorted((r["band_id"], r["n_fingerprints"]) for r in hot) == [
+        (0, 50),
+        (1, 50),
+        (2, 50),
+    ]
+    capped = simhash_banded_pairs(
+        fp, "doc_id", bits=32, bands=4, max_hamming=3, max_band_freq=10
+    ).collect()
+    # band 3 buckets are singletons per fingerprint, bands 0-2 quarantined:
+    # the only surviving pair is the identical-fingerprint one, hamming 0
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in capped] == [(0, 90, 0)]
+    uncapped = simhash_banded_pairs(
+        fp, "doc_id", bits=32, bands=4, max_hamming=3
+    ).collect()
+    want = {
+        (a, b)
+        for i, (a, va) in enumerate(rows)
+        for b_, vb in rows[i + 1 :]
+        for a_, b in [(min(a, b_), max(a, b_))]
+        if bin(va ^ vb).count("1") <= 3
+    }
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} == want
+
+
+def test_minhash_lsh_collapse_matches_per_member_banding(spark):
+    """minhash_lsh_candidates now bands DISTINCT signatures; the pair set
+    must equal the r6-era per-member band join (the semantics oracle_sql
+    replays), including the exact-duplicate group that never enters the
+    band join anymore."""
+    from scylla_migrator_spark.analytics.dedup import (
+        _banded,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+        (5, "completely unrelated payload about distributed stream joins"),
+        (6, "another unrelated text mentioning columnar parquet readers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "text", "doc_id", 16, 4).collect()
+    }
+    banded = _banded(minhash_signatures(df, "text", "doc_id", 16), ["doc_id"], 16, 4)
+    l, r = banded.alias("l"), banded.alias("r")
+    want = {
+        (row["id_a"], row["id_b"])
+        for row in l.join(
+            r,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert {(1, 2), (1, 3), (2, 3)} <= got
