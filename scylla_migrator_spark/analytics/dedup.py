@@ -598,6 +598,132 @@ def simhash_banded_pairs(
     return _expand_fp_pairs(fp_pairs, members, ["hamming"])
 
 
+def frame_sequence_pairs(
+    df: DataFrame,
+    id_col: str,
+    frame_col: str,
+    sh_col: str,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate SEQUENCE assets (videos as sampled-frame perceptual
+    hashes) by shingled frame-hash agreement: input is one row per
+    (asset, frame index, frame hash); every pair of adjacent frames
+    (``frame_col`` + 1) forms a 2-shingle ``"sh_f_sh_{f+1}"``, and two
+    assets match when they share >= 1 distinct shingle — the winnowing /
+    n-gram-Jaccard idea with frame hashes as the token stream, so a
+    near-dup video must share a RUN of perceptually-equal frames, not
+    just a bag of them. Output: (id_a, id_b, n_shared, jaccard) with
+    jaccard over the distinct-shingle sets.
+
+    Scale posture (the banded-LSH lessons applied from the start):
+    identical hash SEQUENCES — re-uploads, the dominant video dup at
+    corpus scale — are collapsed to one fingerprint before the shingle
+    self-join (sha2 over the ordered hash run), so m copies contribute
+    ONE row per shingle bucket instead of m rows and ~m^2/2 join
+    candidates; member pairs come back through id-keyed expansion joins,
+    identical sequences expanding directly with jaccard 1. Residual hot
+    shingles ACROSS distinct sequences (a ubiquitous intro/outro frame
+    run) are prunable with ``max_shingle_freq`` — the stop-shingle
+    posture of _shingle_pair_intersections, with both set sizes recounted
+    over the retained shingle universe so jaccard stays consistent.
+    Assets with zero shingles (fewer than 2 consecutive sampled frames)
+    cannot match and are excluded from both legs."""
+    base = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(frame_col).cast("long").alias("__f"),
+        F.col(sh_col).cast("long").alias("__sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    shingles_by_id = (
+        l.join(
+            r,
+            on=[
+                F.col("l.__vid") == F.col("r.__vid"),
+                F.col("r.__f") == F.col("l.__f") + F.lit(1),
+            ],
+        )
+        .select(
+            F.col("l.__vid").alias("__vid"),
+            F.concat_ws("_", F.col("l.__sh"), F.col("r.__sh")).alias("__g"),
+        )
+        .distinct()
+    )
+    seq_fp = base.groupBy("__vid").agg(
+        F.sha2(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__f", "__sh"))),
+                    lambda s: s["__sh"].cast("string"),
+                ),
+            ),
+            256,
+        ).alias("__fp")
+    )
+    fp_shingles = (
+        shingles_by_id.join(seq_fp, "__vid").select("__fp", "__g").distinct()
+    )
+    if max_shingle_freq is not None:
+        keep = (
+            fp_shingles.groupBy("__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("__g")
+        )
+        fp_shingles = fp_shingles.join(keep, ["__g"], "left_semi")
+    sz = fp_shingles.groupBy("__fp").agg(F.count("*").alias("__sz"))
+    a, b = fp_shingles.alias("a"), fp_shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[F.col("a.__g") == F.col("b.__g"), F.col("a.__fp") < F.col("b.__fp")],
+        )
+        .groupBy(F.col("a.__fp").alias("__fp_a"), F.col("b.__fp").alias("__fp_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    members = (
+        seq_fp.alias("sq")
+        .join(
+            sz.alias("zz"), F.col("sq.__fp") == F.col("zz.__fp"), "left_semi"
+        )
+        .select(F.col("__vid").alias("__mid"), F.col("__fp").alias("__msh"))
+    )
+    cross = (
+        inter.join(sz.alias("sa"), F.col("__fp_a") == F.col("sa.__fp"))
+        .join(sz.alias("sb"), F.col("__fp_b") == F.col("sb.__fp"))
+        .join(members.alias("ma"), F.col("__fp_a") == F.col("ma.__msh"))
+        .join(members.alias("mb"), F.col("__fp_b") == F.col("mb.__msh"))
+        .select(
+            F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_a"),
+            F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_b"),
+            F.col("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("sa.__sz") + F.col("sb.__sz") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    intra = (
+        members.alias("ma")
+        .join(
+            members.alias("mb"),
+            on=[
+                F.col("ma.__msh") == F.col("mb.__msh"),
+                F.col("ma.__mid") < F.col("mb.__mid"),
+            ],
+        )
+        .join(sz, F.col("ma.__msh") == sz["__fp"])
+        .select(
+            F.col("ma.__mid").alias("id_a"),
+            F.col("mb.__mid").alias("id_b"),
+            F.col("__sz").alias("n_shared"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over word tokens: per-bit vote of token hashes.
 

@@ -11748,3 +11748,121 @@ def weighted_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SAMP.weighted_stratified_topk(
         w, "source", "n_tokens", k=5, seed="wres0", id_col="doc_id"
     )
+
+
+@_register(
+    "video_phash_dup_pairs",
+    # Oracle replays frame selection + per-frame dHash + shingle match:
+    # duration formula -> frame grid f in [0, dur//1000]; frame f's payload
+    # = substr(text, 1+7f, 61) (empty-payload frames excluded, the
+    # image/audio rule); per-frame 16x16 tile -> 8x8 NN resize -> integer
+    # gray -> 56-bit dHash (the image_phash_dup_pairs formulas keyed by
+    # (doc_id, f)); adjacent-frame 2-shingles as "sh_f_sh_{f+1}" strings;
+    # pairs sharing >= 1 distinct shingle, jaccard over distinct sets.
+    """
+    WITH d AS (
+      SELECT doc_id, text, 1000 + (doc_id % 50) * 250 AS dur FROM documents),
+    fr AS (
+      SELECT d.doc_id, gs.f,
+             hex(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) AS hx,
+             octet_length(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) AS nb
+      FROM d, UNNEST(generate_series(0, d.dur // 1000)) AS gs(f)
+      WHERE octet_length(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) > 0),
+    g AS (
+      SELECT doc_id, f, ys.y AS y, xs.x AS x,
+        (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 1) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 2) % nb) + 1, 2) AS INT)) // 3 AS gray
+      FROM fr
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs),
+    dh AS (
+      SELECT l.doc_id, l.f,
+             CAST(sum(CASE WHEN l.gray < r.gray
+                           THEN 1::BIGINT << (l.y * 7 + l.x)
+                           ELSE 0::BIGINT END) AS BIGINT) AS sh
+      FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.f = r.f
+                       AND l.y = r.y AND r.x = l.x + 1
+      GROUP BY l.doc_id, l.f),
+    sg AS (
+      SELECT DISTINCT l.doc_id,
+             CAST(l.sh AS VARCHAR) || '_' || CAST(r.sh AS VARCHAR) AS g
+      FROM dh l JOIN dh r ON l.doc_id = r.doc_id AND r.f = l.f + 1),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.id_a, i.id_b, i.n_shared,
+           round(CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared), 6)
+             AS jaccard
+    FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                 JOIN sz sb ON sb.doc_id = i.id_b
+    """,
+)
+def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection — the fourth perceptual modality:
+    documents become REAL ISO BMFF containers (synth_mp4_assets; genuine
+    ftyp+moov+mvhd+tkhd box streams, no media in the repo), the REAL
+    header parse (decode_assets_meta -> decode_mp4) recovers duration_ms,
+    the metadata-driven frame grid samples one frame per second
+    (sample_frames' plan: timestamps from the parse, decode partitioned
+    per frame), each sampled frame renders through the EXISTING image
+    pipeline (synth 16x16 PPM from the frame-offset text window -> NN
+    resize -> 56-bit dHash), and dedup.frame_sequence_pairs matches
+    videos on shingled frame-hash runs (adjacent-frame 2-shingles,
+    jaccard over distinct shingle sets) — near-dup videos must agree on
+    consecutive perceptual frames, not a bag of stills.
+
+    100 TB shape: pixels live inside one Arrow stage per frame and the
+    per-frame hashes are localCheckpoint-materialized ONCE before the
+    pair machinery (the image_phash posture: never decode the corpus
+    twice); identical hash sequences collapse to one fingerprint before
+    the shingle self-join (re-uploads are the dominant video dup), and
+    the join shuffles ~16-byte shingle strings, never frames."""
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    vids = docs.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") % 50) * 250).cast("long").alias("dur"),
+        F.lit(320).alias("w"),
+        F.lit(240).alias("h"),
+    )
+    mp4s = MM.synth_mp4_assets(vids, "doc_id", "dur", "w", "h")
+    assets = MM.make_asset_table(
+        mp4s, "asset_id", "data", kind="video", mime="video/mp4"
+    )
+    meta = MM.decode_assets_meta(assets)  # REAL ISO-BMFF parse -> duration_ms
+    frames = meta.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.col("duration_ms"), F.lit(1000).cast("long")
+            )
+        ).alias("ts"),
+    ).select("asset_id", F.expr("ts DIV 1000").alias("f"))
+    fdocs = (
+        frames.join(docs, frames["asset_id"] == docs["doc_id"])
+        .select(
+            (F.col("doc_id") * 64 + F.col("f")).alias("fid"),
+            F.encode(
+                F.expr("substring(text, CAST(1 + 7 * f AS INT), 61)"), "UTF-8"
+            ).alias("payload"),
+        )
+        .filter(F.length("payload") > 0)
+    )
+    ppm = MM.synth_ppm_assets(fdocs, "fid", "payload", width=16, height=16)
+    passets = MM.make_asset_table(
+        ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+    )
+    fp = (
+        MM.image_dhash_fingerprints(MM.resize_ppm_nn(passets, 8, 8), grid=8)
+        .select(
+            F.expr("asset_id DIV 64").alias("doc_id"),
+            (F.col("asset_id") % 64).alias("f"),
+            "sh",
+        )
+        .localCheckpoint(eager=True)
+    )
+    return D.frame_sequence_pairs(fp, "doc_id", "f", "sh")

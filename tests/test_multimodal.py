@@ -551,3 +551,71 @@ def test_perceptual_queries_survive_degenerate_docs(spark, tmp_path):
         for r in Q.QUERIES["audio_phash_dup_pairs"](spark, sf_dir).collect()
     }
     assert all(a not in (1, 2, 3, 6) and b not in (1, 2, 3, 6) for a, b in aud)
+
+
+def test_frame_sequence_pairs_semantics_and_collapse(spark):
+    """Shingled frame-hash matching: identical sequences (re-uploads) pair
+    at jaccard 1 through the collapse leg; partial runs share shingles
+    proportionally; single-frame videos (no shingle) never match; and the
+    collapse keeps the shingle-join input sequence-diversity-sized."""
+    from scylla_migrator_spark.analytics.dedup import frame_sequence_pairs
+
+    rows = []
+    # A (1) and B (2): identical 4-frame sequences -> 3 shingles, jacc 1
+    for vid in (1, 2):
+        for f, sh in enumerate([10, 20, 30, 40]):
+            rows.append((vid, f, sh))
+    # C (3): shares A's last run 20,30,40 but starts differently
+    for f, sh in enumerate([99, 20, 30, 40]):
+        rows.append((3, f, sh))
+    # D (4): disjoint hashes
+    for f, sh in enumerate([7, 8, 9]):
+        rows.append((4, f, sh))
+    # E (5): single frame -> zero shingles -> excluded
+    rows.append((5, 0, 10))
+    df = spark.createDataFrame(rows, "vid long, f long, sh long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in frame_sequence_pairs(df, "vid", "f", "sh").collect()
+    }
+    # A-B identical: 3 shared of 3 -> 1.0 (intra/collapse leg)
+    # A-C and B-C: shingles {10_20,20_30,30_40} vs {99_20,20_30,30_40}
+    #   share 2 of 4 distinct -> 0.5
+    assert got == {
+        (1, 2): (3, 1.0),
+        (1, 3): (2, 0.5),
+        (2, 3): (2, 0.5),
+    }
+
+
+def test_frame_sequence_pairs_hot_shingle_cap(spark):
+    """max_shingle_freq prunes a shingle shared by too many DISTINCT
+    sequences (ubiquitous intro/outro), with set sizes recounted over the
+    retained universe; identical-sequence pairs survive the cap."""
+    from scylla_migrator_spark.analytics.dedup import frame_sequence_pairs
+
+    rows = []
+    # five DISTINCT sequences all opening with the hot run 1,2 (shingle
+    # "1_2"), then diverging
+    for vid in range(10, 15):
+        for f, sh in enumerate([1, 2, vid * 100, vid * 100 + 1]):
+            rows.append((vid, f, sh))
+    # plus an exact re-upload of vid 10
+    for f, sh in enumerate([1, 2, 1000, 1001]):
+        rows.append((20, f, sh))
+    df = spark.createDataFrame(rows, "vid long, f long, sh long")
+    capped = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in frame_sequence_pairs(
+            df, "vid", "f", "sh", max_shingle_freq=3
+        ).collect()
+    }
+    # "1_2" appears in 5 distinct sequences > 3 -> pruned; the divergent
+    # tails share nothing, so only the re-upload pair survives (jacc 1,
+    # n_shared recounted over the RETAINED universe: 2, not 3)
+    assert capped == {(10, 20): (2, 1.0)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in frame_sequence_pairs(df, "vid", "f", "sh").collect()
+    }
+    assert len(uncapped) == 5 * 4 // 2 + 5  # all cross pairs + the re-upload
