@@ -11866,3 +11866,74 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return D.frame_sequence_pairs(fp, "doc_id", "f", "sh")
+
+
+@_register(
+    "shuffle_shard_manifest",
+    # Oracle replays the deterministic shard assignment (salted md5 of the
+    # key, mod n_shards — the sharded_shuffle formula) and the per-shard
+    # row/token counts. The engine returns BOTH the counts re-aggregated
+    # from the WRITTEN shard files (n_*) and the counts the driver wrote
+    # into manifest-shards.json (m_*) — the oracle emits each once, so a
+    # manifest that disagrees with the files it describes is a red row in
+    # CORRECTNESS, not just a pytest.
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8) AS BIGINT)
+               AS hv,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks
+      FROM documents)
+    SELECT (hv % 16)::INT AS shard,
+           count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS m_docs, sum(toks)::BIGINT AS m_tokens
+    FROM h GROUP BY 1
+    """,
+)
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training pipeline's LAST MILE: shuffle the curated corpus
+    deterministically into a FIXED number of shard files with per-shard
+    token counts and a driver-written manifest
+    (sinks/training_manifest.py::write_training_shards — the
+    sinks/s3export.py manifest pattern, reference
+    writers/DynamoDBS3Export.scala:32-164, applied to training data).
+    The shuffle is sampling.shard_layout: salted-md5 hash order, no
+    global sort (the leakage_free_split posture); the write is
+    partitionBy(shard) with rows in position order, ONE distributed
+    pass; only the 16-row stats collect and the manifest JSON touch the
+    driver. This query writes the layout, reads BACK the shard parquet
+    AND the manifest, and returns both count sets per shard — proving
+    write/manifest/read consistency inside the correctness gate."""
+    import os
+
+    from scylla_migrator_spark.sinks.training_manifest import (
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.size(TXT.tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    root = os.path.join(
+        "/tmp", f"spark_graft_shards_{_stage_tag(sf_dir, 'documents')}"
+    )
+    summary = write_training_shards(
+        docs, root, key_col="doc_id", token_count_col="n_toks", n_shards=16
+    )
+    assert summary["rowCount"] > 0
+    _, entries = read_shard_manifest(root)
+    written = spark.read.parquet(os.path.join(root, "data"))
+    file_agg = written.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    manifest = spark.createDataFrame(
+        [(e["shard"], e["rowCount"], e["tokenCount"]) for e in entries],
+        "shard int, m_docs long, m_tokens long",
+    )
+    return file_agg.join(manifest, "shard").select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        "m_docs",
+        "m_tokens",
+    )

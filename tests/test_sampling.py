@@ -59,3 +59,91 @@ def test_sample_plans_no_shuffle(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure scan-stage filter
+
+
+def test_write_training_shards_manifest_consistency(spark, tmp_path):
+    """The shard writer's contract: manifest counts equal the written
+    files' contents, every shard directory holds its rows in pos order,
+    re-running (even from a reshuffled input) reproduces the identical
+    layout, and failures never leave a partial root behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.sinks.training_manifest import (
+        MANIFEST_SHARDS,
+        MANIFEST_SUMMARY,
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101 + 1) for i in range(500)], "doc_id long, n_toks long"
+    )
+    root = str(tmp_path / "shards")
+    summary = write_training_shards(
+        df, root, key_col="doc_id", token_count_col="n_toks", n_shards=8
+    )
+    assert summary["rowCount"] == 500
+    assert summary["tokenCount"] == sum((i * 37) % 101 + 1 for i in range(500))
+    loaded, entries = read_shard_manifest(root)
+    assert loaded == summary and len(entries) == 8
+    total = 0
+    for e in entries:
+        sdir = os.path.join(root, "data", f"shard={e['shard']}")
+        rows = (
+            spark.read.parquet(sdir).select("doc_id", "n_toks", "pos").collect()
+            if e["rowCount"]
+            else []
+        )
+        assert len(rows) == e["rowCount"]
+        assert sum(r["n_toks"] for r in rows) == e["tokenCount"]
+        # one file per shard, rows stored in position order 1..n
+        assert len(e["dataFileKeys"]) == (1 if e["rowCount"] else 0)
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        total += len(rows)
+    assert total == 500
+
+    # determinism + input-order independence: a reshuffled input produces
+    # the identical (doc_id -> shard, pos) layout
+    first = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in spark.read.parquet(os.path.join(root, "data")).collect()
+    }
+    root2 = str(tmp_path / "shards2")
+    write_training_shards(
+        df.orderBy(F.rand(7)),
+        root2,
+        key_col="doc_id",
+        token_count_col="n_toks",
+        n_shards=8,
+    )
+    second = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in spark.read.parquet(os.path.join(root2, "data")).collect()
+    }
+    assert first == second
+    # manifests identical modulo parquet part-file UUIDs
+    with open(os.path.join(root, MANIFEST_SUMMARY)) as a, open(
+        os.path.join(root2, MANIFEST_SUMMARY)
+    ) as b:
+        assert a.read() == b.read()
+    _, entries2 = read_shard_manifest(root2)
+    strip = lambda es: [
+        {k: v for k, v in e.items() if k != "dataFileKeys"} for e in es
+    ]
+    assert strip(entries) == strip(entries2)
+
+    # cleanup-on-failure: a bad token column aborts before promote and
+    # leaves neither the root nor the .inprogress temp behind
+    root3 = str(tmp_path / "shards3")
+    try:
+        write_training_shards(
+            df, root3, key_col="doc_id", token_count_col="missing", n_shards=4
+        )
+        raise AssertionError("expected failure on missing column")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    assert not os.path.exists(root3) and not os.path.exists(root3 + ".inprogress")
