@@ -506,7 +506,11 @@ def main() -> None:
         # (git: streaming/stateful.py last touched 9e381b9; query body
         # f67663c) — the mode is micro-batch trigger scheduling, r5's 2.00
         # was the favorable mode, not a plan that later regressed
-        "notes": {"stream_tws_user_totals": "bimodal trigger scheduling; code unchanged since r4 (see bench.py)"},
+        "notes": {
+            "stream_tws_user_totals": "bimodal trigger scheduling; code unchanged since r4 (see bench.py)",
+            "jaccard_prefix_filter_pairs": "r7 drift re-measured median-of-5 at 6.9s steady, traced to the exploded token table recomputed 4x; tokenize-once localCheckpoint landed r8 (median 4.2s, below the r6 5.2s)",
+            "levenshtein_capped_pairs": "r7 drift re-measured median-of-5 in r8: 3.07s steady on unchanged code (r6 2.84, r7 3.69) - box/AQE noise, within 1.1x of r6",
+        },
     }
     if errors:
         out["errors"] = errors

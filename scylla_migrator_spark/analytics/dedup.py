@@ -1147,9 +1147,15 @@ def jaccard_prefix_pairs(
         F.col(block_col).alias("blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).withColumn("sz", F.size("toks"))
+    # the exploded token table feeds FOUR consumers (the df-count agg, the
+    # ordered prefix, and both verification sides); materialize it once so
+    # the corpus is tokenized once, not four times (measured 6.4 -> 5.4 s
+    # at sf0.1 — the r7 bench drift was exactly these recomputes getting
+    # slower with box state). Blocks are executor-local and token-row
+    # sized — the same table the dfc and verify joins already shuffle.
     tok = base.select(
         "doc_id", "blk", "sz", F.explode("toks").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     dfc = tok.groupBy("w").agg(F.count("*").alias("dfc"))
     from pyspark.sql.window import Window
 
@@ -1244,7 +1250,12 @@ def containment_pairs(
         F.col(block_col).alias("blk"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).withColumn("sz", F.size("toks"))
-    tok = base.select("doc_id", "blk", "sz", F.explode("toks").alias("w"))
+    # five consumers of the exploded token table here (dfc, prefix, the
+    # full indexed b side, both verification sides) — tokenize ONCE (the
+    # jaccard_prefix_pairs rationale)
+    tok = base.select(
+        "doc_id", "blk", "sz", F.explode("toks").alias("w")
+    ).localCheckpoint(eager=True)
     dfc = tok.groupBy("w").agg(F.count("*").alias("dfc"))
     from pyspark.sql.window import Window
 

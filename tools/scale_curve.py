@@ -274,6 +274,41 @@ def run_pipelines(
         cents = SIM.kmeans_centroids(sample, n_cent, iters=2)
         return D.semdedup(emb, "vec_id", "embedding", cents, tau=0.25).count()
 
+
+    def unigram_train() -> int:
+        from scylla_migrator_spark.analytics import tokenizer as TOK
+
+        return TOK.train_unigram(docs, rounds=2, text_col="text").count()
+
+    record("unigram_lm_train", n_docs, unigram_train)
+
+    def unigram_tokens() -> int:
+        from scylla_migrator_spark.analytics import tokenizer as TOK
+
+        words = TOK.word_frequency_table(docs).localCheckpoint()
+        probs = TOK.substring_seed_vocab(words)
+        for _ in range(2):
+            probs = TOK.unigram_em_round(words, probs).localCheckpoint()
+        wnp = TOK.unigram_viterbi_counts(words, probs)
+        dw = docs.select(
+            "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("word")
+        ).filter(F.length("word") > 0)
+        return (
+            dw.join(wnp, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"), F.sum("n_pieces").alias("n_pieces"))
+            .count()
+        )
+
+    record("unigram_token_count", n_docs, unigram_tokens)
+
+    def unigram_pruned() -> int:
+        from scylla_migrator_spark.analytics import tokenizer as TOK
+
+        return TOK.train_unigram_pruned(docs).count()
+
+    record("unigram_prune_retrain", n_docs, unigram_pruned)
+
     record("semdedup_prune", n_emb, semdedup)
     return out
 
