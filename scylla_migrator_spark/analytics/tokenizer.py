@@ -601,3 +601,157 @@ def train_unigram_pruned(
     for _ in range(rounds_after):
         probs = unigram_em_round(words, probs, max_piece_len).localCheckpoint()
     return probs
+
+
+def symbol_counts(words: DataFrame) -> DataFrame:
+    """Per-symbol occurrence counts over the current segmentation state,
+    weighted by word frequency — the denominator of the WordPiece merge
+    score. Map-side-combined sum over the exploded symbol arrays; the
+    shuffle carries (symbol, partial count), bounded by the live symbol
+    alphabet."""
+    return (
+        words.select("cnt", F.explode("symbols").alias("s"))
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("sym_count"))
+    )
+
+
+def train_wordpiece(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int, float]], DataFrame]:
+    """Learn ``n_merges`` WordPiece merge rules (Schuster & Nakajima 2012,
+    the BERT tokenizer's trainer): identical iteration shape to BPE
+    (:func:`train_bpe`), but each round merges the pair maximizing the
+    LIKELIHOOD gain score
+
+        score(p1, p2) = count(p1 p2) / (count(p1) * count(p2))
+
+    — pair frequency normalized by both parts' frequencies, so a pair of
+    already-common symbols must co-occur far more often than chance to
+    win (BPE's raw-count argmax is the score's numerator alone). The
+    denominator product is computed in DOUBLES (two exact integer counts
+    widened then multiplied): at corpus scale the integer product can
+    exceed 2^63 while the double stays exact until 2^53 per factor and
+    both engines evaluate the identical IEEE expression, so the argmax is
+    engine-independent; ties break lexicographically on (p1, p2) like the
+    BPE trainer.
+
+    Returns (merges, final_words) where merges is
+    [(p1, p2, pair_count, score), ...]. Per-round cost: the same two
+    vocab-sized aggregations (pair counts + symbol counts, AQE-joined on
+    the symbol), a 1-row collect, and the shared greedy merge fold —
+    corpus is scanned once for the word table, never per round."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = word_frequency_table(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int, float]] = []
+    for round_no in range(n_merges):
+        pc = pair_counts(words)
+        sc = symbol_counts(words)
+        score = F.col("pair_count").cast("double") / (
+            F.col("c1").cast("double") * F.col("c2").cast("double")
+        )
+        best = (
+            pc.join(
+                sc.select(F.col("s").alias("p1"), F.col("sym_count").alias("c1")),
+                "p1",
+            )
+            .join(
+                sc.select(F.col("s").alias("p2"), F.col("sym_count").alias("c2")),
+                "p2",
+            )
+            .select("p1", "p2", "pair_count", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("p1"), F.asc("p2"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        p1, p2 = best[0]["p1"], best[0]["p2"]
+        merges.append((p1, p2, int(best[0]["pair_count"]), float(best[0]["score"])))
+        words = words.select(
+            "word", "cnt", merge_pair(F.col("symbols"), p1, p2).alias("symbols")
+        )
+        if (round_no + 1) % 4 == 0:
+            words = words.localCheckpoint()
+    return merges, words
+
+
+def train_wordpiece_df(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """The WordPiece rule list as a DataFrame (merge_rank, p1, p2,
+    pair_count, score[9 dp]) — the queries()-surface form."""
+    spark = df.sparkSession
+    merges, _ = train_wordpiece(df, n_merges, text_col)
+    raw = spark.createDataFrame(
+        [(i + 1, p1, p2, cnt, sc) for i, (p1, p2, cnt, sc) in enumerate(merges)],
+        "merge_rank INT, p1 STRING, p2 STRING, pair_count BIGINT, score DOUBLE",
+    )
+    # round in-plan (HALF_UP, matching DuckDB's round) — python round() is
+    # banker's HALF_EVEN and could diverge on an exact 10th-decimal tie
+    return raw.withColumn("score", F.round("score", 9))
+
+
+def wordpiece_vocab(merges: list[tuple], alphabet: list[str]) -> list[str]:
+    """The encoder vocabulary induced by a merge list: every alphabet
+    character plus each rule's concatenated piece, dedup'd in first-seen
+    order."""
+    vocab: list[str] = []
+    seen: set[str] = set()
+    for p in list(alphabet) + [m[0] + m[1] for m in merges]:
+        if p not in seen:
+            seen.add(p)
+            vocab.append(p)
+    return vocab
+
+
+def wordpiece_token_counts(
+    words: DataFrame, vocab: list[str]
+) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation length per word — the
+    BERT encode rule (prefix-free variant: one vocabulary, no ``##``
+    continuation marking): starting at position 1, take the LONGEST vocab
+    piece matching at the cursor, advance past it, repeat. Single-character
+    coverage in the vocabulary guarantees progress (the trainer's alphabet
+    is in the vocab by construction), so no UNK path is needed on the
+    training corpus.
+
+    The scan is one ``F.aggregate`` fold over positions with the
+    (cursor, piece-count) pair as state: a position below the cursor is
+    skipped; at the cursor the fold probes lengths max_len..1 against the
+    vocabulary, which rides the plan as a LITERAL array (alphabet + one
+    piece per merge — bounded like the unigram piece table). Output:
+    (word, n_pieces)."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    max_len = max(len(p) for p in vocab)
+    vlit = F.array(*[F.lit(p) for p in vocab])
+    w = F.col("word")
+    n = F.length(w)
+
+    def step(acc, i):
+        at_cursor = acc["cur"] == i
+        # longest l in [1, max_len] with word[i : i+l-1] in vocab: fold
+        # ascending over candidate lengths, a longer match overwrites
+        best_l = F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_len)),
+            F.lit(0),
+            lambda b, l: F.when(
+                (i + l - 1 <= n)
+                & F.array_contains(vlit, w.substr(i.cast("int"), l.cast("int"))),
+                l,
+            ).otherwise(b),
+        )
+        return F.struct(
+            F.when(at_cursor, acc["cur"] + best_l).otherwise(acc["cur"]).alias("cur"),
+            F.when(at_cursor, acc["np"] + 1).otherwise(acc["np"]).alias("np"),
+        )
+
+    init = F.struct(F.lit(1).alias("cur"), F.lit(0).alias("np"))
+    return words.select(
+        "word",
+        F.aggregate(F.sequence(F.lit(1), n), init, step)["np"].alias("n_pieces"),
+    )

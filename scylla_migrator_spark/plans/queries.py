@@ -7420,10 +7420,13 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     return ",\n    ".join(parts) + "\n    " + union
 
 
-def _bpe_state_parts(n_merges: int) -> list[str]:
+def _bpe_state_parts(n_merges: int, wordpiece: bool = False) -> list[str]:
     """The unrolled BPE training-state CTEs (shared by the trainer oracle
     and the encoder oracle): ``state{r}`` is the per-word segmentation
-    after ``r`` merges, ``best{r}`` the rule learned in round r+1.
+    after ``r`` merges, ``best{r}`` the rule learned in round r+1. With
+    ``wordpiece=True`` the per-round argmax swaps to the likelihood score
+    pair_count / (c1 * c2) over the same state (the WordPiece trainer);
+    the state encoding and merge replace are identical.
 
     Encoding: every piece is ``chr(2) piece chr(1)`` — a START sentinel
     AND an END sentinel per piece, so the merge pattern
@@ -7443,7 +7446,7 @@ def _bpe_state_parts(n_merges: int) -> list[str]:
       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
             FROM documents) t
       WHERE len(w) > 0 GROUP BY w)""",
-        f"""state0 AS (
+        f"""state0 AS MATERIALIZED (
       SELECT word, cnt,
              array_to_string(list_transform(generate_series(1, len(word)),
                                             i -> {s} || word[i] || {e}), '') AS seg
@@ -7461,13 +7464,34 @@ def _bpe_state_parts(n_merges: int) -> list[str]:
              UNNEST(generate_series(1, len(s.l) - 1)) AS g(i))
       GROUP BY p1, p2)"""
         )
-        parts.append(
-            f"""best{r} AS (
+        if wordpiece:
+            # WordPiece: per-symbol counts over the same state, argmax by
+            # pair_count / (c1 * c2) — the double product is the identical
+            # IEEE expression the trainer evaluates
+            parts.append(
+                f"""syms{r} AS MATERIALIZED (
+      SELECT s.l[g.i] AS sym, sum(s.cnt)::BIGINT AS c FROM
+        (SELECT cnt, {pieces} AS l FROM state{r}) s,
+        UNNEST(generate_series(1, len(s.l))) AS g(i)
+      GROUP BY sym)"""
+            )
+            parts.append(
+                f"""best{r} AS MATERIALIZED (
+      SELECT p.p1, p.p2, p.pair_count,
+             CAST(p.pair_count AS DOUBLE)
+               / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
+      FROM pairs{r} p JOIN syms{r} a ON a.sym = p.p1
+                      JOIN syms{r} b ON b.sym = p.p2
+      ORDER BY score DESC, p1, p2 LIMIT 1)"""
+            )
+        else:
+            parts.append(
+                f"""best{r} AS MATERIALIZED (
       SELECT p1, p2, pair_count FROM pairs{r}
       ORDER BY pair_count DESC, p1, p2 LIMIT 1)"""
-        )
+            )
         parts.append(
-            f"""state{r + 1} AS (
+            f"""state{r + 1} AS MATERIALIZED (
       SELECT word, cnt,
              replace(seg, {s} || b.p1 || {e} || {s} || b.p2 || {e},
                      {s} || b.p1 || b.p2 || {e}) AS seg
@@ -11936,4 +11960,119 @@ def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "m_docs",
         "m_tokens",
+    )
+
+
+def _wordpiece_train_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of the full WordPiece trainer: the shared unrolled
+    segmentation-state CTEs with the likelihood argmax
+    (pair_count / (c1 * c2), identical IEEE doubles both engines)."""
+    parts = _bpe_state_parts(n_merges, wordpiece=True)
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, p1, p2, pair_count,"
+        f" round(score, 9) AS score FROM best{r}"
+        for r in range(n_merges)
+    )
+    return ",\n    ".join(parts) + "\n    " + union
+
+
+@_register("wordpiece_train_merges", _wordpiece_train_sql(8))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned WordPiece merge rules (rank, pair, count, score) —
+    the THIRD production tokenizer family beside BPE (count argmax) and
+    unigram-LM (EM over a seeded vocab): tokenizer.train_wordpiece merges
+    the pair maximizing count(p1p2)/(count(p1)*count(p2)) each round (the
+    BERT trainer's likelihood gain — common pairs must beat chance
+    co-occurrence, so the learned vocab differs from BPE's on corpora
+    with skewed symbol frequencies). Same compressed state as BPE: ONE
+    corpus pass to the word-frequency table, then vocab-sized rounds
+    (pair counts + symbol counts + a 1-row argmax collect + the greedy
+    merge fold in codegen). Oracle replays all 8 rounds CTE-for-CTE."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return TOK.train_wordpiece_df(_fan(_t(spark, sf_dir, "documents")), 8)
+
+
+def _wordpiece_count_sql(n_merges: int = 8) -> str:
+    parts = _bpe_state_parts(n_merges, wordpiece=True)
+    merged_union = "\n        UNION SELECT p1 || p2 AS p FROM ".join(
+        [f"best{r}" for r in range(n_merges)]
+    )
+    parts.append(
+        f"""alpha AS (
+      SELECT DISTINCT word[g.i] AS p
+      FROM words, UNNEST(generate_series(1, len(word))) AS g(i))"""
+    )
+    parts.append(
+        f"""vocab AS MATERIALIZED (
+      SELECT list(p) AS v FROM (
+        SELECT p FROM alpha
+        UNION SELECT p1 || p2 AS p FROM {merged_union}))"""
+    )
+    parts.append("wl AS MATERIALIZED (SELECT word FROM words)")
+    # the vocabulary rides each recursion row as a carried LIST column:
+    # referencing the derived `vocab` CTE from inside the recursive part
+    # makes DuckDB's iteration stall silently after one step (verified);
+    # a plain column reference keeps the recursion table-free
+    parts.append(
+        """enc(word, v, cur, np) AS (
+      SELECT word, (SELECT v FROM vocab), 1, 0 FROM wl
+      UNION ALL
+      SELECT e.word, e.v,
+             e.cur + (SELECT max(g.l)
+                      FROM UNNEST(generate_series(1, len(e.word) - e.cur + 1))
+                        AS g(l)
+                      WHERE list_contains(e.v,
+                                          e.word[e.cur : e.cur + g.l - 1])),
+             e.np + 1
+      FROM enc e WHERE e.cur <= len(e.word))"""
+    )
+    parts.append(
+        """counts AS MATERIALIZED (
+      SELECT word, np AS n_pieces FROM enc WHERE cur = len(word) + 1)"""
+    )
+    parts.append(
+        r"""dw AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0)"""
+    )
+    body = (
+        "\n    SELECT doc_id, count(*)::BIGINT AS n_words,"
+        " sum(c.n_pieces)::BIGINT AS n_pieces"
+        "\n    FROM dw JOIN counts c USING (word) GROUP BY doc_id"
+    )
+    sql = ",\n    ".join(parts) + body
+    # the greedy encode is a recursive CTE
+    return sql.replace("WITH words AS", "WITH RECURSIVE words AS", 1)
+
+
+@_register("wordpiece_token_count", _wordpiece_count_sql(8))
+def wordpiece_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encode under the 8-merge trained
+    vocab, aggregated per document as (n_words, n_pieces) — the
+    train-then-encode readout that completes the WordPiece family the way
+    unigram_token_count (Viterbi) and bpe_token_count (merge replay) do
+    for theirs. The vocabulary (alphabet + one piece per merge) rides the
+    encode fold as a LITERAL array; the scan is one F.aggregate cursor
+    walk per word in codegen, no Python. Oracle: the full training replay
+    feeding a recursive greedy-match CTE (longest vocab piece at the
+    cursor — single-char coverage guarantees progress)."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    words = TOK.word_frequency_table(docs).localCheckpoint()
+    merges, _ = TOK.train_wordpiece(docs, 8)
+    alphabet = sorted(
+        r["c"]
+        for r in words.select(F.explode("symbols").alias("c")).distinct().collect()
+    )
+    vocab = TOK.wordpiece_vocab(merges, alphabet)
+    wnp = TOK.wordpiece_token_counts(words, vocab)
+    dw = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    return dw.join(wnp, "word").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"), F.sum("n_pieces").alias("n_pieces")
     )

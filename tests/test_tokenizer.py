@@ -576,3 +576,86 @@ def test_unigram_em_zero_rounds_is_seed(spark):
     assert probs == {"a": 2 / 7, "b": 3 / 7, "ab": 2 / 7}
     with pytest.raises(ValueError, match="rounds"):
         TOK.train_unigram(df, rounds=-1)
+
+
+# --- pure-Python reference WordPiece (dict loop) ---------------------------
+
+
+def _ref_wordpiece(texts: list[str], n_merges: int):
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        syms_cnt: Counter[str] = Counter()
+        for syms, cnt in vocab.items():
+            for s in syms:
+                syms_cnt[s] += cnt
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # max likelihood score pc/(c1*c2) in the SAME doubles the engines
+        # compute; ties lexicographic on (p1, p2)
+        (p1, p2), pc = min(
+            pairs.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(syms_cnt[kv[0][0]]) * float(syms_cnt[kv[0][1]]))),
+                kv[0],
+            ),
+        )
+        score = float(pc) / (float(syms_cnt[p1]) * float(syms_cnt[p2]))
+        merges.append((p1, p2, pc, score))
+        new_vocab: Counter[tuple[str, ...]] = Counter()
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == p1 and s == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+def test_train_wordpiece_matches_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = _ref_wordpiece(texts, 8)
+    got, _ = TOK.train_wordpiece(docs, 8)
+    assert got == expected
+    # the score must actually discriminate: at least one learned rule must
+    # differ from raw-count BPE on this corpus (else the test is vacuous)
+    bpe = [(p1, p2) for p1, p2, _ in _ref_bpe(texts, 8)]
+    assert [(p1, p2) for p1, p2, _, _ in got] != bpe
+
+
+def test_wordpiece_greedy_encoder_matches_python(spark):
+    """The F.aggregate cursor-walk encoder equals the classic greedy
+    longest-match loop on hand-built vocab + words, including the
+    single-char fallback path."""
+    vocab = ["a", "b", "c", "ab", "abc", "bc"]
+    words = ["abcabc", "aabbcc", "cba", "abcb", "a"]
+
+    def ref(word):
+        i, n = 0, 0
+        while i < len(word):
+            for l in range(min(len(word) - i, 3), 0, -1):
+                if word[i : i + l] in vocab:
+                    i += l
+                    n += 1
+                    break
+        return n
+
+    df = spark.createDataFrame([(w, 1) for w in words], "word string, cnt long")
+    got = {
+        r["word"]: r["n_pieces"]
+        for r in TOK.wordpiece_token_counts(df, vocab).collect()
+    }
+    assert got == {w: ref(w) for w in words}
+    # 'abcabc' -> [abc, abc] = 2: longest-match beats the [ab, c, ...] path
+    assert got["abcabc"] == 2
