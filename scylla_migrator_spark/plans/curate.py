@@ -299,6 +299,12 @@ class CurationConfig:
     lang_column: str = "lang"
     ts_column: str = "ts"
     target_path: str | None = None
+    # target kind: "parquet" (plain corpus write) or "shards" (the
+    # training last mile — sinks/training_manifest.write_training_shards:
+    # deterministic hash-shuffle into n_shards manifest-backed files)
+    target_kind: str = "parquet"
+    shard_count: int | None = None
+    shard_salt: str = "shuffle"
 
     @staticmethod
     def from_dict(raw: dict) -> "CurationConfig":
@@ -322,10 +328,30 @@ class CurationConfig:
             stages.append({"op": op, **_OPS[op](st)})
         tgt = raw.get("target")
         target_path = None
+        target_kind = "parquet"
+        shard_count = None
+        shard_salt = "shuffle"
         if tgt is not None:
-            if not isinstance(tgt, dict) or tgt.get("type") != "parquet" or not tgt.get("path"):
-                raise ConfigError("target must be {type: parquet, path: ...}")
+            if not isinstance(tgt, dict) or tgt.get("type") not in (
+                "parquet",
+                "shards",
+            ) or not tgt.get("path"):
+                raise ConfigError(
+                    "target must be {type: parquet|shards, path: ...}"
+                )
             target_path = tgt["path"]
+            target_kind = tgt["type"]
+            if target_kind == "shards":
+                n = tgt.get("nShards")
+                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                    raise ConfigError(
+                        "shards target needs nShards (positive integer)"
+                    )
+                shard_count = n
+                salt = tgt.get("salt", "shuffle")
+                if not isinstance(salt, str) or not salt:
+                    raise ConfigError("shards target salt must be a non-empty string")
+                shard_salt = salt
         return CurationConfig(
             source_path=src["path"],
             stages=stages,
@@ -334,6 +360,9 @@ class CurationConfig:
             lang_column=raw.get("langColumn", "lang"),
             ts_column=raw.get("tsColumn", "ts"),
             target_path=target_path,
+            target_kind=target_kind,
+            shard_count=shard_count,
+            shard_salt=shard_salt,
         )
 
     @staticmethod
@@ -548,7 +577,28 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
     ignored by Spark's file listing, like parquet's _SUCCESS), so the
     curated dataset carries its own provenance."""
     result = curate(spark, cfg)
-    if cfg.target_path:
+    shard_summary = None
+    if cfg.target_path and cfg.target_kind == "shards":
+        # the training last mile as the pipeline's terminal: the curated
+        # corpus hash-shuffled into the fixed shard layout with per-shard
+        # token counts; the writer's distributed write is the single
+        # action the observations ride, same as the parquet path
+        from scylla_migrator_spark.sinks.training_manifest import (
+            write_training_shards,
+        )
+
+        out = result.df.withColumn(
+            "n_tokens", TXT.token_count(F.col(cfg.text_column)).cast("long")
+        )
+        shard_summary = write_training_shards(
+            out,
+            cfg.target_path,
+            key_col=cfg.id_column,
+            token_count_col="n_tokens",
+            n_shards=cfg.shard_count,
+            salt=cfg.shard_salt,
+        )
+    elif cfg.target_path:
         result.df.write.mode("overwrite").parquet(cfg.target_path)
     else:
         result.df.count()
@@ -594,6 +644,8 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> dict[str, int]:
             "stage_counts": counts,
             "source": cfg.source_path,
         }
+        if shard_summary is not None:
+            report["shards"] = shard_summary
         try:
             io = pathio.for_path(cfg.target_path)
             io.write_utf8_atomically(

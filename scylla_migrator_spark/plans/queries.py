@@ -12076,3 +12076,62 @@ def wordpiece_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dw.join(wnp, "word").groupBy("doc_id").agg(
         F.count("*").alias("n_words"), F.sum("n_pieces").alias("n_pieces")
     )
+
+
+@_register(
+    "image_phash_hot_bands",
+    # Oracle: the image dHash replay (same CTEs as image_phash_dup_pairs)
+    # grouped by band bucket over DISTINCT fingerprints, HAVING > cap.
+    """
+    WITH h AS (
+      SELECT doc_id, hex(encode(substr(text, 1, 61))) AS hx,
+             octet_length(encode(substr(text, 1, 61))) AS nb
+      FROM documents
+      WHERE octet_length(encode(substr(text, 1, 61))) > 0),
+    g AS (
+      SELECT doc_id, ys.y AS y, xs.x AS x,
+        (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 1) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 2) % nb) + 1, 2) AS INT)) // 3 AS gray
+      FROM h
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs),
+    dh AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.gray < r.gray
+                           THEN 1::BIGINT << (l.y * 7 + l.x)
+                           ELSE 0::BIGINT END) AS BIGINT) AS sh
+      FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      GROUP BY l.doc_id),
+    bands AS (
+      SELECT doc_id, sh, bs.b AS band_id, (sh >> (7 * bs.b)) & 127 AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs)
+    SELECT band_id, band_val, count(DISTINCT sh)::BIGINT AS n_fingerprints
+    FROM bands GROUP BY band_id, band_val
+    HAVING count(DISTINCT sh) > 12
+    """,
+)
+def image_phash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket QUARANTINE REPORT for the banded perceptual-dedup
+    family (dedup.simhash_hot_bands over the image dHash fingerprints,
+    cap 12): exactly the band buckets a ``max_band_freq=12`` capped pair
+    join would exclude, with their DISTINCT-fingerprint populations — the
+    operational readout a 100 TB dedup run inspects before deciding to
+    raise the cap, add bands, or accept the quarantine (the stop-shingle
+    report posture, now a hash-checked CORRECTNESS row so the governance
+    path itself is regression-gated)."""
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _fan(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.encode(F.substring(F.col("text"), 1, 61), "UTF-8").alias("payload"),
+        )
+        .filter(F.length(F.col("payload")) > 0)
+    )
+    ppm = MM.synth_ppm_assets(docs, "doc_id", "payload", width=16, height=16)
+    assets = MM.make_asset_table(
+        ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+    )
+    fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
+    return D.simhash_hot_bands(fp, "sh", bits=56, bands=8, max_band_freq=12)

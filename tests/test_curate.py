@@ -812,3 +812,59 @@ def test_kn_perplexity_filter_rejected_on_stream(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(src)
     with pytest.raises(ConfigError, match="corpus-global"):
         curate_stream(stream, cfg)
+
+
+def test_curation_shards_target_writes_manifest_layout(spark, tmp_path, sf_dir):
+    """target: {type: shards} ends the pipeline at the training last mile:
+    survivors land in the deterministic shard layout, the manifest totals
+    equal the surviving corpus, and the provenance sidecar carries the
+    shard summary."""
+    import json
+    import os
+
+    from scylla_migrator_spark.plans.curate import CurationConfig, run_curation
+    from scylla_migrator_spark.sinks.training_manifest import read_shard_manifest
+
+    root = str(tmp_path / "shards_out")
+    cfg = CurationConfig.from_dict(
+        {
+            "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "stages": [{"op": "length_filter", "minTokens": 5}],
+            "target": {"type": "shards", "path": root, "nShards": 4},
+        }
+    )
+    counts = run_curation(spark, cfg)
+    survivors = counts["stage01_length_filter"]
+    summary, entries = read_shard_manifest(root)
+    assert summary["nShards"] == 4 and summary["rowCount"] == survivors
+    assert sum(e["rowCount"] for e in entries) == survivors
+    written = spark.read.parquet(os.path.join(root, "data"))
+    assert written.count() == survivors
+    assert {"shard", "pos", "n_tokens"} <= set(written.columns)
+    with open(os.path.join(root, "_curation_report.json")) as f:
+        report = json.load(f)
+    assert report["shards"]["rowCount"] == survivors
+    assert report["stage_counts"]["stage01_length_filter"] == survivors
+
+
+def test_curation_shards_target_validation():
+    from scylla_migrator_spark.plans.curate import ConfigError, CurationConfig
+
+    base = {
+        "source": {"type": "parquet", "path": "/x"},
+        "stages": [{"op": "length_filter", "minTokens": 1}],
+    }
+    import pytest
+
+    with pytest.raises(ConfigError, match="nShards"):
+        CurationConfig.from_dict({**base, "target": {"type": "shards", "path": "/y"}})
+    with pytest.raises(ConfigError, match="nShards"):
+        CurationConfig.from_dict(
+            {**base, "target": {"type": "shards", "path": "/y", "nShards": 0}}
+        )
+    with pytest.raises(ConfigError, match="salt"):
+        CurationConfig.from_dict(
+            {**base, "target": {"type": "shards", "path": "/y", "nShards": 2, "salt": ""}}
+        )
+    with pytest.raises(ConfigError, match="parquet|shards"):
+        CurationConfig.from_dict({**base, "target": {"type": "csv", "path": "/y"}})
