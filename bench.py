@@ -129,6 +129,16 @@ HEADLINE = [
     "column_completeness_profile",
     "multimodal_mp4_meta",
     "multimodal_frame_sample_plan",
+    "video_phash_dup_pairs",
+    "shuffle_shard_manifest",
+    "stream_shard_assignment",
+    "wordpiece_train_merges",
+    "wordpiece_token_count",
+    "image_phash_hot_bands",
+    "ann_radius_search",
+    "mrl_truncated_topk",
+    "mrl_truncation_recall_at_k",
+    "embedding_dim_stats",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

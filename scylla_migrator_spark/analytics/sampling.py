@@ -30,6 +30,14 @@ def _unit_hash(key: Column, salt: str) -> Column:
     return _md5_int(F.concat(key.cast("string"), F.lit(salt)))
 
 
+def shard_of(key: Column, n_shards: int, salt: str = "shuffle") -> Column:
+    """The deterministic shard id of a key — the STATELESS projection both
+    the batch writer (shard_layout) and streaming ingest share: a pure
+    function of (key, salt, n_shards), so a stream can route rows into the
+    same layout a batch shuffle produced without state or re-shuffling."""
+    return (_unit_hash(key, salt) % F.lit(int(n_shards))).cast("int")
+
+
 def threshold(rate: float) -> int:
     return round(rate * _SCALE)
 
@@ -147,7 +155,7 @@ def shard_layout(
     pos_w = Window.partitionBy("shard").orderBy(F.asc("__h"), F.asc(key_col))
     return (
         df.withColumn("__h", h)
-        .withColumn("shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("shard", shard_of(F.col(key_col), n_shards, salt))
         .withColumn("pos", F.row_number().over(pos_w).cast("long"))
         .drop("__h")
     )

@@ -759,3 +759,54 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def radius_neighbors(
+    df: DataFrame,
+    query_vec: list[float],
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact RANGE search: every vector with cosine(v, query) >= tau —
+    the radius complement of brute_force_topk (dedup wants "everything
+    this close", not "the 10 closest"). One scan-stage projection +
+    filter, NO shuffle and no ordering: the result is a set, and at
+    100 TB a global sort on it would be pure waste — consumers that want
+    order compose rank_by on the (small) result. Output: (id, cos)."""
+    q = lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= tau)
+
+
+def truncated_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    keep_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style dimension truncation probe (Kusupati et al. 2022,
+    MRL): rank by cosine over only the FIRST ``keep_dims`` dimensions of
+    both the stored vectors and the query. With MRL-trained embeddings
+    the prefix carries most of the signal, so serving can trade
+    dimensions for cost; paired with an exact-ranking recall readout the
+    truncation cost becomes measurable (the PQ/ADC posture applied to
+    the simplest compressor there is — a slice). Scan-stage slice + the
+    shared fold dot; TakeOrdered top-k, no shuffle."""
+    if keep_dims < 1 or keep_dims > len(query_vec):
+        raise ValueError(
+            f"keep_dims must be in [1, {len(query_vec)}], got {keep_dims}"
+        )
+    q = lit_vec(query_vec[:keep_dims])
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            cosine(F.slice(F.col(vec_col).cast("array<double>"), 1, keep_dims), q), 6
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)

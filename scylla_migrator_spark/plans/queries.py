@@ -12135,3 +12135,168 @@ def image_phash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = MM.image_dhash_fingerprints(MM.resize_ppm_nn(assets, 8, 8), grid=8)
     return D.simhash_hot_bands(fp, "sh", bits=56, bands=8, max_band_freq=12)
+
+
+@_register(
+    "ann_radius_search",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        round(
+          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM embeddings, q)
+    SELECT vec_id, cos FROM scored WHERE cos >= 0.2
+    """,
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RANGE search (similarity.radius_neighbors): every vector with
+    cosine >= 0.2 of the query — the radius complement of top-k (dedup
+    and contamination sweeps want "everything this close", not "the 10
+    closest"). One scan-stage projection + filter, NO shuffle, NO sort:
+    the result is a set; ordering is the consumer's choice (rank_by on
+    the small result). The threshold compares the ROUNDED 6-dp cosine on
+    both engines, so the boundary cannot disagree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.radius_neighbors(emb, qv, 0.2, "vec_id", "embedding")
+
+
+@_register(
+    "mrl_truncated_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[])[1:16] AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        round(
+          list_dot_product(CAST(embedding AS DOUBLE[])[1:16], qv)
+          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+                                   CAST(embedding AS DOUBLE[])[1:16]))
+             * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      FROM embeddings, q)
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def mrl_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation probe (similarity.truncated_topk,
+    Kusupati et al. 2022): rank by cosine over only the FIRST 16 of 64
+    dimensions of both corpus and query — the simplest compression a
+    vector deployment can buy (a slice at the scan, 4x fewer multiplies
+    and bytes), measurable against the full ranking via
+    mrl_truncation_recall_at_k. TakeOrdered top-k, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.truncated_topk(emb, qv, keep_dims=16, id_col="vec_id",
+                              vec_col="embedding", k=10)
+
+
+@_register("mrl_truncation_recall_at_k", _recall_sql("mrl_truncated_topk"))
+def mrl_truncation_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 16-of-64-dimension truncated ranking against the
+    exact full-dimension ranking — the dimension-truncation point on the
+    same recall/cost curve the LSH/IVF/PQ rows chart (each compressor's
+    quality is a hash-checked CORRECTNESS row, so a regression in the
+    slice path fails the gate, not a pytest threshold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    approx = SIM.truncated_topk(emb, qv, keep_dims=16, id_col="vec_id",
+                                vec_col="embedding", k=10)
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
+
+
+@_register(
+    "stream_shard_assignment",
+    # batch/stream unification for the training-shard layout: shard id is
+    # a stateless pure hash of the key, so the streaming assignment must
+    # equal the batch shard_layout's (positions are batch-scoped: a
+    # window-free stream can only claim membership, not a global ordinal
+    # - exactly what the writer's manifest records per shard)
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8) AS BIGINT)
+               AS hv
+      FROM documents)
+    SELECT doc_id, (hv % 16)::INT AS shard FROM h
+    """,
+)
+def stream_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the training-shard layout: documents replayed
+    as two micro-batches, each arriving row assigned its shard by the
+    SAME stateless salted-md5 projection the batch writer uses
+    (sampling.shard_layout's shard expression — no state store, no
+    watermark: the shard is a pure function of the key, so continuous
+    ingest routes rows to shard files without re-shuffling history).
+    After the replay the (doc_id, shard) table equals the batch
+    assignment exactly; intra-shard POSITION stays batch-scoped (the
+    writer's per-shard window), which is why the streaming surface stops
+    at membership."""
+    import os
+
+    from scylla_migrator_spark.analytics.sampling import shard_of
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stage = os.path.join(
+        "/tmp", f"sgs_docid_halves_{_stage_tag(sf_dir, 'documents')}"
+    )
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", docs.filter(F.col("doc_id") % 2 == 0)),
+                ("1", docs.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    assigned = stream.select(
+        "doc_id", shard_of(F.col("doc_id"), 16, "shuffle").alias("shard")
+    )
+    return _run_available_now(assigned, "append")
+
+
+@_register(
+    "embedding_dim_stats",
+    """
+    SELECT g.i::INT AS dim,
+           round(CAST(sum(CAST(embedding[g.i + 1] AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*), 6) AS mean,
+           round(min(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS max_v,
+           count(*)::BIGINT AS n
+    FROM embeddings, UNNEST(generate_series(0, 63)) AS g(i)
+    GROUP BY g.i
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/min/max/count over all 64
+    dims) — the feature-store hygiene readout a vector pipeline runs
+    before training or quantizing (a dead or exploding dimension shows up
+    here first, and PQ/IVF codebook quality depends on it). One
+    posexplode + one aggregation; the shuffle carries 64 keys of partial
+    stats (map-side combined), never vectors. Mean is the plain double
+    average on BOTH engines — embedding values are float32-exact in
+    double, and the row count per dim is identical, so the division is
+    the same IEEE expression; min/max are exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return ex.groupBy("dim").agg(
+        # DECIMAL(18,9)-truncated sum -> the mean is shuffle-order
+        # independent (a double sum's last ulp depends on partition order)
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("mean"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.count("*").alias("n"),
+    ).select(F.col("dim").cast("int").alias("dim"), "mean", "min_v", "max_v", "n")
