@@ -139,6 +139,8 @@ HEADLINE = [
     "mrl_truncated_topk",
     "mrl_truncation_recall_at_k",
     "embedding_dim_stats",
+    "tokenizer_fertility_comparison",
+    "ewma_control_chart",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

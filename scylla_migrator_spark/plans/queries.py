@@ -12300,3 +12300,190 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("max_v"),
         F.count("*").alias("n"),
     ).select(F.col("dim").cast("int").alias("dim"), "mean", "min_v", "max_v", "n")
+
+
+_FERTILITY_FAMS = [
+    ("bpe", "bpe_segment_compression"),
+    ("unigram", "unigram_token_count"),
+    ("wordpiece", "wordpiece_token_count"),
+]
+
+
+def _fertility_sql() -> str:
+    """Corpus-level tokens-per-word for the three trained families, each
+    nested as its full per-doc replay (training included)."""
+    ctes = ",\n    ".join(
+        f"fam_{fam} AS ({ORACLES[q]})" for fam, q in _FERTILITY_FAMS
+    )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT '{fam}' AS family, sum(n_words)::BIGINT AS n_words,"
+        f" sum(n_pieces)::BIGINT AS n_pieces,"
+        f" round(sum(n_pieces) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility"
+        f" FROM fam_{fam}"
+        for fam, _ in _FERTILITY_FAMS
+    )
+    return "WITH " + ctes + "\n    " + selects
+
+
+@_register("tokenizer_fertility_comparison", _fertility_sql())
+def tokenizer_fertility_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer bake-off readout: corpus-level FERTILITY (pieces per
+    word) of all three trained families — BPE (8 count-argmax merges),
+    unigram-LM (2 exact EM rounds, Viterbi encode), WordPiece (8
+    likelihood-argmax merges, greedy longest-match) — in one row per
+    family. Fertility is THE comparison number tokenizer selection runs
+    on (lower = better compression at equal vocab budget), and here each
+    family's number is backed by its full train-then-encode replay, so
+    the bake-off itself is a hash-checked CORRECTNESS row. Pure
+    composition: three existing oracle-backed per-doc encoders, each
+    aggregated to corpus totals."""
+    parts = []
+    for fam, q in _FERTILITY_FAMS:
+        per_doc = QUERIES[q](spark, sf_dir)
+        parts.append(
+            per_doc.agg(
+                F.sum("n_words").cast("long").alias("n_words"),
+                F.sum("n_pieces").cast("long").alias("n_pieces"),
+            ).select(
+                F.lit(fam).alias("family"),
+                "n_words",
+                "n_pieces",
+                F.round(
+                    F.col("n_pieces") / F.col("n_words").cast("double"), 6
+                ).alias("fertility"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "ewma_control_chart",
+    # EWMA control chart (Roberts 1959, the SPC standard): z_t = 0.25 x_t
+    # + 0.75 z_{t-1} over daily counts, breach where |z_t - mu| exceeds
+    # 3 sigma sqrt(lambda/(2-lambda)) sqrt(1 - 0.75^(2t)). mu/sigma come
+    # from EXACT integer sums (counts are ints -> sx, sxx exact; one
+    # double division each), and the 0.75^(2t) term is CARRIED through
+    # the recursion as q_t = q_{t-1} * 0.5625 — no cross-engine pow()
+    # whose last ulp could differ. Same arithmetic chain as the fold.
+    """
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      FROM daily),
+    st AS MATERIALIZED (
+      SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(y) AS DOUBLE) / count(*) AS mu,
+             sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)
+                  / (count(*) * (count(*) - 1))) AS sigma
+      FROM seq GROUP BY 1 HAVING count(*) >= 2),
+    ew AS (
+      SELECT s.event_type, 1 AS rn, CAST(s.y AS DOUBLE) AS z,
+             0.5625 AS q,
+             CASE WHEN abs(CAST(s.y AS DOUBLE) - st.mu)
+                       > 3 * st.sigma * sqrt(0.25 / 1.75) * sqrt(1 - 0.5625)
+                  THEN 1 ELSE 0 END AS br
+      FROM seq s JOIN st ON s.event_type = st.event_type AND s.rn = 1
+      UNION ALL
+      SELECT e.event_type, e.rn + 1,
+             0.25 * d.y + 0.75 * e.z,
+             e.q * 0.5625,
+             e.br + CASE WHEN abs((0.25 * d.y + 0.75 * e.z) - st.mu)
+                              > 3 * st.sigma * sqrt(0.25 / 1.75)
+                                * sqrt(1 - e.q * 0.5625)
+                         THEN 1 ELSE 0 END
+      FROM ew e
+      JOIN seq d ON d.event_type = e.event_type AND d.rn = e.rn + 1
+      JOIN st ON st.event_type = e.event_type)
+    SELECT ew.event_type, st.n AS n_days,
+           round(st.mu, 6) AS mean, round(st.sigma, 6) AS sigma,
+           round(ew.z, 6) AS ewma_final, ew.br::BIGINT AS n_breaches
+    FROM ew JOIN st ON ew.event_type = st.event_type AND ew.rn = st.n
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) of daily event volume per type —
+    the SPC member of the monitoring family (CUSUM finds the changepoint
+    after the fact; the EWMA chart is the ONLINE alarm: small persistent
+    shifts breach the tightening control limits long before a 3-sigma
+    Shewhart rule fires). lambda=0.25, L=3; limits use the exact-variance
+    start-up correction sqrt(1 - (1-lambda)^(2t)), with the power carried
+    through the recursion (q *= 0.5625) so no cross-engine pow() is in
+    the chain. mu/sigma derive from exact integer sums. Output per type:
+    (n_days, mean, sigma, ewma_final, n_breaches).
+
+    Scale shape: the CUSUM/Holt day-grain posture — one map-side (type,
+    day) count, then the chart folds over each type's ~30-element ordered
+    daily array in codegen; nothing per-row, nothing on the driver."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.expr("ts div 86400000000000").alias("day_idx"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("y"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day_idx"), F.col("y")))
+            ).alias("s"),
+            F.count("*").alias("n"),
+            F.sum("y").alias("sx"),
+            F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.transform("s", lambda e: e["y"].cast("double")).alias("ys"),
+            "n",
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+            ).alias("sigma"),
+        )
+    )
+    lam, comp, comp2 = F.lit(0.25), F.lit(0.75), F.lit(0.5625)
+    mu, sigma = F.col("mu"), F.col("sigma")
+
+    def lim(q):
+        return F.lit(3) * sigma * F.sqrt(F.lit(0.25) / F.lit(1.75)) * F.sqrt(
+            F.lit(1) - q
+        )
+
+    z1 = F.element_at("ys", 1)
+    init = F.struct(
+        z1.alias("z"),
+        comp2.alias("q"),
+        F.when(F.abs(z1 - mu) > lim(comp2), F.lit(1)).otherwise(F.lit(0)).alias("br"),
+    )
+
+    def step(acc, y):
+        z = lam * y + comp * acc["z"]
+        q = acc["q"] * comp2
+        br = acc["br"] + F.when(F.abs(z - mu) > lim(q), F.lit(1)).otherwise(F.lit(0))
+        return F.struct(z.alias("z"), q.alias("q"), br.alias("br"))
+
+    fitted = series.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(sigma, 6).alias("sigma"),
+        F.aggregate(
+            F.slice("ys", 2, F.greatest(F.size("ys") - 1, F.lit(0))), init, step
+        ).alias("ch"),
+    )
+    return fitted.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "mean",
+        "sigma",
+        F.round(F.col("ch.z"), 6).alias("ewma_final"),
+        F.col("ch.br").cast("long").alias("n_breaches"),
+    )

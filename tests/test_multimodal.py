@@ -619,3 +619,19 @@ def test_frame_sequence_pairs_hot_shingle_cap(spark):
         for r in frame_sequence_pairs(df, "vid", "f", "sh").collect()
     }
     assert len(uncapped) == 5 * 4 // 2 + 5  # all cross pairs + the re-upload
+
+
+def test_frame_sequence_pairs_empty_and_single_video(spark):
+    """Degenerate inputs: an empty frame table and a corpus of only
+    sub-shingle videos both yield an empty pair frame with the schema
+    contract intact."""
+    from scylla_migrator_spark.analytics.dedup import frame_sequence_pairs
+
+    empty = spark.createDataFrame([], "vid long, f long, sh long")
+    out = frame_sequence_pairs(empty, "vid", "f", "sh")
+    assert out.columns == ["id_a", "id_b", "n_shared", "jaccard"]
+    assert out.count() == 0
+    singles = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 10)], "vid long, f long, sh long"
+    )
+    assert frame_sequence_pairs(singles, "vid", "f", "sh").count() == 0
