@@ -141,6 +141,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "tokenizer_fertility_comparison",
     "ewma_control_chart",
+    "dup_cluster_size_histogram",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -12487,3 +12487,76 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ch.z"), 6).alias("ewma_final"),
         F.col("ch.br").cast("long").alias("n_breaches"),
     )
+
+
+@_register(
+    "dup_cluster_size_histogram",
+    # the dedup_components closure aggregated to the distribution dedup
+    # POLICY decisions read: how many clusters of each size (singletons =
+    # docs in no near-dup pair, counted from the complement)
+    r"""
+    WITH RECURSIVE
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+    sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY cluster_size
+    UNION ALL
+    SELECT 1::BIGINT, x.n, x.n FROM (
+      SELECT ((SELECT count(*) FROM documents)
+              - (SELECT count(*) FROM comp))::BIGINT AS n) x
+    WHERE x.n > 0
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution — the readout a dedup policy is
+    tuned on (keep-one-per-cluster removal rate = sum((size-1) *
+    n_clusters); a fat tail here means boilerplate families, and the
+    cluster count at each size prices the keeper policy). Clustered sizes
+    come from the shared staged pair table + components fixpoint; the
+    singleton row is the COMPLEMENT count (docs in no pair) so the
+    histogram's n_docs column sums to the corpus exactly — no per-doc
+    join for documents that never entered the pair graph. Output:
+    (cluster_size, n_clusters, n_docs)."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    hist = hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+    n_total = _t(spark, sf_dir, "documents").count()
+    n_clustered = comp.count()
+    n_single = int(n_total - n_clustered)
+    if n_single > 0:
+        single = spark.createDataFrame(
+            [(1, n_single, n_single)], "cluster_size long, n_clusters long, n_docs long"
+        )
+        hist = hist.unionByName(single)
+    return hist

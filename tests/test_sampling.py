@@ -147,3 +147,29 @@ def test_write_training_shards_manifest_consistency(spark, tmp_path):
     except Exception:
         pass
     assert not os.path.exists(root3) and not os.path.exists(root3 + ".inprogress")
+
+
+def test_write_training_shards_rejects_bad_shard_count(spark, tmp_path):
+    import pytest as _pytest
+
+    from scylla_migrator_spark.sinks.training_manifest import write_training_shards
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_toks long")
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, str(tmp_path / "x"), "doc_id", "n_toks", 0)
+
+
+def test_shard_of_matches_shard_layout(spark):
+    """The public stateless projection and the writer's layout agree on
+    shard membership for every key — the batch/stream routing contract."""
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics.sampling import shard_layout, shard_of
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r["doc_id"]: r["shard"] for r in shard_layout(df, "doc_id", 16).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shard_of(F.col("doc_id"), 16).alias("s")).collect()
+    }
+    assert a == b

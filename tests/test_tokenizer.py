@@ -659,3 +659,21 @@ def test_wordpiece_greedy_encoder_matches_python(spark):
     assert got == {w: ref(w) for w in words}
     # 'abcabc' -> [abc, abc] = 2: longest-match beats the [ab, c, ...] path
     assert got["abcabc"] == 2
+
+
+def test_wordpiece_encoder_rejects_empty_vocab(spark):
+    df = spark.createDataFrame([("a", 1)], "word string, cnt long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab"):
+        TOK.wordpiece_token_counts(df, [])
+
+
+def test_train_wordpiece_zero_and_negative_rounds(spark):
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    merges, words = TOK.train_wordpiece(docs, 0)
+    assert merges == [] and words.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        TOK.train_wordpiece(docs, -1)

@@ -309,6 +309,88 @@ def run_pipelines(
 
     record("unigram_prune_retrain", n_docs, unigram_pruned)
 
+
+    def video_phash() -> int:
+        from scylla_migrator_spark.analytics import multimodal as MM
+
+        vids = docs.select(
+            "doc_id",
+            (F.lit(1000) + (F.col("doc_id") % 50) * 250).cast("long").alias("dur"),
+            F.lit(320).alias("w"),
+            F.lit(240).alias("h"),
+        )
+        mp4s = MM.synth_mp4_assets(vids, "doc_id", "dur", "w", "h")
+        assets = MM.make_asset_table(
+            mp4s, "asset_id", "data", kind="video", mime="video/mp4"
+        )
+        meta = MM.decode_assets_meta(assets)
+        frames = meta.select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("duration_ms"), F.lit(1000).cast("long")
+                )
+            ).alias("ts"),
+        ).select("asset_id", F.expr("ts DIV 1000").alias("f"))
+        fdocs = (
+            frames.join(docs, frames["asset_id"] == docs["doc_id"])
+            .select(
+                (F.col("doc_id") * 64 + F.col("f")).alias("fid"),
+                F.encode(
+                    F.expr("substring(text, CAST(1 + 7 * f AS INT), 61)"), "UTF-8"
+                ).alias("payload"),
+            )
+            .filter(F.length("payload") > 0)
+        )
+        ppm = MM.synth_ppm_assets(fdocs, "fid", "payload", width=16, height=16)
+        passets = MM.make_asset_table(
+            ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+        )
+        fp = (
+            MM.image_dhash_fingerprints(MM.resize_ppm_nn(passets, 8, 8), grid=8)
+            .select(
+                F.expr("asset_id DIV 64").alias("doc_id"),
+                (F.col("asset_id") % 64).alias("f"),
+                "sh",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return D.frame_sequence_pairs(fp, "doc_id", "f", "sh").count()
+
+    record("video_phash_dup_pairs", n_docs, video_phash)
+
+    def wordpiece_train() -> int:
+        from scylla_migrator_spark.analytics import tokenizer as TOK
+
+        merges, _ = TOK.train_wordpiece(docs, 8)
+        return len(merges)
+
+    record("wordpiece_train_merges", n_docs, wordpiece_train)
+
+    def shard_writer() -> int:
+        import shutil
+        import tempfile
+
+        from scylla_migrator_spark.analytics import text as _TXT
+        from scylla_migrator_spark.sinks.training_manifest import (
+            write_training_shards,
+        )
+
+        root = tempfile.mkdtemp(prefix="sgs_curve_shards_") + "/out"
+        try:
+            out = docs.select(
+                "doc_id", _TXT.token_count(F.col("text")).cast("long").alias("nt")
+            )
+            s = write_training_shards(
+                out, root, key_col="doc_id", token_count_col="nt", n_shards=64
+            )
+            return int(s["rowCount"])
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(root + ".inprogress", ignore_errors=True)
+
+    record("shuffle_shard_manifest", n_docs, shard_writer)
+
     record("semdedup_prune", n_emb, semdedup)
     return out
 
