@@ -142,6 +142,7 @@ HEADLINE = [
     "tokenizer_fertility_comparison",
     "ewma_control_chart",
     "dup_cluster_size_histogram",
+    "blocker_ensemble_pairs",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -12560,3 +12560,64 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hist = hist.unionByName(single)
     return hist
+
+
+def _blocker_ensemble_sql() -> str:
+    """Four existing oracle replays tagged with evidence bits, unioned,
+    and filtered to >= 2 agreeing blockers."""
+    return f"""
+    WITH sh AS ({ORACLES["simhash_hamming_pairs"]}),
+    mh AS ({ORACLES["minhash_lsh_pairs"]}),
+    sn AS ({ORACLES["sorted_neighborhood_blocking"]}),
+    ng AS ({ORACLES["ngram_jaccard_block_pairs"]}),
+    tagged AS (
+      SELECT id_a, id_b, 1 AS ev FROM sh
+      UNION ALL SELECT id_a, id_b, 2 FROM mh
+      UNION ALL SELECT least(id_a, id_b), greatest(id_a, id_b), 4 FROM sn
+      UNION ALL SELECT id_a, id_b, 8 FROM ng WHERE jaccard >= 0.5)
+    SELECT id_a, id_b,
+           count(DISTINCT ev)::BIGINT AS n_blockers,
+           sum(DISTINCT ev)::BIGINT AS evidence
+    FROM tagged GROUP BY id_a, id_b
+    HAVING count(DISTINCT ev) >= 2
+    """
+
+
+@_register("blocker_ensemble_pairs", _blocker_ensemble_sql())
+def blocker_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE entity-resolution blocking — pairs surfaced by at least
+    TWO independent blockers: SimHash banded Hamming (bit 1), MinHash
+    LSH (bit 2), sorted-neighborhood adjacency (bit 4), n-gram Jaccard
+    >= 0.5 (bit 8). Each blocker has a blind spot (token-set blockers
+    miss lexically-adjacent typos, SimHash misses short docs, SN misses
+    reordered prefixes); requiring agreement is the standard
+    precision-first merge rule, and the ``evidence`` bitmap tells the
+    reviewer WHICH families agreed. Pure composition of four existing
+    oracle-backed generators — the union shuffles already-blocked pair
+    tables keyed by pair identity, nothing corpus-sized. Output:
+    (id_a, id_b, n_blockers, evidence)."""
+    sh = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("ev")
+    )
+    mh = QUERIES["minhash_lsh_pairs"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit(2).alias("ev")
+    )
+    sn = QUERIES["sorted_neighborhood_blocking"](spark, sf_dir).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.lit(4).alias("ev"),
+    )
+    ng = (
+        QUERIES["ngram_jaccard_block_pairs"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.lit(8).alias("ev"))
+    )
+    tagged = sh.unionByName(mh).unionByName(sn).unionByName(ng)
+    return (
+        tagged.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("ev").alias("n_blockers"),
+            F.sum_distinct("ev").alias("evidence"),
+        )
+        .filter(F.col("n_blockers") >= 2)
+    )
