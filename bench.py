@@ -143,6 +143,7 @@ HEADLINE = [
     "ewma_control_chart",
     "dup_cluster_size_histogram",
     "blocker_ensemble_pairs",
+    "kmv_distinct_estimate",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -12621,3 +12621,119 @@ def blocker_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_blockers") >= 2)
     )
+
+
+@_register(
+    "kmv_distinct_estimate",
+    # KMV (k-minimum-values, Bar-Yossef et al. 2002) with k=64 over the
+    # deterministic 32-bit md5 hash: estimate = (k-1) * 2^32 / h_k. The
+    # merged column replays the sketch from two event_id-parity halves
+    # (k smallest of the union of the halves' k-lists) — equal to the
+    # whole-table sketch by the k-smallest-of-union property, and the
+    # equality is hash-checked here, not asserted in a pytest.
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    kk AS (
+      SELECT event_type, max(hv) AS hk, count(*)::BIGINT AS nh
+      FROM r WHERE rn <= 64 GROUP BY 1),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1),
+    hhalf AS (
+      SELECT DISTINCT event_id % 2 AS half, event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events),
+    rhalf AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY half, event_type ORDER BY hv) AS rn
+      FROM hhalf),
+    merged AS (
+      SELECT DISTINCT event_type, hv FROM rhalf WHERE rn <= 64),
+    rm AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM merged),
+    km AS (
+      SELECT event_type, max(hv) AS hk, count(*)::BIGINT AS nh
+      FROM rm WHERE rn <= 64 GROUP BY 1)
+    SELECT ex.event_type, 64 AS k, ex.n_exact,
+           round(CASE WHEN kk.nh < 64 THEN CAST(kk.nh AS DOUBLE)
+                      ELSE 63 * 4294967296.0 / kk.hk END, 3) AS kmv_estimate,
+           round(CASE WHEN km.nh < 64 THEN CAST(km.nh AS DOUBLE)
+                      ELSE 63 * 4294967296.0 / km.hk END, 3) AS kmv_estimate_merged
+    FROM ex JOIN kk ON ex.event_type = kk.event_type
+            JOIN km ON ex.event_type = km.event_type
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.
+    2002, k=64) per event type — the VALUE-ORACLED member of the sketch
+    family: unlike HLL++ (approx_count_distinct, engine-internal state,
+    rows-only check), KMV over a deterministic md5 hash replays exactly
+    in SQL, so the sketch VALUE and its merge law are hash-checked rows.
+    ``kmv_estimate_merged`` rebuilds the sketch from two event-parity
+    halves (k smallest of the union of the halves' k-lists) and must
+    equal the whole-table estimate — the mergeability that makes KMV a
+    map-side-combinable sketch at 100 TB (per-partition k-lists merge
+    associatively; the shuffle carries 64 longs per type, never users).
+    Output: (event_type, k, n_exact, kmv_estimate, kmv_estimate_merged)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hv = TXT._md5_int(F.col("user_id").cast("string")).alias("hv")
+    h = ev.select("event_type", hv).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("nh"))
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    halves = ev.select(
+        (F.col("event_id") % 2).alias("half"), "event_type", hv
+    ).distinct()
+    wh = Window.partitionBy("half", "event_type").orderBy("hv")
+    merged = (
+        halves.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "hv")
+        .distinct()
+    )
+    km = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("nh"))
+    )
+
+    def est(kkdf):
+        return F.round(
+            F.when(F.col("nh") < 64, F.col("nh").cast("double")).otherwise(
+                F.lit(63) * F.lit(4294967296.0) / F.col("hk")
+            ),
+            3,
+        )
+
+    a = kk.select("event_type", est(kk).alias("kmv_estimate"))
+    b = km.select("event_type", est(km).alias("kmv_estimate_merged"))
+    return (
+        ex.join(a, "event_type")
+        .join(b, "event_type")
+        .select(
+            "event_type",
+            F.lit(64).alias("k"),
+            "n_exact",
+            "kmv_estimate",
+            "kmv_estimate_merged",
+        )
+    )
