@@ -144,6 +144,7 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "blocker_ensemble_pairs",
     "kmv_distinct_estimate",
+    "video_dup_clusters",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

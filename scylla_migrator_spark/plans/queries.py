@@ -12737,3 +12737,48 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_estimate_merged",
         )
     )
+
+
+@_register(
+    "video_dup_clusters",
+    # the video shingle-match pairs closed into components by the same
+    # transitive-closure recursion image_dup_clusters uses; canonical
+    # keeper = min doc_id, cluster_size for the drop policy
+    """
+    WITH RECURSIVE pairs AS ("""
+    + ORACLES["video_phash_dup_pairs"]
+    + """),
+    e2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN e2 e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u)::BIGINT AS canonical_id
+             FROM reach GROUP BY v)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN (
+      SELECT canonical_id, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY canonical_id) s
+    ON c.canonical_id = s.canonical_id
+    """,
+)
+def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO dedup closed end to end (the image_dup_clusters policy on the
+    fourth modality): shingled frame-hash pairs form a graph, connected
+    components assign every near-dup video its cluster's min doc_id as
+    canonical keeper plus the cluster size — keep-one-drop-rest over
+    re-uploads and trims that share frame runs. Components run over
+    8-byte ids (the pair table is already blocked); the oracle closes the
+    same pairs by transitive-closure recursion."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    pairs = QUERIES["video_phash_dup_pairs"](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        "cluster_size",
+    )

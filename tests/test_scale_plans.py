@@ -993,3 +993,25 @@ def test_minhash_lsh_collapse_matches_per_member_banding(spark):
     }
     assert got == want
     assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
+def test_shard_writer_layout_plan_no_single_partition(spark):
+    """The shard layout must never plan a global sort or single-partition
+    window: one hash partition by shard id, per-shard windows only."""
+    from scylla_migrator_spark.analytics.sampling import shard_layout
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = plan_of(shard_layout(df, "doc_id", 8), mode="simple")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one exchange feeds the window: the hash partition on shard
+    assert plan.count("Exchange") == 1 and "hashpartitioning" in plan
+
+
+def test_video_pair_plan_is_python_free_and_join_safe(spark, sf_dir):
+    """After the per-frame fingerprint checkpoint, the video pair plan
+    carries no Arrow/Python stage and no cross product; the shingle join
+    and expansion joins key on strings/fingerprints, never frame bytes."""
+    plan = plan_of(Q.QUERIES["video_phash_dup_pairs"](spark, sf_dir), mode="simple")
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
