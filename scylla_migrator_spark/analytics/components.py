@@ -271,3 +271,59 @@ def k_core(
     return edges.groupBy(F.col("s").alias("v")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+def incremental_components_update(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Update a connected-components labelling with a batch of NEW edges —
+    without re-propagating over the historical edge set.
+
+    Contract: ``base_labels`` (id, comp) is a valid min-label fixpoint of
+    the old graph, and ``new_edges`` contains every edge incident to an
+    arriving vertex (old-old edges are unchanged by assumption — the
+    dedup-ingest case, where a new batch can only create pairs that touch
+    a new document). Under that contract the result equals a full
+    recompute on the union graph: each new edge is CONTRACTED onto the
+    endpoints' existing labels (a label is the min id of its old
+    component, so the min over a merged group of labels is the min over
+    all constituent vertices), components run on the contracted graph —
+    sized by the NEW batch and the components it touches, not the corpus
+    — and old labels remap through one broadcast-friendly join.
+
+    Output: (id, comp) for every previously labelled vertex plus every
+    vertex of ``new_edges`` (the connected_components vertex convention).
+    At 100 TB this is the difference between re-running the fixpoint over
+    a trillion-edge history and running it over one ingest batch."""
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    lbl = base_labels.select(F.col("id").alias("__lid"), F.col("comp").alias("__lc"))
+    ca = (
+        e.join(lbl, e["a"] == lbl["__lid"], "left_outer")
+        .select(F.coalesce("__lc", "a").alias("ca"), "b")
+    )
+    cab = (
+        ca.join(lbl, ca["b"] == lbl["__lid"], "left_outer")
+        .select("ca", F.coalesce("__lc", "b").alias("cb"))
+    )
+    contracted = cab.filter(F.col("ca") != F.col("cb"))
+    merged = connected_components(contracted, "ca", "cb").select(
+        F.col("id").alias("__mid"), F.col("comp").alias("__mc")
+    )
+    updated_old = (
+        base_labels.join(merged, base_labels["comp"] == merged["__mid"], "left_outer")
+        .select("id", F.coalesce("__mc", "comp").alias("comp"))
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    nv = verts.join(base_labels.select("id"), "id", "left_anti")
+    new_labels = (
+        nv.join(merged, nv["id"] == merged["__mid"], "left_outer")
+        .select("id", F.coalesce("__mc", "id").alias("comp"))
+    )
+    return updated_old.unionByName(new_labels)

@@ -12782,3 +12782,66 @@ def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("canonical_id"),
         "cluster_size",
     )
+
+
+@_register("incremental_components_update", ORACLES["dedup_components"])
+def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup-graph maintenance: 10% of the corpus (doc_id % 10
+    == 0) arrives as an ingest batch against the already-labelled
+    remainder. New near-dup edges (every simhash pair touching an
+    arriving doc) are CONTRACTED onto the existing component labels, the
+    fixpoint runs only on that batch-sized contracted graph, and old
+    labels remap through one join
+    (analytics/components.py::incremental_components_update). The oracle
+    is the FULL-corpus transitive closure (dedup_components' SQL,
+    verbatim) — the incremental path must reproduce the full recompute
+    exactly, which is the whole point: at 100 TB the history's
+    trillion-edge fixpoint never re-runs; each batch pays for itself."""
+    from scylla_migrator_spark.analytics.components import (
+        connected_components,
+        incremental_components_update,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    fp_old = D.simhash_fingerprints(
+        old, "text", "doc_id", carry_cols=["source"], bits=32
+    ).localCheckpoint(eager=True)
+    fp_inc = D.simhash_fingerprints(
+        inc, "text", "doc_id", carry_cols=["source"], bits=32
+    ).localCheckpoint(eager=True)
+    a, b = fp_old.alias("a"), fp_old.alias("b")
+    ham_ab = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    old_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .filter(ham_ab <= 8)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    base = connected_components(old_pairs, "id_a", "id_b")
+    fp_all = fp_old.unionByName(fp_inc)
+    i, o = fp_inc.alias("i"), fp_all.alias("o")
+    ham_io = F.bit_count(F.col("i.sh").bitwiseXOR(F.col("o.sh")))
+    new_edges = (
+        i.join(
+            o,
+            on=[
+                F.col("i.source") == F.col("o.source"),
+                F.col("i.doc_id") != F.col("o.doc_id"),
+            ],
+        )
+        .filter(ham_io <= 8)
+        .select(
+            F.least(F.col("i.doc_id"), F.col("o.doc_id")).alias("id_a"),
+            F.greatest(F.col("i.doc_id"), F.col("o.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    labels = incremental_components_update(base, new_edges, "id_a", "id_b")
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

@@ -143,3 +143,48 @@ def test_k_core_empty_when_forest(spark):
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     assert k_core(pairs, "id_a", "id_b", k=2, rounds=4).count() == 0
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Property pin for the ingest contract: old graph labelled, a batch
+    of edges each touching >= 1 new vertex arrives; the incremental
+    update must equal connected_components on the union edge set —
+    including chains that merge several old components through one new
+    vertex, old vertices first seen in the batch, and isolated merges."""
+    import hashlib
+
+    from scylla_migrator_spark.analytics.components import (
+        connected_components,
+        incremental_components_update,
+    )
+
+    def h(i, j):
+        return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6], 16)
+
+    old_edges = [
+        (i, j)
+        for i in range(150)
+        for j in range(i + 1, 150)
+        if h(i, j) % 97 == 0
+    ]
+    new_vertices = set(range(150, 200))
+    new_edges = [
+        (i, j)
+        for i in range(200)
+        for j in range(max(i + 1, 150), 200)  # j always new -> contract holds
+        if h(i, j) % 61 == 0
+    ]
+    # plus a new vertex bridging two old vertices (merges two old comps)
+    new_edges += [(0, 199), (1, 199)]
+    old_df = spark.createDataFrame(old_edges, "id_a long, id_b long")
+    new_df = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    base = connected_components(old_df, "id_a", "id_b")
+    got = {
+        (r["id"], r["comp"])
+        for r in incremental_components_update(base, new_df, "id_a", "id_b").collect()
+    }
+    full = connected_components(
+        old_df.unionByName(new_df), "id_a", "id_b"
+    )
+    want = {(r["id"], r["comp"]) for r in full.collect()}
+    assert got == want and len(got) > 100
