@@ -146,6 +146,7 @@ HEADLINE = [
     "kmv_distinct_estimate",
     "video_dup_clusters",
     "incremental_components_update",
+    "stream_components_update",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -12845,3 +12845,63 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     labels = incremental_components_update(base, new_edges, "id_a", "id_b")
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@_register("stream_components_update", ORACLES["dedup_components"])
+def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-graph maintenance (streaming/components_cdc.py):
+    the documents replayed as two micro-batches; each batch's
+    fingerprints join the served state for new near-dup edges, the
+    fixpoint runs on the batch-sized CONTRACTED graph
+    (incremental_components_update), and the component table swaps
+    atomically. After the replay the paired labelling must equal the
+    batch dedup_components over the full corpus — the oracle is that
+    full-corpus transitive closure verbatim, so the streaming maintenance
+    invariant is a hash-checked row (the incremental_scd2 posture applied
+    to the dedup graph)."""
+    import os
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.components_cdc import (
+        incremental_components_stream,
+    )
+
+    # the stream carries FINGERPRINTS, not text (the upstream-encode
+    # shape: encoding runs at ingest, only 8-byte hashes reach the graph
+    # maintainer) — staged once per fixture like the other half-replays
+    fp = D.simhash_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "text",
+        "doc_id",
+        carry_cols=["source"],
+        bits=32,
+    )
+    stage = os.path.join(
+        "/tmp", f"sgs_docfp_halves_{_stage_tag(sf_dir, 'documents')}"
+    )
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", fp.filter(F.col("doc_id") % 2 == 0)),
+                ("1", fp.filter(F.col("doc_id") % 2 == 1)),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    serving = tempfile.mkdtemp(prefix="sgs_cc_") + f"/serving_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = incremental_components_stream(
+            stream, serving, tempfile.mkdtemp(prefix="sgs_cc_ckpt_")
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(serving)
+        .filter(F.col("paired"))
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    )
