@@ -147,6 +147,8 @@ HEADLINE = [
     "video_dup_clusters",
     "incremental_components_update",
     "stream_components_update",
+    "shard_balance_stats",
+    "daily_volume_autocorr",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -12905,3 +12905,136 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("paired"))
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
     )
+
+
+@_register(
+    "shard_balance_stats",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8) AS BIGINT)
+              % 16)::INT AS shard
+      FROM documents),
+    per AS (SELECT shard, count(*)::BIGINT AS n FROM h GROUP BY shard)
+    SELECT count(*)::BIGINT AS n_shards,
+           min(n) AS min_rows, max(n) AS max_rows,
+           sum(n)::BIGINT AS total_rows,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS max_skew
+    FROM per
+    """,
+)
+def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance audit of the deterministic shard layout: per-shard row
+    counts reduced to (n_shards, min, max, total, max_skew) where
+    max_skew = max/mean — the number that says whether the salted-md5
+    shuffle actually spread the corpus (a straggler shard is a straggler
+    TRAINING reader at 100 TB; >1.2 on big shards means the key has
+    structure and the salt should change). One hash projection + a
+    16-key aggregate; nothing corpus-sized leaves the scan stage."""
+    from scylla_migrator_spark.analytics.sampling import shard_of
+
+    docs = _t(spark, sf_dir, "documents").select(
+        shard_of(F.col("doc_id"), 16, "shuffle").alias("shard")
+    )
+    per = docs.groupBy("shard").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").alias("n_shards"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").alias("total_rows"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 6
+        ).alias("max_skew"),
+    )
+
+
+@_register(
+    "daily_volume_autocorr",
+    # lag-1 Pearson autocorrelation of the daily count series per type,
+    # from EXACT integer sums over the n-1 aligned (y_t, y_{t+1}) pairs:
+    # r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)).
+    # counts are ints -> every S is exact; one double expression both
+    # engines evaluate identically.
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      FROM daily),
+    lagged AS (
+      SELECT a.event_type, a.y AS x, b.y AS z
+      FROM seq a JOIN seq b
+        ON a.event_type = b.event_type AND b.rn = a.rn + 1),
+    s AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(z)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(z * z)::BIGINT AS syy,
+             sum(x * z)::BIGINT AS sxy
+      FROM lagged GROUP BY 1 HAVING count(*) >= 2)
+    SELECT event_type, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr_lag1
+    FROM s
+    """,
+)
+def daily_volume_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type — the
+    time-series diagnostic that separates trending/seasonal series
+    (autocorr near 1) from independent noise (near 0): it tells the
+    monitoring family which alarms apply (CUSUM/EWMA assume exchangeable
+    residuals; a high lag-1 says deseasonalize first — see
+    daily_seasonal_decomposition). Day-grain counts, the (y_t, y_{t+1})
+    alignment as a rn+1 self-join of the ~30-row daily table, and the
+    Pearson ratio from EXACT integer sums — one identical double
+    expression on both engines, rounded once at the output."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.expr("ts div 86400000000000").alias("day_idx"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("y"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    a, b = seq.alias("a"), seq.alias("b")
+    lagged = a.join(
+        b,
+        on=[
+            F.col("a.event_type") == F.col("b.event_type"),
+            F.col("b.rn") == F.col("a.rn") + 1,
+        ],
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("x"),
+        F.col("b.y").alias("z"),
+    )
+    s = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("z").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("z") * F.col("z")).alias("syy"),
+            F.sum(F.col("x") * F.col("z")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    return s.select(
+        "event_type",
+        n.alias("n_pairs"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("autocorr_lag1"),
+    )

@@ -188,3 +188,74 @@ def test_incremental_components_equals_full_recompute(spark):
     )
     want = {(r["id"], r["comp"]) for r in full.collect()}
     assert got == want and len(got) > 100
+
+
+def test_components_upsert_three_batches_matches_full(spark, tmp_path):
+    """The streaming maintainer's invariant over THREE batches, driven
+    directly through the foreachBatch body: after every prefix the paired
+    labelling equals the batch closure over documents seen so far,
+    including merges of components created in different earlier batches."""
+    from scylla_migrator_spark.analytics.components import connected_components
+    from scylla_migrator_spark.streaming.components_cdc import (
+        components_upsert_batch,
+    )
+
+    texts = {
+        # batch 0: two near-dup families (a/b) in one source
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",
+        3: "one two three four five six seven",
+        # batch 1: extends family a, starts family c
+        11: "alpha beta gamma delta epsilon zeta",
+        13: "red orange yellow green blue indigo",
+        # batch 2: bridges families via a doc near both 3 and 13? keep it
+        # simple: exact dup of 3 and of 13 (each merges into its family)
+        23: "one two three four five six seven",
+        24: "red orange yellow green blue indigo",
+    }
+    batches = [[1, 2, 3], [11, 13], [23, 24]]
+    serving = str(tmp_path / "cc_serving")
+    seen: list[int] = []
+    for ids in batches:
+        bdf = spark.createDataFrame(
+            [(i, "s0", texts[i]) for i in ids], "doc_id long, source string, text string"
+        )
+        components_upsert_batch(bdf, serving)
+        seen += ids
+        # full recompute over everything seen so far
+        full_docs = spark.createDataFrame(
+            [(i, "s0", texts[i]) for i in seen],
+            "doc_id long, source string, text string",
+        )
+        from scylla_migrator_spark.analytics import dedup as D
+        from pyspark.sql import functions as F
+
+        fp = D.simhash_fingerprints(
+            full_docs, "text", "doc_id", carry_cols=["source"], bits=32
+        )
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.source") == F.col("b.source"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 8)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        want = {
+            (r["id"], r["comp"])
+            for r in connected_components(pairs, "id_a", "id_b").collect()
+        }
+        got = {
+            (r["id"], r["comp"])
+            for r in spark.read.parquet(serving).filter("paired").collect()
+        }
+        assert got == want, f"prefix {seen}"
+    # families actually formed (1,2,11), (3,23), (13,24)
+    final = {
+        r["id"]: r["comp"] for r in spark.read.parquet(serving).filter("paired").collect()
+    }
+    assert final == {1: 1, 2: 1, 11: 1, 3: 3, 23: 3, 13: 13, 24: 13}
