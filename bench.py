@@ -149,6 +149,7 @@ HEADLINE = [
     "stream_components_update",
     "shard_balance_stats",
     "daily_volume_autocorr",
+    "near_dup_under_duplication",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",
