@@ -150,6 +150,8 @@ HEADLINE = [
     "shard_balance_stats",
     "daily_volume_autocorr",
     "near_dup_under_duplication",
+    "user_activity_streaks",
+    "rake_keyphrases",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -13103,3 +13103,154 @@ def near_dup_under_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp, "doc_id", bits=32, bands=4, max_hamming=3
     )
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+
+
+@_register(
+    "user_activity_streaks",
+    # gaps-and-islands: distinct (user, day) grid; day_idx - row_number is
+    # constant within a consecutive run, so grouping by it isolates each
+    # streak without a self-join or iteration
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day_idx
+      FROM events),
+    r AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx)
+               AS isl
+      FROM d),
+    s AS (
+      SELECT user_id, count(*)::BIGINT AS streak_len
+      FROM r GROUP BY user_id, isl)
+    SELECT user_id, max(streak_len) AS longest_streak,
+           sum(streak_len)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day_idx minus the user's day rank is
+    constant within a run, so one windowed subtraction isolates every
+    streak; no self-join, no iteration, no per-day explode). The
+    engagement readout behind retention/DAU curves: cohort_retention says
+    WHO came back, streaks say how CONTINUOUSLY. Scale shape: the
+    distinct (user, day) grid is the only shuffle-heavy step (map-side
+    combined); both windows partition by user."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("day_idx")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    r = d.withColumn("isl", F.col("day_idx") - F.row_number().over(w))
+    s = r.groupBy("user_id", "isl").agg(F.count("*").alias("streak_len"))
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@_register(
+    "rake_keyphrases",
+    # RAKE (Rose et al. 2010): candidate phrases are maximal stopword-free
+    # token runs (gaps-and-islands on token position); word score =
+    # degree/freq where degree sums the lengths of the word's phrases;
+    # phrase score = sum of member word scores. Word scores truncate to
+    # DECIMAL(18,9) before the phrase sum (shuffle-order independence).
+    r"""
+    WITH toks AS (
+      SELECT d.doc_id, g.i AS pos, d.arr[g.i] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM documents) d,
+           UNNEST(generate_series(1, len(d.arr))) AS g(i)
+      WHERE len(d.arr[g.i]) > 0),
+    nt AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM toks
+      WHERE w NOT IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it')),
+    phr AS (
+      SELECT doc_id, isl,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*)::BIGINT AS plen
+      FROM nt GROUP BY doc_id, isl),
+    wph AS (
+      SELECT n.doc_id, n.isl, n.w, p.plen, p.phrase
+      FROM nt n JOIN phr p ON n.doc_id = p.doc_id AND n.isl = p.isl),
+    ws AS (
+      SELECT w,
+             CAST(CAST(sum(plen) AS DOUBLE) / count(*) AS DECIMAL(18,9)) AS s
+      FROM wph GROUP BY w),
+    occ AS (
+      SELECT wph.doc_id, wph.isl, wph.phrase, wph.plen,
+             sum(ws.s) AS sc
+      FROM wph JOIN ws ON wph.w = ws.w
+      GROUP BY wph.doc_id, wph.isl, wph.phrase, wph.plen)
+    SELECT phrase, plen AS n_words, count(*)::BIGINT AS n_occurrences,
+           round(CAST(min(sc) AS DOUBLE), 6) AS score
+    FROM occ GROUP BY phrase, plen
+    ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus — the
+    classic unsupervised keyword miner a curation pipeline runs for topic
+    inventories and boilerplate discovery: candidate phrases are maximal
+    stopword-free token runs (the gaps-and-islands subtraction — position
+    minus non-stopword rank is constant within a run, so NO self-join and
+    no per-phrase explode), each word scores degree/freq (degree = summed
+    length of the word's phrases: favors words that live in long
+    collocations), and a phrase scores the sum of its member word scores.
+    Word scores truncate to DECIMAL(18,9) before the phrase sum, so the
+    aggregation is shuffle-order independent and the top-20 (score desc,
+    phrase asc) is deterministic. Scale shape: one posexplode, two
+    windows partitioned by doc, vocabulary-sized word-score join."""
+    from pyspark.sql.window import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("p", "w")
+    ).filter(F.length("w") > 0).select(
+        "doc_id", (F.col("p") + 1).alias("pos"), "w"
+    )
+    stop = F.array(*[F.lit(s) for s in TXT.STOPWORDS])
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    nt = (
+        toks.filter(~F.array_contains(stop, F.col("w")))
+        .withColumn("isl", F.col("pos") - F.row_number().over(w_doc))
+    )
+    phr = nt.groupBy("doc_id", "isl").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wph = nt.join(phr, ["doc_id", "isl"]).select(
+        "doc_id", "isl", "w", "plen", "phrase"
+    )
+    ws = wph.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count("*"))
+        .cast("decimal(18,9)")
+        .alias("s")
+    )
+    occ = (
+        wph.join(ws, "w")
+        .groupBy("doc_id", "isl", "phrase", "plen")
+        .agg(F.sum("s").alias("sc"))
+    )
+    return (
+        occ.groupBy("phrase", F.col("plen").alias("n_words"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.round(F.min("sc").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(20)
+    )
