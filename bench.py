@@ -152,6 +152,8 @@ HEADLINE = [
     "near_dup_under_duplication",
     "user_activity_streaks",
     "rake_keyphrases",
+    "session_gap_distribution",
+    "lsh_dedup_recall",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

@@ -13254,3 +13254,119 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(20)
     )
+
+
+@_register(
+    "session_gap_distribution",
+    # per-user consecutive-event gaps bucketed by power-of-two minutes:
+    # the distribution a sessionization threshold (the 30-min industry
+    # default) should be READ OFF, not assumed. Integer math end to end.
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS t,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+               AS rn
+      FROM events),
+    g AS (
+      SELECT (b.t - a.t) // 60000000000 AS gap_min
+      FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+    bk AS (
+      SELECT CASE WHEN gap_min <= 0 THEN 0
+                  ELSE CAST(floor(log2(CAST(gap_min AS DOUBLE))) AS INT) + 1
+             END AS bucket
+      FROM g)
+    SELECT bucket,
+           CASE WHEN bucket = 0 THEN 0 ELSE (1::BIGINT << (bucket - 1)) END
+             AS ge_minutes,
+           count(*)::BIGINT AS n_gaps
+    FROM bk GROUP BY bucket
+    """,
+)
+def session_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user, bucketed by power-of-two
+    minutes — the histogram a sessionization timeout should be read off
+    (the valley between the intra-session mass and the return-visit mass
+    is the threshold; events_sessionization assumes one, this query
+    justifies it). Gap minutes are integer nanosecond arithmetic; the
+    log2 bucket of a positive integer is exact in double well past any
+    realistic gap, so both engines bucket identically. One user-
+    partitioned window + a ~40-key aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = ev.select("user_id", F.col("ts").cast("long").alias("t"), "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    g = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("b.rn") == F.col("a.rn") + 1,
+        ],
+    ).select(((F.col("b.t") - F.col("a.t")) / F.lit(60000000000)).cast("long").alias("gap_min"))
+    bk = g.select(
+        F.when(F.col("gap_min") <= 0, F.lit(0))
+        .otherwise(F.floor(F.log2(F.col("gap_min").cast("double"))).cast("int") + 1)
+        .alias("bucket")
+    )
+    return bk.groupBy("bucket").agg(F.count("*").alias("n_gaps")).select(
+        "bucket",
+        F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(1L, bucket - 1)"))
+        .alias("ge_minutes"),
+        "n_gaps",
+    )
+
+
+def _lsh_dedup_recall_sql() -> str:
+    return f"""
+    WITH truth AS (
+      SELECT id_a, id_b FROM ({ORACLES["ngram_jaccard_block_pairs"]}) t
+      WHERE jaccard >= 0.5),
+    cand AS ({ORACLES["minhash_lsh_pairs"]}),
+    u AS (
+      SELECT id_a, id_b, max(it) AS it, max(ic) AS ic FROM (
+        SELECT id_a, id_b, 1 AS it, 0 AS ic FROM truth
+        UNION ALL SELECT id_a, id_b, 0, 1 FROM cand) x
+      GROUP BY id_a, id_b)
+    SELECT sum(it)::BIGINT AS n_true, sum(ic)::BIGINT AS n_candidates,
+           sum(it * ic)::BIGINT AS n_caught,
+           round(CAST(sum(it * ic) AS DOUBLE) / sum(it), 6) AS recall
+    FROM u
+    """
+
+
+@_register("lsh_dedup_recall", _lsh_dedup_recall_sql())
+def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP candidate quality as a CORRECTNESS row (the recall@k posture
+    applied to near-dup blocking): recall of the banded MinHash LSH
+    candidate set (16 hashes x 4 bands) against the EXACT shingle-Jaccard
+    >= 0.5 pairs — both sides share ONE shingle definition
+    (dedup.shingles), so the truth set lives in exactly the similarity
+    space the signatures estimate. A banding/signature regression now
+    moves a hash-checked recall value instead of silently shrinking the
+    candidate set. The comparison aggregates a tagged union of two
+    already-blocked pair tables — one pair-keyed groupBy, nothing
+    corpus-sized, no cross join."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    truth = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", n=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    cand = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
+    t = truth.select("id_a", "id_b", F.lit(1).alias("it"), F.lit(0).alias("ic"))
+    c = cand.select("id_a", "id_b", F.lit(0).alias("it"), F.lit(1).alias("ic"))
+    u = (
+        t.unionByName(c)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("it").alias("it"), F.max("ic").alias("ic"))
+    )
+    return u.agg(
+        F.sum("it").alias("n_true"),
+        F.sum("ic").alias("n_candidates"),
+        F.sum(F.col("it") * F.col("ic")).alias("n_caught"),
+        F.round(
+            F.sum(F.col("it") * F.col("ic")).cast("double") / F.sum("it"), 6
+        ).alias("recall"),
+    )
