@@ -13370,3 +13370,318 @@ def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("it") * F.col("ic")).cast("double") / F.sum("it"), 6
         ).alias("recall"),
     )
+
+
+@_register(
+    "chi_square_type_drift",
+    # Exact-integer contingency table (event_type x time-half, the ks
+    # midpoint split); expected counts and chi-square terms are the SAME
+    # double expression text on both engines (left-assoc double*int/int),
+    # rounded once at the end.
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    c AS (
+      SELECT event_type,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 0 ELSE 1 END)::BIGINT AS n_cur
+      FROM events, med GROUP BY event_type),
+    t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM c)
+    SELECT event_type, n_ref, n_cur,
+           round(CAST(n_ref + n_cur AS DOUBLE) * tr / (tr + tc), 6) AS expected_ref,
+           round((n_ref - CAST(n_ref + n_cur AS DOUBLE) * tr / (tr + tc))
+                 * (n_ref - CAST(n_ref + n_cur AS DOUBLE) * tr / (tr + tc))
+                 / (CAST(n_ref + n_cur AS DOUBLE) * tr / (tr + tc))
+               + (n_cur - CAST(n_ref + n_cur AS DOUBLE) * tc / (tr + tc))
+                 * (n_cur - CAST(n_ref + n_cur AS DOUBLE) * tc / (tr + tc))
+                 / (CAST(n_ref + n_cur AS DOUBLE) * tc / (tr + tc)), 6) AS chi2_term
+    FROM c, t
+    WHERE tr > 0 AND tc > 0
+    """,
+)
+def chi_square_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of the event-type MIX between the first
+    and second time halves — the classic categorical-drift statistic the
+    monitoring family lacked (PSI needs practitioner bins and a floor
+    hack for empty cells; chi-square is the textbook test with a known
+    null distribution, dof = |types| - 1). Per-type rows carry the
+    observed halves, the expected reference count under homogeneity, and
+    the type's chi-square contribution — the per-cell drill-down an alert
+    needs, with the total statistic one trivial sum away.
+
+    Scale shape (the CUSUM/PSI posture): ONE map-side-combined
+    groupBy(event_type) conditional-count pass over the scan carries all
+    the data; expectations and terms are arithmetic over the |types|-row
+    frame joined to a broadcast 1-row total. The time split is the
+    integer-exact (min+max) div 2 epoch midpoint shared with
+    ks_value_drift. Counts stay BIGINT; doubles appear only in the final
+    per-row expected/term arithmetic, same op order as the oracle."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    is_ref = F.when(F.col("ts") < F.col("cut"), F.lit(1)).otherwise(F.lit(0))
+    c = (
+        ev.join(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(is_ref).cast("bigint").alias("n_ref"),
+            F.sum(F.lit(1) - is_ref).cast("bigint").alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    row_tot = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    e_ref = row_tot * F.col("tr") / (F.col("tr") + F.col("tc"))
+    e_cur = row_tot * F.col("tc") / (F.col("tr") + F.col("tc"))
+    term = (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref + (
+        F.col("n_cur") - e_cur
+    ) * (F.col("n_cur") - e_cur) / e_cur
+    return (
+        c.join(F.broadcast(t))
+        .filter((F.col("tr") > 0) & (F.col("tc") > 0))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(e_ref, 6).alias("expected_ref"),
+            F.round(term, 6).alias("chi2_term"),
+        )
+    )
+
+
+@_register(
+    "mann_whitney_value_drift",
+    # Tie-corrected two-sample Mann-Whitney U per event type over the ks
+    # midpoint time split. Rank sums stay INTEGER via the 2x trick
+    # (2*avg_rank of a tied run = 2*count_before + t + 1), the tie term
+    # sum(t^3 - t) is integer, and doubles appear only in the final
+    # u/z arithmetic with identical op order on both engines.
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    vc AS (
+      SELECT event_type, value,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 0 ELSE 1 END)::BIGINT AS c2
+      FROM events, med GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, c1, c2, (c1 + c2)::BIGINT AS t,
+             (sum(c1 + c2) OVER (PARTITION BY event_type ORDER BY value)
+              - (c1 + c2))::BIGINT AS cb
+      FROM vc),
+    agg AS (
+      SELECT event_type,
+             sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+             sum(c1 * (2 * cb + t + 1))::BIGINT AS r2,
+             sum(t * t * t - t)::BIGINT AS ties
+      FROM cum GROUP BY event_type),
+    s AS (
+      SELECT event_type, n1, n2, (r2 - n1 * (n1 + 1))::BIGINT AS u2,
+             (n1 + n2)::BIGINT AS n, ties
+      FROM agg WHERE n1 > 0 AND n2 > 0)
+    SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+           CAST(u2 AS DOUBLE) / 2 AS u_stat,
+           round((CAST(u2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n + 1) - CAST(ties AS DOUBLE)
+                                     / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
+    FROM s
+    WHERE n > 1
+      AND CAST(n1 AS DOUBLE) * n2 / 12
+          * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) > 0
+    """,
+)
+def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) drift test per event
+    type between the first- and second-half value distributions — the
+    rank-based LOCATION-shift companion to ks_value_drift (KS reacts to
+    any shape change; U specifically asks "did values get systematically
+    larger/smaller", robust to outliers where a mean-shift CUSUM is not).
+    Tie-corrected normal approximation: z from U, mu = n1*n2/2 and the
+    tie-adjusted variance n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))).
+
+    Exactness: ranks never materialize per row — for a tied run of t
+    values with cb values before it, the run's 2x-average-rank is the
+    INTEGER 2*cb + t + 1, so the reference rank-sum accumulates as the
+    exact integer r2 = sum(c1 * (2cb + t + 1)) and U = (r2 - n1(n1+1))/2
+    leaves integers only at the final halving. Doubles appear once, in
+    the z arithmetic, same op order both engines, rounded to 6dp.
+
+    Scale shape: identical to ks_value_drift — one map-side-combined
+    (type, value) count pass, then the cumulative window runs over
+    DISTINCT values per type (never raw rows), partitioned BY TYPE. For
+    continuous 100 TB values, quantize to a measurement grid first; the
+    statistic degrades gracefully. sum(t^3) bounds the integer range:
+    fine to ~2M rows per (type, value); past that, rescale ties to
+    DECIMAL before summing."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    is_ref = F.when(F.col("ts") < F.col("cut"), F.lit(1)).otherwise(F.lit(0))
+    vc = (
+        ev.join(F.broadcast(med))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(is_ref).cast("bigint").alias("c1"),
+            F.sum(F.lit(1) - is_ref).cast("bigint").alias("c2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    t_run = (F.col("c1") + F.col("c2")).cast("bigint")
+    cum = vc.select(
+        "event_type",
+        "c1",
+        "c2",
+        t_run.alias("t"),
+        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2")))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("cb") + F.col("t") + F.lit(1)))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    s = agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("r2") - F.col("n1") * (F.col("n1") + F.lit(1)))
+        .cast("bigint")
+        .alias("u2"),
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("n"),
+        "ties",
+    )
+    u1 = F.col("u2").cast("double") / F.lit(2)
+    mu = F.col("n1").cast("double") * F.col("n2") / F.lit(2)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / F.lit(12)
+        * (
+            (F.col("n") + F.lit(1))
+            - F.col("ties").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
+        )
+    )
+    return (
+        s.filter((F.col("n") > 1) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_ref"),
+            F.col("n2").alias("n_cur"),
+            u1.alias("u_stat"),
+            F.round((u1 - mu) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
+@_register(
+    "theil_sen_daily_trend",
+    # Median-of-pairwise-slopes robust trend over daily volumes, beside
+    # the exact-moment OLS slope. Slopes are single divisions of exact
+    # integers (identical doubles both engines); the median picks rows by
+    # (slope, xi, xj) row_number over the tiny |days|^2/2 pair frame.
+    """
+    WITH d AS (
+      SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY day),
+    m0 AS (SELECT min(day) AS d0 FROM d),
+    x AS (SELECT (day - d0)::BIGINT AS x, n FROM d, m0),
+    p AS (
+      SELECT a.x AS xi, b.x AS xj,
+             CAST(b.n - a.n AS DOUBLE) / (b.x - a.x) AS slope
+      FROM x a JOIN x b ON b.x > a.x),
+    r AS (
+      SELECT slope, row_number() OVER (ORDER BY slope, xi, xj) AS rn,
+             count(*) OVER () AS np FROM p),
+    med AS (
+      SELECT avg(slope) AS ts_slope, max(np)::BIGINT AS n_pairs FROM r
+      WHERE rn IN ((np + 1) // 2, (np + 2) // 2)),
+    mom AS (
+      SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx, sum(n)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * n)::BIGINT AS sxy
+      FROM x)
+    SELECT k AS n_days, n_pairs,
+           round(ts_slope, 6) AS theil_sen_slope,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (k * sxx - sx * sx), 6) AS ols_slope
+    FROM med, mom
+    WHERE k > 1
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume — the median of all
+    pairwise slopes (n_j - n_i)/(day_j - day_i), the estimator that
+    shrugs off the outlier days (deploy spikes, backfills, outages) that
+    drag an OLS fit; the exact-moment OLS slope rides alongside so the
+    robust-vs-classical gap is itself a monitored value (they diverge
+    exactly when outlier days are present). Completes the trend corner
+    of the monitoring family: value_trend_slope (per-type OLS), Holt
+    (smoothed forecast), Theil-Sen (robust level change).
+
+    Scale shape: ONE map-side-combined groupBy(day) collapses the corpus
+    to |days| rows; the pairwise self-join and the global-order median
+    window run over the ~|days|^2/2 pair frame (~500 rows per month of
+    data) — a deliberate tiny-frame-only total order, the documented
+    rank_by posture, never touching raw events. Slopes are single
+    divisions of exact BIGINTs (bit-identical doubles both engines);
+    the even-count median averages two doubles (commutative, exact)."""
+    from pyspark.sql import Window
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    day_ns = 86_400_000_000_000
+    d = ev.groupBy(F.expr(f"ts DIV {day_ns}").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    m0 = d.agg(F.min("day").alias("d0"))
+    x = d.join(F.broadcast(m0)).select(
+        (F.col("day") - F.col("d0")).cast("bigint").alias("x"), "n"
+    )
+    a = x.select(F.col("x").alias("xi"), F.col("n").alias("ni"))
+    b = x.select(F.col("x").alias("xj"), F.col("n").alias("nj"))
+    p = a.join(b, F.col("xj") > F.col("xi")).select(
+        "xi",
+        "xj",
+        ((F.col("nj") - F.col("ni")).cast("double") / (F.col("xj") - F.col("xi"))).alias(
+            "slope"
+        ),
+    )
+    # tiny-frame-only global window (|days|^2/2 rows) — the rank_by posture
+    w = Window.orderBy("slope", "xi", "xj")
+    r = p.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("np"),
+    )
+    # integer-div semantics match the oracle's (np+1)//2 exactly via DIV
+    med = r.filter(
+        (F.col("rn") == F.expr("(np + 1) DIV 2")) | (F.col("rn") == F.expr("(np + 2) DIV 2"))
+    ).agg(F.avg("slope").alias("ts_slope"), F.max("np").cast("bigint").alias("n_pairs"))
+    mom = x.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("n").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("n")).cast("bigint").alias("sxy"),
+    )
+    ols = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        med.join(F.broadcast(mom))
+        .filter(F.col("k") > 1)
+        .select(
+            F.col("k").alias("n_days"),
+            "n_pairs",
+            F.round("ts_slope", 6).alias("theil_sen_slope"),
+            F.round(ols, 6).alias("ols_slope"),
+        )
+    )
