@@ -13685,3 +13685,230 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ols, 6).alias("ols_slope"),
         )
     )
+
+
+@_register(
+    "hll_distinct_estimate",
+    # HyperLogLog (Flajolet 2007, p=6 / m=64) over the deterministic
+    # 32-bit md5 hash, replayed register-for-register in SQL: bucket =
+    # hv % 64, rho = leading zeros of the 26-bit remainder + 1 (exact via
+    # bin-string length, identical in both engines), and the harmonic-sum
+    # denominator kept as the exact INTEGER sum(2^(27-r)) so no float
+    # summation order exists. The merged column rebuilds the registers
+    # from two event-parity halves (register-wise max) and must equal the
+    # whole-table estimate — HLL's merge law as a hash-checked value.
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events),
+    b AS (
+      SELECT event_type, (hv % 64)::BIGINT AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 27
+                  ELSE 27 - length(bin((hv // 64)::BIGINT)) END AS rho
+      FROM h),
+    reg AS (SELECT event_type, bucket, max(rho)::BIGINT AS r FROM b GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             (sum(1::BIGINT << (27 - r))
+              + (64 - count(*)) * 134217728)::BIGINT AS s_int,
+             (64 - count(*))::BIGINT AS v
+      FROM reg GROUP BY 1),
+    hh AS (
+      SELECT DISTINCT event_id % 2 AS half, event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events),
+    bh AS (
+      SELECT half, event_type, (hv % 64)::BIGINT AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 27
+                  ELSE 27 - length(bin((hv // 64)::BIGINT)) END AS rho
+      FROM hh),
+    regh AS (
+      SELECT half, event_type, bucket, max(rho)::BIGINT AS r
+      FROM bh GROUP BY 1, 2, 3),
+    regm AS (
+      SELECT event_type, bucket, max(r)::BIGINT AS r
+      FROM regh GROUP BY 1, 2),
+    sm AS (
+      SELECT event_type,
+             (sum(1::BIGINT << (27 - r))
+              + (64 - count(*)) * 134217728)::BIGINT AS s_int,
+             (64 - count(*))::BIGINT AS v
+      FROM regm GROUP BY 1),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+    SELECT ex.event_type, 64 AS m, ex.n_exact,
+           round(CASE WHEN 0.709 * 4096 * 134217728 / s.s_int <= 160 AND s.v > 0
+                      THEN 64 * ln(64.0 / s.v)
+                      ELSE 0.709 * 4096 * 134217728 / s.s_int END, 3) AS hll_estimate,
+           round(CASE WHEN 0.709 * 4096 * 134217728 / sm.s_int <= 160 AND sm.v > 0
+                      THEN 64 * ln(64.0 / sm.v)
+                      ELSE 0.709 * 4096 * 134217728 / sm.s_int END, 3)
+             AS hll_estimate_merged
+    FROM ex JOIN s ON ex.event_type = s.event_type
+            JOIN sm ON ex.event_type = sm.event_type
+    """,
+)
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (Flajolet et al.
+    2007, p=6 / m=64) — the production-standard cardinality sketch as a
+    FULLY VALUE-ORACLED row beside KMV and linear counting: the md5-based
+    hash makes every register (bucket = low 6 bits, rho = leading zeros
+    of the 26-bit remainder + 1) replayable in SQL, and the harmonic-mean
+    denominator is kept as the exact INTEGER sum(2^(27-rho)) — scaled by
+    2^27, so no float accumulation order exists anywhere in the sketch;
+    doubles appear once, in the final alpha_64*m^2*2^27/S estimate (and
+    the small-range linear-counting branch E <= 2.5m with empty
+    registers, rounded at 3dp like its siblings). ``hll_estimate_merged``
+    rebuilds registers from two event-parity halves and takes the
+    register-wise max — the merge law that makes HLL the map-side
+    combinable sketch (64 bytes of state per group at 100 TB; Spark's own
+    approx_count_distinct is this sketch with engine-internal state,
+    checked rows-only as sketch_merge_distinct).
+
+    Scale shape: DISTINCT (type, hv) collapse first (map-side combinable),
+    then everything is arithmetic over <= 64 register rows per type."""
+    ev = _t(spark, sf_dir, "events")
+    hv = TXT._md5_int(F.col("user_id").cast("string")).alias("hv")
+
+    def regs(df, keys):
+        w = F.expr("hv DIV 64")
+        b = df.select(
+            *keys,
+            (F.col("hv") % 64).cast("bigint").alias("bucket"),
+            F.when(w == 0, F.lit(27))
+            .otherwise(F.lit(27) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        return b.groupBy(*keys, "bucket").agg(F.max("rho").cast("bigint").alias("r"))
+
+    def sketch(reg):
+        return reg.groupBy("event_type").agg(
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 27 - cast(r as int))"))
+                + (F.lit(64) - F.count("*")) * F.lit(134217728)
+            )
+            .cast("bigint")
+            .alias("s_int"),
+            (F.lit(64) - F.count("*")).cast("bigint").alias("v"),
+        )
+
+    h = ev.select("event_type", hv).distinct()
+    s = sketch(regs(h, ["event_type"]))
+    hh = ev.select((F.col("event_id") % 2).alias("half"), "event_type", hv).distinct()
+    regh = regs(hh, ["half", "event_type"])
+    regm = regh.groupBy("event_type", "bucket").agg(F.max("r").cast("bigint").alias("r"))
+    smm = sketch(regm)
+    ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+
+    def est(pref):
+        raw = F.lit(0.709) * F.lit(4096) * F.lit(134217728) / F.col(f"{pref}s_int")
+        return F.round(
+            F.when(
+                (raw <= 160) & (F.col(f"{pref}v") > 0),
+                F.lit(64) * F.log(F.lit(64.0) / F.col(f"{pref}v")),
+            ).otherwise(raw),
+            3,
+        )
+
+    a = s.select("event_type", F.col("s_int").alias("a_s_int"), F.col("v").alias("a_v"))
+    b2 = smm.select(
+        "event_type", F.col("s_int").alias("b_s_int"), F.col("v").alias("b_v")
+    )
+    return (
+        ex.join(a, "event_type")
+        .join(b2, "event_type")
+        .select(
+            "event_type",
+            F.lit(64).alias("m"),
+            "n_exact",
+            est("a_").alias("hll_estimate"),
+            est("b_").alias("hll_estimate_merged"),
+        )
+    )
+
+
+@_register(
+    "dup_graph_local_clustering",
+    # Per-vertex triangle participation over the staged near-dup pair
+    # graph: each a<b<c triangle found once by compact-forward enumeration
+    # credits all three corners; local coefficient = 2*t / (deg*(deg-1)).
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    tris AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM prs p1 JOIN prs p2 ON p1.id_b = p2.id_a
+                  JOIN prs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+    tv AS (
+      SELECT v, count(*)::BIGINT AS t FROM (
+        SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris) x
+      GROUP BY v),
+    deg AS (
+      SELECT v, count(*)::BIGINT AS dg FROM (
+        SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) t
+      GROUP BY v)
+    SELECT deg.v AS doc_id, dg AS degree, coalesce(tv.t, 0)::BIGINT AS n_triangles,
+           CASE WHEN dg < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(tv.t, 0) / (dg * (dg - 1)), 6)
+           END AS local_coeff
+    FROM deg LEFT JOIN tv ON deg.v = tv.v
+    """,
+)
+def dup_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the near-dup pair graph:
+    for each doc with near-duplicates, the fraction of its neighbor pairs
+    that are themselves near-duplicates — 2*t_v / (deg_v*(deg_v - 1)).
+    The per-doc drill-down under the global dup_graph_triangles
+    transitivity number: a LOW local coefficient flags a doc whose
+    near-dup edges do not agree with each other (banding noise, a hub
+    template bridging unrelated clusters — exactly the vertices that make
+    connected components over-merge), while genuine duplicate clusters
+    sit at 1.0.
+
+    Scale shape: same compact-forward enumeration as the census — each
+    a<b<c triangle found ONCE by two equi-joins on the a<b staged pair
+    table plus the closing-edge join, then exploded to credit its three
+    corners (3 rows per triangle, never vertex^2); degrees are one
+    aggregate over the pair list; the final frame is |vertices-with-
+    degree| rows. Integer counts throughout; the one double division is
+    per-row arithmetic rounded at 6dp identically to the oracle."""
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tris = p1.join(p2, "b").join(p3, ["a", "c"])
+    tv = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("dg"))
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    return deg.join(tv, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        F.col("dg").alias("degree"),
+        t0.alias("n_triangles"),
+        F.when(F.col("dg") < 2, F.lit(0.0))
+        .otherwise(F.round(F.lit(2.0) * t0 / (F.col("dg") * (F.col("dg") - 1)), 6))
+        .alias("local_coeff"),
+    )
