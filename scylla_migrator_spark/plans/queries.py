@@ -13912,3 +13912,154 @@ def dup_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(2.0) * t0 / (F.col("dg") * (F.col("dg") - 1)), 6))
         .alias("local_coeff"),
     )
+
+
+@_register(
+    "sentence_dedup_fraction",
+    # CCNet-style sentence-level duplication readout: split on [.!?]+
+    # runs, trim, drop empties; a sentence occurrence is duplicated when
+    # its exact text appears in >= 2 DISTINCT docs. Same regex + trim +
+    # md5 grouping on both engines; the one double is the final per-doc
+    # ratio rounded at 6dp.
+    r"""
+    WITH sents AS (
+      SELECT doc_id, trim(s) AS s
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents) t
+      WHERE length(trim(s)) > 0),
+    dfq AS (
+      SELECT md5(s) AS h, count(DISTINCT doc_id)::BIGINT AS nd
+      FROM sents GROUP BY 1),
+    j AS (
+      SELECT doc_id, CASE WHEN nd >= 2 THEN 1 ELSE 0 END AS isdup
+      FROM sents JOIN dfq ON md5(sents.s) = dfq.h)
+    SELECT doc_id, count(*)::BIGINT AS n_sentences,
+           sum(isdup)::BIGINT AS n_dup_sentences,
+           round(CAST(sum(isdup) AS DOUBLE) / count(*), 6) AS dup_fraction
+    FROM j GROUP BY doc_id
+    """,
+)
+def sentence_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level cross-document duplication per doc — the CCNet
+    deduplication readout (Wenzek et al. 2020 dedup by sentence hash):
+    each sentence occurrence is flagged when its exact text occurs in
+    >= 2 distinct documents, and the doc's duplicated-sentence fraction
+    is the curation signal (high fraction = boilerplate/templated page;
+    CCNet drops the duplicated sentences themselves — this emits the
+    per-doc ledger a drop policy consumes). Complements the shingle
+    families: paragraph/sentence granularity catches shared boilerplate
+    that whole-doc MinHash dilutes below threshold and char-shingles
+    spread across bands.
+
+    Scale shape: one Generate (sentence explode) off the scan; the
+    document-frequency join keys on the 16-byte md5 digest, never
+    sentence text twice (sentences ride the df join only as digests);
+    both aggregates are map-side combinable. Docs with zero non-empty
+    sentences have no ledger row (nothing to govern). At 100 TB the df
+    table is the distinct-sentence corpus — bounded by content entropy,
+    the same posture as the shingle df caps."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    sents = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0")
+        )
+        .select("doc_id", F.trim(F.col("s0")).alias("s"))
+        .filter(F.length("s") > 0)
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    dfq = sents.distinct().groupBy("h").agg(F.count("*").cast("bigint").alias("nd"))
+    j = sents.join(dfq, "h").select(
+        "doc_id", F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0)).alias("isdup")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.sum("isdup").cast("bigint").alias("n_dup_sentences"),
+        F.round(F.sum("isdup").cast("double") / F.count("*"), 6).alias("dup_fraction"),
+    )
+
+
+@_register(
+    "embedding_cosine_histogram",
+    # Corpus-geometry health readout: cosine distribution over a
+    # derandomized random matching — md5-bucket the vectors (64 buckets),
+    # rank by (md5, id) inside each bucket, pair consecutive ranks. Same
+    # cosine + rounding contract as brute_force_topk's oracle; bin edges
+    # computed from the ALREADY-6dp-rounded cosine with identical double
+    # ops on both engines.
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             md5(CAST(vec_id AS VARCHAR)) AS hx,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+               AS bkt
+      FROM embeddings),
+    r AS (
+      SELECT vec_id, embedding, bkt,
+             row_number() OVER (PARTITION BY bkt ORDER BY hx, vec_id) AS rn
+      FROM e),
+    p AS (
+      SELECT a.embedding AS va, b.embedding AS vb
+      FROM r a JOIN r b ON a.bkt = b.bkt AND b.rn = a.rn + 1
+      WHERE a.rn % 2 = 1),
+    c AS (
+      SELECT round(list_cosine_similarity(CAST(va AS DOUBLE[]),
+                                          CAST(vb AS DOUBLE[])), 6) AS cos
+      FROM p),
+    bn AS (
+      SELECT least(19, greatest(0, CAST(floor((cos + 1) * 10) AS INT))) AS bin
+      FROM c)
+    SELECT bin, round(bin / 10.0 - 1.0, 1) AS lo, count(*)::BIGINT AS n_pairs
+    FROM bn GROUP BY bin
+    """,
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space geometry health check: the cosine-similarity
+    histogram over a derandomized random matching of the corpus vectors
+    (20 bins of width 0.1 on [-1, 1]). The readout an embedding pipeline
+    watches before trusting ANN or SemDedup downstream: healthy spaces
+    put random-pair mass near 0 with modest positive shift; anisotropic
+    collapse (all-pairs mass piling toward 1.0) silently breaks
+    cosine-threshold dedup and recall\@k alike. Random pairs are
+    DERANDOMIZED: vectors land in 64 md5 buckets, rank inside a bucket by
+    (md5, id), consecutive ranks pair — reproducible in SQL, no RNG.
+
+    Scale shape: no global sort — the only window partitions BY BUCKET
+    (the rank_by escape); each vector joins exactly one partner via the
+    (bucket, rank+1) equi-join, so pair work is N/2 rows; the histogram
+    is one 20-group aggregate. Cosine arithmetic follows the
+    brute_force_topk contract (array<double> cast, 6dp round) that
+    already hash-matches DuckDB's list_cosine_similarity."""
+    from pyspark.sql import Window
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    hx = F.md5(F.col("vec_id").cast("string"))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        hx.alias("hx"),
+        (TXT._md5_int(F.col("vec_id").cast("string")) % 64).alias("bkt"),
+    )
+    w = Window.partitionBy("bkt").orderBy("hx", "vec_id")
+    r = e.select("vec_id", "embedding", "bkt", F.row_number().over(w).alias("rn"))
+    a = r.filter(F.col("rn") % 2 == 1).select(
+        "bkt", F.col("rn").alias("rna"), F.col("embedding").alias("va")
+    )
+    b = r.select("bkt", F.col("rn").alias("rnb"), F.col("embedding").alias("vb"))
+    p = a.join(b, (a["bkt"] == b["bkt"]) & (F.col("rnb") == F.col("rna") + 1)).select(
+        "va", "vb"
+    )
+    cos = F.round(
+        SIM.cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        6,
+    )
+    bn = p.select(
+        F.least(
+            F.lit(19),
+            F.greatest(F.lit(0), F.floor((cos + 1) * 10).cast("int")),
+        ).alias("bin")
+    )
+    return bn.groupBy("bin").agg(F.count("*").cast("bigint").alias("n_pairs")).select(
+        "bin",
+        F.round(F.col("bin") / F.lit(10.0) - F.lit(1.0), 1).alias("lo"),
+        "n_pairs",
+    )
