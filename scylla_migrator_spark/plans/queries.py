@@ -14063,3 +14063,245 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bin") / F.lit(10.0) - F.lit(1.0), 1).alias("lo"),
         "n_pairs",
     )
+
+
+@_register(
+    "cramers_v_association",
+    # Full contingency table (observed type x day-of-week crossed from the
+    # marginals so ZERO cells contribute their expected mass), per-cell
+    # chi-square terms truncated to DECIMAL(18,9) before the sum (exact,
+    # shuffle-order-independent), one double sqrt at the end.
+    """
+    WITH cells AS (
+      SELECT event_type, ((epoch_us(ts) // 86400000000) % 7)::BIGINT AS dow,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(o)::BIGINT AS r_tot FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(o)::BIGINT AS c_tot FROM cells GROUP BY 1),
+    n AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    full_cells AS (
+      SELECT rt.event_type, ct.dow, rt.r_tot, ct.c_tot,
+             coalesce(cells.o, 0)::BIGINT AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.event_type = rt.event_type AND cells.dow = ct.dow),
+    terms AS (
+      SELECT CAST((o - CAST(r_tot AS DOUBLE) * c_tot / n.n)
+                  * (o - CAST(r_tot AS DOUBLE) * c_tot / n.n)
+                  / (CAST(r_tot AS DOUBLE) * c_tot / n.n) AS DECIMAL(18,9)) AS term
+      FROM full_cells, n),
+    dims AS (
+      SELECT (SELECT count(*) FROM rt)::BIGINT AS r_levels,
+             (SELECT count(*) FROM ct)::BIGINT AS c_levels)
+    SELECT n.n AS n_rows, dims.r_levels, dims.c_levels,
+           round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(sum(term) AS DOUBLE)
+                      / (n.n * (least(dims.r_levels, dims.c_levels) - 1))), 6)
+             AS cramers_v
+    FROM terms, n, dims
+    GROUP BY n.n, dims.r_levels, dims.c_levels
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week — the
+    normalized [0,1] strength-of-association readout over the full
+    contingency table (V = sqrt(chi2 / (n*(min(r,c)-1)))): "is the event
+    mix a function of weekday?" is the seasonality-confound question to
+    answer BEFORE trusting any weekday-blind drift monitor (a high V
+    means chi_square_type_drift alarms are partly calendar artifacts).
+
+    Exactness: cells, marginals, and n are integer counts from ONE
+    map-side-combined pass; the |types| x 7 table is completed by
+    crossing the marginals (zero cells contribute their expected mass —
+    dropping them understates chi2); each cell's double term truncates to
+    DECIMAL(18,9) before the sum, so the reduction is shuffle-order
+    exact; doubles reappear once for the final sqrt, rounded 6dp."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    day_ns = 86_400_000_000_000
+    cells = ev.groupBy(
+        "event_type", (F.expr(f"ts DIV {day_ns}") % 7).cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c_tot"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    full_cells = (
+        rt.crossJoin(ct)
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "r_tot", "c_tot", F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o")
+        )
+    )
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    terms = full_cells.join(F.broadcast(n)).select(
+        ((F.col("o") - e) * (F.col("o") - e) / e).cast("decimal(18,9)").alias("term")
+    )
+    dims = rt.agg(F.count("*").cast("bigint").alias("r_levels")).crossJoin(
+        ct.agg(F.count("*").cast("bigint").alias("c_levels"))
+    )
+    chi2 = F.sum("term").cast("double")
+    return (
+        terms.join(F.broadcast(n))
+        .join(F.broadcast(dims))
+        .groupBy("n", "r_levels", "c_levels")
+        .agg(
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("n")
+                        * (F.least(F.col("r_levels"), F.col("c_levels")) - F.lit(1))
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .select(
+            F.col("n").alias("n_rows"), "r_levels", "c_levels", "chi2", "cramers_v"
+        )
+    )
+
+
+@_register(
+    "time_decay_user_engagement",
+    # Exponential time-decay engagement per user: per-row decayed value
+    # exp(-age_days/7)*value truncated to DECIMAL(18,9) before the sum
+    # (the bigram-NLL per-row-transcendental discipline), age in exact
+    # integer nanos from the corpus max-ts anchor.
+    """
+    WITH mx AS (SELECT max(epoch_ns(ts))::BIGINT AS tmax FROM events),
+    d AS (
+      SELECT user_id,
+             CAST(value * exp(-(CAST(tmax - epoch_ns(ts) AS DOUBLE)
+                                / 604800000000000.0)) AS DECIMAL(18,9)) AS dv,
+             value
+      FROM events, mx),
+    agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             CAST(sum(dv) AS DOUBLE) AS decayed,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw
+      FROM d GROUP BY user_id)
+    SELECT user_id, n_events, round(decayed, 6) AS decayed_value,
+           round(raw, 6) AS raw_value,
+           round(decayed / raw, 6) AS recency_ratio
+    FROM agg WHERE raw <> 0
+    """,
+)
+def time_decay_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user — every event's
+    value is discounted by exp(-age/tau) with tau = 7 days, anchored at
+    the corpus max timestamp: the standard recency-weighted activity
+    score (feature stores, churn models, freshness-weighted sampling
+    upstream of corpus mixing). ``recency_ratio`` (decayed/raw) is the
+    per-user freshness readout — near 1 means all activity is recent,
+    near 0 long-dormant.
+
+    Exactness: age is exact integer nanos (tmax broadcast from one
+    1-row agg); the per-row transcendental exp runs on bit-identical
+    double inputs on both engines and its product truncates to
+    DECIMAL(18,9) BEFORE the sum (the bigram-NLL discipline), so the
+    per-user reduction is shuffle-order exact; raw values accumulate
+    in DECIMAL(18,6) like the zscore moments. One scan, one
+    map-side-combined groupBy(user_id)."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    mx = ev.agg(F.max("ts").cast("bigint").alias("tmax"))
+    dv = (
+        F.col("value")
+        * F.exp(
+            -(
+                (F.col("tmax") - F.col("ts")).cast("double")
+                / F.lit(604800000000000.0)
+            )
+        )
+    ).cast("decimal(18,9)")
+    d = ev.join(F.broadcast(mx)).select(
+        "user_id", dv.alias("dv"), F.col("value").cast("decimal(18,6)").alias("v6")
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("dv").cast("double").alias("decayed"),
+        F.sum("v6").cast("double").alias("raw"),
+    )
+    return agg.filter(F.col("raw") != 0).select(
+        "user_id",
+        "n_events",
+        F.round("decayed", 6).alias("decayed_value"),
+        F.round("raw", 6).alias("raw_value"),
+        F.round(F.col("decayed") / F.col("raw"), 6).alias("recency_ratio"),
+    )
+
+
+@_register(
+    "winsorized_value_stats",
+    # Per-type winsorization ledger: exact interpolated p01/p99
+    # (quantile_cont = F.percentile, the mad_value_outliers contract)
+    # broadcast back onto the scan; raw and clamped values accumulate in
+    # DECIMAL(18,6) so the means are shuffle-order exact.
+    """
+    WITH q AS (
+      SELECT event_type, quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, q.p01, q.p99, e.value,
+             CASE WHEN e.value < q.p01 THEN q.p01
+                  WHEN e.value > q.p99 THEN q.p99
+                  ELSE e.value END AS w
+      FROM events e JOIN q USING (event_type))
+    SELECT event_type, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN value < p01 THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+           sum(CASE WHEN value > p99 THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+           round(max(p01), 6) AS p01, round(max(p99), 6) AS p99,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_raw,
+           round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_winsorized
+    FROM c GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization ledger per event type: clamp values to the exact
+    interpolated [p01, p99] band and report clipped counts plus the
+    raw-vs-winsorized mean shift — the standard tail-taming transform a
+    numeric feature pipeline applies before z-scoring or model training
+    (clipping is the FIX; zscore/mad_value_outliers are the alarms), and
+    the mean shift quantifies exactly how much the tails were moving the
+    statistic.
+
+    Shape: one exact-percentile pass per type (F.percentile ==
+    quantile_cont, the mad_value_outliers cross-engine contract), tiny
+    per-type scalars broadcast back onto the scan, then ONE
+    map-side-combined aggregate; raw and clamped values accumulate in
+    DECIMAL(18,6) so both means are shuffle-order exact. At 100 TB the
+    exact percentiles swap for approx_percentile on the same plan."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    c = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        "value",
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+        .alias("w"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum((F.col("value") < F.col("p01")).cast("long"))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("p99")).cast("long"))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.max("p01"), 6).alias("p01"),
+        F.round(F.max("p99"), 6).alias("p99"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("mean_winsorized"),
+    )
