@@ -1015,3 +1015,125 @@ def test_video_pair_plan_is_python_free_and_join_safe(spark, sf_dir):
     plan = plan_of(Q.QUERIES["video_phash_dup_pairs"](spark, sf_dir), mode="simple")
     assert "MapInPandas" not in plan and "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round8b_stat_plans_no_python_no_cartesian(spark, sf_dir):
+    """Round-8b statistics queries: no Python row eval anywhere; no
+    cartesian product except the documented tiny-frame broadcast crosses
+    (1-row totals / |days|-row moment frames)."""
+    for name in (
+        "chi_square_type_drift",
+        "mann_whitney_value_drift",
+        "theil_sen_daily_trend",
+        "cramers_v_association",
+        "time_decay_user_engagement",
+        "winsorized_value_stats",
+        "hll_distinct_estimate",
+        "sentence_dedup_fraction",
+        "embedding_cosine_histogram",
+        "dup_graph_local_clustering",
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rank_windows_partition_by_type_or_bucket(spark, sf_dir):
+    """The mann-whitney cumulative window must partition by event_type and
+    the cosine-histogram rank window by md5 bucket — neither ever plans a
+    single-partition global sort over row-sized data. (theil_sen's global
+    median window is exempt by design: it runs over the |days|^2/2
+    aggregated pair frame, the documented rank_by tiny-frame posture.)"""
+    for name, key in (
+        ("mann_whitney_value_drift", "event_type#"),
+        ("embedding_cosine_histogram", "bkt#"),
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+        assert win_lines and all(key in ln for ln in win_lines), (name, win_lines)
+
+
+def test_sentence_dedup_df_join_carries_digests_not_text(spark, sf_dir):
+    """sentence_dedup_fraction: the document-frequency join keys on the
+    md5 digest and no join input carries the raw text column — sentences
+    cross the shuffle as 16-byte digests only."""
+    plan = plan_of(Q.QUERIES["sentence_dedup_fraction"](spark, sf_dir))
+    lines = plan.splitlines()
+    key_lines = [ln for ln in lines if ln.startswith("Left keys")]
+    assert key_lines and all("h#" in ln for ln in key_lines)
+    exchange_outputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.startswith("Arguments: hashpartitioning") and i + 1 < len(lines)
+    ]
+    assert all("text#" not in ln for ln in exchange_outputs)
+
+
+def test_hll_merge_law_under_arbitrary_splits(spark):
+    """HLL register merge is max — rebuilding registers from ANY disjoint
+    split of the input must reproduce the whole-set estimate. The oracle
+    checks the 2-way event-parity split; this pins a 5-way split on a
+    synthetic frame, so the merge law is not an artifact of parity."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 3000).select(
+        (F2.col("id") % 5).alias("part"), F2.col("id").alias("user_id")
+    )
+    hv = F2.conv(F2.substring(F2.md5(F2.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    b = df.select("part", hv.alias("hv")).select(
+        "part",
+        (F2.col("hv") % 64).alias("bucket"),
+        F2.when(F2.expr("hv div 64") == 0, F2.lit(27))
+        .otherwise(F2.lit(27) - F2.length(F2.bin(F2.expr("hv div 64"))))
+        .alias("rho"),
+    )
+    whole = b.groupBy("bucket").agg(F2.max("rho").alias("r"))
+    split = (
+        b.groupBy("part", "bucket")
+        .agg(F2.max("rho").alias("r"))
+        .groupBy("bucket")
+        .agg(F2.max("r").alias("r"))
+    )
+    wrows = {r["bucket"]: r["r"] for r in whole.collect()}
+    srows = {r["bucket"]: r["r"] for r in split.collect()}
+    assert wrows == srows
+
+
+def test_winsorized_clip_counts_bound(spark, sf_dir):
+    """Winsorization at [p01, p99] clips at most ~1% each side (strict
+    inequality against the interpolated quantile can clip slightly less,
+    never more than the ceiling of 1% + 1)."""
+    rows = Q.QUERIES["winsorized_value_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        cap = r["n_rows"] * 0.01 + 1
+        assert r["n_clipped_low"] <= cap and r["n_clipped_high"] <= cap, r
+        assert r["p01"] <= r["p99"]
+
+
+def test_mann_whitney_detects_injected_location_shift(spark):
+    """A deliberate +10 location shift in the second half must push z
+    strongly positive (second half larger -> reference U below its mean)."""
+    import pandas as pd
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [i * 1_000_000_000 for i in range(n)],
+            "event_type": ["a"] * n,
+            "value": [float(i % 97) + (10.0 if i >= n // 2 else 0.0) for i in range(n)],
+            "user_id": [i % 50 for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sdf.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = Q.QUERIES["mann_whitney_value_drift"](spark, td).collect()
+    assert len(out) == 1
+    # ref values are smaller -> U1 below mean -> z negative, and large
+    # (the +10 shift on a 0..96 base moves |z| well past any alarm line)
+    assert out[0]["z"] < -5, out[0]
