@@ -14305,3 +14305,198 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("mean_winsorized"),
     )
+
+
+@_register(
+    "gini_user_concentration",
+    # Exact Gini + top-1% share WITHOUT a per-user global sort: users
+    # collapse to the (events-per-user, n_users) count histogram, rank
+    # sums over tied tiers close arithmetically (ranks s+1..s+m sum to
+    # m*s + m(m+1)/2), and both statistics stay INTEGER until one final
+    # division. Windows run over the |distinct counts| tier frame.
+    """
+    WITH u AS (
+      SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id),
+    hist AS (SELECT c, count(*)::BIGINT AS m FROM u GROUP BY c),
+    tot AS (
+      SELECT sum(m)::BIGINT AS n, sum(c * m)::BIGINT AS t FROM hist),
+    asc_t AS (
+      SELECT c, m, (sum(m) OVER (ORDER BY c) - m)::BIGINT AS cb
+      FROM hist),
+    s AS (
+      SELECT sum(c * (m * cb + (m * (m + 1)) // 2))::BIGINT AS rank_mass
+      FROM asc_t),
+    desc_t AS (
+      SELECT c, m, (sum(m) OVER (ORDER BY c DESC) - m)::BIGINT AS ub
+      FROM hist),
+    topk AS (
+      SELECT sum(c * least(m, greatest(0, (n + 99) // 100 - ub)))::BIGINT
+               AS top_events
+      FROM desc_t, tot)
+    SELECT tot.n AS n_users, tot.t AS total_events,
+           round(CAST(2 * s.rank_mass - (tot.n + 1) * tot.t AS DOUBLE)
+                 / (tot.n * tot.t), 6) AS gini,
+           ((tot.n + 99) // 100)::BIGINT AS k_top_users,
+           round(CAST(topk.top_events AS DOUBLE) / tot.t, 6) AS top1pct_share
+    FROM tot, s, topk
+    WHERE tot.n > 0 AND tot.t > 0
+    """,
+)
+def gini_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration readout: the exact Gini coefficient of
+    events-per-user plus the share held by the top 1% of users — the
+    ownership-skew metric a training pipeline checks before user-keyed
+    sampling or per-user privacy budgeting (a corpus where 1% of users
+    produce half the events needs capping before it needs mixing), and
+    the early-warning for user-keyed join/agg hot spots.
+
+    Scale shape — the reason this query exists in this form: the
+    textbook Gini (2*sum(rank*x) formula) wants a GLOBAL SORT of users
+    by activity, corpus-sized at 100 TB. Instead users collapse to the
+    (count, n_users) histogram — bounded by the distinct activity levels,
+    thousands at most — and the rank sum over a tied tier of m users
+    after cb closes arithmetically as c*(m*cb + m(m+1)/2); the top-1%
+    cut walks the same histogram descending with a clamped partial tier.
+    Both windows order the TIER frame, both statistics are exact BIGINT
+    arithmetic until one final division each (past ~10^9 users, move
+    rank_mass to DECIMAL(38,0) — same plan)."""
+    from pyspark.sql import Window
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    u = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    # four downstream branches (totals, rank mass, top-k walk, final join)
+    # read the histogram; materialize the |distinct counts|-row frame ONCE
+    # so the corpus-sized user aggregation never re-runs per branch
+    hist = (
+        u.groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("m")).cast("bigint").alias("t"),
+    )
+    # tier frames are |distinct activity levels| rows — documented
+    # tiny-frame global windows (the rank_by posture)
+    wa = Window.orderBy("c")
+    asc_t = hist.select(
+        "c", "m", (F.sum("m").over(wa) - F.col("m")).cast("bigint").alias("cb")
+    )
+    s = asc_t.agg(
+        F.sum(
+            F.col("c")
+            * (F.col("m") * F.col("cb") + F.expr("(m * (m + 1)) DIV 2"))
+        )
+        .cast("bigint")
+        .alias("rank_mass")
+    )
+    wd = Window.orderBy(F.col("c").desc())
+    desc_t = hist.select(
+        "c", "m", (F.sum("m").over(wd) - F.col("m")).cast("bigint").alias("ub")
+    )
+    topk = (
+        desc_t.join(F.broadcast(tot))
+        .select(
+            (
+                F.col("c")
+                * F.least(
+                    F.col("m"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.expr("(n + 99) DIV 100") - F.col("ub"),
+                    ),
+                )
+            ).alias("te")
+        )
+        .agg(F.sum("te").cast("bigint").alias("top_events"))
+    )
+    return (
+        tot.join(F.broadcast(s))
+        .join(F.broadcast(topk))
+        .filter((F.col("n") > 0) & (F.col("t") > 0))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("t").alias("total_events"),
+            F.round(
+                (F.lit(2) * F.col("rank_mass") - (F.col("n") + 1) * F.col("t")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("t")),
+                6,
+            ).alias("gini"),
+            F.expr("(n + 99) DIV 100").cast("bigint").alias("k_top_users"),
+            F.round(F.col("top_events").cast("double") / F.col("t"), 6).alias(
+                "top1pct_share"
+            ),
+        )
+    )
+
+
+@_register(
+    "source_lang_entropy",
+    # Shannon entropy of each source's language mix: integer (source,
+    # lang) counts, per-term -p*ln(p) truncated to DECIMAL(18,9) before
+    # the shuffle-order-exact sum (the bigram-NLL discipline), normalized
+    # by ln(n_langs) once at the end.
+    """
+    WITH c AS (
+      SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs
+      FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.source,
+             CAST(-(CAST(c.n AS DOUBLE) / t.n_docs)
+                  * ln(CAST(c.n AS DOUBLE) / t.n_docs) AS DECIMAL(18,9)) AS term
+      FROM c JOIN t USING (source))
+    SELECT t.source, t.n_docs, t.n_langs,
+           round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy,
+           CASE WHEN t.n_langs > 1
+                THEN round(CAST(sum(term) AS DOUBLE) / ln(CAST(t.n_langs AS DOUBLE)), 6)
+                ELSE 0.0 END AS normalized_entropy
+    FROM terms JOIN t USING (source)
+    GROUP BY t.source, t.n_docs, t.n_langs
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source: Shannon entropy of the lang
+    distribution plus the [0,1] normalized form (entropy / ln(n_langs))
+    — the corpus-composition readout beside source_js_divergence (JS
+    asks "do two sources differ"; entropy asks "how monolingual is each
+    source by itself"), and the upstream sanity check for lang_id-driven
+    filtering: a source whose entropy jumps grew a new language the
+    curation config hasn't seen.
+
+    Shape: ONE map-side-combined (source, lang) count pass; per-term
+    -p*ln(p) runs on bit-identical double ratios of exact integers and
+    truncates to DECIMAL(18,9) before the sum (the bigram-NLL
+    transcendental discipline), so the per-source reduction is
+    shuffle-order exact; everything after the first aggregate is
+    |sources x langs|-sized."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    c = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    p = F.col("n").cast("double") / F.col("n_docs")
+    terms = c.join(t, "source").select(
+        "source", (-p * F.log(p)).cast("decimal(18,9)").alias("term")
+    )
+    ent = F.sum("term").cast("double")
+    return (
+        terms.join(t, "source")
+        .groupBy("source", "n_docs", "n_langs")
+        .agg(
+            F.round(ent, 6).alias("lang_entropy"),
+            F.when(
+                F.col("n_langs") > 1,
+                F.round(ent / F.log(F.col("n_langs").cast("double")), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("normalized_entropy"),
+        )
+        .select(
+            "source", "n_docs", "n_langs", "lang_entropy", "normalized_entropy"
+        )
+    )
