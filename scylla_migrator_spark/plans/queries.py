@@ -7420,13 +7420,16 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     return ",\n    ".join(parts) + "\n    " + union
 
 
-def _bpe_state_parts(n_merges: int, wordpiece: bool = False) -> list[str]:
+def _bpe_state_parts(n_merges: int, wordpiece: bool = False, prefix: str = "") -> list[str]:
     """The unrolled BPE training-state CTEs (shared by the trainer oracle
-    and the encoder oracle): ``state{r}`` is the per-word segmentation
-    after ``r`` merges, ``best{r}`` the rule learned in round r+1. With
+    and the encoder oracle): ``{prefix}state{r}`` is the per-word segmentation
+    after ``r`` merges, ``{prefix}best{r}`` the rule learned in round r+1. With
     ``wordpiece=True`` the per-round argmax swaps to the likelihood score
     pair_count / (c1 * c2) over the same state (the WordPiece trainer);
-    the state encoding and merge replace are identical.
+    the state encoding and merge replace are identical. ``prefix`` renames
+    every per-round CTE so two families can compose in ONE oracle
+    (tokenizer_vocab_overlap) without name collisions; the shared
+    ``words`` CTE is emitted only by the unprefixed family.
 
     Encoding: every piece is ``chr(2) piece chr(1)`` — a START sentinel
     AND an END sentinel per piece, so the merge pattern
@@ -7446,7 +7449,7 @@ def _bpe_state_parts(n_merges: int, wordpiece: bool = False) -> list[str]:
       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
             FROM documents) t
       WHERE len(w) > 0 GROUP BY w)""",
-        f"""state0 AS MATERIALIZED (
+        f"""{prefix}state0 AS MATERIALIZED (
       SELECT word, cnt,
              array_to_string(list_transform(generate_series(1, len(word)),
                                             i -> {s} || word[i] || {e}), '') AS seg
@@ -7456,11 +7459,11 @@ def _bpe_state_parts(n_merges: int, wordpiece: bool = False) -> list[str]:
     pieces = f"list_transform(string_split(rtrim(seg, {e}), {e}), p -> p[2:])"
     for r in range(n_merges):
         parts.append(
-            f"""pairs{r} AS (
+            f"""{prefix}pairs{r} AS (
       SELECT p1, p2, sum(cnt)::BIGINT AS pair_count FROM (
         SELECT s.cnt, s.l[g.i] AS p1, s.l[g.i + 1] AS p2
         FROM (SELECT cnt, {pieces} AS l
-              FROM state{r}) s,
+              FROM {prefix}state{r}) s,
              UNNEST(generate_series(1, len(s.l) - 1)) AS g(i))
       GROUP BY p1, p2)"""
         )
@@ -7469,33 +7472,33 @@ def _bpe_state_parts(n_merges: int, wordpiece: bool = False) -> list[str]:
             # pair_count / (c1 * c2) — the double product is the identical
             # IEEE expression the trainer evaluates
             parts.append(
-                f"""syms{r} AS MATERIALIZED (
+                f"""{prefix}syms{r} AS MATERIALIZED (
       SELECT s.l[g.i] AS sym, sum(s.cnt)::BIGINT AS c FROM
-        (SELECT cnt, {pieces} AS l FROM state{r}) s,
+        (SELECT cnt, {pieces} AS l FROM {prefix}state{r}) s,
         UNNEST(generate_series(1, len(s.l))) AS g(i)
       GROUP BY sym)"""
             )
             parts.append(
-                f"""best{r} AS MATERIALIZED (
+                f"""{prefix}best{r} AS MATERIALIZED (
       SELECT p.p1, p.p2, p.pair_count,
              CAST(p.pair_count AS DOUBLE)
                / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
-      FROM pairs{r} p JOIN syms{r} a ON a.sym = p.p1
-                      JOIN syms{r} b ON b.sym = p.p2
+      FROM {prefix}pairs{r} p JOIN {prefix}syms{r} a ON a.sym = p.p1
+                      JOIN {prefix}syms{r} b ON b.sym = p.p2
       ORDER BY score DESC, p1, p2 LIMIT 1)"""
             )
         else:
             parts.append(
-                f"""best{r} AS MATERIALIZED (
-      SELECT p1, p2, pair_count FROM pairs{r}
+                f"""{prefix}best{r} AS MATERIALIZED (
+      SELECT p1, p2, pair_count FROM {prefix}pairs{r}
       ORDER BY pair_count DESC, p1, p2 LIMIT 1)"""
             )
         parts.append(
-            f"""state{r + 1} AS MATERIALIZED (
+            f"""{prefix}state{r + 1} AS MATERIALIZED (
       SELECT word, cnt,
              replace(seg, {s} || b.p1 || {e} || {s} || b.p2 || {e},
                      {s} || b.p1 || b.p2 || {e}) AS seg
-      FROM state{r}, best{r} b)"""
+      FROM {prefix}state{r}, {prefix}best{r} b)"""
         )
     return parts
 
@@ -14499,4 +14502,90 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source", "n_docs", "n_langs", "lang_entropy", "normalized_entropy"
         )
+    )
+
+
+def _vocab_overlap_sql(n_merges: int = 8) -> str:
+    """Both trainer families unrolled in ONE oracle: the BPE rounds keep
+    their canonical CTE names, the WordPiece rounds take the ``wp_``
+    prefix, and the shared ``words`` corpus CTE is emitted once."""
+    bpe = _bpe_state_parts(n_merges)
+    wp = _bpe_state_parts(n_merges, wordpiece=True, prefix="wp_")[1:]  # share words
+    bv = "\n      UNION ".join(
+        f"SELECT p1 || p2 AS piece FROM best{r}" for r in range(n_merges)
+    )
+    wv = "\n      UNION ".join(
+        f"SELECT p1 || p2 AS piece FROM wp_best{r}" for r in range(n_merges)
+    )
+    return (
+        ",\n    ".join(bpe + wp)
+        + f""",
+    bv AS ({bv}),
+    wv AS ({wv}),
+    j AS (
+      SELECT coalesce(bv.piece, wv.piece) AS piece,
+             CASE WHEN bv.piece IS NOT NULL THEN 1 ELSE 0 END AS in_bpe,
+             CASE WHEN wv.piece IS NOT NULL THEN 1 ELSE 0 END AS in_wp
+      FROM bv FULL OUTER JOIN wv ON bv.piece = wv.piece)
+    SELECT sum(in_bpe)::BIGINT AS n_bpe_pieces,
+           sum(in_wp)::BIGINT AS n_wp_pieces,
+           sum(in_bpe * in_wp)::BIGINT AS n_shared,
+           round(CAST(sum(in_bpe * in_wp) AS DOUBLE)
+                 / (sum(in_bpe) + sum(in_wp) - sum(in_bpe * in_wp)), 6) AS jaccard,
+           string_agg(CASE WHEN in_bpe * in_wp = 1 THEN piece END, ','
+                      ORDER BY piece) AS shared_pieces
+    FROM j
+    """
+    )
+
+
+@_register("tokenizer_vocab_overlap", _vocab_overlap_sql(8))
+def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-vocabulary agreement between the BPE (count-argmax) and
+    WordPiece (likelihood-argmax) trainers on the same corpus: Jaccard of
+    the merged-piece sets after 8 rounds each, plus the shared pieces
+    themselves — the bake-off's SECOND axis next to fertility (fertility
+    says which compresses better; overlap says whether the two objectives
+    are even learning the same units, the divergence that decides whether
+    a vocab can be swapped without re-training downstream tokencounts).
+    Both trainings replay fully in the oracle — the two families' rounds
+    compose in one SQL statement via prefixed CTEs, so a regression in
+    EITHER trainer moves this row.
+
+    Shape: both trainers share the ONE corpus pass to the word-frequency
+    table (everything after is vocab-sized); the overlap math is a full
+    outer join of two 8-row frames."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    bv = (
+        TOK.train_bpe_df(docs, 8)
+        .select(F.concat(F.col("p1"), F.col("p2")).alias("piece"))
+        .distinct()
+        .withColumn("in_bpe", F.lit(1))
+    )
+    wv = (
+        TOK.train_wordpiece_df(docs, 8)
+        .select(F.concat(F.col("p1"), F.col("p2")).alias("piece"))
+        .distinct()
+        .withColumn("in_wp", F.lit(1))
+    )
+    j = bv.join(wv, "piece", "full_outer").select(
+        "piece",
+        F.coalesce(F.col("in_bpe"), F.lit(0)).alias("in_bpe"),
+        F.coalesce(F.col("in_wp"), F.lit(0)).alias("in_wp"),
+    )
+    both = F.col("in_bpe") * F.col("in_wp")
+    return j.agg(
+        F.sum("in_bpe").cast("bigint").alias("n_bpe_pieces"),
+        F.sum("in_wp").cast("bigint").alias("n_wp_pieces"),
+        F.sum(both).cast("bigint").alias("n_shared"),
+        F.round(
+            F.sum(both).cast("double")
+            / (F.sum("in_bpe") + F.sum("in_wp") - F.sum(both)),
+            6,
+        ).alias("jaccard"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(both == 1, F.col("piece")))), ","
+        ).alias("shared_pieces"),
     )
