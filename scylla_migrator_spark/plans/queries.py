@@ -14589,3 +14589,110 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.when(both == 1, F.col("piece")))), ","
         ).alias("shared_pieces"),
     )
+
+
+@_register(
+    "daily_volume_acf_profile",
+    # Full ACF profile (lags 1..7) per type: the lag-1 machinery
+    # generalized by a 7-row lag dimension crossed onto the daily frame;
+    # per-(type, lag) Pearson from exact integer sums, one identical
+    # double expression both engines.
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      FROM daily),
+    lagged AS (
+      SELECT a.event_type, l.lag, a.y AS x, b.y AS z
+      FROM seq a
+      CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      JOIN seq b
+        ON a.event_type = b.event_type AND b.rn = a.rn + l.lag),
+    s AS (
+      SELECT event_type, lag, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(z)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(z * z)::BIGINT AS syy,
+             sum(x * z)::BIGINT AS sxy
+      FROM lagged GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT event_type, lag::BIGINT AS lag, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def daily_volume_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of daily event volume per type at lags
+    1..7 — the full week of ACF the single lag-1 number can't show: a
+    spike at lag 7 with low intermediate lags is WEEKLY seasonality
+    (deseasonalize before CUSUM/EWMA), high lag-1 decaying smoothly is
+    trend, all-flat is exchangeable noise. The shape diagnostic that
+    picks which monitoring-family alarm applies.
+
+    Shape: the daily aggregate collapses the corpus to |types| x |days|
+    rows ONCE; the 7-row lag dimension crosses onto that tiny frame and
+    each (type, lag) alignment is the same rn + lag equi-join as the
+    lag-1 query; Pearson per cell from exact integer sums, one identical
+    double expression both engines, degenerate-variance cells dropped
+    identically."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.expr("ts div 86400000000000").alias("day_idx"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("y"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = seq.alias("a"), seq.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            on=[
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("b.rn") == F.col("a.rn") + F.col("lag"),
+            ],
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.y").alias("x"),
+            F.col("b.y").alias("z"),
+        )
+    )
+    s = (
+        lagged.groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("z").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("z") * F.col("z")).alias("syy"),
+            F.sum(F.col("x") * F.col("z")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vz = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        s.filter((vx > 0) & (vz > 0))
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            n.alias("n_pairs"),
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.sqrt(vx) * F.sqrt(vz)),
+                6,
+            ).alias("acf"),
+        )
+    )
