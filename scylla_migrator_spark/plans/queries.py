@@ -14696,3 +14696,175 @@ def daily_volume_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+def _silhouette_sql(dim: int = 16, k: int = 8, iters: int = 2) -> str:
+    """Silhouette oracle: the doc-cluster training CTEs (shared with
+    doc_cluster_assignments — same seed, rounds, argmax) extended by an
+    all-centroid cosine scoring, top-2 selection per doc, and the
+    simplified-silhouette arithmetic on 6dp-PREROUNDED cosines (both
+    engines round before comparing, so ordering and the DECIMAL(18,9)
+    truncation see bit-identical doubles)."""
+    return (
+        _hashed_emb_cte(dim)
+        + ",\n    base AS (SELECT doc_id AS vec_id, CAST(v AS DOUBLE[]) AS v FROM emb),\n    "
+        + ",\n    ".join(_kmeans_train_parts(iters, k, dim))
+        + f""",
+    scored AS (
+      SELECT b.vec_id, c.cidx,
+             round(list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      FROM base b CROSS JOIN cent{iters} c),
+    top2 AS (
+      SELECT vec_id, cidx, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn
+      FROM scored),
+    sil AS (
+      SELECT o.vec_id, o.cidx AS cluster_id,
+             CASE WHEN greatest(1 - o.cos, 1 - n.cos) <= 0
+                  THEN CAST(0 AS DECIMAL(18,9))
+                  ELSE CAST((o.cos - n.cos) / greatest(1 - o.cos, 1 - n.cos)
+                            AS DECIMAL(18,9)) END AS s
+      FROM top2 o JOIN top2 n ON o.vec_id = n.vec_id AND o.rn = 1 AND n.rn = 2)
+    SELECT cluster_id::INT AS cluster_id, count(*)::BIGINT AS n_docs,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_silhouette
+    FROM sil GROUP BY 1
+    """
+    )
+
+
+@_register("cluster_silhouette_score", _silhouette_sql())
+def cluster_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the trained document
+    clustering (Kaufman-Rousseeuw centroid variant): for every doc,
+    a = cosine distance to its OWN centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a)/max(a, b) — the cluster-quality number
+    that tells a curriculum/mixture pipeline whether its corpus buckets
+    are real structure or arbitrary cuts (mean s near 0 = overlapping
+    blobs; a single low-s cluster = a catch-all bucket to split). The
+    full all-pairs silhouette is corpus-quadratic; the centroid form is
+    THE production approximation and reuses the k-means scoring shape.
+
+    Exactness: cosines are 6dp-ROUNDED before the top-2 window and the
+    silhouette arithmetic, so ordering, ties (broken by centroid index,
+    the assignment's own tie-break), and the DECIMAL(18,9) truncation
+    all see bit-identical doubles on both engines; per-cluster means are
+    shuffle-order exact. Scale shape: corpus x k scoring is the same
+    broadcast-literal cross as ivf_assign (centroids ride as an 8-row
+    broadcast frame; nothing corpus-sized shuffles except the one
+    doc-keyed window over k=8 rows per doc)."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+    from pyspark.sql import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = docs.select(
+        "doc_id",
+        TXT.hashed_bow_embedding(F.col("text"), dim=16)
+        .cast("array<double>")
+        .alias("v"),
+    )
+    # same stage tag + key modules as doc_cluster_assignments -> the
+    # trained centers are computed once per fixture and shared
+    cents = _staged_json(
+        "doc_kmeans_8x2",
+        [_SIMMOD, _TXTMOD, doc_cluster_assignments],
+        sf_dir,
+        "documents",
+        lambda: SIM.kmeans_centroids(
+            emb, n_centroids=8, iters=2, id_col="doc_id", vec_col="v"
+        ),
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cidx INT, cv ARRAY<DOUBLE>",
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "doc_id",
+        "cidx",
+        F.round(SIM.cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cos").desc(), F.col("cidx").asc())
+    top2 = scored.select("doc_id", "cidx", "cos", F.row_number().over(w).alias("rn"))
+    own = top2.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("cidx").alias("cluster_id"), F.col("cos").alias("c1")
+    )
+    nxt = top2.filter(F.col("rn") == 2).select("doc_id", F.col("cos").alias("c2"))
+    denom = F.greatest(F.lit(1) - F.col("c1"), F.lit(1) - F.col("c2"))
+    sil = own.join(nxt, "doc_id").select(
+        "cluster_id",
+        F.when(denom <= 0, F.lit(0).cast("decimal(18,9)"))
+        .otherwise(((F.col("c1") - F.col("c2")) / denom).cast("decimal(18,9)"))
+        .alias("s"),
+    )
+    return sil.groupBy(F.col("cluster_id").cast("int").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("s").cast("double") / F.count("*"), 6).alias("mean_silhouette"),
+    )
+
+
+@_register("stream_cusum_alarm", ORACLES["cusum_changepoint"])
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM changepoint alarm maintained OVER A STREAM: the event
+    stream (two event-parity micro-batches) feeds an update-mode
+    (type, day) count rollup upserted into a serving table per trigger
+    (streaming/rollup.py — the stream_continuous_rollup machinery), and
+    the Page-1954 CUSUM/argmax runs on the drained serving table. The
+    result must equal the batch cusum_changepoint exactly (counts are
+    integers — batch-split independent), which is the point: this is the
+    production monitoring deployment shape (alarm recomputed per trigger
+    over the day-grain continuous aggregate, NEVER over raw history),
+    and its correctness against the batch oracle is hash-checked.
+
+    At 100 TB the serving table is |types| x |days| rows regardless of
+    stream volume; the per-trigger alarm cost is window math over that
+    tiny frame."""
+    import tempfile
+
+    from scylla_migrator_spark.streaming.rollup import continuous_rollup
+    from pyspark.sql.window import Window
+
+    _session_proof(spark)
+    day_ns = 86_400_000_000_000
+    stage = _events_halves_stage(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = stream.groupBy(
+        "event_type", F.expr(f"ts DIV {day_ns}").alias("day_idx")
+    ).agg(F.count("*").alias("c"))
+    serving = tempfile.mkdtemp(prefix="sgs_cusum_") + "/serving"
+    with _stream_shuffle_partitions(spark):
+        q = continuous_rollup(
+            agg,
+            serving,
+            ["event_type", "day_idx"],
+            tempfile.mkdtemp(prefix="sgs_cusum_ckpt_"),
+        )
+        q.awaitTermination()
+    daily = spark.read.parquet(serving).select("event_type", "day_idx", "c")
+    m = daily.groupBy("event_type").agg((F.sum("c") / F.count("*")).alias("mu"))
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = daily.join(m, "event_type").withColumn(
+        "cusum", F.sum(F.col("c") - F.col("mu")).over(wsum)
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("day_idx")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_idx").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+        )
+    )
