@@ -14868,3 +14868,227 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
         )
     )
+
+
+@_register(
+    "gap_survival_curve",
+    # Kaplan-Meier over inter-event gaps at day grain, right-censored at
+    # the corpus horizon. The product-limit estimator is made
+    # shuffle-order exact by the log trick: per-event-day terms
+    # ln(1 - d/n) truncate to DECIMAL(18,9), the cumulative sum runs over
+    # the tiny distinct-gap frame, and ONE exp at the end rebuilds S(t);
+    # a d = n day zeroes survival from there on via a cummax flag
+    # (ln(0) never evaluates).
+    """
+    WITH mx AS (SELECT max(epoch_ns(ts))::BIGINT AS tmax FROM events),
+    seq AS (
+      SELECT user_id, epoch_ns(ts)::BIGINT AS tns,
+             lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events),
+    obs AS (
+      SELECT (nxt - tns) // 86400000000000 AS g, 0 AS c
+      FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT (tmax - tns) // 86400000000000 AS g, 1 AS c
+      FROM seq, mx WHERE nxt IS NULL),
+    byg AS (
+      SELECT g, sum(1 - c)::BIGINT AS d, count(*)::BIGINT AS m
+      FROM obs GROUP BY g),
+    tot AS (SELECT sum(m)::BIGINT AS tot FROM byg),
+    risk AS (
+      SELECT g, d, m,
+             (tot.tot - coalesce(sum(m) OVER (ORDER BY g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
+      FROM byg, tot),
+    terms AS (
+      SELECT g, d, n,
+             CASE WHEN d = n THEN CAST(0 AS DECIMAL(18,9))
+                  ELSE CAST(ln(1 - CAST(d AS DOUBLE) / n) AS DECIMAL(18,9))
+             END AS term,
+             CASE WHEN d = n THEN 1 ELSE 0 END AS dead
+      FROM risk),
+    cum AS (
+      SELECT g, d, n,
+             sum(term) OVER (ORDER BY g) AS lsum,
+             max(dead) OVER (ORDER BY g) AS anydead
+      FROM terms)
+    SELECT g AS gap_days, n AS n_at_risk, d AS n_events,
+           CASE WHEN anydead = 1 THEN 0.0
+                ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def gap_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of the time-to-next-event gap (day
+    grain), right-censored at the corpus horizon — the survival-analysis
+    answer to "how long until a user comes back", done properly: the gap
+    from each user's LAST event to the corpus max timestamp enters as a
+    censored observation (still at risk, never an event), which naive
+    gap histograms silently drop, biasing retention short. The output is
+    the classic product-limit table (gap, risk set, events, S(gap)) —
+    churn thresholds and engagement SLAs read directly off it.
+
+    Exactness (the product-limit product has no associative form): per
+    event-day hazard terms ln(1 - d/n) truncate to DECIMAL(18,9) — the
+    bigram-NLL transcendental discipline — so the cumulative sum over
+    the distinct-gap-day frame is exact, and ONE exp rebuilds S(t);
+    a fully-dying day (d = n) zeroes survival onward via a cummax flag
+    without ever evaluating ln(0). Scale shape: one per-user lead
+    window over the scan, then everything runs on the <= |distinct gap
+    days| frame (the CUSUM posture); the risk-set and cumulative windows
+    order THAT tiny frame only."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    mx = ev.agg(F.max("ts").cast("bigint").alias("tmax"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("ts").alias("tns"), F.lead("ts").over(wu).alias("nxt")
+    )
+    uncens = seq.filter(F.col("nxt").isNotNull()).select(
+        F.expr(f"(nxt - tns) DIV {day_ns}").alias("g"), F.lit(0).alias("c")
+    )
+    cens = (
+        seq.filter(F.col("nxt").isNull())
+        .join(F.broadcast(mx))
+        .select(F.expr(f"(tmax - tns) DIV {day_ns}").alias("g"), F.lit(1).alias("c"))
+    )
+    obs = uncens.unionByName(cens)
+    byg = obs.groupBy("g").agg(
+        F.sum(F.lit(1) - F.col("c")).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    tot = byg.agg(F.sum("m").cast("bigint").alias("tot"))
+    # the remaining windows order the tiny distinct-gap-day frame
+    wprev = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byg.join(F.broadcast(tot)).select(
+        "g",
+        "d",
+        "m",
+        (F.col("tot") - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    )
+    term = F.when(F.col("d") == F.col("n"), F.lit(0).cast("decimal(18,9)")).otherwise(
+        F.log(F.lit(1) - F.col("d").cast("double") / F.col("n")).cast("decimal(18,9)")
+    )
+    dead = F.when(F.col("d") == F.col("n"), F.lit(1)).otherwise(F.lit(0))
+    terms = risk.select("g", "d", "n", term.alias("term"), dead.alias("dead"))
+    wcum = Window.orderBy("g")
+    cum = terms.select(
+        "g",
+        "d",
+        "n",
+        F.sum("term").over(wcum).alias("lsum"),
+        F.max("dead").over(wcum).alias("anydead"),
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("g").alias("gap_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("anydead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum").cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+@_register(
+    "stream_hll_distinct",
+    # the batch HLL oracle's single-sketch half: registers from the md5
+    # hash, integer harmonic denominator, alpha_64 estimate + linear
+    # counting branch — the stream must drain to exactly this.
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM events),
+    b AS (
+      SELECT event_type, (hv % 64)::BIGINT AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 27
+                  ELSE 27 - length(bin((hv // 64)::BIGINT)) END AS rho
+      FROM h),
+    reg AS (SELECT event_type, bucket, max(rho)::BIGINT AS r FROM b GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             (sum(1::BIGINT << (27 - r))
+              + (64 - count(*)) * 134217728)::BIGINT AS s_int,
+             (64 - count(*))::BIGINT AS v
+      FROM reg GROUP BY 1)
+    SELECT event_type, 64 AS m,
+           round(CASE WHEN 0.709 * 4096 * 134217728 / s_int <= 160 AND v > 0
+                      THEN 64 * ln(64.0 / v)
+                      ELSE 0.709 * 4096 * 134217728 / s_int END, 3) AS hll_estimate
+    FROM s
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct-user sketch MAINTAINED OVER A STREAM: per-row
+    (bucket, rho) derive statelessly from the md5 hash in the stream's
+    scan stage, an update-mode max aggregation holds the registers
+    (64 longs per type — the whole streaming state), and each trigger
+    upserts changed registers into the serving table; the estimate off
+    the drained registers must equal the batch hll_distinct_estimate
+    sketch exactly (register max is insensitive to batch splits — the
+    merge law, exercised here across micro-batch boundaries instead of
+    event-parity halves). The production shape for live cardinality
+    dashboards: state is registers, never user sets.
+
+    At 100 TB stream volume the serving table stays |types| x 64 rows
+    and the per-trigger alarm cost is arithmetic over it."""
+    import tempfile
+
+    from scylla_migrator_spark.streaming.rollup import continuous_rollup
+
+    _session_proof(spark)
+    stage = _events_halves_stage(spark, sf_dir)
+    batch_schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    hv = TXT._md5_int(F.col("user_id").cast("string"))
+    w = F.expr(
+        "conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) div 64"
+    ).cast("bigint")
+    b = stream.select(
+        "event_type",
+        (hv % 64).cast("bigint").alias("bucket"),
+        F.when(w == 0, F.lit(27))
+        .otherwise(F.lit(27) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    reg = b.groupBy("event_type", "bucket").agg(F.max("rho").cast("bigint").alias("r"))
+    serving = tempfile.mkdtemp(prefix="sgs_hll_") + "/serving"
+    with _stream_shuffle_partitions(spark):
+        q = continuous_rollup(
+            reg,
+            serving,
+            ["event_type", "bucket"],
+            tempfile.mkdtemp(prefix="sgs_hll_ckpt_"),
+        )
+        q.awaitTermination()
+    regs = spark.read.parquet(serving)
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 27 - cast(r as int))"))
+            + (F.lit(64) - F.count("*")) * F.lit(134217728)
+        )
+        .cast("bigint")
+        .alias("s_int"),
+        (F.lit(64) - F.count("*")).cast("bigint").alias("v"),
+    )
+    raw = F.lit(0.709) * F.lit(4096) * F.lit(134217728) / F.col("s_int")
+    return s.select(
+        "event_type",
+        F.lit(64).alias("m"),
+        F.round(
+            F.when(
+                (raw <= 160) & (F.col("v") > 0),
+                F.lit(64) * F.log(F.lit(64.0) / F.col("v")),
+            ).otherwise(raw),
+            3,
+        ).alias("hll_estimate"),
+    )
