@@ -15092,3 +15092,195 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("hll_estimate"),
     )
+
+
+@_register(
+    "wasserstein_value_drift",
+    # W1 = integral |F_ref - F_cur| between the time-half value CDFs:
+    # per-segment |cum1/n1 - cum2/n2| * (next_value - value) truncates to
+    # DECIMAL(18,9) before the shuffle-order-exact sum; the CDF windows
+    # run over distinct values per type (the KS machinery + a gap weight).
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    vc AS (
+      SELECT event_type, value,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 0 ELSE 1 END)::BIGINT AS c2
+      FROM events, med GROUP BY event_type, value),
+    tot AS (
+      SELECT event_type, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+      FROM vc GROUP BY 1 HAVING sum(c1) > 0 AND sum(c2) > 0),
+    cum AS (
+      SELECT event_type, value,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2,
+             lead(value) OVER (PARTITION BY event_type ORDER BY value) AS nxt
+      FROM vc),
+    terms AS (
+      SELECT event_type,
+             CAST(abs(cum1 / n1 - cum2 / n2) * (nxt - value)
+                  AS DECIMAL(18,9)) AS term
+      FROM cum JOIN tot USING (event_type)
+      WHERE nxt IS NOT NULL)
+    SELECT t.event_type, t.n1 AS n_ref, t.n2 AS n_cur,
+           round(CAST(coalesce(sum(term), 0) AS DOUBLE), 6) AS wasserstein_1
+    FROM tot t LEFT JOIN terms USING (event_type)
+    GROUP BY t.event_type, t.n1, t.n2
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the first- and
+    second-half value distributions per event type — the optimal-
+    transport drift metric that completes the family: KS reports the
+    WORST CDF gap (shape-sensitive, unit-free), W1 reports the TOTAL
+    area between the CDFs (magnitude-sensitive, in value units — "how
+    far did mass actually move"), which is what a retraining-threshold
+    policy wants to know. For 1-D empirical distributions W1 is exactly
+    the integral of |F_ref - F_cur|, evaluated segment-by-segment
+    between consecutive distinct values.
+
+    Shape: the ks_value_drift machinery plus a gap weight — one
+    map-side (type, value) half-count pass, CDF + lead windows over
+    DISTINCT values per type, per-segment terms truncated to
+    DECIMAL(18,9) before the exact sum (CDF ratios and gaps are
+    bit-identical doubles from exact integers). Same quantize-first
+    escape for continuous 100 TB values as KS."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    is_ref = F.when(F.col("ts") < F.col("cut"), F.lit(1)).otherwise(F.lit(0))
+    vc = (
+        ev.join(F.broadcast(med))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(is_ref).cast("bigint").alias("c1"),
+            F.sum(F.lit(1) - is_ref).cast("bigint").alias("c2"),
+        )
+    )
+    tot = (
+        vc.groupBy("event_type")
+        .agg(F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2"))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = vc.select(
+        "event_type",
+        "value",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    terms = (
+        cum.join(tot, "event_type")
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))
+                * (F.col("nxt") - F.col("value"))
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+    )
+    return (
+        tot.join(terms, "event_type", "left")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.round(
+                F.coalesce(F.sum("term"), F.lit(0)).cast("double"), 6
+            ).alias("wasserstein_1")
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_ref"),
+            F.col("n2").alias("n_cur"),
+            "wasserstein_1",
+        )
+    )
+
+
+@_register(
+    "ab_proportion_ztest",
+    # classic two-sample proportion z-test between user-parity cohorts:
+    # conversion = fraction of users with >= 1 purchase event; pooled-
+    # variance z from exact integer counts, one double expression chain.
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT cohort, count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+      FROM u GROUP BY cohort),
+    s AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n END)::BIGINT AS n_a,
+             max(CASE WHEN cohort = 0 THEN x END)::BIGINT AS x_a,
+             max(CASE WHEN cohort = 1 THEN n END)::BIGINT AS n_b,
+             max(CASE WHEN cohort = 1 THEN x END)::BIGINT AS x_b
+      FROM c)
+    SELECT n_a, x_a, n_b, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM s
+    WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+    """,
+)
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test between user-parity cohorts on the
+    user-level purchase-conversion rate — the A/B-test readout (pooled-
+    variance z, the experiment-dashboard standard) next to the
+    per-day Wilson bounds: Wilson answers "how uncertain is each rate",
+    the z-test answers "are the two cohorts' rates different". The
+    user-id parity split is the classic hash-bucket assignment an
+    experimentation layer uses, derandomized here by construction.
+
+    Shape: ONE map-side pass collapses events to per-user conversion
+    flags, a 2-row cohort aggregate, then scalar arithmetic — exact
+    integer counts into one identical double expression chain, rounded
+    6dp; degenerate cases (all/none converted, empty cohort) excluded
+    identically on both engines."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("cohort"), "conv")
+    c = u.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("conv").cast("bigint").alias("x")
+    )
+    s = c.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("x"))).cast("bigint").alias("x_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("x"))).cast("bigint").alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return (
+        s.filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "n_a",
+            "x_a",
+            "n_b",
+            "x_b",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -391,6 +391,27 @@ def run_pipelines(
 
     record("shuffle_shard_manifest", n_docs, shard_writer)
 
+    def sentence_dedup() -> int:
+        # CCNet sentence-hash dedup ledger (plans/queries.py::
+        # sentence_dedup_fraction): sentences cross the df join as md5
+        # digests only; both aggregates map-side combinable
+        sents = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0")
+            )
+            .select("doc_id", F.trim(F.col("s0")).alias("s"))
+            .filter(F.length("s") > 0)
+            .select("doc_id", F.md5("s").alias("h"))
+        )
+        dfq = sents.distinct().groupBy("h").agg(F.count("*").alias("nd"))
+        j = sents.join(dfq, "h").select(
+            "doc_id",
+            F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0)).alias("isdup"),
+        )
+        return j.groupBy("doc_id").agg(F.sum("isdup")).count()
+
+    record("sentence_dedup_fraction", n_docs, sentence_dedup)
+
     record("semdedup_prune", n_emb, semdedup)
     return out
 
