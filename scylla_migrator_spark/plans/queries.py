@@ -15284,3 +15284,202 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@_register(
+    "gap_logrank_test",
+    # Mantel-Haenszel log-rank between the user-parity cohorts' gap
+    # survival: per-event-day O1/E1/V from exact integer risk sets
+    # (cumulative windows over the distinct-gap frame), E1 and the
+    # hypergeometric V truncated to DECIMAL(18,9) before their sums.
+    """
+    WITH mx AS (SELECT max(epoch_ns(ts))::BIGINT AS tmax FROM events),
+    seq AS (
+      SELECT user_id, user_id % 2 AS grp, epoch_ns(ts)::BIGINT AS tns,
+             lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events),
+    obs AS (
+      SELECT grp, (nxt - tns) // 86400000000000 AS g, 0 AS c
+      FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT grp, (tmax - tns) // 86400000000000 AS g, 1 AS c
+      FROM seq, mx WHERE nxt IS NULL),
+    byg AS (
+      SELECT g,
+             sum(CASE WHEN grp = 1 THEN 1 - c ELSE 0 END)::BIGINT AS d1,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+             sum(1 - c)::BIGINT AS d, count(*)::BIGINT AS m
+      FROM obs GROUP BY g),
+    tot AS (
+      SELECT sum(m)::BIGINT AS tot, sum(m1)::BIGINT AS tot1 FROM byg),
+    risk AS (
+      SELECT g, d1, d,
+             (tot.tot - coalesce(sum(m) OVER (ORDER BY g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n,
+             (tot.tot1 - coalesce(sum(m1) OVER (ORDER BY g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n1
+      FROM byg, tot),
+    terms AS (
+      SELECT g, d1,
+             CAST(CAST(n1 AS DOUBLE) * d / n AS DECIMAL(18,9)) AS e1,
+             CASE WHEN n > 1
+                  THEN CAST(d * (CAST(n1 AS DOUBLE) / n)
+                            * (1 - CAST(n1 AS DOUBLE) / n)
+                            * (n - d) / (n - 1) AS DECIMAL(18,9))
+                  ELSE CAST(0 AS DECIMAL(18,9)) END AS v
+      FROM risk WHERE d > 0)
+    SELECT count(*)::BIGINT AS n_event_days,
+           sum(d1)::BIGINT AS o1,
+           round(CAST(sum(e1) AS DOUBLE), 6) AS e1,
+           round(CAST(sum(v) AS DOUBLE), 6) AS var,
+           round((sum(d1) - CAST(sum(e1) AS DOUBLE))
+                 * (sum(d1) - CAST(sum(e1) AS DOUBLE))
+                 / CAST(sum(v) AS DOUBLE), 6) AS logrank_chi2
+    FROM terms
+    HAVING CAST(sum(v) AS DOUBLE) > 0
+    """,
+)
+def gap_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Haenszel) test between the user-parity cohorts'
+    time-to-next-event survival curves — the standard "are these two
+    retention curves different" test (chi2 with 1 dof under the null),
+    completing the survival pair: gap_survival_curve DESCRIBES the
+    curve, this COMPARES two of them, censoring handled identically
+    (a censored last-event gap stays in the risk set, never an event).
+    The A/B experiment readout for engagement changes, where the naive
+    mean-gap t-test is wrecked by censoring.
+
+    Shape: per-user lead window over the scan, then every statistic
+    lives on the distinct-gap-day frame — risk sets from cumulative
+    windows over exact integer tier masses (the KM posture), per-day E1
+    and hypergeometric V truncated to DECIMAL(18,9) before their
+    shuffle-order-exact sums, O1 pure integer; one double expression
+    chain at the end."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    mx = ev.agg(F.max("ts").cast("bigint").alias("tmax"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.col("ts").alias("tns"),
+        F.lead("ts").over(wu).alias("nxt"),
+    )
+    uncens = seq.filter(F.col("nxt").isNotNull()).select(
+        "grp", F.expr(f"(nxt - tns) DIV {day_ns}").alias("g"), F.lit(0).alias("c")
+    )
+    cens = (
+        seq.filter(F.col("nxt").isNull())
+        .join(F.broadcast(mx))
+        .select(
+            "grp", F.expr(f"(tmax - tns) DIV {day_ns}").alias("g"), F.lit(1).alias("c")
+        )
+    )
+    obs = uncens.unionByName(cens)
+    g1 = F.when(F.col("grp") == 1, F.lit(1)).otherwise(F.lit(0))
+    byg = obs.groupBy("g").agg(
+        F.sum(g1 * (F.lit(1) - F.col("c"))).cast("bigint").alias("d1"),
+        F.sum(g1).cast("bigint").alias("m1"),
+        F.sum(F.lit(1) - F.col("c")).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    tot = byg.agg(
+        F.sum("m").cast("bigint").alias("tot"), F.sum("m1").cast("bigint").alias("tot1")
+    )
+    wprev = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byg.join(F.broadcast(tot)).select(
+        "g",
+        "d1",
+        "d",
+        (F.col("tot") - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.col("tot1") - F.coalesce(F.sum("m1").over(wprev), F.lit(0)))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    frac = F.col("n1").cast("double") / F.col("n")
+    e1 = (F.col("n1").cast("double") * F.col("d") / F.col("n")).cast("decimal(18,9)")
+    v = (
+        F.when(
+            F.col("n") > 1,
+            (
+                F.col("d")
+                * frac
+                * (F.lit(1) - frac)
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1)
+            ).cast("decimal(18,9)"),
+        ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1", e1.alias("e1"), v.alias("v")
+    )
+    se1 = F.sum("e1").cast("double")
+    sv = F.sum("v").cast("double")
+    diff = F.sum("d1") - se1
+    return (
+        terms.agg(
+            F.count("*").cast("bigint").alias("n_event_days"),
+            F.sum("d1").cast("bigint").alias("o1"),
+            F.round(se1, 6).alias("e1"),
+            F.round(sv, 6).alias("var"),
+            F.round(diff * diff / sv, 6).alias("logrank_chi2"),
+        )
+        .filter(F.col("var") > 0)
+    )
+
+
+@_register(
+    "dp_laplace_event_counts",
+    # sensitivity-1 count query through the Laplace mechanism with a
+    # DERANDOMIZED draw: u from the md5 of the group key (the poisson-
+    # bootstrap shared-CDF contract), noise = -b*sign(u-.5)*ln(1-2|u-.5|);
+    # one row per type, no noise summation, so the per-row transcendental
+    # needs only the final rounding.
+    """
+    WITH c AS (
+      SELECT event_type, count(*)::BIGINT AS n_true FROM events GROUP BY 1),
+    u AS (
+      SELECT event_type, n_true,
+             (CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM c)
+    SELECT event_type, n_true, 1.0 AS epsilon,
+           round(-1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                 * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
+           round(n_true + (-1.0 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                           * ln(1 - 2 * abs(u - 0.5))), 3) AS n_noisy
+    FROM u
+    """,
+)
+def dp_laplace_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Laplace mechanism on per-type event counts (Dwork et al. 2006
+    — sensitivity-1 count query, scale b = 1/epsilon, epsilon = 1): the
+    differential-privacy release shape a data platform applies before
+    publishing usage aggregates. The draw is DERANDOMIZED the way the
+    Poisson bootstrap's are — u comes from the md5 of the group key
+    through the inverse Laplace CDF, so the mechanism is bit-replayable
+    in SQL and this row is the hash-checked MECHANISM LEDGER (true
+    count, noise, noisy count side by side — a correctness contract for
+    the engine's implementation; an actual private release would publish
+    the noisy column only, with a fresh secret seed folded into the
+    hash).
+
+    Shape: one map-side count pass; the per-type inverse-CDF
+    transcendental runs once per group on bit-identical doubles with
+    NO summation after it, so only the output rounding is needed."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_true"))
+    u = (TXT._md5_int(F.col("event_type")) + F.lit(0.5)) / F.lit(4294967296.0)
+    sgn = F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    noise = F.lit(-1.0) * sgn * F.log(F.lit(1) - F.lit(2) * F.abs(u - F.lit(0.5)))
+    return c.select(
+        "event_type",
+        "n_true",
+        F.lit(1.0).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 3).alias("n_noisy"),
+    )
