@@ -15483,3 +15483,285 @@ def dp_laplace_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n_true") + noise, 3).alias("n_noisy"),
     )
+
+
+@_register(
+    "video_scene_cut_profile",
+    # the video frame-hash CTEs (identical to video_phash_dup_pairs up to
+    # dh) + adjacent-frame Hamming distances: a cut = popcount > 20 of 56
+    # bits; per-video transition count, cut count, mean/max Hamming.
+    """
+    WITH d AS (
+      SELECT doc_id, text, 1000 + (doc_id % 50) * 250 AS dur FROM documents),
+    fr AS (
+      SELECT d.doc_id, gs.f,
+             hex(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) AS hx,
+             octet_length(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) AS nb
+      FROM d, UNNEST(generate_series(0, d.dur // 1000)) AS gs(f)
+      WHERE octet_length(encode(substr(d.text, CAST(1 + 7 * gs.f AS INT), 61))) > 0),
+    g AS (
+      SELECT doc_id, f, ys.y AS y, xs.x AS x,
+        (CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 1) % nb) + 1, 2) AS INT)
+       + CAST('0x' || substring(hx, 2*((96*ys.y + 6*xs.x + 2) % nb) + 1, 2) AS INT)) // 3 AS gray
+      FROM fr
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs),
+    dh AS (
+      SELECT l.doc_id, l.f,
+             CAST(sum(CASE WHEN l.gray < r.gray
+                           THEN 1::BIGINT << (l.y * 7 + l.x)
+                           ELSE 0::BIGINT END) AS BIGINT) AS sh
+      FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.f = r.f
+                       AND l.y = r.y AND r.x = l.x + 1
+      GROUP BY l.doc_id, l.f),
+    adj AS (
+      SELECT l.doc_id, CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hd
+      FROM dh l JOIN dh r ON l.doc_id = r.doc_id AND r.f = l.f + 1)
+    SELECT doc_id, count(*)::BIGINT AS n_transitions,
+           sum(CASE WHEN hd > 20 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+           round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS mean_hamming,
+           max(hd)::INT AS max_hamming
+    FROM adj GROUP BY doc_id
+    """,
+)
+def video_scene_cut_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per video: Hamming distance between
+    consecutive sampled frames' perceptual hashes, a cut where the
+    distance exceeds 20 of 56 dHash bits — the shot-boundary profile a
+    video-training pipeline uses to pick representative frames (sample
+    once per SHOT, not per second) and to flag slideshows (cuts at every
+    transition) vs static screens (zero cuts, one frame represents the
+    whole asset). Same real container parse -> metadata frame grid ->
+    per-frame dHash plumbing as video_phash_dup_pairs; the NEW math is
+    adjacent-frame popcounts aggregated per video — integer throughout,
+    one exact-rational mean rounded at 6dp.
+
+    100 TB shape: frames decode once inside Arrow stages, the per-frame
+    8-byte hashes are checkpointed, and the adjacent-frame join keys on
+    (video, frame+1) — bounded fan-out, never pixels."""
+    from scylla_migrator_spark.analytics import multimodal as MM
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    vids = docs.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") % 50) * 250).cast("long").alias("dur"),
+        F.lit(320).alias("w"),
+        F.lit(240).alias("h"),
+    )
+    mp4s = MM.synth_mp4_assets(vids, "doc_id", "dur", "w", "h")
+    assets = MM.make_asset_table(
+        mp4s, "asset_id", "data", kind="video", mime="video/mp4"
+    )
+    meta = MM.decode_assets_meta(assets)
+    frames = meta.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.col("duration_ms"), F.lit(1000).cast("long")
+            )
+        ).alias("ts"),
+    ).select("asset_id", F.expr("ts DIV 1000").alias("f"))
+    fdocs = (
+        frames.join(docs, frames["asset_id"] == docs["doc_id"])
+        .select(
+            (F.col("doc_id") * 64 + F.col("f")).alias("fid"),
+            F.encode(
+                F.expr("substring(text, CAST(1 + 7 * f AS INT), 61)"), "UTF-8"
+            ).alias("payload"),
+        )
+        .filter(F.length("payload") > 0)
+    )
+    ppm = MM.synth_ppm_assets(fdocs, "fid", "payload", width=16, height=16)
+    passets = MM.make_asset_table(
+        ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
+    )
+    fp = (
+        MM.image_dhash_fingerprints(MM.resize_ppm_nn(passets, 8, 8), grid=8)
+        .select(
+            F.expr("asset_id DIV 64").alias("doc_id"),
+            (F.col("asset_id") % 64).alias("f"),
+            "sh",
+        )
+        .localCheckpoint(eager=True)
+    )
+    l = fp.select("doc_id", F.col("f").alias("fl"), F.col("sh").alias("shl"))
+    r = fp.select(
+        F.col("doc_id").alias("doc_id_r"),
+        F.col("f").alias("fr"),
+        F.col("sh").alias("shr"),
+    )
+    adj = l.join(
+        r, (F.col("doc_id") == F.col("doc_id_r")) & (F.col("fr") == F.col("fl") + 1)
+    ).select(
+        "doc_id",
+        F.bit_count(F.col("shl").bitwiseXOR(F.col("shr"))).cast("int").alias("hd"),
+    )
+    return adj.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum(F.when(F.col("hd") > 20, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.round(F.sum("hd").cast("double") / F.count("*"), 6).alias("mean_hamming"),
+        F.max("hd").cast("int").alias("max_hamming"),
+    )
+
+
+def _nmi_sql(dim: int = 16, k: int = 8, iters: int = 2) -> str:
+    """NMI oracle: the shared doc-cluster training/assignment CTEs + the
+    contingency arithmetic (per-cell and marginal entropy terms truncated
+    to DECIMAL(18,9) before their sums)."""
+    return (
+        _hashed_emb_cte(dim)
+        + ",\n    base AS (SELECT doc_id AS vec_id, CAST(v AS DOUBLE[]) AS v FROM emb),\n    "
+        + ",\n    ".join(_kmeans_train_parts(iters, k, dim))
+        + ",\n    "
+        + _kmeans_assign_cte("assigned", f"cent{iters}")
+        + """,
+    lab AS (
+      SELECT a.vec_id AS doc_id, a.centroid_id AS c, d.source AS s
+      FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+    cs AS (SELECT c, s, count(*)::BIGINT AS n FROM lab GROUP BY 1, 2),
+    mc AS (SELECT c, sum(n)::BIGINT AS nc FROM cs GROUP BY 1),
+    ms AS (SELECT s, sum(n)::BIGINT AS ns FROM cs GROUP BY 1),
+    nn AS (SELECT sum(n)::BIGINT AS nn FROM cs),
+    mi_t AS (
+      SELECT CAST((CAST(cs.n AS DOUBLE) / nn.nn)
+                  * ln(CAST(cs.n AS DOUBLE) * nn.nn
+                       / (CAST(mc.nc AS DOUBLE) * ms.ns))
+                  AS DECIMAL(18,9)) AS term
+      FROM cs JOIN mc USING (c) JOIN ms USING (s), nn),
+    hc_t AS (
+      SELECT CAST(-(CAST(nc AS DOUBLE) / nn.nn)
+                  * ln(CAST(nc AS DOUBLE) / nn.nn) AS DECIMAL(18,9)) AS term
+      FROM mc, nn),
+    hs_t AS (
+      SELECT CAST(-(CAST(ns AS DOUBLE) / nn.nn)
+                  * ln(CAST(ns AS DOUBLE) / nn.nn) AS DECIMAL(18,9)) AS term
+      FROM ms, nn),
+    agg AS (
+      SELECT (SELECT sum(term) FROM mi_t) AS mi,
+             (SELECT sum(term) FROM hc_t) AS hc,
+             (SELECT sum(term) FROM hs_t) AS hs,
+             (SELECT nn FROM nn) AS n_docs,
+             (SELECT count(*) FROM mc) AS n_clusters,
+             (SELECT count(*) FROM ms) AS n_sources)
+    SELECT n_docs::BIGINT AS n_docs, n_clusters::BIGINT AS n_clusters,
+           n_sources::BIGINT AS n_sources,
+           round(CAST(mi AS DOUBLE), 6) AS mutual_information,
+           round(CAST(hc AS DOUBLE), 6) AS h_cluster,
+           round(CAST(hs AS DOUBLE), 6) AS h_source,
+           round(CAST(mi AS DOUBLE)
+                 / sqrt(CAST(hc AS DOUBLE) * CAST(hs AS DOUBLE)), 6) AS nmi
+    FROM agg
+    WHERE CAST(hc AS DOUBLE) > 0 AND CAST(hs AS DOUBLE) > 0
+    """
+    )
+
+
+@_register("cluster_source_nmi", _nmi_sql())
+def cluster_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the trained document
+    clusters and the source labels — the external-validity companion to
+    the silhouette's internal quality: silhouette asks "are the clusters
+    geometrically tight", NMI asks "do they recover anything a human
+    label knows" (NMI near 0 = clustering is orthogonal to provenance —
+    fine for topical bucketing, fatal if the goal was source
+    separation; near 1 = the expensive clustering rediscovered the
+    source column). Sqrt-normalized NMI = I(C;S)/sqrt(H(C)H(S)).
+
+    Exactness: the contingency table and marginals are integer counts;
+    every ln term runs on bit-identical double ratios of exact integers
+    and truncates to DECIMAL(18,9) before its sum (the entropy-family
+    discipline); one double expression chain at the end. Shape: the
+    k-means artifact is the SAME staged training the assignment and
+    silhouette queries share; the NMI math is |clusters x sources|
+    arithmetic after one map-side count pass."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text", "source"))
+    emb = docs.select(
+        "doc_id",
+        TXT.hashed_bow_embedding(F.col("text"), dim=16)
+        .cast("array<double>")
+        .alias("v"),
+    )
+    cents = _staged_json(
+        "doc_kmeans_8x2",
+        [_SIMMOD, _TXTMOD, doc_cluster_assignments],
+        sf_dir,
+        "documents",
+        lambda: SIM.kmeans_centroids(
+            emb, n_centroids=8, iters=2, id_col="doc_id", vec_col="v"
+        ),
+    )
+    lab = (
+        SIM.ivf_assign(emb, cents, "doc_id", "v")
+        .select("doc_id", F.col("centroid_id").alias("c"))
+        .join(docs.select("doc_id", F.col("source").alias("s")), "doc_id")
+    )
+    cs = lab.groupBy("c", "s").agg(F.count("*").cast("bigint").alias("n"))
+    mc = cs.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    ms = cs.groupBy("s").agg(F.sum("n").cast("bigint").alias("ns"))
+    nn = cs.agg(F.sum("n").cast("bigint").alias("nn"))
+    mi_t = (
+        cs.join(mc, "c")
+        .join(ms, "s")
+        .join(F.broadcast(nn))
+        .select(
+            (
+                (F.col("n").cast("double") / F.col("nn"))
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("nn")
+                    / (F.col("nc").cast("double") * F.col("ns"))
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("mi"))
+    )
+    hc_t = (
+        mc.join(F.broadcast(nn))
+        .select(
+            (
+                -(F.col("nc").cast("double") / F.col("nn"))
+                * F.log(F.col("nc").cast("double") / F.col("nn"))
+            )
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("hc"), F.count("*").cast("bigint").alias("n_clusters"))
+    )
+    hs_t = (
+        ms.join(F.broadcast(nn))
+        .select(
+            (
+                -(F.col("ns").cast("double") / F.col("nn"))
+                * F.log(F.col("ns").cast("double") / F.col("nn"))
+            )
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("hs"), F.count("*").cast("bigint").alias("n_sources"))
+    )
+    mi = F.col("mi").cast("double")
+    hc = F.col("hc").cast("double")
+    hs = F.col("hs").cast("double")
+    return (
+        nn.crossJoin(F.broadcast(mi_t))
+        .crossJoin(F.broadcast(hc_t))
+        .crossJoin(F.broadcast(hs_t))
+        .filter((hc > 0) & (hs > 0))
+        .select(
+            F.col("nn").alias("n_docs"),
+            "n_clusters",
+            "n_sources",
+            F.round(mi, 6).alias("mutual_information"),
+            F.round(hc, 6).alias("h_cluster"),
+            F.round(hs, 6).alias("h_source"),
+            F.round(mi / F.sqrt(hc * hs), 6).alias("nmi"),
+        )
+    )
