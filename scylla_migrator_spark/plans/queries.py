@@ -15765,3 +15765,65 @@ def cluster_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mi / F.sqrt(hc * hs), 6).alias("nmi"),
         )
     )
+
+
+@_register(
+    "int8_recall_at_k",
+    # int8 round-trip recall: quantize (the embedding_quantize_int8
+    # formulas), dequantize with the PUBLISHED round-6 qmin/qscale, exact
+    # cosine top-k over the reconstructed corpus vs the true ranking.
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (
+      SELECT vec_id, round(list_min(v), 6) AS qmin,
+             round(list_max(v) - list_min(v), 6) AS qscale,
+             list_transform(v, x ->
+               CASE WHEN list_max(v) = list_min(v) THEN 0
+                    ELSE CAST(floor((x - list_min(v)) / (list_max(v) - list_min(v))
+                                    * 255 + 0.5) AS INT) END) AS codes
+      FROM v),
+    deq AS (
+      SELECT vec_id,
+             list_transform(codes, c -> qmin + c * qscale / 255.0) AS dv
+      FROM qz),
+    qv AS (SELECT v AS q FROM v WHERE vec_id = 0),
+    approx AS (
+      SELECT vec_id FROM (
+        SELECT d.vec_id,
+               round(list_cosine_similarity(d.dv, qv.q), 6) AS cos
+        FROM deq d, qv ORDER BY cos DESC, vec_id LIMIT 10)),
+    exact AS ({{ORACLE_ANN}})
+    SELECT 10 AS k, count(*)::BIGINT AS hits,
+           round(count(*) / 10.0, 6) AS recall
+    FROM approx JOIN exact USING (vec_id)
+    """.replace("{ORACLE_ANN}", ORACLES["ann_cosine_topk"]),
+)
+def int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact search over the int8-DEQUANTIZED corpus against
+    the float ranking — the round-trip quality number for the scalar
+    quantizer (embedding_quantize_int8 publishes the codes; this row says
+    what 4x compression costs in ranking fidelity), completing the
+    recall gate across every quantizer in the repo: LSH, IVF, PQ-ADC,
+    PQ re-rank, Matryoshka truncation, and now int8. Dequantization uses
+    the PUBLISHED round-6 qmin/qscale (what a consumer of the codes
+    table would use), so the metric grades the actual artifact.
+
+    Shape: quantize + dequantize fuse into the scan stage (narrow
+    projections, no shuffle); the top-k is the brute_force_topk
+    TakeOrdered; the recall join is k-vs-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    q = SIM.quantize_int8(emb, "vec_id", "embedding")
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.col("codes"),
+            lambda c: F.col("qmin") + c * F.col("qscale") / F.lit(255.0),
+        ).alias("dv"),
+    )
+    approx = SIM.brute_force_topk(deq, qv, "vec_id", "dv", k=10)
+    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    return _recall_of(approx, exact, k=10)
