@@ -15827,3 +15827,190 @@ def int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = SIM.brute_force_topk(deq, qv, "vec_id", "dv", k=10)
     exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
     return _recall_of(approx, exact, k=10)
+
+
+@_register(
+    "dispersion_index_daily",
+    # variance-to-mean ratio of daily counts per type from exact integer
+    # moments (n, sum, sum of squares); one identical double chain.
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+             sum(c * c)::BIGINT AS ss
+      FROM daily GROUP BY 1 HAVING count(*) > 1 AND sum(c) > 0)
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 6)
+             AS var_daily,
+           round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index
+    FROM m
+    """,
+)
+def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio) of daily event volume
+    per type — the Poisson-assumption check under the whole monitoring
+    family: a Poisson arrival process has D = 1; D >> 1 (overdispersion:
+    bursts, campaigns, batch ingests) means Poisson-based alert
+    thresholds will fire constantly and need a negative-binomial
+    widening, D << 1 (underdispersion: rate-limited or quota'd flows)
+    means they are too loose. One map-side day-grain count pass, exact
+    integer moments, one identical double expression chain rounded 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day_idx")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    m = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        )
+        .filter((F.col("n") > 1) & (F.col("s") > 0))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+@_register(
+    "retention_decay_rate",
+    # exponential fit of the pooled retention curve: per-offset retention
+    # over cohorts OBSERVABLE at that offset (censoring-aware pooling of
+    # the cohort_retention CTE), ln-linearized OLS with y terms truncated
+    # to DECIMAL(18,9) (x*y products stay exact decimals), half-life
+    # ln2/rate.
+    """
+    WITH cr AS ("""
+    + ORACLES["cohort_retention"]
+    + """),
+    mw AS (SELECT max(cohort_week + week_offset) AS maxw FROM cr),
+    base AS (SELECT cohort_week, n_users AS c0 FROM cr WHERE week_offset = 0),
+    ofs AS (SELECT DISTINCT week_offset AS o FROM cr WHERE week_offset >= 1),
+    ro AS (
+      SELECT ofs.o,
+             sum(coalesce(cr2.n_users, 0))::BIGINT AS ret,
+             sum(b.c0)::BIGINT AS tot
+      FROM ofs JOIN base b ON b.cohort_week + ofs.o <= (SELECT maxw FROM mw)
+      LEFT JOIN cr cr2 ON cr2.cohort_week = b.cohort_week
+                      AND cr2.week_offset = ofs.o
+      GROUP BY ofs.o
+      HAVING sum(coalesce(cr2.n_users, 0)) > 0 AND sum(b.c0) > 0),
+    terms AS (
+      SELECT o, CAST(ln(CAST(ret AS DOUBLE) / tot) AS DECIMAL(18,9)) AS y,
+             CASE WHEN o = 1
+                  THEN round(CAST(ret AS DOUBLE) / tot, 6) END AS r1
+      FROM ro),
+    mom AS (
+      SELECT count(*)::BIGINT AS n, sum(o)::BIGINT AS sx, sum(y) AS sy,
+             sum(o * o)::BIGINT AS sxx, sum(o * y) AS sxy, max(r1) AS r1
+      FROM terms)
+    SELECT n AS n_offsets, r1 AS retention_week1,
+           round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx)), 6) + 0.0 AS decay_rate,
+           CASE WHEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) < 0
+                THEN round(0.6931471805599453
+                           / -(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (n * sxx - sx * sx)), 6)
+                ELSE 0.0 END AS half_life_weeks
+    FROM mom WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def retention_decay_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential decay fit of the pooled retention curve — the single
+    number the cohort_retention MATRIX is usually read for: assume
+    r(o) ~ r1 * exp(-lambda*(o-1)), fit lambda by ln-linearized least
+    squares over week offsets, report the decay rate and half-life in
+    weeks (the "how fast do we lose returning users" KPI). Pooling is
+    CENSORING-AWARE: offset o averages only cohorts old enough to be
+    observable at o (young cohorts never drag the tail down), the same
+    correctness idea as the survival family's risk sets.
+
+    Exactness: retention ratios come from exact integer counts; the
+    per-offset ln terms truncate to DECIMAL(18,9) (x*y moment products
+    stay exact decimals), the OLS arithmetic is one double chain; ln 2
+    ships as a literal, not a cross-engine ln(2) call. Everything after
+    the cohort aggregate runs on the |offsets| frame."""
+    from pyspark.sql import functions as F2
+
+    cr = QUERIES["cohort_retention"](spark, sf_dir).localCheckpoint(eager=True)
+    mw = cr.agg(
+        F2.max(F2.col("cohort_week") + F2.col("week_offset")).alias("maxw")
+    )
+    base = cr.filter(F2.col("week_offset") == 0).select(
+        "cohort_week", F2.col("n_users").alias("c0")
+    )
+    ofs = (
+        cr.filter(F2.col("week_offset") >= 1)
+        .select(F2.col("week_offset").alias("o"))
+        .distinct()
+    )
+    cr2 = cr.select(
+        F2.col("cohort_week").alias("cw2"),
+        F2.col("week_offset").alias("o2"),
+        F2.col("n_users").alias("ret_u"),
+    )
+    ro = (
+        ofs.join(F.broadcast(mw))
+        .join(base, F2.col("cohort_week") + F2.col("o") <= F2.col("maxw"))
+        .join(
+            cr2,
+            (F2.col("cw2") == F2.col("cohort_week")) & (F2.col("o2") == F2.col("o")),
+            "left",
+        )
+        .groupBy("o")
+        .agg(
+            F2.sum(F2.coalesce(F2.col("ret_u"), F2.lit(0))).cast("bigint").alias("ret"),
+            F2.sum("c0").cast("bigint").alias("tot"),
+        )
+        .filter((F2.col("ret") > 0) & (F2.col("tot") > 0))
+    )
+    terms = ro.select(
+        "o",
+        F2.log(F2.col("ret").cast("double") / F2.col("tot"))
+        .cast("decimal(18,9)")
+        .alias("y"),
+        F2.when(
+            F2.col("o") == 1, F2.round(F2.col("ret").cast("double") / F2.col("tot"), 6)
+        ).alias("r1"),
+    )
+    mom = terms.agg(
+        F2.count("*").cast("bigint").alias("n"),
+        F2.sum("o").cast("bigint").alias("sx"),
+        F2.sum("y").alias("sy"),
+        F2.sum(F2.col("o") * F2.col("o")).cast("bigint").alias("sxx"),
+        F2.sum(F2.col("o") * F2.col("y")).alias("sxy"),
+        F2.max("r1").alias("r1"),
+    )
+    slope = (F2.col("n") * F2.col("sxy") - F2.col("sx") * F2.col("sy")).cast(
+        "double"
+    ) / (F2.col("n") * F2.col("sxx") - F2.col("sx") * F2.col("sx"))
+    return (
+        mom.filter(
+            (F2.col("n") >= 2)
+            & (F2.col("n") * F2.col("sxx") - F2.col("sx") * F2.col("sx") > 0)
+        )
+        .select(
+            F2.col("n").alias("n_offsets"),
+            F2.col("r1").alias("retention_week1"),
+            # + 0.0 canonicalizes IEEE negative zero when the slope is
+            # exactly 0 (flat retention) — the engines disagree on -0.0
+            (F2.round(-slope, 6) + F2.lit(0.0)).alias("decay_rate"),
+            F2.when(slope < 0, F2.round(F2.lit(0.6931471805599453) / -slope, 6))
+            .otherwise(F2.lit(0.0))
+            .alias("half_life_weeks"),
+        )
+    )
