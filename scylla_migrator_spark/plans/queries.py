@@ -16014,3 +16014,114 @@ def retention_decay_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("half_life_weeks"),
         )
     )
+
+
+def _markov_sql(rounds: int = 3) -> str:
+    """Unrolled power-iteration oracle over the transition-matrix CTE:
+    uniform start, per-step products truncated to DECIMAL(18,9) before
+    the exact sums (the PageRank discipline), final renormalization."""
+    parts = [
+        "WITH tm AS (" + ORACLES["event_transition_matrix"] + ")",
+        "rt AS (SELECT from_type, sum(n)::BIGINT AS rn FROM tm GROUP BY 1)",
+        """tmr AS (
+      SELECT from_type, to_type, CAST(n AS DOUBLE) / rn AS p
+      FROM tm JOIN rt USING (from_type))""",
+        """types AS (
+      SELECT DISTINCT from_type AS t FROM tm
+      UNION SELECT DISTINCT to_type FROM tm)""",
+        "nt AS (SELECT count(*)::BIGINT AS k FROM types)",
+        """pi0 AS (
+      SELECT t, CAST(1.0 / k AS DECIMAL(18,9)) AS p FROM types, nt)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""pi{r + 1} AS (
+      SELECT m.to_type AS t,
+             sum(CAST(pi{r}.p * m.p AS DECIMAL(18,9))) AS p
+      FROM pi{r} JOIN tmr m ON m.from_type = pi{r}.t
+      GROUP BY m.to_type)"""
+        )
+    parts.append(
+        f"s AS (SELECT sum(p) AS s FROM pi{rounds})"
+    )
+    parts.append(
+        f"""emp AS (
+      SELECT event_type, count(*)::BIGINT AS c FROM events GROUP BY 1)"""
+    )
+    parts.append("te AS (SELECT sum(c)::BIGINT AS te FROM emp)")
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT emp.event_type,
+           round(CAST(coalesce(pi{rounds}.p, 0) AS DOUBLE)
+                 / CAST(s.s AS DOUBLE), 6) AS stationary_p,
+           round(CAST(emp.c AS DOUBLE) / te.te, 6) AS empirical_p
+    FROM emp LEFT JOIN pi{rounds} ON pi{rounds}.t = emp.event_type, s, te
+    """
+    )
+
+
+@_register("markov_stationary_profile", _markov_sql(3))
+def markov_stationary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where user behavior CONVERGES: the (approximate) stationary
+    distribution of the first-order event-type Markov chain — three
+    power-iteration rounds from uniform over the trained transition
+    matrix, renormalized — next to the empirical type frequency. A gap
+    between the two is the behavioral-drift forecast: the chain says
+    where the mix is HEADING if today's transition behavior persists,
+    which leads the raw-frequency monitors (weekly_event_drift sees the
+    mix move; this says it was predictable from the transitions).
+
+    Exactness (the PageRank discipline): transition probabilities are
+    exact-integer ratios; each step's per-edge products truncate to
+    DECIMAL(18,9) before the shuffle-order-exact sums; three unrolled
+    rounds replay CTE-for-CTE in the oracle; one renormalizing division
+    at the end. Shape: the matrix is |types|^2 from one user-keyed lag
+    pass (shared with event_transition_matrix); every iteration is a
+    |types|-row join."""
+    from pyspark.sql import functions as F2
+
+    tm = QUERIES["event_transition_matrix"](spark, sf_dir).localCheckpoint(eager=True)
+    rt = tm.groupBy("from_type").agg(F2.sum("n").cast("bigint").alias("rn"))
+    tmr = tm.join(rt, "from_type").select(
+        "from_type", "to_type", (F2.col("n").cast("double") / F2.col("rn")).alias("tp")
+    )
+    types = (
+        tm.select(F2.col("from_type").alias("t"))
+        .union(tm.select(F2.col("to_type").alias("t")))
+        .distinct()
+    )
+    nt = types.agg(F2.count("*").cast("bigint").alias("k"))
+    pi = types.join(F.broadcast(nt)).select(
+        "t", (F2.lit(1.0) / F2.col("k")).cast("decimal(18,9)").alias("p")
+    )
+    for _ in range(3):
+        pi = (
+            pi.join(tmr, tmr["from_type"] == pi["t"])
+            .select(
+                F2.col("to_type").alias("t2"),
+                (F2.col("p") * F2.col("tp")).cast("decimal(18,9)").alias("q"),
+            )
+            .groupBy(F2.col("t2").alias("t"))
+            .agg(F2.sum("q").alias("p"))
+        )
+    s = pi.agg(F2.sum("p").alias("s"))
+    ev = _t(spark, sf_dir, "events")
+    emp = ev.groupBy("event_type").agg(F2.count("*").cast("bigint").alias("c"))
+    te = emp.agg(F2.sum("c").cast("bigint").alias("te"))
+    return (
+        emp.join(pi.withColumnRenamed("t", "event_type"), "event_type", "left")
+        .join(F.broadcast(s))
+        .join(F.broadcast(te))
+        .select(
+            "event_type",
+            F2.round(
+                F2.coalesce(F2.col("p"), F2.lit(0)).cast("double")
+                / F2.col("s").cast("double"),
+                6,
+            ).alias("stationary_p"),
+            F2.round(F2.col("c").cast("double") / F2.col("te"), 6).alias(
+                "empirical_p"
+            ),
+        )
+    )
