@@ -16125,3 +16125,201 @@ def markov_stationary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "session_duration_percentiles",
+    # sessions from the 30-min gaps-and-islands flags (the sessionization
+    # machinery) -> per-session integer nano durations -> interpolated
+    # percentiles (quantile_cont == F.percentile) converted to seconds
+    # once at the output.
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                       > 1800000000000 OR
+                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, tns,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY tns, event_id) AS sid
+      FROM marked),
+    d AS (
+      SELECT user_id, sid, (max(tns) - min(tns))::BIGINT AS dur,
+             count(*)::BIGINT AS ne
+      FROM sess GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_sessions,
+           round(quantile_cont(dur, 0.5) / 1000000000.0, 6) AS p50_duration_s,
+           round(quantile_cont(dur, 0.95) / 1000000000.0, 6) AS p95_duration_s,
+           round(CAST(sum(ne) AS DOUBLE) / count(*), 6) AS mean_events
+    FROM d
+    """,
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution under the 30-minute sessionization:
+    p50/p95 duration in seconds plus mean events per session — the
+    engagement-depth readout next to events_sessionization's per-user
+    counts (counts say how often users come; durations say how long they
+    stay — the pair a timeout change is evaluated on, closing the loop
+    with session_gap_distribution which picks the timeout itself).
+
+    Shape: the same ONE user-keyed window pass marks session starts, a
+    second window over the same partitioning assigns ids (one shuffle
+    end to end — shared partition spec), per-session aggregates are
+    integer nano durations, and the exact interpolated percentiles
+    (F.percentile == quantile_cont, the established contract) run over
+    the session frame; seconds conversion happens once at the output."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    marked = ev.select(
+        "user_id",
+        F.col("ts").alias("tns"),
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > gap_ns),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    sess = marked.select(
+        "user_id", "tns", F.sum("new_session").over(w2).alias("sid")
+    )
+    d = sess.groupBy("user_id", "sid").agg(
+        (F.max("tns") - F.min("tns")).cast("bigint").alias("dur"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(F.percentile("dur", F.lit(0.5)) / F.lit(1000000000.0), 6).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.percentile("dur", F.lit(0.95)) / F.lit(1000000000.0), 6).alias(
+            "p95_duration_s"
+        ),
+        F.round(F.sum("ne").cast("double") / F.count("*"), 6).alias("mean_events"),
+    )
+
+
+@_register(
+    "label_separability_profile",
+    # Fisher-style separability of the embedding labels: per-(label, dim)
+    # decimal-exact means rounded at 6 (the k-means centroid discipline),
+    # per-row squared distances to the own-label centroid truncated to
+    # DECIMAL(18,9) per (row, dim) term, between-class distance from the
+    # same rounded centroids vs the global mean.
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT label, gs.i AS dim, vec_id, v[gs.i] AS x
+      FROM v, generate_series(1, 64) AS gs(i)),
+    cl AS (
+      SELECT label, dim,
+             round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m,
+             count(*)::BIGINT AS nl
+      FROM cells GROUP BY 1, 2),
+    cg AS (
+      SELECT dim,
+             round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS g
+      FROM cells GROUP BY 1),
+    within_t AS (
+      SELECT c.label, c.vec_id,
+             CAST((c.x - cl.m) * (c.x - cl.m) AS DECIMAL(18,9)) AS t
+      FROM cells c JOIN cl ON cl.label = c.label AND cl.dim = c.dim),
+    within AS (
+      SELECT label, count(DISTINCT vec_id)::BIGINT AS n_vecs,
+             round(CAST(sum(t) AS DOUBLE) / count(DISTINCT vec_id), 6)
+               AS within_mean_sq
+      FROM within_t GROUP BY label),
+    between_t AS (
+      SELECT cl.label,
+             CAST((cl.m - cg.g) * (cl.m - cg.g) AS DECIMAL(18,9)) AS t
+      FROM cl JOIN cg USING (dim)),
+    betw AS (
+      SELECT label, round(CAST(sum(t) AS DOUBLE), 6) AS centroid_dist_sq
+      FROM between_t GROUP BY label)
+    SELECT w.label, w.n_vecs, w.within_mean_sq, b.centroid_dist_sq,
+           round(b.centroid_dist_sq / w.within_mean_sq, 6) AS separability
+    FROM within w JOIN betw b USING (label)
+    WHERE w.within_mean_sq > 0
+    """,
+)
+def label_separability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style class separability of the labeled embeddings: per
+    label, the mean squared distance of its vectors to their OWN
+    centroid (within-class scatter) vs the squared distance of that
+    centroid to the global mean (between-class) and their ratio — the
+    readout that says whether the labels are learnable structure in this
+    embedding space BEFORE anyone trains a probe on it (linear_probe
+    accuracy collapsing while separability holds means the probe broke;
+    both collapsing means the embeddings did). Completes the embedding
+    quality trio: silhouette (unsupervised geometry), NMI (clusters vs
+    labels), Fisher (labels vs geometry).
+
+    Exactness: centroids are decimal-exact per-dim means rounded at 6
+    (the shared k-means discipline, so both engines' distances see
+    identical centroid doubles); every squared term truncates to
+    DECIMAL(18,9) before its shuffle-order-exact sum. Shape: the
+    (row x dim) explode is the honest cost (64x narrow rows, two
+    map-side aggregates); at 100 TB swap the explode for the
+    F.aggregate vector folds over the same decimal discipline —
+    identical math, scan-stage."""
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    cells = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select("vec_id", "label", (F.col("i") + 1).alias("dim"), "x")
+    cl = cells.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("m")
+    )
+    cg = cells.groupBy("dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("g")
+    )
+    within_t = cells.join(cl, ["label", "dim"]).select(
+        "label",
+        "vec_id",
+        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+        .cast("decimal(18,9)")
+        .alias("t"),
+    )
+    within = within_t.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("t").cast("double") / F.countDistinct("vec_id"), 6
+        ).alias("within_mean_sq"),
+    )
+    between_t = cl.join(cg, "dim").select(
+        "label",
+        ((F.col("m") - F.col("g")) * (F.col("m") - F.col("g")))
+        .cast("decimal(18,9)")
+        .alias("t"),
+    )
+    betw = between_t.groupBy("label").agg(
+        F.round(F.sum("t").cast("double"), 6).alias("centroid_dist_sq")
+    )
+    return (
+        within.join(betw, "label")
+        .filter(F.col("within_mean_sq") > 0)
+        .select(
+            "label",
+            "n_vecs",
+            "within_mean_sq",
+            "centroid_dist_sq",
+            F.round(F.col("centroid_dist_sq") / F.col("within_mean_sq"), 6).alias(
+                "separability"
+            ),
+        )
+    )
