@@ -16323,3 +16323,138 @@ def label_separability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "source_marginal_novelty",
+    # per-source exclusive-shingle fraction: distinct (source, 3-gram)
+    # pairs -> source-df per gram -> fraction with df 1; grams cross the
+    # df join as md5 digests on both engines.
+    r"""
+    WITH sh AS (
+      SELECT source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
+             )) AS s
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+    g AS (SELECT DISTINCT source, md5(gram) AS h
+          FROM (SELECT source, unnest(s) AS gram FROM sh)),
+    sdf AS (SELECT h, count(*)::BIGINT AS ns FROM g GROUP BY h)
+    SELECT g.source,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN sdf.ns = 1 THEN 1 ELSE 0 END)::BIGINT AS n_exclusive,
+           round(CAST(sum(CASE WHEN sdf.ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS marginal_novelty
+    FROM g JOIN sdf USING (h)
+    GROUP BY g.source
+    """,
+)
+def source_marginal_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What each source UNIQUELY contributes: the fraction of a source's
+    distinct word 3-grams that occur in NO other source — the
+    corpus-composition counterpart of per-doc ngram_novelty_score, and
+    the number a mixing policy reads before dropping a source ("source X
+    is 90% covered by the others" vs "source Y is the only holder of a
+    third of its phrasing"). Pairs with cross_source_dup_matrix: the
+    matrix says who overlaps whom; this says what would be LOST.
+
+    Shape: one shingle explode collapsed to DISTINCT (source, gram)
+    pairs map-side; grams cross the source-df join as 16-byte md5
+    digests only (never shingle text twice — the sentence-dedup
+    posture); both aggregates are |distinct grams|-bounded."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(TXT.shingles(F.col("text"), 3))).alias("gram"),
+        )
+        .select("source", F.md5("gram").alias("h"))
+        .distinct()
+    )
+    sdf = g.groupBy("h").agg(F.count("*").cast("bigint").alias("ns"))
+    ex = F.when(F.col("ns") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        g.join(sdf, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(ex).cast("bigint").alias("n_exclusive"),
+            F.round(F.sum(ex).cast("double") / F.count("*"), 6).alias(
+                "marginal_novelty"
+            ),
+        )
+    )
+
+
+@_register(
+    "bpr_triplet_sample",
+    # (user, positive item, derandomized negative) triplets for pairwise
+    # ranking losses: neg = 1 + md5(user||'_'||pos) % max_item, accidental
+    # positives removed by an exact anti-join (single-attempt sampling,
+    # the collision loss is the documented price of determinism).
+    """
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS pos_item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    mx AS (SELECT max(p_partkey)::BIGINT AS mp FROM part),
+    cand AS (
+      SELECT user_id, pos_item,
+             1 + CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+                                         CAST(pos_item AS VARCHAR)), 1, 8) AS BIGINT)
+                 % mp AS neg_item
+      FROM pos, mx)
+    SELECT c.user_id, c.pos_item, c.neg_item
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pos p
+      WHERE p.user_id = c.user_id AND p.pos_item = c.neg_item)
+    """,
+)
+def bpr_triplet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPR-style (user, positive, negative) training triplets over the
+    purchase graph (customer x part via orders->lineitem) — the data-prep
+    step every pairwise-ranking / contrastive recommender loss consumes.
+    The negative is DERANDOMIZED: item = 1 + md5(user, pos) % max_item
+    (the corpus-mixing hash-sampling contract), and accidental positives
+    are removed by an exact left-anti probe — single-attempt sampling,
+    whose small collision loss is the documented price of a fully
+    replayable sample (a production variant re-salts k attempts; same
+    plan, k projections).
+
+    Shape: the positive set is one distinct projection of the join; the
+    negative is a scan-stage hash expression; the anti-join keys on
+    (user, item) — no RNG, no driver loop, nothing corpus-quadratic."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("user_id")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("pos_item")
+    )
+    pos = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "user_id", "pos_item"
+    ).distinct()
+    mx = _t(spark, sf_dir, "part").agg(
+        F.max("p_partkey").cast("bigint").alias("mp")
+    )
+    cand = pos.join(F.broadcast(mx)).select(
+        "user_id",
+        "pos_item",
+        (
+            F.lit(1)
+            + TXT._md5_int(
+                F.concat_ws("_", F.col("user_id").cast("string"),
+                            F.col("pos_item").cast("string"))
+            )
+            % F.col("mp")
+        ).alias("neg_item"),
+    )
+    anti = pos.select(
+        F.col("user_id").alias("u2"), F.col("pos_item").alias("neg_item")
+    )
+    return cand.join(
+        anti,
+        (cand["user_id"] == F.col("u2")) & (cand["neg_item"] == anti["neg_item"]),
+        "left_anti",
+    ).select("user_id", "pos_item", "neg_item")
