@@ -16458,3 +16458,189 @@ def bpr_triplet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cand["user_id"] == F.col("u2")) & (cand["neg_item"] == anti["neg_item"]),
         "left_anti",
     ).select("user_id", "pos_item", "neg_item")
+
+
+@_register(
+    "transition_entropy",
+    # per-state Shannon entropy of the next-event distribution over the
+    # trained transition matrix: exact-integer row ratios, -p*ln(p) terms
+    # truncated to DECIMAL(18,9) pre-sum, contribution = row weight x H.
+    """
+    WITH tm AS ("""
+    + ORACLES["event_transition_matrix"]
+    + """),
+    rt AS (SELECT from_type, sum(n)::BIGINT AS rn FROM tm GROUP BY 1),
+    tt AS (SELECT sum(n)::BIGINT AS tt FROM tm),
+    terms AS (
+      SELECT tm.from_type,
+             CAST(-(CAST(tm.n AS DOUBLE) / rt.rn)
+                  * ln(CAST(tm.n AS DOUBLE) / rt.rn) AS DECIMAL(18,9)) AS term
+      FROM tm JOIN rt USING (from_type))
+    SELECT rt.from_type, count(*)::BIGINT AS n_out,
+           round(CAST(sum(term) AS DOUBLE), 6) AS row_entropy,
+           round(CAST(rt.rn AS DOUBLE) / tt.tt, 6) AS weight,
+           round((CAST(rt.rn AS DOUBLE) / tt.tt)
+                 * CAST(sum(term) AS DOUBLE), 6) AS contribution
+    FROM terms JOIN rt USING (from_type), tt
+    GROUP BY rt.from_type, rt.rn, tt.tt
+    """,
+)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How PREDICTABLE user behavior is, state by state: the Shannon
+    entropy of each event type's next-event distribution over the
+    trained transition matrix, its stationary weight, and the weighted
+    contribution (their sum is the chain's conditional entropy
+    H(next | current) — the per-step surprise floor for any next-event
+    model; a state whose row entropy jumps is where behavior drifted,
+    sharper than the marginal-mix monitors). Completes the Markov trio:
+    matrix (what), stationary profile (where it converges), entropy
+    (how predictable).
+
+    Shape: everything after the shared user-keyed lag pass is
+    |types|^2 arithmetic; the entropy-family DECIMAL(18,9) term
+    discipline makes the row sums shuffle-order exact."""
+    from pyspark.sql import functions as F2
+
+    tm = QUERIES["event_transition_matrix"](spark, sf_dir).localCheckpoint(eager=True)
+    rt = tm.groupBy("from_type").agg(F2.sum("n").cast("bigint").alias("rn"))
+    tt = tm.agg(F2.sum("n").cast("bigint").alias("tt"))
+    p = F2.col("n").cast("double") / F2.col("rn")
+    terms = tm.join(rt, "from_type").select(
+        "from_type", (-p * F2.log(p)).cast("decimal(18,9)").alias("term")
+    )
+    h = F2.sum("term").cast("double")
+    w = F2.col("rn").cast("double") / F2.col("tt")
+    return (
+        terms.join(rt, "from_type")
+        .join(F.broadcast(tt))
+        .groupBy("from_type", "rn", "tt")
+        .agg(
+            F2.count("*").cast("bigint").alias("n_out"),
+            F2.round(h, 6).alias("row_entropy"),
+            F2.round(w, 6).alias("weight"),
+            F2.round(w * h, 6).alias("contribution"),
+        )
+        .select("from_type", "n_out", "row_entropy", "weight", "contribution")
+    )
+
+
+@_register(
+    "heaps_law_fit",
+    # ln-ln OLS over the 10 cumulative (tokens, vocab) growth points:
+    # ln terms truncate to DECIMAL(18,9), moments cast to double
+    # individually before one pinned arithmetic chain; K = exp(intercept).
+    r"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word, doc_id
+      FROM documents),
+    tok AS (
+      SELECT CAST(doc_id * 10 // (m + 1) AS INT) AS bucket, count(*)::BIGINT AS tk
+      FROM w, mx GROUP BY 1),
+    fs AS (SELECT word, min(doc_id) AS fd FROM w GROUP BY word),
+    nw AS (
+      SELECT CAST(fd * 10 // (m + 1) AS INT) AS bucket, count(*)::BIGINT AS nv
+      FROM fs, mx GROUP BY 1),
+    cum AS (
+      SELECT t.bucket,
+             (sum(t.tk) OVER (ORDER BY t.bucket))::BIGINT AS n,
+             (sum(coalesce(nw.nv, 0)) OVER (ORDER BY t.bucket))::BIGINT AS v
+      FROM tok t LEFT JOIN nw USING (bucket)),
+    pts AS (
+      SELECT CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+             CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(18,9)) AS y
+      FROM cum WHERE n > 0 AND v > 0),
+    mom AS (
+      SELECT count(*)::BIGINT AS k,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pts)
+    SELECT k AS n_points,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+           round(exp((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k), 6)
+             AS heaps_k,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+    FROM mom
+    WHERE k >= 2 AND k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law parameters for the corpus: fit V(n) = K * n^beta by
+    ln-ln least squares over the 10 cumulative (tokens seen, vocabulary
+    size) growth points — the EXTRAPOLATION the raw vocab_growth_curve
+    cannot give: beta is what decides whether a 10x corpus means ~2x or
+    ~8x more word types (vocab budgeting, OOV forecasting, tokenizer
+    sizing ahead of a crawl expansion); r2 says whether the power law
+    actually holds for this corpus (templated corpora flatten early and
+    the fit degrades visibly).
+
+    Exactness: growth points are exact integer cumulative counts; their
+    ln terms truncate to DECIMAL(18,9) (x*x / x*y products stay exact
+    decimals), each moment casts to double ONCE, and the slope/
+    intercept/r2 arithmetic is a single pinned double chain. Everything
+    after the word-frequency pass runs on 10 rows."""
+    from pyspark.sql import Window, functions as F2
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    mx = docs.agg(F2.max("doc_id").alias("m"))
+    w = docs.select(
+        F2.explode(TXT.tokens(F2.col("text"))).alias("word"), "doc_id"
+    )
+    tok = (
+        w.join(F.broadcast(mx))
+        .groupBy(F2.expr("CAST(doc_id * 10 DIV (m + 1) AS INT)").alias("bucket"))
+        .agg(F2.count("*").cast("bigint").alias("tk"))
+    )
+    fs = w.groupBy("word").agg(F2.min("doc_id").alias("fd"))
+    nw = (
+        fs.join(F.broadcast(mx))
+        .groupBy(F2.expr("CAST(fd * 10 DIV (m + 1) AS INT)").alias("bucket"))
+        .agg(F2.count("*").cast("bigint").alias("nv"))
+    )
+    wc = Window.orderBy("bucket")
+    cum = (
+        tok.join(nw, "bucket", "left")
+        .select(
+            "bucket",
+            F2.col("tk"),
+            F2.coalesce(F2.col("nv"), F2.lit(0)).alias("nv"),
+        )
+        .select(
+            F2.sum("tk").over(wc).cast("bigint").alias("n"),
+            F2.sum("nv").over(wc).cast("bigint").alias("v"),
+        )
+    )
+    pts = cum.filter((F2.col("n") > 0) & (F2.col("v") > 0)).select(
+        F2.log(F2.col("n").cast("double")).cast("decimal(18,9)").alias("x"),
+        F2.log(F2.col("v").cast("double")).cast("decimal(18,9)").alias("y"),
+    )
+    mom = pts.agg(
+        F2.count("*").cast("bigint").alias("k"),
+        F2.sum("x").cast("double").alias("sx"),
+        F2.sum("y").cast("double").alias("sy"),
+        F2.sum(F2.col("x") * F2.col("x")).cast("double").alias("sxx"),
+        F2.sum(F2.col("x") * F2.col("y")).cast("double").alias("sxy"),
+        F2.sum(F2.col("y") * F2.col("y")).cast("double").alias("syy"),
+    )
+    k, sx, sy = F2.col("k"), F2.col("sx"), F2.col("sy")
+    sxx, sxy, syy = F2.col("sxx"), F2.col("sxy"), F2.col("syy")
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return (
+        mom.filter(
+            (k >= 2) & (k * sxx - sx * sx > 0) & (k * syy - sy * sy > 0)
+        )
+        .select(
+            k.alias("n_points"),
+            F2.round(beta, 6).alias("heaps_beta"),
+            F2.round(F2.exp((sy - beta * sx) / k), 6).alias("heaps_k"),
+            F2.round(
+                (k * sxy - sx * sy)
+                * (k * sxy - sx * sy)
+                / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+                6,
+            ).alias("r2"),
+        )
+    )
