@@ -16644,3 +16644,64 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2"),
         )
     )
+
+
+@_register(
+    "probe_calibration_curve",
+    # reliability diagram of the SQL-replayed trained probe: per-row
+    # sigmoid scores (identical z both engines -> identical doubles),
+    # rounded at 6dp before decile binning and the DECIMAL(18,9) mean
+    # truncation, empirical positive rate beside mean predicted.
+    _PROBE_TRAIN_CTE
+    + """,
+    scored AS (
+      SELECT l.y,
+             round(1.0 / (1.0 + exp(-(w2_0 * v[1] + w2_1 * v[2] + w2_2 * v[3] + w2_3 * v[4] + w2_4 * v[5] + w2_5 * v[6] + w2_6 * v[7] + w2_7 * v[8] + w2_8 * v[9] + w2_9 * v[10] + w2_10 * v[11] + w2_11 * v[12] + w2_12 * v[13] + w2_13 * v[14] + w2_14 * v[15] + w2_15 * v[16]))), 6) AS p
+      FROM lab l CROSS JOIN w2p)
+    SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+           count(*)::BIGINT AS n,
+           round(CAST(sum(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+             AS mean_predicted,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS empirical_rate
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def probe_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained linear probe: predicted
+    probabilities binned into deciles, each bin's mean prediction beside
+    its EMPIRICAL positive rate — the calibration readout that decides
+    whether probe scores can gate data by threshold (quality_percentile
+    -style cuts assume monotone calibrated scores) or only rank it. A
+    probe can hold accuracy while its calibration drifts; this row
+    catches that separately. Extends the trained-model family: training
+    (linear_probe_training), selection (probe_quality_selection), and
+    now evaluation — all with the SAME fully SQL-replayed two-step
+    training, so the calibration values themselves are hash-checked.
+
+    Exactness: z is bit-identical on both engines (the probe-training
+    contract); sigmoid runs once per row on those doubles, rounds at
+    6dp BEFORE binning and before the DECIMAL(18,9) mean truncation;
+    bins and rates are integer arithmetic after that."""
+    feats, w2, pivot_w, dot = _probe_train(spark, sf_dir)
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-dot("w2_"))), 6
+    )
+    scored = feats.crossJoin(F.broadcast(pivot_w(w2, "w2_"))).select(
+        "y", p.alias("p")
+    )
+    return (
+        scored.groupBy(
+            F.least(F.lit(9), F.floor(F.col("p") * 10).cast("int")).alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,9)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_predicted"),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+                "empirical_rate"
+            ),
+        )
+    )
