@@ -305,6 +305,41 @@ HEADLINE = [
     "rrf_ndcg_at_k",
     "holt_trend_forecast",
     "weighted_stratified_sample",
+    "ab_proportion_ztest",
+    "bpr_triplet_sample",
+    "chi_square_type_drift",
+    "cluster_silhouette_score",
+    "cluster_source_nmi",
+    "cramers_v_association",
+    "daily_volume_acf_profile",
+    "dispersion_index_daily",
+    "dp_laplace_event_counts",
+    "dup_graph_local_clustering",
+    "embedding_cosine_histogram",
+    "gap_logrank_test",
+    "gap_survival_curve",
+    "gini_user_concentration",
+    "heaps_law_fit",
+    "hll_distinct_estimate",
+    "int8_recall_at_k",
+    "label_separability_profile",
+    "mann_whitney_value_drift",
+    "markov_stationary_profile",
+    "probe_calibration_curve",
+    "retention_decay_rate",
+    "sentence_dedup_fraction",
+    "session_duration_percentiles",
+    "source_lang_entropy",
+    "source_marginal_novelty",
+    "stream_cusum_alarm",
+    "stream_hll_distinct",
+    "theil_sen_daily_trend",
+    "time_decay_user_engagement",
+    "tokenizer_vocab_overlap",
+    "transition_entropy",
+    "video_scene_cut_profile",
+    "wasserstein_value_drift",
+    "winsorized_value_stats",
 ]
 
 
