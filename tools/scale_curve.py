@@ -55,7 +55,14 @@ def scaled_documents(docs: DataFrame, copies: int) -> DataFrame:
             else F.concat_ws(
                 " ",
                 F.transform(
-                    TXT.tokens(F.col("text")), lambda w: F.concat(w, F.lit(f"_{k}"))
+                    # the salt repeats the copy digit 4x so cross-copy token
+                    # pairs sit past the edit-distance cap too (a 1-char
+                    # "_k" suffix left them within k_max=3 of each other —
+                    # the 10x corpus then held ~10x more GENUINE near pairs
+                    # per row and the levenshtein ratio read super-linear
+                    # for workload-growth reasons, not plan reasons)
+                    TXT.tokens(F.col("text")),
+                    lambda w: F.concat(w, F.lit("_" + str(k) * 4)),
                 ),
             )
         )
