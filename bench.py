@@ -154,6 +154,7 @@ HEADLINE = [
     "rake_keyphrases",
     "session_gap_distribution",
     "lsh_dedup_recall",
+    "lsh_recall_by_threshold",
     # full-registry sweep: every remaining declared query (BENCH covers 100%
     # of queries() so per-round history exists for each)
     "null_pk_drop",

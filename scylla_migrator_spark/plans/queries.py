@@ -16739,3 +16739,62 @@ def probe_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _lsh_recall_threshold_sql() -> str:
+    return f"""
+    WITH truth AS ({ORACLES["ngram_jaccard_block_pairs"]}),
+    cand AS ({ORACLES["minhash_lsh_pairs"]}),
+    tagged AS (
+      SELECT t.id_a, t.id_b, t.jaccard,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS ic
+      FROM truth t LEFT JOIN cand c
+        ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    th AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS t)
+    SELECT th.t AS threshold,
+           count(*)::BIGINT AS n_true,
+           sum(ic)::BIGINT AS n_caught,
+           round(CAST(sum(ic) AS DOUBLE) / count(*), 6) AS recall
+    FROM tagged JOIN th ON tagged.jaccard >= th.t
+    GROUP BY th.t
+    """
+
+
+@_register("lsh_recall_by_threshold", _lsh_recall_threshold_sql())
+def lsh_recall_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding TUNING CURVE: recall of the 16-hash/4-band MinHash
+    candidate set against the exact shingle-Jaccard truth at thresholds
+    0.3/0.5/0.7/0.9 — the S-curve a banding configuration is actually
+    chosen on (the single-threshold lsh_dedup_recall row is one point of
+    it; the curve shows WHERE the bands' similarity cliff sits, so a
+    bands/hashes change is judged against the whole operating range, not
+    one point). A pair is true at threshold t when its exact Jaccard
+    >= t; candidates never in the truth table have no Jaccard and count
+    at no threshold.
+
+    Shape: both pair tables are already blocked; the tag join keys on
+    pair identity, the 4-row threshold dimension crosses onto the
+    jaccard-tagged pairs via a range join on the TINY side — nothing
+    corpus-sized."""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    truth = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", n=3)
+    cand = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4).select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb"), F.lit(1).alias("ic0")
+    )
+    tagged = truth.join(
+        cand,
+        (truth["id_a"] == F.col("ca")) & (truth["id_b"] == F.col("cb")),
+        "left",
+    ).select(
+        "jaccard", F.coalesce(F.col("ic0"), F.lit(0)).alias("ic")
+    )
+    th = spark.createDataFrame([(0.3,), (0.5,), (0.7,), (0.9,)], "t DOUBLE")
+    return (
+        tagged.join(F.broadcast(th), tagged["jaccard"] >= F.col("t"))
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum("ic").cast("bigint").alias("n_caught"),
+            F.round(F.sum("ic").cast("double") / F.count("*"), 6).alias("recall"),
+        )
+    )
