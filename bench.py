@@ -341,6 +341,9 @@ HEADLINE = [
     "video_scene_cut_profile",
     "wasserstein_value_drift",
     "winsorized_value_stats",
+    "cohens_d_effect_size",
+    "dup_graph_assortativity",
+    "median_ci_order_stats",
 ]
 
 

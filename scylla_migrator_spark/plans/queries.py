@@ -16798,3 +16798,267 @@ def lsh_recall_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ic").cast("double") / F.count("*"), 6).alias("recall"),
         )
     )
+
+
+@_register(
+    "cohens_d_effect_size",
+    # standardized mean difference between the time halves per type from
+    # DECIMAL-exact moments (the zscore discipline), pooled-variance
+    # denominator, one identical double chain.
+    """
+    WITH med AS (
+      SELECT (epoch_ns(min(ts)) + epoch_ns(max(ts))) // 2 AS cut FROM events),
+    m AS (
+      SELECT event_type,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 1 ELSE 0 END)::BIGINT AS n1,
+             CAST(sum(CASE WHEN epoch_ns(ts) < cut
+                           THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS sx1,
+             CAST(sum(CASE WHEN epoch_ns(ts) < cut
+                           THEN CAST(value * value AS DECIMAL(24,8)) ELSE 0 END) AS DOUBLE) AS sxx1,
+             sum(CASE WHEN epoch_ns(ts) < cut THEN 0 ELSE 1 END)::BIGINT AS n2,
+             CAST(sum(CASE WHEN epoch_ns(ts) < cut
+                           THEN 0 ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx2,
+             CAST(sum(CASE WHEN epoch_ns(ts) < cut
+                           THEN 0 ELSE CAST(value * value AS DECIMAL(24,8)) END) AS DOUBLE) AS sxx2
+      FROM events, med GROUP BY event_type)
+    SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+           round(sx1 / n1, 6) AS mean_ref,
+           round(sx2 / n2, 6) AS mean_cur,
+           round((sx1 / n1 - sx2 / n2)
+                 / sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                        / (n1 + n2 - 2)), 6) AS cohens_d
+    FROM m
+    WHERE n1 > 1 AND n2 > 1
+      AND (sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2) > 0
+    """,
+)
+def cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the time halves' value distributions per event
+    type — the EFFECT-SIZE companion the significance family needs:
+    Mann-Whitney/KS/chi-square say "the halves differ beyond chance"
+    (which at corpus scale is true of trivial shifts — p-values drown in
+    n), d says "by how many pooled standard deviations", which is what a
+    retraining decision actually weighs. One conditional-moment pass
+    (the zscore DECIMAL discipline: sums exact, shuffle-order free),
+    pooled-variance arithmetic in one identical double chain."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    med = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    ref = F.col("ts") < F.col("cut")
+    v6 = F.col("value").cast("decimal(18,6)")
+    v8 = (F.col("value") * F.col("value")).cast("decimal(24,8)")
+    m = (
+        ev.join(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(ref, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(ref, v6).otherwise(F.lit(0))).cast("double").alias("sx1"),
+            F.sum(F.when(ref, v8).otherwise(F.lit(0))).cast("double").alias("sxx1"),
+            F.sum(F.when(ref, 0).otherwise(1)).cast("bigint").alias("n2"),
+            F.sum(F.when(ref, F.lit(0)).otherwise(v6)).cast("double").alias("sx2"),
+            F.sum(F.when(ref, F.lit(0)).otherwise(v8)).cast("double").alias("sxx2"),
+        )
+    )
+    ss = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) + (
+        F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")
+    )
+    d = (F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")) / F.sqrt(
+        ss / (F.col("n1") + F.col("n2") - 2)
+    )
+    return (
+        m.filter((F.col("n1") > 1) & (F.col("n2") > 1) & (ss > 0))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_ref"),
+            F.col("n2").alias("n_cur"),
+            F.round(F.col("sx1") / F.col("n1"), 6).alias("mean_ref"),
+            F.round(F.col("sx2") / F.col("n2"), 6).alias("mean_cur"),
+            F.round(d, 6).alias("cohens_d"),
+        )
+    )
+
+
+@_register(
+    "dup_graph_assortativity",
+    # Newman degree assortativity over the staged near-dup pair graph:
+    # per-edge endpoint degrees from one aggregate, the three edge sums
+    # (jk, j+k, j^2+k^2) exact integers, one double chain (the standard
+    # symmetric undirected form).
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    deg AS (
+      SELECT v, count(*)::BIGINT AS d FROM (
+        SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) t
+      GROUP BY v),
+    ed AS (
+      SELECT da.d AS j, db.d AS k
+      FROM prs JOIN deg da ON da.v = prs.id_a
+               JOIN deg db ON db.v = prs.id_b),
+    s AS (
+      SELECT count(*)::BIGINT AS m2, sum(j * k)::BIGINT AS sjk,
+             sum(j + k)::BIGINT AS sjpk,
+             sum(j * j + k * k)::BIGINT AS sj2k2
+      FROM ed)
+    SELECT m2 AS n_edges,
+           round((CAST(sjk AS DOUBLE) / m2
+                  - (CAST(sjpk AS DOUBLE) / (2 * m2)) * (CAST(sjpk AS DOUBLE) / (2 * m2)))
+                 / (CAST(sj2k2 AS DOUBLE) / (2 * m2)
+                    - (CAST(sjpk AS DOUBLE) / (2 * m2)) * (CAST(sjpk AS DOUBLE) / (2 * m2))), 6)
+             AS assortativity
+    FROM s
+    WHERE CAST(sj2k2 AS DOUBLE) / (2 * m2)
+          - (CAST(sjpk AS DOUBLE) / (2 * m2)) * (CAST(sjpk AS DOUBLE) / (2 * m2)) > 0
+    """,
+)
+def dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup pair graph (Newman 2002) —
+    do high-degree docs pair with other high-degree docs? POSITIVE
+    assortativity means duplication concentrates in a dense template
+    core (one keep-best sweep collapses it); NEGATIVE means hub docs
+    attach to many otherwise-unique docs — the boilerplate-contamination
+    shape where component-based dedup over-merges (the macro readout
+    whose per-vertex view is dup_graph_local_clustering). Completes the
+    graph-QC family: degree histogram, triangles/transitivity, local
+    clustering, communities/modularity, k-core, PageRank, assortativity.
+
+    Exactness: the three per-edge sums (jk, j+k, j^2+k^2) are exact
+    BIGINTs over integer degrees; one double chain (the standard
+    symmetric undirected estimator) at the end. Shape: degrees from one
+    aggregate over the staged pair list; the edge join keys on 8-byte
+    ids."""
+    pairs = _simhash_pairs_staged(spark, sf_dir)
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("id_a"), F.col("d").alias("j"))
+    db = deg.select(F.col("v").alias("id_b"), F.col("d").alias("k"))
+    ed = pairs.join(da, "id_a").join(db, "id_b").select("j", "k")
+    s = ed.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("sjpk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("sj2k2"),
+    )
+    mu = F.col("sjpk").cast("double") / (2 * F.col("m2"))
+    num = F.col("sjk").cast("double") / F.col("m2") - mu * mu
+    den = F.col("sj2k2").cast("double") / (2 * F.col("m2")) - mu * mu
+    return s.filter(den > 0).select(
+        F.col("m2").alias("n_edges"), F.round(num / den, 6).alias("assortativity")
+    )
+
+
+@_register(
+    "median_ci_order_stats",
+    # distribution-free 95% CI for the median from binomial order-statistic
+    # ranks (no bootstrap, no normality): lo/hi ranks from the exact-integer
+    # cumulative counts over distinct values per type, interpolated median
+    # beside them.
+    """
+    WITH vc AS (
+      SELECT event_type, value, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(c)::BIGINT AS n FROM vc GROUP BY 1
+      HAVING sum(c) >= 4),
+    rk AS (
+      SELECT event_type,
+             CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS lo_r,
+             CAST(ceil(1 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS hi_r,
+             n
+      FROM tot),
+    cum AS (
+      SELECT event_type, value,
+             sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cu,
+             (sum(c) OVER (PARTITION BY event_type ORDER BY value) - c) AS cb
+      FROM vc),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY 1)
+    SELECT rk.event_type, rk.n,
+           round(med.median_value, 6) AS median_value,
+           round(min(CASE WHEN cum.cu >= greatest(rk.lo_r, 1)
+                          THEN cum.value END), 6) AS ci_lo,
+           round(min(CASE WHEN cum.cu >= least(rk.hi_r, rk.n)
+                          THEN cum.value END), 6) AS ci_hi
+    FROM rk JOIN cum USING (event_type) JOIN med USING (event_type)
+    GROUP BY rk.event_type, rk.n, med.median_value
+    """,
+)
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-type median
+    via binomial order statistics (ranks n/2 -+ 1.96*sqrt(n)/2) — the
+    exact nonparametric CI that needs NO resampling (the Poisson
+    bootstrap's B replicates buy nothing here) and no normality (Wilson
+    covers proportions; this covers the location of an arbitrary value
+    distribution). The uncertainty companion to mad_value_outliers'
+    point estimates — an alerting rule that compares medians should fire
+    on CI separation, not point difference.
+
+    Shape: the ks_value_drift posture — one map-side (type, value) count
+    pass, cumulative window over DISTINCT values per type; rank bounds
+    are floor/ceil of one identical double expression on exact integer
+    n; the order statistics come from the first distinct value whose
+    cumulative count reaches the rank (exact integer comparison)."""
+    from pyspark.sql import Window
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    vc = ev.groupBy("event_type", "value").agg(F.count("*").cast("bigint").alias("c"))
+    tot = (
+        vc.groupBy("event_type")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 4)
+    )
+    z = F.lit(1.959964)
+    rk = tot.select(
+        "event_type",
+        F.floor((F.col("n") - z * F.sqrt(F.col("n").cast("double"))) / 2)
+        .cast("bigint")
+        .alias("lo_r"),
+        F.ceil(F.lit(1) + (F.col("n") + z * F.sqrt(F.col("n").cast("double"))) / 2)
+        .cast("bigint")
+        .alias("hi_r"),
+        "n",
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = vc.select(
+        "event_type", "value", F.sum("c").over(w).alias("cu")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value")
+    )
+    lo = F.min(
+        F.when(F.col("cu") >= F.greatest(F.col("lo_r"), F.lit(1)), F.col("value"))
+    )
+    hi = F.min(
+        F.when(F.col("cu") >= F.least(F.col("hi_r"), F.col("n")), F.col("value"))
+    )
+    return (
+        rk.join(cum, "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n", "median_value")
+        .agg(F.round(lo, 6).alias("ci_lo"), F.round(hi, 6).alias("ci_hi"))
+        .select(
+            "event_type",
+            "n",
+            F.round("median_value", 6).alias("median_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
