@@ -344,6 +344,8 @@ HEADLINE = [
     "cohens_d_effect_size",
     "dup_graph_assortativity",
     "median_ci_order_stats",
+    "spearman_length_readability",
+    "daily_volume_pacf",
 ]
 
 

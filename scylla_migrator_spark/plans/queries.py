@@ -17062,3 +17062,267 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@_register(
+    "spearman_length_readability",
+    # Spearman rho per source between doc length and the rounded Flesch
+    # score, with tied ranks handled EXACTLY: a tied run's doubled
+    # average rank 2*cb + t + 1 is an integer, so all rank moments are
+    # exact BIGINTs (Pearson is scale-invariant, so rho over doubled
+    # ranks equals rho over ranks); one double chain at the end.
+    r"""
+    WITH base AS (
+      SELECT source, doc_id, n_chars AS x,
+             round(206.835
+                   - 1.015 * len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+                           / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                          / len(regexp_split_to_array(trim(text), '\s+')), 6) AS y
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+    xr AS (
+      SELECT source, x,
+             (2 * (sum(count(*)) OVER (PARTITION BY source ORDER BY x) - count(*))
+              + count(*) + 1)::BIGINT AS rx2
+      FROM base GROUP BY source, x),
+    yr AS (
+      SELECT source, y,
+             (2 * (sum(count(*)) OVER (PARTITION BY source ORDER BY y) - count(*))
+              + count(*) + 1)::BIGINT AS ry2
+      FROM base GROUP BY source, y),
+    rks AS (
+      SELECT b.source, xr.rx2, yr.ry2
+      FROM base b JOIN xr ON xr.source = b.source AND xr.x = b.x
+                  JOIN yr ON yr.source = b.source AND yr.y = b.y),
+    mom AS (
+      SELECT source, count(*)::BIGINT AS n,
+             sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+             sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+             sum(rx2 * ry2)::BIGINT AS sxy
+      FROM rks GROUP BY source)
+    SELECT source, n AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM mom
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def spearman_length_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and Flesch
+    reading ease per source — the monotone-confound check a quality
+    pipeline runs before trusting either signal independently (a strong
+    negative rho means readability cuts are silently length cuts, and a
+    length-stratified gate is needed); rank-based, so the heavy-tailed
+    length distribution can't dominate the way it would in Pearson.
+
+    Exactness: ranks never materialize per row — tied runs contribute
+    their doubled average rank 2*cb + t + 1 as an exact integer (the
+    Mann-Whitney trick applied to BOTH variables), Pearson's scale
+    invariance absorbs the doubling, and all six rank moments are exact
+    BIGINTs into one final double chain. Shape: two distinct-value
+    windows partitioned BY SOURCE, two (source, value) equi-joins back
+    onto docs, one map-side moment pass. Past ~10^6 docs per source,
+    move the rank moments to DECIMAL(38,0) — same plan."""
+    from pyspark.sql import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    base = docs.filter(F.size(TXT.tokens(F.col("text"))) > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.round(TXT.flesch_score(F.col("text")), 6).alias("y"),
+    )
+
+    def ranks(col, alias):
+        w = Window.partitionBy("source").orderBy(col)
+        g = base.groupBy("source", col).agg(F.count("*").alias("t"))
+        return g.select(
+            "source",
+            col,
+            (
+                F.lit(2) * (F.sum("t").over(w) - F.col("t"))
+                + F.col("t")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(alias),
+        )
+
+    xr = ranks("x", "rx2")
+    yr = ranks("y", "ry2")
+    rks = base.join(xr, ["source", "x"]).join(yr, ["source", "y"]).select(
+        "source", "rx2", "ry2"
+    )
+    mom = rks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        mom.filter((vx > 0) & (vy > 0))
+        .select(
+            "source",
+            n.alias("n_docs"),
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+@_register(
+    "daily_volume_pacf",
+    # PACF at lags 1-3 per type via the Durbin-Levinson recursion over
+    # autocorrelations; autocovariance terms (y_t - mu)(y_{t+k} - mu)
+    # truncate to DECIMAL(24,6) pre-sum, r_k = S_k/S_0 as one double
+    # division, the three DL levels unrolled identically on both engines.
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      FROM daily),
+    mu AS (
+      SELECT event_type, CAST(sum(y) AS DOUBLE) / count(*) AS mu
+      FROM daily GROUP BY 1),
+    terms AS (
+      SELECT a.event_type, l.lag,
+             CAST((a.y - mu.mu) * (b.y - mu.mu) AS DECIMAL(24,6)) AS t
+      FROM seq a
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lag) l
+      JOIN seq b ON a.event_type = b.event_type AND b.rn = a.rn + l.lag
+      JOIN mu ON mu.event_type = a.event_type),
+    cov AS (
+      SELECT event_type, lag, sum(t) AS s FROM terms GROUP BY 1, 2),
+    rs AS (
+      SELECT event_type,
+             max(CASE WHEN lag = 1 THEN CAST(s AS DOUBLE) END)
+               / max(CASE WHEN lag = 0 THEN CAST(s AS DOUBLE) END) AS r1,
+             max(CASE WHEN lag = 2 THEN CAST(s AS DOUBLE) END)
+               / max(CASE WHEN lag = 0 THEN CAST(s AS DOUBLE) END) AS r2,
+             max(CASE WHEN lag = 3 THEN CAST(s AS DOUBLE) END)
+               / max(CASE WHEN lag = 0 THEN CAST(s AS DOUBLE) END) AS r3
+      FROM cov GROUP BY 1
+      HAVING max(CASE WHEN lag = 0 THEN CAST(s AS DOUBLE) END) > 0
+         AND count(*) = 4),
+    dl AS (
+      SELECT event_type, r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+      FROM rs WHERE 1 - r1 * r1 <> 0),
+    dl3 AS (
+      SELECT event_type, r1, r2, r3, p22,
+             r1 - p22 * r1 AS p21
+      FROM dl)
+    SELECT event_type, 1::BIGINT AS lag, round(r1, 6) AS pacf FROM dl3
+    UNION ALL
+    SELECT event_type, 2, round(p22, 6) FROM dl3
+    UNION ALL
+    SELECT event_type, 3,
+           round((r3 - p21 * r2 - p22 * r1)
+                 / (1 - p21 * r1 - p22 * r2), 6)
+    FROM dl3 WHERE 1 - p21 * r1 - p22 * r2 <> 0
+    """,
+)
+def daily_volume_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily volume per type at lags 1-3
+    (Durbin-Levinson) — the AR-order diagnostic the raw ACF profile
+    cannot give: ACF at lag 2 is inflated by lag-1 carryover, PACF
+    removes it, so "PACF cuts off after lag k" reads the AR(k) order
+    directly (which residual model the EWMA/CUSUM alarms should run on).
+    Completes the time-series identification pair: ACF profile for MA
+    signatures, PACF for AR.
+
+    Exactness: day-grain counts are integers; the per-type mean is one
+    exact-integer ratio; autocovariance terms truncate to DECIMAL(24,6)
+    before their shuffle-order-exact sums; r_k = S_k/S_0 and the three
+    unrolled Durbin-Levinson levels are one identical double chain.
+    Everything after the daily aggregate is |types| x 4 arithmetic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day_idx")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    mu = daily.groupBy("event_type").agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("mu")
+    )
+    lags = spark.range(0, 4).select(F.col("id").cast("int").alias("lag"))
+    a = seq.alias("a")
+    b = seq.select(
+        F.col("event_type").alias("et_b"), F.col("y").alias("yb"), F.col("rn").alias("rnb")
+    )
+    terms = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("et_b"))
+            & (F.col("rnb") == F.col("a.rn") + F.col("lag")),
+        )
+        .join(mu.withColumnRenamed("event_type", "et_m"), F.col("a.event_type") == F.col("et_m"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            ((F.col("a.y") - F.col("mu")) * (F.col("yb") - F.col("mu")))
+            .cast("decimal(24,6)")
+            .alias("t"),
+        )
+    )
+    cov = terms.groupBy("event_type", "lag").agg(F.sum("t").alias("s"))
+
+    def r_at(k):
+        return F.max(F.when(F.col("lag") == k, F.col("s").cast("double"))) / F.max(
+            F.when(F.col("lag") == 0, F.col("s").cast("double"))
+        )
+
+    rs = (
+        cov.groupBy("event_type")
+        .agg(
+            r_at(1).alias("r1"),
+            r_at(2).alias("r2"),
+            r_at(3).alias("r3"),
+            F.max(F.when(F.col("lag") == 0, F.col("s").cast("double"))).alias("c0"),
+            F.count("*").alias("nl"),
+        )
+        .filter((F.col("c0") > 0) & (F.col("nl") == 4))
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1) - F.col("r1") * F.col("r1")
+    )
+    dl3 = rs.filter(F.lit(1) - F.col("r1") * F.col("r1") != 0).select(
+        "event_type", "r1", "r2", "r3", p22.alias("p22")
+    ).withColumn("p21", F.col("r1") - F.col("p22") * F.col("r1"))
+    l1 = dl3.select(
+        "event_type", F.lit(1).cast("bigint").alias("lag"), F.round("r1", 6).alias("pacf")
+    )
+    l2 = dl3.select(
+        "event_type", F.lit(2).cast("bigint").alias("lag"), F.round("p22", 6).alias("pacf")
+    )
+    den3 = F.lit(1) - F.col("p21") * F.col("r1") - F.col("p22") * F.col("r2")
+    l3 = (
+        dl3.filter(den3 != 0)
+        .select(
+            "event_type",
+            F.lit(3).cast("bigint").alias("lag"),
+            F.round(
+                (F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1"))
+                / den3,
+                6,
+            ).alias("pacf"),
+        )
+    )
+    return l1.unionByName(l2).unionByName(l3)
