@@ -346,6 +346,9 @@ HEADLINE = [
     "median_ci_order_stats",
     "spearman_length_readability",
     "daily_volume_pacf",
+    "lsh_candidate_budget",
+    "seasonal_strength_index",
+    "embedding_outlier_vectors",
 ]
 
 

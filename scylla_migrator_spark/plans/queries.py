@@ -17326,3 +17326,242 @@ def daily_volume_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return l1.unionByName(l2).unionByName(l3)
+
+
+def _lsh_budget_sql() -> str:
+    o = ORACLES["minhash_lsh_pairs"]
+    prefix = o[: o.rindex("SELECT DISTINCT")]
+    return (
+        prefix
+        + """,
+    bk AS (
+      SELECT band_id, array_to_string(bh, ',') AS key, count(*)::BIGINT AS m
+      FROM bands GROUP BY 1, 2)
+    SELECT band_id::BIGINT AS band_id, count(*)::BIGINT AS n_buckets,
+           max(m)::BIGINT AS max_bucket_size,
+           sum((m * (m - 1)) // 2)::BIGINT AS candidate_pairs
+    FROM bk GROUP BY band_id
+    """
+    )
+
+
+@_register("lsh_candidate_budget", _lsh_budget_sql())
+def lsh_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH join's cost PRE-FLIGHT: per band, the bucket count, the
+    hottest bucket, and the exact candidate-pair budget sum m(m-1)/2 the
+    band join will generate — computable from ONE cheap bucket histogram
+    BEFORE the self-join runs, which is how a scheduler (or the
+    hot-bucket governor) decides whether to run, cap, or re-band at
+    100 TB: a degenerate corpus shows up here as one huge max_bucket
+    long before it shows up as a dying join. The same hot-key readout
+    the stop-shingle caps act on, promoted to a hash-checked row.
+
+    Shape: signatures are the shared minhash pass; the budget is a
+    (band, bucket)-keyed count plus a |buckets|-sized aggregate —
+    integer arithmetic only, no pair ever materializes. (Grouping keys:
+    the engine buckets on sha2 of the joined band slice, the oracle on
+    the joined slice itself — an injective relabeling, so the size
+    HISTOGRAM is identical.)"""
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signatures(docs, "text", "doc_id", 16)
+    banded = D._banded(sig, ["doc_id"], 16, 4)
+    bk = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    return bk.groupBy(F.col("band_id").cast("bigint").alias("band_id")).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("m").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.expr("(m * (m - 1)) DIV 2")).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+@_register(
+    "seasonal_strength_index",
+    # Hyndman-Wang seasonal strength Fs = max(0, 1 - var(remainder) /
+    # var(detrended)) over the 7-day decomposition frame; both series
+    # are the SAME double chains as daily_seasonal_decomposition, values
+    # truncated to DECIMAL(18,9) before the exact moment sums.
+    """
+    WITH daily_raw AS (
+      SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY day),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily_raw),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds),
+    daily AS (
+      SELECT s.day, coalesce(d.n, 0)::BIGINT AS n
+      FROM spine s LEFT JOIN daily_raw d USING (day)),
+    win AS (
+      SELECT day, n,
+             sum(n) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily),
+    full7 AS (
+      SELECT day, n, CAST(sum7 AS BIGINT) AS sum7, day % 7 AS dow
+      FROM win WHERE cnt7 = 7),
+    seas AS (
+      SELECT dow, CAST(sum(7 * n - sum7) AS BIGINT) AS snum,
+             count(*)::BIGINT AS scnt
+      FROM full7 GROUP BY dow),
+    vals AS (
+      SELECT CAST(CAST(7 * f.n - f.sum7 AS DOUBLE) / 7 AS DECIMAL(18,9)) AS det,
+             CAST(CAST(7 * f.n - f.sum7 AS DOUBLE) / 7
+                  - CAST(s.snum AS DOUBLE) / (7 * s.scnt) AS DECIMAL(18,9)) AS rem
+      FROM full7 f JOIN seas s ON f.dow = s.dow),
+    mom AS (
+      SELECT count(*)::BIGINT AS k,
+             CAST(sum(det) AS DOUBLE) AS sd, CAST(sum(det * det) AS DOUBLE) AS sdd,
+             CAST(sum(rem) AS DOUBLE) AS sr, CAST(sum(rem * rem) AS DOUBLE) AS srr
+      FROM vals)
+    SELECT k AS n_days,
+           round((sdd - sd * sd / k) / k, 6) AS var_detrended,
+           round((srr - sr * sr / k) / k, 6) AS var_remainder,
+           round(greatest(0, 1 - ((srr - sr * sr / k) / k)
+                             / ((sdd - sd * sd / k) / k)), 6) AS seasonal_strength
+    FROM mom
+    WHERE k > 1 AND (sdd - sd * sd / k) / k > 0
+    """,
+)
+def seasonal_strength_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-Wang seasonal-strength index over the 7-day decomposition:
+    Fs = max(0, 1 - var(remainder)/var(detrended)) — the single [0,1]
+    number that says how much of the detrended daily variation the
+    day-of-week pattern explains (Fs near 0: don't bother
+    deseasonalizing; near 1: every alarm must run on the remainder).
+    The scalar dashboard verdict over daily_seasonal_decomposition's
+    per-day table, computed from the SAME trend/seasonal arithmetic so
+    the two can never disagree.
+
+    Exactness: detrended and remainder are the decomposition's own
+    double chains, truncated to DECIMAL(18,9) before the exact moment
+    sums; the variance ratio is one double chain. Everything runs on
+    the |days| frame."""
+    from pyspark.sql import Window
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    day_ns = 86_400_000_000_000
+    daily_raw = ev.groupBy(F.expr(f"ts DIV {day_ns}").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    bounds = daily_raw.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = spine.join(daily_raw, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("cnt7"),
+    )
+    full7 = win.filter(F.col("cnt7") == 7).select(
+        "day", "n", F.col("sum7").cast("bigint").alias("sum7"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    seas = full7.groupBy("dow").agg(
+        F.sum(F.lit(7) * F.col("n") - F.col("sum7")).cast("bigint").alias("snum"),
+        F.count("*").cast("bigint").alias("scnt"),
+    )
+    det = (F.lit(7) * F.col("n") - F.col("sum7")).cast("double") / F.lit(7)
+    rem = det - F.col("snum").cast("double") / (F.lit(7) * F.col("scnt"))
+    vals = full7.join(seas, "dow").select(
+        det.cast("decimal(18,9)").alias("det"),
+        rem.cast("decimal(18,9)").alias("rem"),
+    )
+    mom = vals.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("det").cast("double").alias("sd"),
+        F.sum(F.col("det") * F.col("det")).cast("double").alias("sdd"),
+        F.sum("rem").cast("double").alias("sr"),
+        F.sum(F.col("rem") * F.col("rem")).cast("double").alias("srr"),
+    )
+    k = F.col("k")
+    vd = (F.col("sdd") - F.col("sd") * F.col("sd") / k) / k
+    vr = (F.col("srr") - F.col("sr") * F.col("sr") / k) / k
+    return (
+        mom.filter((k > 1) & (vd > 0))
+        .select(
+            k.alias("n_days"),
+            F.round(vd, 6).alias("var_detrended"),
+            F.round(vr, 6).alias("var_remainder"),
+            F.round(F.greatest(F.lit(0), F.lit(1) - vr / vd), 6).alias(
+                "seasonal_strength"
+            ),
+        )
+    )
+
+
+@_register(
+    "embedding_outlier_vectors",
+    # per-dim mean/std from decimal-exact sums rounded at 6 (the shared
+    # centroid discipline -> identical z inputs both engines); a vector
+    # is flagged when any dim sits beyond 3 sigma; max|z| rounded 6.
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, gs.i AS dim, v[gs.i] AS x
+      FROM v, generate_series(1, 64) AS gs(i)),
+    st AS (
+      SELECT dim,
+             round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m,
+             round(sqrt(CAST(sum(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) / count(*)
+                        - (CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*))
+                          * (CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*))), 6)
+               AS s
+      FROM cells GROUP BY dim),
+    z AS (
+      SELECT c.vec_id, abs((c.x - st.m) / st.s) AS az
+      FROM cells c JOIN st USING (dim) WHERE st.s > 0)
+    SELECT vec_id, sum(CASE WHEN az > 3 THEN 1 ELSE 0 END)::BIGINT AS n_extreme_dims,
+           round(max(az), 6) AS max_abs_z
+    FROM z GROUP BY vec_id
+    HAVING sum(CASE WHEN az > 3 THEN 1 ELSE 0 END) >= 1
+    """,
+)
+def embedding_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-embedding detector: vectors with any dimension beyond 3
+    per-dim sigmas, with the extreme-dim count and the worst |z| — the
+    per-VECTOR alarm beside embedding_dim_stats' per-dim profile (scale
+    bugs, half-written rows, and NaN-adjacent garbage show up as a few
+    vectors with wildly extreme single dims long before they move a
+    dimension's aggregate). Run it before ANN indexing: one poisoned
+    vector in a centroid seed skews a whole IVF partition.
+
+    Exactness: per-dim mean/sigma come from decimal-exact sums rounded
+    at 6 (the shared centroid discipline — both engines' z inputs are
+    bit-identical doubles); flags are exact comparisons; max|z| rounds
+    once. Shape: the row x dim explode + one broadcast of the 64-row
+    stats table; at 100 TB swap the explode for F.aggregate folds over
+    the same decimal discipline."""
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    cells = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select("vec_id", (F.col("i") + 1).alias("dim"), "x")
+    mean = F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*")
+    msq = F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)")).cast(
+        "double"
+    ) / F.count("*")
+    st = cells.groupBy("dim").agg(
+        F.round(mean, 6).alias("m"),
+        F.round(F.sqrt(msq - mean * mean), 6).alias("s"),
+    )
+    z = (
+        cells.join(F.broadcast(st), "dim")
+        .filter(F.col("s") > 0)
+        .select("vec_id", F.abs((F.col("x") - F.col("m")) / F.col("s")).alias("az"))
+    )
+    ex = F.sum(F.when(F.col("az") > 3, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            ex.cast("bigint").alias("n_extreme_dims"),
+            F.round(F.max("az"), 6).alias("max_abs_z"),
+        )
+        .filter(F.col("n_extreme_dims") >= 1)
+    )
