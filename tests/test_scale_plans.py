@@ -1160,6 +1160,15 @@ def test_round8c_plans_no_python_no_cartesian(spark, sf_dir):
         "int8_recall_at_k",
         "label_separability_profile",
         "probe_calibration_curve",
+        "cohens_d_effect_size",
+        "dup_graph_assortativity",
+        "median_ci_order_stats",
+        "spearman_length_readability",
+        "daily_volume_pacf",
+        "seasonal_strength_index",
+        "embedding_outlier_vectors",
+        "lsh_candidate_budget",
+        "lsh_recall_by_threshold",
     ):
         plan = plan_of(Q.QUERIES[name](spark, sf_dir), mode="simple")
         assert "EvalPython" not in plan, name
