@@ -349,6 +349,8 @@ HEADLINE = [
     "lsh_candidate_budget",
     "seasonal_strength_index",
     "embedding_outlier_vectors",
+    "growth_accounting_weekly",
+    "hourly_activity_profile",
 ]
 
 

@@ -17565,3 +17565,164 @@ def embedding_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_extreme_dims") >= 1)
     )
+
+
+@_register(
+    "growth_accounting_weekly",
+    # the standard growth-accounting matrix over distinct (user, week)
+    # activity: new = first week, retained = active previous week,
+    # resurrected = returning after a gap, churned = active previous week
+    # but not this one (counted in the week they went missing). Pure
+    # integer set logic via one distinct collapse + (user, week-1) joins.
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS w
+      FROM events),
+    fw AS (SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id),
+    spine AS (SELECT DISTINCT w FROM wk),
+    act AS (
+      SELECT a.user_id, a.w, fw.fw,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS retained
+      FROM wk a JOIN fw USING (user_id)
+      LEFT JOIN wk p ON p.user_id = a.user_id AND p.w = a.w - 1),
+    gains AS (
+      SELECT w,
+             sum(CASE WHEN w = fw THEN 1 ELSE 0 END)::BIGINT AS n_new,
+             sum(CASE WHEN w > fw AND retained = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_retained,
+             sum(CASE WHEN w > fw AND retained = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_resurrected
+      FROM act GROUP BY w),
+    churn AS (
+      SELECT a.w + 1 AS w, count(*)::BIGINT AS n_churned
+      FROM wk a LEFT JOIN wk n ON n.user_id = a.user_id AND n.w = a.w + 1
+      WHERE n.user_id IS NULL
+      GROUP BY a.w + 1)
+    SELECT s.w AS week, coalesce(g.n_new, 0)::BIGINT AS n_new,
+           coalesce(g.n_retained, 0)::BIGINT AS n_retained,
+           coalesce(g.n_resurrected, 0)::BIGINT AS n_resurrected,
+           coalesce(c.n_churned, 0)::BIGINT AS n_churned
+    FROM spine s LEFT JOIN gains g ON g.w = s.w
+                 LEFT JOIN churn c ON c.w = s.w
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting matrix (the standard startup/engagement
+    ledger): per week, users split into NEW (first activity), RETAINED
+    (also active the previous week), RESURRECTED (returning after a
+    gap), and CHURNED (active last week, missing this week — counted in
+    the week they went missing), so week-over-week active-user change
+    decomposes exactly as new + resurrected - churned. The accounting
+    identity the DAU/WAU and cohort-retention views can't give directly,
+    and the upstream summary the retention-decay fit consumes.
+
+    Shape: ONE distinct collapse to (user, week) pairs carries the
+    corpus; classification is two self-equi-joins on (user, week-1)
+    (8-byte keys) and a broadcast-sized first-week table; everything
+    after is |weeks|-row arithmetic. Integer counts only."""
+    ev = _t(spark, sf_dir, "events")
+    week_ns = 604_800_000_000_000
+    wk = ev.select(
+        "user_id", F.expr(f"ts DIV {week_ns}").cast("bigint").alias("w")
+    ).distinct()
+    fw = wk.groupBy("user_id").agg(F.min("w").alias("fw"))
+    spine = wk.select("w").distinct()
+    prev = wk.select(F.col("user_id").alias("pu"), (F.col("w") + 1).alias("pw"))
+    act = (
+        wk.join(fw, "user_id")
+        .join(
+            prev,
+            (F.col("pu") == F.col("user_id")) & (F.col("pw") == F.col("w")),
+            "left",
+        )
+        .select(
+            "w",
+            "fw",
+            F.when(F.col("pu").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "retained"
+            ),
+        )
+    )
+    gains = act.groupBy("w").agg(
+        F.sum(F.when(F.col("w") == F.col("fw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when((F.col("w") > F.col("fw")) & (F.col("retained") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("w") > F.col("fw")) & (F.col("retained") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    nxt = wk.select(F.col("user_id").alias("nu"), (F.col("w") - 1).alias("nw"))
+    churn = (
+        wk.join(
+            nxt,
+            (F.col("nu") == F.col("user_id")) & (F.col("nw") == F.col("w")),
+            "left_anti",
+        )
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    return (
+        spine.join(gains, "w", "left")
+        .join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce(F.col("n_retained"), F.lit(0)).cast("bigint").alias("n_retained"),
+            F.coalesce(F.col("n_resurrected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+    )
+
+
+@_register(
+    "hourly_activity_profile",
+    # hour-of-day x type counts with per-type share and peak flag — one
+    # map-side pass, |types| x 24 arithmetic after.
+    """
+    WITH c AS (
+      SELECT event_type, ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n)::BIGINT AS tot, max(n)::BIGINT AS mx
+          FROM c GROUP BY 1)
+    SELECT c.event_type, c.hour, c.n,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share,
+           CASE WHEN c.n = t.mx THEN 1 ELSE 0 END AS is_peak
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type with per-type share
+    and peak-hour flag — the diurnal fingerprint under the weekly
+    monitors (capacity planning reads the peak; a NEW peak hour on an
+    unchanged weekly total is a timezone/traffic-mix shift the
+    day-grain family cannot see; pairs with cramers_v_association's
+    weekday axis). One map-side (type, hour) pass; everything after is
+    |types| x 24 arithmetic; exact counts, one rounded ratio."""
+    ev = _fan(_t(spark, sf_dir, "events"))
+    hour_ns = 3_600_000_000_000
+    c = ev.groupBy(
+        "event_type",
+        (F.expr(f"ts DIV {hour_ns}") % 24).cast("bigint").alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tot"), F.max("n").cast("bigint").alias("mx")
+    )
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+        F.when(F.col("n") == F.col("mx"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_peak"
+        ),
+    )
