@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +146,7 @@ def _expand_fp_pairs(
     fp_pairs: DataFrame,
     members: DataFrame,
     extra_cols: list[str],
+    emit: str = "pairs",
 ) -> DataFrame:
     """Expand distinct-fingerprint pairs (__fp_a, __fp_b, extra...) back to
     member id pairs, plus the intra-group (identical-fingerprint) pairs.
@@ -153,7 +156,41 @@ def _expand_fp_pairs(
     and each member id carries exactly one fingerprint, so the union needs
     no final distinct. Intra pairs get hamming/extra = 0 where applicable —
     identical fingerprints are distance zero in every banded-Hamming scheme
-    this serves."""
+    this serves.
+
+    ``emit="star"`` is the GRAPH-consumer mode (components / cluster
+    builders): instead of the full pair semantics it returns a contracted
+    edge set with identical transitive closure over the identical vertex
+    set — each fingerprint group contributes member→representative (min
+    member id) edges, LINEAR in group size, and each cross-fingerprint
+    pair contributes one representative→representative edge. A
+    10^6-member boilerplate group is 10^6−1 star edges instead of ~5×10^11
+    pairs nobody reads; connected components, cluster membership, and the
+    paired-vertex set are unchanged (every member of a ≥2 group appears in
+    its star edge; a singleton group appears via its cross edges). Pair
+    mode stays the default for pair-semantics queries."""
+    if emit == "star":
+        reps = members.groupBy("__msh").agg(F.min("__mid").alias("__rep"))
+        # rep = min(group), so rep < member always: id ordering holds
+        intra = (
+            members.join(reps, "__msh")
+            .filter(F.col("__mid") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                *[F.lit(0).cast("int").alias(c) for c in extra_cols],
+            )
+        )
+        cross = (
+            fp_pairs.join(reps.alias("ra"), F.col("__fp_a") == F.col("ra.__msh"))
+            .join(reps.alias("rb"), F.col("__fp_b") == F.col("rb.__msh"))
+            .select(
+                F.least(F.col("ra.__rep"), F.col("rb.__rep")).alias("id_a"),
+                F.greatest(F.col("ra.__rep"), F.col("rb.__rep")).alias("id_b"),
+                *[F.col(c) for c in extra_cols],
+            )
+        )
+        return cross.unionByName(intra)
     cross = (
         fp_pairs.join(
             members.alias("ma"), F.col("__fp_a") == F.col("ma.__msh")
@@ -526,6 +563,7 @@ def simhash_banded_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_band_freq: int | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """Band-prefix LSH blocking for SimHash — the 100 TB candidate
     generator: split each ``bits``-bit fingerprint into ``bands`` equal
@@ -595,7 +633,258 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["__fp_a", "__fp_b"])
     )
-    return _expand_fp_pairs(fp_pairs, members, ["hamming"])
+    return _expand_fp_pairs(fp_pairs, members, ["hamming"], emit=emit)
+
+
+def _block_union_keys(
+    units: DataFrame,
+    sh_col: str,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Explode each fingerprint row into its C(blocks, blocks−max_hamming)
+    Manku block-union probe keys (Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07 §3).
+
+    The ``bits``-bit fingerprint is split into ``blocks`` contiguous blocks
+    (widths differ by ≤1 when blocks ∤ bits). Two fingerprints within
+    hamming distance h differ in at most h blocks, so they agree EXACTLY
+    on at least blocks−h blocks — hence on at least one of the
+    C(blocks, blocks−h) block subsets of that size. Each subset becomes a
+    probe table: (combo_id, key_val) where key_val packs the selected
+    block values into one long. An equi-join on (combo_id, key_val) is
+    therefore a LOSSLESS candidate generator for hamming ≤ max_hamming —
+    no pigeonhole band-count constraint like single-block banding
+    (bands > h), which for h=8 over 32 bits would force ~3-bit bands and
+    useless buckets. blocks=10, h=8 → 45 probe tables keyed on ~6-7 bit
+    unions; one explode, one shuffle on the key.
+
+    Output: (carry_cols..., combo_id, key_val)."""
+    k = blocks - max_hamming
+    base_w, rem = divmod(bits, blocks)
+    widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
+    offsets: list[int] = []
+    off = 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+
+    def block_val(i: int) -> Column:
+        return F.shiftright(F.col(sh_col), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    structs = []
+    for j, combo in enumerate(combinations(range(blocks), k)):
+        key: Column | None = None
+        for i in combo:
+            bv = block_val(i)
+            key = bv if key is None else key * F.lit(1 << widths[i]) + bv
+        structs.append(
+            F.struct(
+                F.lit(j).alias("combo_id"), key.cast("long").alias("key_val")
+            )
+        )
+    return units.select(
+        *[F.col(c) for c in carry_cols], F.explode(F.array(*structs)).alias("kk")
+    ).select(*carry_cols, "kk.combo_id", "kk.key_val")
+
+
+def simhash_blocked_pairs(
+    fp: DataFrame,
+    id_col: str,
+    sh_col: str = "sh",
+    bits: int = 32,
+    blocks: int = 10,
+    max_hamming: int = 8,
+    group_col: str | None = None,
+    emit: str = "pairs",
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Blocked, LOSSLESS hamming ≤ ``max_hamming`` pair generation via
+    Manku block-union keys — the candidate generator for thresholds too
+    large for single-block banding (bands > h is impossible at h=8 over 32
+    bits without ~3-bit bands). Needs only blocks > max_hamming.
+
+    Same bucket-then-verify + skew-governance shape as
+    simhash_banded_pairs: the key join runs over DISTINCT
+    (group, fingerprint) units (degenerate content collapses to one row
+    per probe key, member pairs return through the expansion joins as
+    hamming-0), candidates are verified with the exact popcount, and the
+    result is EXACTLY the all-pairs scan's pair set — so oracles written
+    against the unblocked join stay unchanged. ``group_col`` scopes pairs
+    within a group (the within-source semantics) by adding the group to
+    the join key; ``max_key_freq`` optionally quarantines residual hot
+    union-key buckets among distinct fingerprints (losing losslessness,
+    like ``max_band_freq``); ``emit="star"`` returns the contracted graph
+    edges for components/cluster consumers (see _expand_fp_pairs).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b (pair mode).
+    Plan: distinct-unit aggregate → one explode to C(blocks, blocks−h)
+    keys → one equi-join on ([group,] combo_id, key_val) → popcount verify
+    → pair-dedup → expansion joins. Candidate count is bounded by bucket
+    population ~ |distinct fingerprints| / 2^|union key|, never corpus²."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"need blocks > max_hamming for the block-union guarantee "
+            f"(got {blocks} <= {max_hamming})"
+        )
+    if blocks > bits:
+        raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
+    if group_col is not None:
+        qual = F.concat_ws(
+            "\x1f", F.col(group_col).cast("string"), F.col(sh_col).cast("string")
+        )
+    else:
+        qual = F.col(sh_col).cast("string")
+    members = fp.select(F.col(id_col).alias("__mid"), qual.alias("__msh"))
+    grp_sel = [F.col(group_col).alias("__grp")] if group_col else []
+    units = fp.select(
+        *grp_sel, F.col(sh_col).alias("__sh"), qual.alias("__fp")
+    ).distinct()
+    carry = (["__grp"] if group_col else []) + ["__fp", "__sh"]
+    keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
+    key_cols = (["__grp"] if group_col else []) + ["combo_id", "key_val"]
+    if max_key_freq is not None:
+        keep = (
+            keys.groupBy(*key_cols)
+            .agg(F.count("*").alias("__kf"))
+            .filter(F.col("__kf") <= max_key_freq)
+            .select(*key_cols)
+        )
+        keys = keys.join(keep, key_cols, "left_semi")
+    a, b = keys.alias("a"), keys.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+    on.append(F.col("a.__fp") < F.col("b.__fp"))
+    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).cast("int")
+    fp_pairs = (
+        a.join(b, on=on)
+        .select(
+            F.col("a.__fp").alias("__fp_a"),
+            F.col("b.__fp").alias("__fp_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["__fp_a", "__fp_b"])
+    )
+    return _expand_fp_pairs(fp_pairs, members, ["hamming"], emit=emit)
+
+
+def simhash_blocked_edges_touching(
+    fp_probe: DataFrame,
+    fp_all: DataFrame,
+    id_col: str,
+    sh_col: str = "sh",
+    group_col: str = "source",
+    bits: int = 32,
+    blocks: int = 10,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Star-contracted near-dup edges TOUCHING a probe batch — the
+    incremental / streaming dedup-graph edge generator
+    (components_cdc.py, incremental_components_update), replacing the
+    batch×corpus all-pairs join with Manku block-union candidates over
+    DISTINCT fingerprints (see _block_union_keys).
+
+    Contract: ``fp_all`` contains every ``fp_probe`` row (state ∪ batch).
+    Returns (id_a, id_b) whose transitive closure, together with the prior
+    labelling's internal connectivity of identical-fingerprint groups,
+    equals the closure of ALL hamming ≤ max_hamming pairs that touch a
+    probe row — which is exactly what incremental_components_update needs
+    to reproduce the full-corpus recompute. The inductive premise (state
+    members sharing a (group, fingerprint) are already in one component)
+    is maintained by this same generator: every batch stars its touched
+    groups onto an anchor.
+
+    Edge legs, both linear in batch size + touched-fingerprint pairs:
+    * star — each (group, fp) with ≥1 probe member anchors its probe
+      members to min(state members) if any state member exists, else
+      min(probe members); state-side members are already connected to the
+      anchor (induction), so the whole group is connected without
+      re-emitting a mega-group's history.
+    * cross — each candidate DISTINCT-fingerprint pair (blocked keys,
+      popcount-verified, ≥1 side having probe members) contributes one
+      anchor→anchor edge; each side's anchor is connected to all its
+      members by the star/induction, so one edge merges the components.
+
+    Every newly-paired vertex appears in some edge (probe members via
+    star or their singleton-group cross edges; a previously-unpaired
+    state vertex is its group's anchor), so the ``paired``-flag
+    bookkeeping over the edge vertex set is unchanged."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
+        )
+
+    def qual(_: DataFrame) -> Column:
+        return F.concat_ws(
+            "\x1f", F.col(group_col).cast("string"), F.col(sh_col).cast("string")
+        )
+
+    probe_m = fp_probe.select(F.col(id_col).alias("__mid"), qual(fp_probe).alias("__msh"))
+    all_m = fp_all.select(F.col(id_col).alias("__mid"), qual(fp_all).alias("__msh"))
+    probe_ids = probe_m.select(F.col("__mid").alias("__pid")).distinct().withColumn(
+        "__isp", F.lit(True)
+    )
+    anchors = (
+        all_m.join(probe_ids, all_m["__mid"] == probe_ids["__pid"], "left")
+        .groupBy("__msh")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("__isp").isNull(), F.col("__mid"))),
+                F.min("__mid"),
+            ).alias("__anchor")
+        )
+    )
+    star = (
+        probe_m.join(anchors, "__msh")
+        .filter(F.col("__mid") != F.col("__anchor"))
+        .select(
+            F.least("__mid", "__anchor").alias("id_a"),
+            F.greatest("__mid", "__anchor").alias("id_b"),
+        )
+    )
+
+    def units(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("__grp"),
+            F.col(sh_col).alias("__sh"),
+            qual(df).alias("__fp"),
+        ).distinct()
+
+    carry = ["__grp", "__fp", "__sh"]
+    pk = _block_union_keys(units(fp_probe), "__sh", bits, blocks, max_hamming, carry)
+    ak = _block_union_keys(units(fp_all), "__sh", bits, blocks, max_hamming, carry)
+    p, o = pk.alias("p"), ak.alias("o")
+    ham = F.bit_count(F.col("p.__sh").bitwiseXOR(F.col("o.__sh"))).cast("int")
+    cand = (
+        p.join(
+            o,
+            on=[
+                F.col("p.__grp") == F.col("o.__grp"),
+                F.col("p.combo_id") == F.col("o.combo_id"),
+                F.col("p.key_val") == F.col("o.key_val"),
+                F.col("p.__fp") != F.col("o.__fp"),
+            ],
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.least(F.col("p.__fp"), F.col("o.__fp")).alias("__fp_a"),
+            F.greatest(F.col("p.__fp"), F.col("o.__fp")).alias("__fp_b"),
+        )
+        .dropDuplicates(["__fp_a", "__fp_b"])
+    )
+    cross = (
+        cand.join(anchors.alias("ra"), F.col("__fp_a") == F.col("ra.__msh"))
+        .join(anchors.alias("rb"), F.col("__fp_b") == F.col("rb.__msh"))
+        .select(
+            F.least(F.col("ra.__anchor"), F.col("rb.__anchor")).alias("id_a"),
+            F.greatest(F.col("ra.__anchor"), F.col("rb.__anchor")).alias("id_b"),
+        )
+    )
+    return star.unionByName(cross)
 
 
 def frame_sequence_pairs(

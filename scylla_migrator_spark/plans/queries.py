@@ -3137,25 +3137,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: same-source pairs whose 32-bit fingerprints are
-    within hamming distance 8. Fingerprint once per doc (5k rows), then a
-    block self-join; at 100 TB block instead on fingerprint band-prefixes so
-    candidates share a bucket key (same shape as MinHash LSH)."""
+    within hamming distance 8. Fingerprint once per doc, then BLOCKED
+    candidate generation via Manku block-union keys
+    (dedup.simhash_blocked_pairs: distinct-fingerprint collapse, 45
+    C(10,2) union-key probe tables, exact-popcount verify) — lossless for
+    h<=8, so the pair set equals the all-pairs scan the oracle replays,
+    with candidate comparisons bounded by union-key bucket population
+    instead of O(m^2/|sources|)."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"], bits=32)
-    a, b = fp.alias("a"), fp.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            on=[F.col("a.source") == F.col("b.source"), F.col("a.doc_id") < F.col("b.doc_id")],
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 8)
-    )
+    return D.simhash_blocked_pairs(
+        fp, "doc_id", bits=32, blocks=10, max_hamming=8, group_col="source"
+    ).select("id_a", "id_b", "hamming")
 
 
 @_register(
@@ -12814,37 +12807,20 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
     fp_inc = D.simhash_fingerprints(
         inc, "text", "doc_id", carry_cols=["source"], bits=32
     ).localCheckpoint(eager=True)
-    a, b = fp_old.alias("a"), fp_old.alias("b")
-    ham_ab = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    old_pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .filter(ham_ab <= 8)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    # BLOCKED edge generation (r8 verdict task #1): the base labelling's
+    # edges come from the Manku block-union generator in star mode
+    # (identical closure, linear intra-group edges), and the batch×corpus
+    # new edges from the star-contracted touching-edge generator — no
+    # all-pairs join keyed on source alone anywhere on this path
+    old_pairs = D.simhash_blocked_pairs(
+        fp_old, "doc_id", bits=32, blocks=10, max_hamming=8,
+        group_col="source", emit="star",
+    ).select("id_a", "id_b")
     base = connected_components(old_pairs, "id_a", "id_b")
     fp_all = fp_old.unionByName(fp_inc)
-    i, o = fp_inc.alias("i"), fp_all.alias("o")
-    ham_io = F.bit_count(F.col("i.sh").bitwiseXOR(F.col("o.sh")))
-    new_edges = (
-        i.join(
-            o,
-            on=[
-                F.col("i.source") == F.col("o.source"),
-                F.col("i.doc_id") != F.col("o.doc_id"),
-            ],
-        )
-        .filter(ham_io <= 8)
-        .select(
-            F.least(F.col("i.doc_id"), F.col("o.doc_id")).alias("id_a"),
-            F.greatest(F.col("i.doc_id"), F.col("o.doc_id")).alias("id_b"),
-        )
-        .distinct()
+    new_edges = D.simhash_blocked_edges_touching(
+        fp_inc, fp_all, id_col="doc_id", sh_col="sh", group_col="source",
+        bits=32, blocks=10, max_hamming=8,
     )
     labels = incremental_components_update(base, new_edges, "id_a", "id_b")
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

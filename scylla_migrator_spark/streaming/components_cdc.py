@@ -85,24 +85,23 @@ def components_upsert_batch(
         if state is not None
         else fp_b
     )
-    i, o = fp_b.alias("i"), all_fp.alias("o")
-    ham = F.bit_count(F.col("i.sh").bitwiseXOR(F.col("o.sh")))
-    new_edges = (
-        i.join(
-            o,
-            on=[
-                F.col("i.source") == F.col("o.source"),
-                F.col("i.id") != F.col("o.id"),
-            ],
-        )
-        .filter(ham <= max_hamming)
-        .select(
-            F.least(F.col("i.id"), F.col("o.id")).alias("id_a"),
-            F.greatest(F.col("i.id"), F.col("o.id")).alias("id_b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # BLOCKED batch×state edge generation (r8 verdict task #1): Manku
+    # block-union candidates over DISTINCT fingerprints, star-contracted
+    # onto per-group anchors — per-batch comparisons bounded by union-key
+    # bucket population and edge count linear in batch size, never a
+    # batch × full-served-state join keyed on source alone. The closure
+    # (plus the induction this generator maintains) equals the all-pairs
+    # touching set, so the full-corpus oracle invariant is unchanged.
+    new_edges = D.simhash_blocked_edges_touching(
+        fp_b,
+        all_fp,
+        id_col="id",
+        sh_col="sh",
+        group_col="source",
+        bits=bits,
+        blocks=max(10, max_hamming + 2),
+        max_hamming=max_hamming,
+    ).localCheckpoint(eager=True)
     if state is None:
         labels = connected_components(new_edges, "id_a", "id_b")
     else:
