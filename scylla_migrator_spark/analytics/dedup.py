@@ -893,6 +893,7 @@ def frame_sequence_pairs(
     frame_col: str,
     sh_col: str,
     max_shingle_freq: int | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate SEQUENCE assets (videos as sampled-frame perceptual
     hashes) by shingled frame-hash agreement: input is one row per
@@ -977,6 +978,14 @@ def frame_sequence_pairs(
         )
         .select(F.col("__vid").alias("__mid"), F.col("__fp").alias("__msh"))
     )
+    if emit == "star":
+        # graph-consumer mode (see _expand_fp_pairs): identical closure and
+        # vertex set, member→rep edges linear in identical-sequence group
+        # size; n_shared/jaccard are dropped — cluster builders never read
+        # them, and the pair-semantics query keeps the default mode
+        return _expand_fp_pairs(
+            inter.select("__fp_a", "__fp_b"), members, [], emit="star"
+        )
     cross = (
         inter.join(sz.alias("sa"), F.col("__fp_a") == F.col("sa.__fp"))
         .join(sz.alias("sb"), F.col("__fp_b") == F.col("sb.__fp"))

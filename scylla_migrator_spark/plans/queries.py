@@ -5323,6 +5323,53 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_publish_stage(stage, build))
 
 
+def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contracted edge twin of _simhash_pairs_staged for GRAPH
+    consumers (components, keep-best, grouped split, cluster histogram):
+    the Manku-blocked generator in ``emit="star"`` mode gives an edge set
+    with IDENTICAL transitive closure and vertex set — so every
+    full-pair-closure oracle stays green — while an m-member
+    identical-fingerprint group contributes m−1 member→representative
+    edges instead of m(m−1)/2 pairs (r8 verdict task #3). Pair-semantics
+    consumers (degree/triangle/centrality metrics, ensemble blockers)
+    keep the pairs stage; graph builders read this one."""
+    import hashlib
+    import inspect
+    import os
+
+    from scylla_migrator_spark.analytics import dedup as _D
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
+    code = (
+        inspect.getsource(QUERIES["simhash_hamming_pairs"])
+        + inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_simhash_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        docs = _fan(
+            _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        )
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=32
+        )
+        D.simhash_blocked_pairs(
+            fp,
+            "doc_id",
+            bits=32,
+            blocks=10,
+            max_hamming=8,
+            group_col="source",
+            emit="star",
+        ).select("id_a", "id_b").write.mode("overwrite").parquet(tmp_stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
+
 
 @_register(
     "dedup_components",
@@ -5361,8 +5408,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine cannot express at all."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = _simhash_pairs_staged(spark, sf_dir)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    edges = _simhash_star_edges_staged(spark, sf_dir)
+    comp = connected_components(edges, src="id_a", dst="id_b")
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -7066,8 +7113,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = _simhash_pairs_staged(spark, sf_dir)
-    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+    edges = _simhash_star_edges_staged(spark, sf_dir)
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -10041,8 +10088,8 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, no extra shuffle beyond the label join."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = _simhash_pairs_staged(spark, sf_dir)
-    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+    edges = _simhash_star_edges_staged(spark, sf_dir)
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -10787,6 +10834,18 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: pixels stay inside one Arrow mapInPandas per image; the
     pair join shuffles 8-byte hashes, never pixels — identical scale
     posture to the text SimHash blocker."""
+    fp = _image_dhash_fp(spark, sf_dir)
+    return D.simhash_banded_pairs(
+        fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
+    )
+
+
+def _image_dhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image perceptual-fingerprint stage shared by the pair query and
+    the cluster builder (which bands the SAME fingerprints in
+    ``emit="star"`` mode): synth PPM -> Arrow NN-resize -> 56-bit dHash,
+    localCheckpoint-materialized so the banded SELF-join never re-runs the
+    pixel pipeline per side (and at 100 TB never re-decodes the corpus)."""
     from scylla_migrator_spark.analytics import multimodal as MM
 
     docs = _fan(
@@ -10804,13 +10863,7 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
     )
     small = MM.resize_ppm_nn(assets, 8, 8)
-    # materialize the 16-byte/row fingerprints before the banded SELF-join:
-    # otherwise each join side re-runs the whole synth/resize/dhash Arrow
-    # pipeline over the pixels (and at 100 TB re-decodes the corpus twice)
-    fp = MM.image_dhash_fingerprints(small, grid=8).localCheckpoint(eager=True)
-    return D.simhash_banded_pairs(
-        fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4
-    )
+    return MM.image_dhash_fingerprints(small, grid=8).localCheckpoint(eager=True)
 
 
 @_register(
@@ -11255,8 +11308,13 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pairs by transitive-closure recursion."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = QUERIES["image_phash_dup_pairs"](spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # graph consumer -> star-contracted edges (identical closure, linear
+    # intra-group edges; r8 verdict task #3) over the SAME fingerprints
+    fp = _image_dhash_fp(spark, sf_dir)
+    edges = D.simhash_banded_pairs(
+        fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4, emit="star"
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
@@ -11840,6 +11898,17 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice); identical hash sequences collapse to one fingerprint before
     the shingle self-join (re-uploads are the dominant video dup), and
     the join shuffles ~16-byte shingle strings, never frames."""
+    fp = _video_frame_fp(spark, sf_dir)
+    return D.frame_sequence_pairs(fp, "doc_id", "f", "sh")
+
+
+def _video_frame_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled-frame dHash table shared by the video pair query and
+    the cluster builder (which runs the SAME shingle machinery in
+    ``emit="star"`` mode instead of consuming the full pair table):
+    synth MP4 -> REAL ISO-BMFF parse -> one frame per second -> per-frame
+    16x16 PPM -> NN resize -> 56-bit dHash, localCheckpoint-materialized
+    so pair machinery never re-decodes frames."""
     from scylla_migrator_spark.analytics import multimodal as MM
 
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -11853,7 +11922,7 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = MM.make_asset_table(
         mp4s, "asset_id", "data", kind="video", mime="video/mp4"
     )
-    meta = MM.decode_assets_meta(assets)  # REAL ISO-BMFF parse -> duration_ms
+    meta = MM.decode_assets_meta(assets)
     frames = meta.select(
         "asset_id",
         F.explode(
@@ -11876,7 +11945,7 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passets = MM.make_asset_table(
         ppm, "asset_id", "data", kind="image", mime="image/x-portable-pixmap"
     )
-    fp = (
+    return (
         MM.image_dhash_fingerprints(MM.resize_ppm_nn(passets, 8, 8), grid=8)
         .select(
             F.expr("asset_id DIV 64").alias("doc_id"),
@@ -11885,7 +11954,6 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    return D.frame_sequence_pairs(fp, "doc_id", "f", "sh")
 
 
 @_register(
@@ -12538,8 +12606,8 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_size, n_clusters, n_docs)."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = _simhash_pairs_staged(spark, sf_dir)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    edges = _simhash_star_edges_staged(spark, sf_dir)
+    comp = connected_components(edges, src="id_a", dst="id_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
     hist = hist.select(
@@ -12770,8 +12838,13 @@ def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pairs by transitive-closure recursion."""
     from scylla_migrator_spark.analytics.components import connected_components
 
-    pairs = QUERIES["video_phash_dup_pairs"](spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # graph consumer -> star-contracted shingle-match edges (identical
+    # closure, linear intra-group edges; r8 verdict task #3)
+    fp = _video_frame_fp(spark, sf_dir)
+    edges = D.frame_sequence_pairs(fp, "doc_id", "f", "sh", emit="star").select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),

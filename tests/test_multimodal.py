@@ -635,3 +635,39 @@ def test_frame_sequence_pairs_empty_and_single_video(spark):
         [(1, 0, 10), (2, 0, 10)], "vid long, f long, sh long"
     )
     assert frame_sequence_pairs(singles, "vid", "f", "sh").count() == 0
+
+
+def test_frame_sequence_star_matches_pairs_components(spark):
+    """emit='star' on the video shingle matcher must yield the identical
+    connected-component labelling as pair mode, with identical-sequence
+    groups contributing member->rep edges linear in group size."""
+    from scylla_migrator_spark.analytics.components import connected_components
+    from scylla_migrator_spark.analytics.dedup import frame_sequence_pairs
+
+    rows = []
+    for vid in range(1, 31):  # 30 identical re-uploads (one sequence group)
+        for f in range(5):
+            rows.append((vid, f, 100 + f))
+    for vid in range(31, 41):  # shares a frame run with the group
+        for f in range(5):
+            rows.append((vid, f, (100 + f) if f < 3 else 900 + vid * 10 + f))
+    for vid in range(41, 46):  # unrelated sequences
+        for f in range(5):
+            rows.append((vid, f, vid * 1000 + f))
+    df = spark.createDataFrame(rows, "vid long, f long, sh long")
+    pairs = frame_sequence_pairs(df, "vid", "f", "sh").select("id_a", "id_b")
+    star = frame_sequence_pairs(df, "vid", "f", "sh", emit="star").select(
+        "id_a", "id_b"
+    )
+    star_rows = star.collect()
+    intra_hot = [r for r in star_rows if r["id_b"] <= 30]
+    assert len(intra_hot) == 29 and all(r["id_a"] == 1 for r in intra_hot)
+    lab_p = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    lab_s = {
+        (r["id"], r["comp"])
+        for r in connected_components(star, "id_a", "id_b").collect()
+    }
+    assert lab_p == lab_s
