@@ -299,19 +299,7 @@ def incremental_components_update(
     At 100 TB this is the difference between re-running the fixpoint over
     a trillion-edge history and running it over one ingest batch."""
     e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    lbl = base_labels.select(F.col("id").alias("__lid"), F.col("comp").alias("__lc"))
-    ca = (
-        e.join(lbl, e["a"] == lbl["__lid"], "left_outer")
-        .select(F.coalesce("__lc", "a").alias("ca"), "b")
-    )
-    cab = (
-        ca.join(lbl, ca["b"] == lbl["__lid"], "left_outer")
-        .select("ca", F.coalesce("__lc", "b").alias("cb"))
-    )
-    contracted = cab.filter(F.col("ca") != F.col("cb"))
-    merged = connected_components(contracted, "ca", "cb").select(
-        F.col("id").alias("__mid"), F.col("comp").alias("__mc")
-    )
+    merged = contracted_merge(base_labels, new_edges, src, dst)
     updated_old = (
         base_labels.join(merged, base_labels["comp"] == merged["__mid"], "left_outer")
         .select("id", F.coalesce("__mc", "comp").alias("comp"))
@@ -327,3 +315,34 @@ def incremental_components_update(
         .select("id", F.coalesce("__mc", "id").alias("comp"))
     )
     return updated_old.unionByName(new_labels)
+
+
+def contracted_merge(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The label-remap table (__mid → __mc) from contracting a batch of
+    new edges onto an existing min-label fixpoint — the batch-sized core
+    of incremental_components_update, exposed on its own so consumers
+    that rewrite ONLY the buckets whose labels move (the bucketed serving
+    table in streaming/components_cdc.py) can enumerate the touched
+    labels without materializing the full updated labelling. ``__mid``
+    ranges over the labels/new-vertex-ids appearing in the contracted
+    graph; every label (or unlabelled vertex id) absent from ``__mid``
+    is unchanged by the batch."""
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    lbl = base_labels.select(F.col("id").alias("__lid"), F.col("comp").alias("__lc"))
+    ca = (
+        e.join(lbl, e["a"] == lbl["__lid"], "left_outer")
+        .select(F.coalesce("__lc", "a").alias("ca"), "b")
+    )
+    cab = (
+        ca.join(lbl, ca["b"] == lbl["__lid"], "left_outer")
+        .select("ca", F.coalesce("__lc", "b").alias("cb"))
+    )
+    contracted = cab.filter(F.col("ca") != F.col("cb"))
+    return connected_components(contracted, "ca", "cb").select(
+        F.col("id").alias("__mid"), F.col("comp").alias("__mc")
+    )

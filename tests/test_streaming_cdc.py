@@ -326,3 +326,75 @@ def test_schema_drift_survives_replicator_restart(spark, tmp_path):
     assert rows[2]["tier"] is None
     # a column adopted from persisted state is NOT re-reported as drift
     assert "drift_added" not in rep2.metrics[0]
+
+
+def test_components_serving_rewrites_only_moved_buckets(spark, tmp_path):
+    """r8 verdict task #4: the streaming components serving table is
+    partitioned by component-hash bucket and a micro-batch swaps ONLY the
+    buckets whose labels move (returned by components_upsert_batch);
+    every other bucket directory must be byte-identical on disk, and the
+    final labelling must still equal the full recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scylla_migrator_spark.analytics.components import connected_components
+    from scylla_migrator_spark.analytics.dedup import simhash_blocked_pairs
+    from scylla_migrator_spark.streaming.components_cdc import (
+        components_upsert_batch,
+    )
+    from scylla_migrator_spark.streaming.rollup import BUCKET_COL
+
+    import random
+
+    serving = str(tmp_path / "serving")
+    # spread-out components: greedily pick fingerprints pairwise hamming
+    # >= 12 apart (so no accidental <=8 pairs), + one near-dup of fp[0];
+    # batch 2 then touches exactly one existing component
+    random.seed(5)
+    fps: list[int] = []
+    while len(fps) < 25:
+        v = random.getrandbits(32)
+        if all(bin(v ^ w).count("1") >= 12 for w in fps):
+            fps.append(v)
+    b1 = [(i + 1, "s", fps[i]) for i in range(25)]
+    b1.append((100, "s", fps[0] ^ 1))  # pairs with doc 1
+    df1 = spark.createDataFrame(b1, "doc_id long, source string, sh long")
+    assert (
+        components_upsert_batch(df1, serving, id_col="doc_id") is None
+    )  # first generation writes everything
+    buckets_before = {
+        e: os.path.getmtime(os.path.join(serving, e))
+        for e in os.listdir(serving)
+        if e.startswith(f"{BUCKET_COL}=")
+    }
+    b2 = [(200, "s", fps[0] ^ 2)]  # joins component of docs 1/100 only
+    df2 = spark.createDataFrame(b2, "doc_id long, source string, sh long")
+    affected = components_upsert_batch(df2, serving, id_col="doc_id")
+    assert affected is not None and 0 < len(affected) < len(buckets_before)
+    for e, mt in buckets_before.items():
+        b = int(e.split("=", 1)[1])
+        if b not in affected:
+            assert os.path.getmtime(os.path.join(serving, e)) == mt, (
+                f"untouched bucket {e} was rewritten"
+            )
+    # labelling still equals the batch recompute over all rows seen
+    fp = df1.unionByName(df2)
+    want = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            simhash_blocked_pairs(fp, "doc_id", group_col="source").select(
+                "id_a", "id_b"
+            ),
+            "id_a",
+            "id_b",
+        ).collect()
+    }
+    got = {
+        (r["id"], r["comp"])
+        for r in spark.read.parquet(serving)
+        .filter(F.col("paired"))
+        .select("id", "comp")
+        .collect()
+    }
+    assert got == want
