@@ -6600,6 +6600,37 @@ def _staged_json(tag: str, modules: list, sf_dir: str, table: str, build_value):
         return json.load(fh)
 
 
+def _staged_df(
+    spark: SparkSession,
+    tag: str,
+    sources: list,
+    sf_dir: str,
+    table: str,
+    build_df,
+) -> DataFrame:
+    """Parquet twin of `_staged_json` (the `_simhash_pairs_staged` posture
+    generalized): build a DataFrame once per (code version, fixture) and
+    serve every later consumer from the staged parquet. ``sources`` lists
+    the modules/functions whose source forms the cache key — include every
+    transitive dependency of the builder (the stale-stage lesson).
+    ``build_df()`` must be deterministic; the stage changes wall-clock,
+    never values."""
+    import hashlib
+    import inspect
+    import os
+
+    code = "".join(
+        s if isinstance(s, str) else inspect.getsource(s) for s in sources
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join("/tmp", f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
+
+    def build(tmp_stage: str) -> None:
+        build_df().write.mode("overwrite").parquet(tmp_stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
+
+
 def _kmeans_centroids_staged(
     spark: SparkSession, sf_dir: str, n: int = 16, iters: int = 2
 ) -> list[list[float]]:
@@ -7595,7 +7626,24 @@ def bpe_segment_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — the final segmentation table IS the encoder's answer on the
     training vocabulary. Rules come from the staged one-train-per-fixture
     cache (the build-once posture — bpe_train_merges is the live-training
-    surface; an encoder consumer loads the learned vocabulary)."""
+    surface; an encoder consumer loads the learned vocabulary). The
+    per-doc count table itself is staged once per fixture+code version
+    (r8 verdict task #6): the fertility bake-off re-reads this stage
+    instead of re-running the encode."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return _staged_df(
+        spark,
+        "bpe_counts_8",
+        [_bpe_counts_df, _fan, TOK, TXT],
+        sf_dir,
+        "documents",
+        lambda: _bpe_counts_df(spark, sf_dir),
+    )
+
+
+def _bpe_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live builder behind bpe_segment_compression's stage."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -11118,7 +11166,23 @@ def unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece wins exact ties — pinned in both engines), joined back to the
     exploded corpus — (doc_id, n_words, n_pieces). The whole trainer
     replays inside the oracle, so the count witnesses the full
-    train-then-encode pipeline like bpe_segment_counts does for BPE."""
+    train-then-encode pipeline like bpe_segment_counts does for BPE.
+    Per-doc counts are staged once per fixture+code version (r8 verdict
+    task #6); the fertility bake-off re-reads the stage."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return _staged_df(
+        spark,
+        "unigram_counts_2",
+        [_unigram_counts_df, _fan, TOK, TXT],
+        sf_dir,
+        "documents",
+        lambda: _unigram_counts_df(spark, sf_dir),
+    )
+
+
+def _unigram_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live builder behind unigram_token_count's stage."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
     docs = _fan(_t(spark, sf_dir, "documents"))
@@ -12122,12 +12186,45 @@ def wordpiece_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode fold as a LITERAL array; the scan is one F.aggregate cursor
     walk per word in codegen, no Python. Oracle: the full training replay
     feeding a recursive greedy-match CTE (longest vocab piece at the
-    cursor — single-char coverage guarantees progress)."""
+    cursor — single-char coverage guarantees progress). Merges AND the
+    per-doc counts are staged once per fixture+code version (r8 verdict
+    task #6); the fertility bake-off and the vocab-overlap row re-read
+    the stages."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return _staged_df(
+        spark,
+        "wordpiece_counts_8",
+        [_wordpiece_counts_df, _wordpiece_merges_staged, _fan, TOK, TXT],
+        sf_dir,
+        "documents",
+        lambda: _wordpiece_counts_df(spark, sf_dir),
+    )
+
+
+def _wordpiece_merges_staged(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    """Trained WordPiece merge rules materialized once per fixture
+    generation — the `_bpe_merges_staged` pattern for the
+    likelihood-scored trainer (deterministic: exact-integer counts widened
+    to one IEEE expression, lexical tie-breaks)."""
+    from scylla_migrator_spark.analytics import tokenizer as TOK
+
+    return _staged_json(
+        f"wordpiece_{n_merges}",
+        [TOK, TXT],
+        sf_dir,
+        "documents",
+        lambda: TOK.train_wordpiece(_fan(_t(spark, sf_dir, "documents")), n_merges)[0],
+    )
+
+
+def _wordpiece_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live builder behind wordpiece_token_count's stage."""
     from scylla_migrator_spark.analytics import tokenizer as TOK
 
     docs = _fan(_t(spark, sf_dir, "documents"))
     words = TOK.word_frequency_table(docs).localCheckpoint()
-    merges, _ = TOK.train_wordpiece(docs, 8)
+    merges = [tuple(m) for m in _wordpiece_merges_staged(spark, sf_dir, 8)]
     alphabet = sorted(
         r["c"]
         for r in words.select(F.explode("symbols").alias("c")).distinct().collect()
@@ -14601,24 +14698,21 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose in one SQL statement via prefixed CTEs, so a regression in
     EITHER trainer moves this row.
 
-    Shape: both trainers share the ONE corpus pass to the word-frequency
-    table (everything after is vocab-sized); the overlap math is a full
-    outer join of two 8-row frames."""
-    from scylla_migrator_spark.analytics import tokenizer as TOK
-
-    docs = _fan(_t(spark, sf_dir, "documents"))
-    bv = (
-        TOK.train_bpe_df(docs, 8)
-        .select(F.concat(F.col("p1"), F.col("p2")).alias("piece"))
-        .distinct()
-        .withColumn("in_bpe", F.lit(1))
-    )
-    wv = (
-        TOK.train_wordpiece_df(docs, 8)
-        .select(F.concat(F.col("p1"), F.col("p2")).alias("piece"))
-        .distinct()
-        .withColumn("in_wp", F.lit(1))
-    )
+    Shape: both trained vocabularies come from the build-once merge
+    stages (`_bpe_merges_staged` / `_wordpiece_merges_staged` — r8
+    verdict task #6: the bake-off no longer replays either trainer); the
+    overlap math is a full outer join of two 8-row literal frames."""
+    bm = {str(m[0]) + str(m[1]) for m in _bpe_merges_staged(spark, sf_dir, 8)}
+    wm = {
+        str(m[0]) + str(m[1])
+        for m in _wordpiece_merges_staged(spark, sf_dir, 8)
+    }
+    bv = spark.createDataFrame(
+        [(p,) for p in sorted(bm)], "piece string"
+    ).withColumn("in_bpe", F.lit(1))
+    wv = spark.createDataFrame(
+        [(p,) for p in sorted(wm)], "piece string"
+    ).withColumn("in_wp", F.lit(1))
     j = bv.join(wv, "piece", "full_outer").select(
         "piece",
         F.coalesce(F.col("in_bpe"), F.lit(0)).alias("in_bpe"),

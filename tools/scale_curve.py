@@ -39,6 +39,7 @@ from scylla_migrator_spark.analytics import similarity as SIM  # noqa: E402
 from scylla_migrator_spark.analytics import text as TXT  # noqa: E402
 from scylla_migrator_spark.analytics.components import (  # noqa: E402
     connected_components,
+    incremental_components_update,
     k_core,
     label_propagation,
 )
@@ -136,13 +137,71 @@ def run_pipelines(
         ).count(),
     )
 
+    # components family: measured through the REGISTRY's exact plan (r8
+    # verdict task #2) — Manku-blocked hamming<=8 within-source candidates,
+    # star-contracted for the graph builders, NOT the banded h<=3 proxy
     def keep_best() -> int:
         fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
-        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
-        comp = connected_components(pairs, "id_a", "id_b")
+        edges = D.simhash_blocked_pairs(
+            fp, "doc_id", blocks=10, max_hamming=8, group_col="source", emit="star"
+        )
+        comp = connected_components(edges, "id_a", "id_b")
         return comp.groupBy("comp").count().count()
 
     record("simhash_components_keep_best", n_docs, keep_best)
+
+    def dedup_components() -> int:
+        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        edges = D.simhash_blocked_pairs(
+            fp, "doc_id", blocks=10, max_hamming=8, group_col="source", emit="star"
+        )
+        return connected_components(edges, "id_a", "id_b").count()
+
+    record("dedup_components", n_docs, dedup_components)
+
+    def incr_components() -> int:
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"]
+        ).localCheckpoint(eager=True)
+        fp_old = fp.filter(F.col("doc_id") % 10 != 0)
+        fp_inc = fp.filter(F.col("doc_id") % 10 == 0)
+        old_pairs = D.simhash_blocked_pairs(
+            fp_old, "doc_id", blocks=10, max_hamming=8, group_col="source",
+            emit="star",
+        ).select("id_a", "id_b")
+        base = connected_components(old_pairs, "id_a", "id_b")
+        new_edges = D.simhash_blocked_edges_touching(fp_inc, fp, id_col="doc_id")
+        return incremental_components_update(base, new_edges, "id_a", "id_b").count()
+
+    record("incremental_components_update", n_docs, incr_components)
+
+    def stream_components() -> int:
+        import shutil
+        import tempfile
+
+        from scylla_migrator_spark.streaming.components_cdc import (
+            components_upsert_batch,
+        )
+
+        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        root = tempfile.mkdtemp(prefix="sgs_curve_cc_")
+        serving = os.path.join(root, "serving")
+        try:
+            components_upsert_batch(
+                fp.filter(F.col("doc_id") % 2 == 0), serving, id_col="doc_id"
+            )
+            components_upsert_batch(
+                fp.filter(F.col("doc_id") % 2 == 1), serving, id_col="doc_id"
+            )
+            return (
+                docs.sparkSession.read.parquet(serving)
+                .filter(F.col("paired"))
+                .count()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    record("stream_components_update", n_docs, stream_components)
 
     record(
         "ngram_jaccard_capped_pairs",
@@ -196,8 +255,12 @@ def run_pipelines(
     )
 
     def lpa() -> int:
+        # registry path: the dup_graph_* metrics consume the PAIR-mode
+        # blocked hamming<=8 staged table
         fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
-        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
+        pairs = D.simhash_blocked_pairs(
+            fp, "doc_id", blocks=10, max_hamming=8, group_col="source"
+        ).select("id_a", "id_b")
         return label_propagation(pairs, "id_a", "id_b", rounds=3).count()
 
     record("dup_graph_label_propagation", n_docs, lpa)
@@ -225,7 +288,9 @@ def run_pipelines(
 
     def kcore() -> int:
         fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
-        pairs = D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
+        pairs = D.simhash_blocked_pairs(
+            fp, "doc_id", blocks=10, max_hamming=8, group_col="source"
+        ).select("id_a", "id_b")
         return k_core(pairs, "id_a", "id_b", k=2, rounds=4).count()
 
     record("dup_graph_k_core", n_docs, kcore)
