@@ -121,6 +121,7 @@ HEADLINE = [
     "vocab_coverage_oov",
     "span_corruption_plan",
     "simhash_banded_pairs",
+    "simhash_wide_blocked_pairs",
     "funnel_conversion",
     "validation_failure_breakdown",
     "boilerplate_prefix_groups",

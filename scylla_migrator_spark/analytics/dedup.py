@@ -475,6 +475,7 @@ def simhash_fingerprints(
     id_col: str,
     carry_cols: list[str] | None = None,
     bits: int = 32,
+    hash_hex: int = 8,
 ) -> DataFrame:
     """Per-document SimHash fingerprints via explode -> bit-vote aggregation.
 
@@ -483,10 +484,28 @@ def simhash_fingerprints(
     the exploded tokens. The aggregation is also an optimizer barrier: a
     downstream self-join sees a materialized ``sh`` column instead of
     re-inlining the whole fingerprint expression per candidate PAIR (measured
-    72s -> ~2s at sf0.1 for the hamming-pair join)."""
+    72s -> ~2s at sf0.1 for the hamming-pair join).
+
+    ``hash_hex`` is the md5 prefix width of the token hash in hex chars
+    (8 → 32-bit, the default; 15 → 60-bit for WIDE fingerprints, the
+    corpus-scale posture where blocked candidate keys need real entropy —
+    15 hex stays under 2^60 so the BIGINT is positive in both engines).
+    ``bits`` must be <= 4*hash_hex or the high bit-votes are vacuously 0."""
+    if bits > 4 * hash_hex:
+        raise ValueError(
+            f"bits={bits} exceeds token-hash width {4 * hash_hex} "
+            f"(raise hash_hex)"
+        )
     carry = carry_cols or []
     ex = df.select(F.col(id_col), *carry, F.explode(tokens(F.col(text_col))).alias("__tok"))
-    h = ex.select(id_col, *carry, _md5_int(F.col("__tok")).alias("__h"))
+    tok_hash = (
+        _md5_int(F.col("__tok"))
+        if hash_hex == 8
+        else F.conv(F.substring(F.md5(F.col("__tok")), 1, hash_hex), 16, 10).cast(
+            "long"
+        )
+    )
+    h = ex.select(id_col, *carry, tok_hash.alias("__h"))
     aggs = [
         F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
         for b in range(bits)

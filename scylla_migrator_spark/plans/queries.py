@@ -3188,6 +3188,51 @@ def simhash_banded_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_banded_pairs(fp, "doc_id", bands=4, max_hamming=3)
 
 
+@_register(
+    "simhash_wide_blocked_pairs",
+    # WIDE fingerprints (60-bit: 15-hex md5 token hashes, BIGINT-positive
+    # in both engines) with the same hamming<=8 threshold; oracle = the
+    # unblocked all-pairs popcount, lossless vs the Manku block-union join.
+    r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 59),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
+def simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE near-dup fingerprint shape: 60-bit SimHash (15-hex
+    md5 token hashes) blocked with Manku block-union keys at full width —
+    blocks=10 gives 6-bit blocks, so the C(10,2)=45 probe tables carry
+    TRUE ~12-bit union keys (the selectivity the WWW'07 construction is
+    designed around; 32-bit fingerprints cap union keys at ~6 bits, which
+    is why the narrow family is fixture-scale semantics). Same
+    bucket-then-verify plan as simhash_hamming_pairs — distinct-
+    fingerprint collapse, exact-popcount verify, lossless for h<=8 — and
+    the same unblocked all-pairs oracle. At hamming<=8 over 60 bits only
+    genuinely near-duplicate documents pair (random fingerprints sit at
+    expected hamming 30), so this is also the precision twin of the
+    32-bit row's recall posture."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    fp = D.simhash_fingerprints(
+        docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+    )
+    return D.simhash_blocked_pairs(
+        fp, "doc_id", bits=60, blocks=10, max_hamming=8, group_col="source"
+    ).select("id_a", "id_b", "hamming")
+
+
 def _kmeans_assign_cte(name: str, cent: str, base: str = "base") -> str:
     """Assignment CTE: nearest centroid by the same argmax the engine's
     ivf_assign computes (dot/|c| desc, ties by centroid index)."""
