@@ -122,6 +122,7 @@ HEADLINE = [
     "span_corruption_plan",
     "simhash_banded_pairs",
     "simhash_wide_blocked_pairs",
+    "simhash_blocked_hot_keys",
     "funnel_conversion",
     "validation_failure_breakdown",
     "boilerplate_prefix_groups",

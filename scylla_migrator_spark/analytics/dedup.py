@@ -711,6 +711,37 @@ def _block_union_keys(
     ).select(*carry_cols, "kk.combo_id", "kk.key_val")
 
 
+def simhash_hot_union_keys(
+    fp: DataFrame,
+    sh_col: str = "sh",
+    bits: int = 32,
+    blocks: int = 10,
+    max_hamming: int = 8,
+    group_col: str | None = None,
+    max_key_freq: int = 1024,
+) -> DataFrame:
+    """Quarantine report for simhash_blocked_pairs' ``max_key_freq`` cap:
+    ([group,] combo_id, key_val, n_fingerprints) for every block-union
+    probe bucket whose DISTINCT-fingerprint frequency exceeds the cap —
+    the buckets a capped blocked join would exclude. The
+    simhash_hot_bands / stop-shingle report posture applied to the Manku
+    union-key space: a 100 TB operator reads this BEFORE deciding the cap
+    (and after, to audit what the cap dropped)."""
+    grp_sel = [F.col(group_col).alias("__grp")] if group_col else []
+    units = fp.select(*grp_sel, F.col(sh_col).alias("__sh")).distinct()
+    carry = (["__grp"] if group_col else []) + ["__sh"]
+    keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
+    key_cols = (["__grp"] if group_col else []) + ["combo_id", "key_val"]
+    out = (
+        keys.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_fingerprints"))
+        .filter(F.col("n_fingerprints") > max_key_freq)
+    )
+    if group_col:
+        out = out.withColumnRenamed("__grp", group_col)
+    return out
+
+
 def simhash_blocked_pairs(
     fp: DataFrame,
     id_col: str,

@@ -3233,6 +3233,74 @@ def simhash_wide_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "hamming")
 
 
+def _hot_union_sql(bits: int = 32, blocks: int = 10, max_hamming: int = 8, cap: int = 8) -> str:
+    """Oracle for simhash_blocked_hot_keys: replay the Manku block-union
+    key exploder over DISTINCT (source, fingerprint) units with the SAME
+    block geometry as dedup._block_union_keys (widths base+1 for the
+    first bits%blocks blocks, combo ids in itertools.combinations order,
+    key packed as val_i * 2^w_j + val_j), then the frequency histogram
+    HAVING > cap. The geometry table is generated by this Python builder
+    so engine and oracle cannot drift."""
+    from itertools import combinations as _combos
+
+    base_w, rem = divmod(bits, blocks)
+    widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
+    offsets = []
+    off = 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    rows = ", ".join(
+        f"({cid}, {offsets[i]}, {widths[i]}, {offsets[j]}, {widths[j]})"
+        for cid, (i, j) in enumerate(_combos(range(blocks), blocks - max_hamming))
+    )
+    return rf"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, {bits - 1}),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    dfp AS (SELECT DISTINCT source, sh FROM fp),
+    cmb AS (SELECT * FROM (VALUES {rows}) t(cid, oi, wi, oj, wj)),
+    keys AS (
+      SELECT d.source, c.cid,
+             (((d.sh >> c.oi) & ((1::BIGINT << c.wi) - 1)) * (1::BIGINT << c.wj)
+              + ((d.sh >> c.oj) & ((1::BIGINT << c.wj) - 1)))::BIGINT AS key_val
+      FROM dfp d CROSS JOIN cmb c)
+    SELECT source, cid::INT AS combo_id, key_val,
+           count(*)::BIGINT AS n_fingerprints
+    FROM keys GROUP BY 1, 2, 3 HAVING count(*) > {cap}
+    """
+
+
+@_register("simhash_blocked_hot_keys", _hot_union_sql(32, 10, 8, 8))
+def simhash_blocked_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine pre-flight for the blocked hamming<=8 family
+    (dedup.simhash_hot_union_keys): every (source, combo, union-key)
+    probe bucket whose DISTINCT-fingerprint population exceeds the cap —
+    what a capped simhash_blocked_pairs(max_key_freq=8) would exclude,
+    and the sizing evidence (bucket histogram tail) a 100 TB operator
+    reads before choosing blocks/cap. The oracle replays the exact block
+    geometry from a builder-generated VALUES table, so combo ids and key
+    packing are pinned engine==oracle."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"], bits=32)
+    return D.simhash_hot_union_keys(
+        fp, bits=32, blocks=10, max_hamming=8, group_col="source", max_key_freq=8
+    ).select(
+        "source",
+        "combo_id",
+        "key_val",
+        F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+    )
+
+
 def _kmeans_assign_cte(name: str, cent: str, base: str = "base") -> str:
     """Assignment CTE: nearest centroid by the same argmax the engine's
     ivf_assign computes (dot/|c| desc, ties by centroid index)."""
