@@ -123,6 +123,7 @@ HEADLINE = [
     "simhash_banded_pairs",
     "simhash_wide_blocked_pairs",
     "simhash_blocked_hot_keys",
+    "simhash_blocked_candidate_budget",
     "funnel_conversion",
     "validation_failure_breakdown",
     "boilerplate_prefix_groups",

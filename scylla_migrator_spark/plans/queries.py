@@ -3279,6 +3279,89 @@ def _hot_union_sql(bits: int = 32, blocks: int = 10, max_hamming: int = 8, cap: 
     """
 
 
+def _blocked_budget_sql(bits: int = 32, blocks: int = 10, max_hamming: int = 8) -> str:
+    """Oracle for simhash_blocked_candidate_budget: per-combo candidate
+    counts from the bucket histogram (sum n*(n-1)/2 over buckets) — the
+    same builder-generated geometry as _hot_union_sql."""
+    from itertools import combinations as _combos
+
+    base_w, rem = divmod(bits, blocks)
+    widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
+    offsets = []
+    off = 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    rows = ", ".join(
+        f"({cid}, {offsets[i]}, {widths[i]}, {offsets[j]}, {widths[j]})"
+        for cid, (i, j) in enumerate(_combos(range(blocks), blocks - max_hamming))
+    )
+    return rf"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, {bits - 1}),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    dfp AS (SELECT DISTINCT source, sh FROM fp),
+    cmb AS (SELECT * FROM (VALUES {rows}) t(cid, oi, wi, oj, wj)),
+    keys AS (
+      SELECT d.source, c.cid,
+             (((d.sh >> c.oi) & ((1::BIGINT << c.wi) - 1)) * (1::BIGINT << c.wj)
+              + ((d.sh >> c.oj) & ((1::BIGINT << c.wj) - 1)))::BIGINT AS key_val
+      FROM dfp d CROSS JOIN cmb c),
+    hist AS (
+      SELECT cid, count(*)::BIGINT AS n
+      FROM keys GROUP BY source, cid, key_val)
+    SELECT cid::INT AS combo_id,
+           count(*)::BIGINT AS n_buckets,
+           max(n) AS max_bucket,
+           sum(n * (n - 1) // 2)::BIGINT AS n_candidates
+    FROM hist GROUP BY cid
+    """
+
+
+@_register("simhash_blocked_candidate_budget", _blocked_budget_sql(32, 10, 8))
+def simhash_blocked_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost PRE-FLIGHT for the blocked hamming<=8 family (the
+    lsh_candidate_budget posture applied to the Manku union-key space):
+    per probe-combo bucket count, max bucket population, and the exact
+    candidate-pair count the blocked join will plan (sum n(n-1)/2 over
+    buckets) — computed from the key HISTOGRAM, so the answer costs one
+    aggregation, not the join itself. A 100 TB operator reads this row to
+    size blocks/max_key_freq (and to decide whether the fingerprint needs
+    widening — see simhash_wide_blocked_pairs) before launching the
+    sweep."""
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"], bits=32)
+    units = fp.select("source", "sh").distinct()
+    keys = D._block_union_keys(
+        units.select(F.col("source").alias("__grp"), F.col("sh").alias("__sh")),
+        "__sh",
+        32,
+        10,
+        8,
+        ["__grp", "__sh"],
+    )
+    hist = keys.groupBy("__grp", "combo_id", "key_val").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        hist.groupBy("combo_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidates"),
+        )
+        .select("combo_id", "n_buckets", "max_bucket", "n_candidates")
+    )
+
+
 @_register("simhash_blocked_hot_keys", _hot_union_sql(32, 10, 8, 8))
 def simhash_blocked_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine pre-flight for the blocked hamming<=8 family

@@ -115,7 +115,11 @@ def run_pipelines(
     n_docs, n_emb = docs.count(), emb.count()
     out: dict[str, dict] = {}
 
+    only = [s for s in os.environ.get("SGS_SCALE_ONLY", "").split(",") if s]
+
     def record(name: str, rows_in: int, fn) -> None:
+        if only and not any(s in name for s in only):
+            return
         secs, rows_out = _timed(fn)
         out[name] = {
             "rows_in": rows_in,
@@ -149,6 +153,17 @@ def run_pipelines(
         return comp.groupBy("comp").count().count()
 
     record("simhash_components_keep_best", n_docs, keep_best)
+
+    def wide_blocked() -> int:
+        # the corpus-scale fingerprint width: 60-bit fps, ~12-bit union keys
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        )
+        return D.simhash_blocked_pairs(
+            fp, "doc_id", bits=60, blocks=10, max_hamming=8, group_col="source"
+        ).count()
+
+    record("simhash_wide_blocked_pairs", n_docs, wide_blocked)
 
     def dedup_components() -> int:
         fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
@@ -523,6 +538,22 @@ def main() -> None:
         )
         for name in results["1x"]
     }
+    curve_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CURVE.json",
+    )
+    # partial runs (SGS_SCALE_ONLY) merge into the existing file instead of
+    # dropping every entry they didn't re-measure
+    if os.environ.get("SGS_SCALE_ONLY") and os.path.exists(curve_path):
+        with open(curve_path) as f:
+            prev = json.loads(f.read())
+        merged_ratios = dict(prev.get("ratios", {}))
+        merged_ratios.update(ratios)
+        ratios = merged_ratios
+        detail = prev.get("detail", {})
+        for tag in results:
+            detail.setdefault(tag, {}).update(results[tag])
+        results = detail
     out = {
         "metric": "scale_curve_per_row_ratio",
         "copies": copies,
@@ -533,10 +564,7 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json"),
-        "w",
-    ) as f:
+    with open(curve_path, "w") as f:
         f.write(line + "\n")
     spark.stop()
 
