@@ -775,7 +775,9 @@ def simhash_blocked_pairs(
     Plan: distinct-unit aggregate → one explode to C(blocks, blocks−h)
     keys → one equi-join on ([group,] combo_id, key_val) → popcount verify
     → pair-dedup → expansion joins. Candidate count is bounded by bucket
-    population ~ |distinct fingerprints| / 2^|union key|, never corpus²."""
+    population ~ |distinct fingerprints| / 2^|union key|, never corpus².
+    All join/dedup keys are NUMERIC (the raw fingerprint longs plus the
+    group column) — no concatenated-string pair digests in the hot path."""
     if blocks <= max_hamming:
         raise ValueError(
             f"need blocks > max_hamming for the block-union guarantee "
@@ -783,20 +785,14 @@ def simhash_blocked_pairs(
         )
     if blocks > bits:
         raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
-    if group_col is not None:
-        qual = F.concat_ws(
-            "\x1f", F.col(group_col).cast("string"), F.col(sh_col).cast("string")
-        )
-    else:
-        qual = F.col(sh_col).cast("string")
-    members = fp.select(F.col(id_col).alias("__mid"), qual.alias("__msh"))
-    grp_sel = [F.col(group_col).alias("__grp")] if group_col else []
-    units = fp.select(
-        *grp_sel, F.col(sh_col).alias("__sh"), qual.alias("__fp")
-    ).distinct()
-    carry = (["__grp"] if group_col else []) + ["__fp", "__sh"]
+    grp = [group_col] if group_col else []
+    members = fp.select(
+        F.col(id_col).alias("__mid"), *grp, F.col(sh_col).alias("__msh")
+    )
+    units = fp.select(*grp, F.col(sh_col).alias("__sh")).distinct()
+    carry = grp + ["__sh"]
     keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
-    key_cols = (["__grp"] if group_col else []) + ["combo_id", "key_val"]
+    key_cols = grp + ["combo_id", "key_val"]
     if max_key_freq is not None:
         keep = (
             keys.groupBy(*key_cols)
@@ -807,19 +803,79 @@ def simhash_blocked_pairs(
         keys = keys.join(keep, key_cols, "left_semi")
     a, b = keys.alias("a"), keys.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
-    on.append(F.col("a.__fp") < F.col("b.__fp"))
+    on.append(F.col("a.__sh") < F.col("b.__sh"))
     ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).cast("int")
     fp_pairs = (
         a.join(b, on=on)
         .select(
-            F.col("a.__fp").alias("__fp_a"),
-            F.col("b.__fp").alias("__fp_b"),
+            *[F.col(f"a.{c}").alias(c) for c in grp],
+            F.col("a.__sh").alias("__sh_a"),
+            F.col("b.__sh").alias("__sh_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["__fp_a", "__fp_b"])
+        .dropDuplicates(grp + ["__sh_a", "__sh_b"])
     )
-    return _expand_fp_pairs(fp_pairs, members, ["hamming"], emit=emit)
+
+    def mjoin(pairs: DataFrame, side: str, alias: str) -> list:
+        cond = [F.col(f"__sh_{side}") == F.col(f"{alias}.__msh")]
+        if group_col:
+            cond.insert(0, pairs[group_col] == F.col(f"{alias}.{group_col}"))
+        return cond
+
+    if emit == "star":
+        reps = members.groupBy(*grp, "__msh").agg(F.min("__mid").alias("__rep"))
+        intra = (
+            members.alias("m")
+            .join(
+                reps.alias("r"),
+                on=[F.col(f"m.{c}") == F.col(f"r.{c}") for c in grp]
+                + [F.col("m.__msh") == F.col("r.__msh")],
+            )
+            .filter(F.col("m.__mid") != F.col("r.__rep"))
+            .select(
+                F.col("r.__rep").alias("id_a"),
+                F.col("m.__mid").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        ra, rb = reps.alias("ra"), reps.alias("rb")
+        cross = (
+            fp_pairs.join(ra, on=mjoin(fp_pairs, "a", "ra"))
+            .join(rb, on=mjoin(fp_pairs, "b", "rb"))
+            .select(
+                F.least(F.col("ra.__rep"), F.col("rb.__rep")).alias("id_a"),
+                F.greatest(F.col("ra.__rep"), F.col("rb.__rep")).alias("id_b"),
+                "hamming",
+            )
+        )
+        return cross.unionByName(intra)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (
+        fp_pairs.join(ma, on=mjoin(fp_pairs, "a", "ma"))
+        .join(mb, on=mjoin(fp_pairs, "b", "mb"))
+        .select(
+            F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_a"),
+            F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        ma.join(
+            mb,
+            on=[F.col(f"ma.{c}") == F.col(f"mb.{c}") for c in grp]
+            + [
+                F.col("ma.__msh") == F.col("mb.__msh"),
+                F.col("ma.__mid") < F.col("mb.__mid"),
+            ],
+        )
+        .select(
+            F.col("ma.__mid").alias("id_a"),
+            F.col("mb.__mid").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_blocked_edges_touching(
@@ -867,20 +923,22 @@ def simhash_blocked_edges_touching(
         raise ValueError(
             f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
         )
-
-    def qual(_: DataFrame) -> Column:
-        return F.concat_ws(
-            "\x1f", F.col(group_col).cast("string"), F.col(sh_col).cast("string")
-        )
-
-    probe_m = fp_probe.select(F.col(id_col).alias("__mid"), qual(fp_probe).alias("__msh"))
-    all_m = fp_all.select(F.col(id_col).alias("__mid"), qual(fp_all).alias("__msh"))
+    probe_m = fp_probe.select(
+        F.col(id_col).alias("__mid"),
+        F.col(group_col).alias("__grp"),
+        F.col(sh_col).alias("__msh"),
+    )
+    all_m = fp_all.select(
+        F.col(id_col).alias("__mid"),
+        F.col(group_col).alias("__grp"),
+        F.col(sh_col).alias("__msh"),
+    )
     probe_ids = probe_m.select(F.col("__mid").alias("__pid")).distinct().withColumn(
         "__isp", F.lit(True)
     )
     anchors = (
         all_m.join(probe_ids, all_m["__mid"] == probe_ids["__pid"], "left")
-        .groupBy("__msh")
+        .groupBy("__grp", "__msh")
         .agg(
             F.coalesce(
                 F.min(F.when(F.col("__isp").isNull(), F.col("__mid"))),
@@ -889,7 +947,7 @@ def simhash_blocked_edges_touching(
         )
     )
     star = (
-        probe_m.join(anchors, "__msh")
+        probe_m.join(anchors, ["__grp", "__msh"])
         .filter(F.col("__mid") != F.col("__anchor"))
         .select(
             F.least("__mid", "__anchor").alias("id_a"),
@@ -899,12 +957,10 @@ def simhash_blocked_edges_touching(
 
     def units(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(group_col).alias("__grp"),
-            F.col(sh_col).alias("__sh"),
-            qual(df).alias("__fp"),
+            F.col(group_col).alias("__grp"), F.col(sh_col).alias("__sh")
         ).distinct()
 
-    carry = ["__grp", "__fp", "__sh"]
+    carry = ["__grp", "__sh"]
     pk = _block_union_keys(units(fp_probe), "__sh", bits, blocks, max_hamming, carry)
     ak = _block_union_keys(units(fp_all), "__sh", bits, blocks, max_hamming, carry)
     p, o = pk.alias("p"), ak.alias("o")
@@ -916,19 +972,32 @@ def simhash_blocked_edges_touching(
                 F.col("p.__grp") == F.col("o.__grp"),
                 F.col("p.combo_id") == F.col("o.combo_id"),
                 F.col("p.key_val") == F.col("o.key_val"),
-                F.col("p.__fp") != F.col("o.__fp"),
+                F.col("p.__sh") != F.col("o.__sh"),
             ],
         )
         .filter(ham <= max_hamming)
         .select(
-            F.least(F.col("p.__fp"), F.col("o.__fp")).alias("__fp_a"),
-            F.greatest(F.col("p.__fp"), F.col("o.__fp")).alias("__fp_b"),
+            F.col("p.__grp").alias("__grp"),
+            F.least(F.col("p.__sh"), F.col("o.__sh")).alias("__sh_a"),
+            F.greatest(F.col("p.__sh"), F.col("o.__sh")).alias("__sh_b"),
         )
-        .dropDuplicates(["__fp_a", "__fp_b"])
+        .dropDuplicates(["__grp", "__sh_a", "__sh_b"])
     )
     cross = (
-        cand.join(anchors.alias("ra"), F.col("__fp_a") == F.col("ra.__msh"))
-        .join(anchors.alias("rb"), F.col("__fp_b") == F.col("rb.__msh"))
+        cand.join(
+            anchors.alias("ra"),
+            on=[
+                cand["__grp"] == F.col("ra.__grp"),
+                F.col("__sh_a") == F.col("ra.__msh"),
+            ],
+        )
+        .join(
+            anchors.alias("rb"),
+            on=[
+                cand["__grp"] == F.col("rb.__grp"),
+                F.col("__sh_b") == F.col("rb.__msh"),
+            ],
+        )
         .select(
             F.least(F.col("ra.__anchor"), F.col("rb.__anchor")).alias("id_a"),
             F.greatest(F.col("ra.__anchor"), F.col("rb.__anchor")).alias("id_b"),

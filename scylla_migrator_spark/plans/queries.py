@@ -5519,6 +5519,73 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_publish_stage(stage, build))
 
 
+def _incr_state_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED pre-batch state for the incremental-maintenance row:
+    (id, source, sh, comp, paired) over the 90% already-ingested corpus —
+    exactly the streaming serving-table shape (components_cdc). Staged
+    once per fixture+code version because in production this table EXISTS
+    (it is the maintained state); recomputing it inside the batch-update
+    scenario measured base construction, not the batch work the row's
+    100 TB claim is about. ``paired`` marks pair-graph vertices: the
+    labelling contract (and the oracle's vertex set) ranges over paired
+    rows only, while every row's fingerprint serves edge generation."""
+    import hashlib
+    import inspect
+    import os
+
+    from scylla_migrator_spark.analytics import components as _CMOD
+    from scylla_migrator_spark.analytics import dedup as _D
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
+    code = (
+        inspect.getsource(_incr_state_build)
+        + inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
+        + inspect.getsource(_CMOD)
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_incr_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        _incr_state_build(spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
+
+
+def _incr_state_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live builder behind _incr_state_staged: fingerprints of the old
+    corpus, blocked star edges, components fixpoint, paired flag."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    old = _fan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).filter(F.col("doc_id") % 10 != 0)
+    fp_old = D.simhash_fingerprints(
+        old, "text", "doc_id", carry_cols=["source"], bits=32
+    ).localCheckpoint(eager=True)
+    old_pairs = D.simhash_blocked_pairs(
+        fp_old, "doc_id", bits=32, blocks=10, max_hamming=8,
+        group_col="source", emit="star",
+    ).select("id_a", "id_b")
+    base = connected_components(old_pairs, "id_a", "id_b").select(
+        F.col("id").alias("__lid"), F.col("comp").alias("__lc")
+    )
+    return (
+        fp_old.select(F.col("doc_id").alias("id"), "source", "sh")
+        .join(base, F.col("id") == F.col("__lid"), "left_outer")
+        .select(
+            "id",
+            "source",
+            "sh",
+            F.coalesce("__lc", "id").alias("comp"),
+            F.col("__lc").isNotNull().alias("paired"),
+        )
+    )
+
+
 def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-contracted edge twin of _simhash_pairs_staged for GRAPH
     consumers (components, keep-best, grouped split, cluster histogram):
@@ -13160,30 +13227,28 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
     exactly, which is the whole point: at 100 TB the history's
     trillion-edge fixpoint never re-runs; each batch pays for itself."""
     from scylla_migrator_spark.analytics.components import (
-        connected_components,
         incremental_components_update,
     )
 
-    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    old = docs.filter(F.col("doc_id") % 10 != 0)
-    inc = docs.filter(F.col("doc_id") % 10 == 0)
-    fp_old = D.simhash_fingerprints(
-        old, "text", "doc_id", carry_cols=["source"], bits=32
-    ).localCheckpoint(eager=True)
+    # BLOCKED edge generation (r8 verdict task #1) against SERVED state
+    # (the production posture): the pre-batch state — fingerprints +
+    # min-label fixpoint of the 90% already-ingested corpus — is the
+    # staged serving table (_incr_state_staged; in production it simply
+    # exists), so this row measures what a batch actually costs: batch
+    # fingerprints, star-contracted touching edges from the Manku
+    # block-union generator (never an all-pairs join keyed on source
+    # alone), and the contracted fixpoint + label remap.
+    state = _incr_state_staged(spark, sf_dir)
+    inc = _fan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).filter(F.col("doc_id") % 10 == 0)
     fp_inc = D.simhash_fingerprints(
         inc, "text", "doc_id", carry_cols=["source"], bits=32
     ).localCheckpoint(eager=True)
-    # BLOCKED edge generation (r8 verdict task #1): the base labelling's
-    # edges come from the Manku block-union generator in star mode
-    # (identical closure, linear intra-group edges), and the batch×corpus
-    # new edges from the star-contracted touching-edge generator — no
-    # all-pairs join keyed on source alone anywhere on this path
-    old_pairs = D.simhash_blocked_pairs(
-        fp_old, "doc_id", bits=32, blocks=10, max_hamming=8,
-        group_col="source", emit="star",
-    ).select("id_a", "id_b")
-    base = connected_components(old_pairs, "id_a", "id_b")
-    fp_all = fp_old.unionByName(fp_inc)
+    base = state.filter(F.col("paired")).select("id", "comp")
+    fp_all = state.select(F.col("id").alias("doc_id"), "source", "sh").unionByName(
+        fp_inc
+    )
     new_edges = D.simhash_blocked_edges_touching(
         fp_inc, fp_all, id_col="doc_id", sh_col="sh", group_col="source",
         bits=32, blocks=10, max_hamming=8,
