@@ -153,6 +153,8 @@ HEADLINE = [
     "shard_balance_stats",
     "daily_volume_autocorr",
     "near_dup_under_duplication",
+    "zipf_law_fit",
+    "k_anonymity_audit",
     "user_activity_streaks",
     "rake_keyphrases",
     "session_gap_distribution",

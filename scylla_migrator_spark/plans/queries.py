@@ -18130,3 +18130,154 @@ def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_peak"
         ),
     )
+
+
+@_register(
+    "zipf_law_fit",
+    # ln-ln OLS over the top-200 word frequencies (rank by freq desc,
+    # ties lexical): the Heaps-fit arithmetic contract — ln terms
+    # truncate to DECIMAL(18,9) so cross-row sums are order-exact, each
+    # moment casts to double once, slope/r2 in one pinned double chain.
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents),
+    f AS (
+      SELECT word, count(*)::BIGINT AS freq
+      FROM w WHERE word <> '' GROUP BY word),
+    r AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM f QUALIFY rnk <= 200),
+    pts AS (
+      SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS y
+      FROM r),
+    mom AS (
+      SELECT count(*)::BIGINT AS k,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pts)
+    SELECT k AS n_points,
+           round(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_s,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+    FROM mom
+    WHERE k >= 2 AND k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus word distribution: fit freq(r) ~ r^-s
+    by ln-ln least squares over the top-200 ranks — the vocabulary
+    concentration number next to heaps_law_fit's growth exponent (s near
+    1 is natural text; templated/boilerplate corpora push s up, near-dup
+    spam flattens it) and the prior a count-min / top-k budget should be
+    sized against. Rank is deterministic (freq desc, lexical ties).
+
+    Shape: one word-frequency pass (corpus-sized, map-side combinable),
+    TakeOrdered top-200 to the driver-side of nothing — the fit runs as
+    a 200-row frame; the Heaps-fit decimal-truncation contract makes
+    every cross-row sum shuffle-order exact."""
+    from pyspark.sql import Window
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("text"))
+    f = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    top = f.orderBy(F.desc("freq"), F.asc("word")).limit(200)
+    r = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word")))
+    )
+    pts = r.select(
+        F.log(F.col("rnk").cast("double")).cast("decimal(18,9)").alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,9)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return (
+        mom.filter(
+            (k >= 2) & (k * sxx - sx * sx > 0) & (k * syy - sy * sy > 0)
+        )
+        .select(
+            k.alias("n_points"),
+            F.round(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias("zipf_s"),
+            F.round(
+                (k * sxy - sx * sy)
+                * (k * sxy - sx * sy)
+                / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+                6,
+            ).alias("r2"),
+        )
+    )
+
+
+@_register(
+    "k_anonymity_audit",
+    # equivalence classes over the quasi-identifier (nation, segment,
+    # acctbal rounded down to 100s); per-k violation ledger for the
+    # standard k ladder. Pure integer aggregates.
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             (floor(c_acctbal / 100) * 100)::BIGINT AS bal_band,
+             count(*)::BIGINT AS n
+      FROM customer GROUP BY 1, 2, 3),
+    ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+    SELECT ks.k::INT AS k,
+           count(*)::BIGINT AS n_classes,
+           sum(CASE WHEN cls.n < ks.k THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_classes,
+           sum(CASE WHEN cls.n < ks.k THEN cls.n ELSE 0 END)::BIGINT
+             AS n_violating_rows,
+           min(cls.n) AS min_class_size
+    FROM cls CROSS JOIN ks GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, account-balance 100-band) — the privacy
+    governance readout next to pii_redaction and the DP counts: for each
+    k in the standard ladder, how many equivalence classes (and rows)
+    would re-identify under a k-anonymity release policy. The
+    generalization step (balance banding) is part of the audit contract:
+    publish-ready data is judged on the GENERALIZED quasi-identifier.
+
+    Shape: ONE map-side-combined groupBy over the quasi-identifier, then
+    |classes| x 4 integer arithmetic; nothing row-sized leaves the first
+    aggregate."""
+    cust = _fan(_t(spark, sf_dir, "customer"))
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    ks = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    viol = F.col("n") < F.col("k")
+    return (
+        cls.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+                "n_violating_classes"
+            ),
+            F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("bigint").alias(
+                "n_violating_rows"
+            ),
+            F.min("n").alias("min_class_size"),
+        )
+    )
