@@ -155,6 +155,7 @@ HEADLINE = [
     "near_dup_under_duplication",
     "zipf_law_fit",
     "k_anonymity_audit",
+    "sprt_conversion_monitor",
     "user_activity_streaks",
     "rake_keyphrases",
     "session_gap_distribution",

@@ -18281,3 +18281,82 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").alias("min_class_size"),
         )
     )
+
+
+@_register(
+    "sprt_conversion_monitor",
+    # Wald SPRT (1945) on the daily purchase rate: H0 p = p0 (pooled rate
+    # of the first 7 days) vs H1 p = 1.2*p0; cumulative log-likelihood
+    # ratio with symmetric alpha = beta = 0.05 boundaries +-ln(19). Per-day
+    # LLR terms are one identical double chain truncated to DECIMAL(18,9),
+    # so the day-frame cumulative sum is shuffle-order exact.
+    """
+    WITH d AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+      FROM events GROUP BY 1),
+    seq AS (SELECT day_idx, n, k, row_number() OVER (ORDER BY day_idx) AS rn FROM d),
+    base AS (
+      SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS p0 FROM seq WHERE rn <= 7),
+    terms AS (
+      SELECT s.day_idx, s.rn, s.n, s.k,
+             CAST(s.k * ln((1.2 * b.p0) / b.p0)
+                  + (s.n - s.k) * ln((1 - 1.2 * b.p0) / (1 - b.p0))
+               AS DECIMAL(18,9)) AS t
+      FROM seq s CROSS JOIN base b),
+    w AS (
+      SELECT day_idx, n, k, sum(t) OVER (ORDER BY rn) AS llr FROM terms)
+    SELECT day_idx, n, k, round(CAST(llr AS DOUBLE), 6) AS llr,
+           CASE WHEN CAST(llr AS DOUBLE) >= 2.9444389791664403 THEN 'reject_h0'
+                WHEN CAST(llr AS DOUBLE) <= -2.9444389791664403 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM w
+    """,
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945) on the daily purchase
+    rate — the ALWAYS-VALID companion of the fixed-horizon z-test and the
+    CUSUM/EWMA charts: every day appends its log-likelihood-ratio
+    increment for H1 "conversion lifted 20%" vs H0 "baseline (first-week
+    pooled rate)", and the cumulative LLR walk crosses +-ln(19)
+    (alpha = beta = 0.05) the moment the evidence suffices — the earliest
+    defensible stopping day, not a fixed calendar horizon. Output: one
+    row per day with the walk and its decision state.
+
+    Exactness/scale: counts are one map-side day-grain aggregate; the LLR
+    term arithmetic is an op-order-identical double chain truncated to
+    DECIMAL(18,9) per day, and the cumulative window runs over the ~|days|
+    frame only — never raw events."""
+    from pyspark.sql import Window
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    d = ev.groupBy(F.expr("ts div 86400000000000").alias("day_idx")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    seq = d.withColumn("rn", F.row_number().over(Window.orderBy("day_idx")))
+    base = seq.filter(F.col("rn") <= 7).agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("p0")
+    )
+    p0 = F.col("p0")
+    term = (
+        F.col("k") * F.log((F.lit(1.2) * p0) / p0)
+        + (F.col("n") - F.col("k"))
+        * F.log((F.lit(1) - F.lit(1.2) * p0) / (F.lit(1) - p0))
+    ).cast("decimal(18,9)")
+    terms = seq.crossJoin(F.broadcast(base)).withColumn("t", term)
+    llr = F.sum("t").over(Window.orderBy("rn")).cast("double")
+    bound = 2.9444389791664403
+    return terms.select(
+        "day_idx",
+        "n",
+        "k",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= bound, F.lit("reject_h0"))
+        .when(llr <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
