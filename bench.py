@@ -156,6 +156,7 @@ HEADLINE = [
     "zipf_law_fit",
     "k_anonymity_audit",
     "sprt_conversion_monitor",
+    "blocked_dup_under_duplication",
     "user_activity_streaks",
     "rake_keyphrases",
     "session_gap_distribution",

@@ -18360,3 +18360,63 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@_register(
+    "blocked_dup_under_duplication",
+    # the near_dup_under_duplication stress corpus (30% re-uploads + one
+    # document duplicated 200x) run through the BLOCKED hamming<=8
+    # generator; oracle = the unblocked all-pairs popcount at the same
+    # threshold, aggregated by hamming.
+    r"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 2000000 + doc_id, text FROM documents WHERE doc_id % 10 < 3
+      UNION ALL
+      SELECT 1000000 + g.i, text
+      FROM documents, UNNEST(generate_series(1, 200)) AS g(i)
+      WHERE doc_id = 0),
+    h AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+      FROM docs2),
+    fp AS (
+      SELECT doc_id,
+        list_sum(list_transform(generate_series(0, 31),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pr AS (
+      SELECT bit_count(xor(a.sh, b.sh))::INT AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8)
+    SELECT hamming, count(*)::BIGINT AS n_pairs FROM pr GROUP BY hamming
+    """,
+)
+def blocked_dup_under_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew certification for the Manku-blocked hamming<=8 generator —
+    the near_dup_under_duplication posture applied to THIS round's
+    candidate path: the corpus is stressed with 30% re-uploads plus one
+    document duplicated 200x (the degenerate fingerprint), and
+    simhash_blocked_pairs must emit EXACTLY the unblocked all-pairs
+    popcount's pair multiset (lossless block-union keys; the 200-copy
+    group collapses to ONE distinct fingerprint before the key join and
+    its ~200^2/2 member pairs return arithmetically through the
+    expansion legs). Bench-timed every round, so the sub-quadratic
+    behavior under constructed skew is a per-round number, not a one-off
+    test. Exercises the ungrouped (corpus-wide) path of the generator."""
+    base = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    reups = base.filter(F.col("doc_id") % 10 < 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    hot = (
+        base.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(200))).alias("i"), "text")
+        .select((F.col("i") + 1000000).cast("long").alias("doc_id"), "text")
+    )
+    corpus = base.unionByName(reups).unionByName(hot)
+    fp = D.simhash_fingerprints(corpus, "text", "doc_id", bits=32)
+    pairs = D.simhash_blocked_pairs(fp, "doc_id", bits=32, blocks=10, max_hamming=8)
+    return pairs.groupBy("hamming").agg(F.count("*").cast("bigint").alias("n_pairs"))
