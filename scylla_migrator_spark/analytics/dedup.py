@@ -249,9 +249,12 @@ def minhash_lsh_candidates(
     -> self-equi-join within DISTINCT-signature buckets -> expand to member
     ids. No cross join ever materializes."""
     sig_df = minhash_signatures(df, text_col, id_col, num_hashes)
+    # one materialization of the signature table: members, the distinct
+    # collapse, and the expansion joins otherwise each re-run the minhash
+    # transform (the simhash_blocked_pairs lesson)
     keyed = sig_df.select(
         F.col(id_col), F.col("sig"), F.sha2(F.concat_ws(",", "sig"), 256).alias("__fp")
-    )
+    ).localCheckpoint(eager=False)
     members = keyed.select(F.col(id_col).alias("__mid"), F.col("__fp").alias("__msh"))
     distinct_sigs = keyed.select("__fp", "sig").dropDuplicates(["__fp"])
     banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands)
@@ -618,8 +621,16 @@ def simhash_banded_pairs(
         )
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
-    members = fp.select(F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh"))
-    banded = _simhash_banded_distinct(fp, sh_col, bits, bands)
+    # one materialization of the thin (id, fingerprint) projection: the
+    # band join, the expansion joins, and the intra self-join otherwise
+    # each re-inline the caller's fingerprint pipeline (the
+    # simhash_blocked_pairs lesson)
+    members = fp.select(
+        F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh")
+    ).localCheckpoint(eager=False)
+    banded = _simhash_banded_distinct(
+        members.select(F.col("__msh").alias(sh_col)), sh_col, bits, bands
+    )
     if max_band_freq is not None:
         keep = (
             banded.groupBy("band_id", "band_val")
@@ -786,10 +797,16 @@ def simhash_blocked_pairs(
     if blocks > bits:
         raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
     grp = [group_col] if group_col else []
+    # materialize the thin (id, group, fingerprint) projection ONCE: the
+    # generator references it from five plan branches (units/explode,
+    # popcount verify, both expansion joins, the intra self-join), and
+    # without the lineage cut Catalyst re-inlines the caller's whole
+    # fingerprint aggregation per branch (measured 23s -> 6s on the skew
+    # row). Lazy checkpoint: materializes at first action, reused after.
     members = fp.select(
         F.col(id_col).alias("__mid"), *grp, F.col(sh_col).alias("__msh")
-    )
-    units = fp.select(*grp, F.col(sh_col).alias("__sh")).distinct()
+    ).localCheckpoint(eager=False)
+    units = members.select(*grp, F.col("__msh").alias("__sh")).distinct()
     carry = grp + ["__sh"]
     keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
     key_cols = grp + ["combo_id", "key_val"]
@@ -923,16 +940,20 @@ def simhash_blocked_edges_touching(
         raise ValueError(
             f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
         )
+    # thin projections materialized once (lazy checkpoint): each side is
+    # referenced from several plan branches (anchors, star, key explode,
+    # candidate join) — without the lineage cut the caller's fingerprint
+    # pipeline re-inlines per branch (the simhash_blocked_pairs lesson)
     probe_m = fp_probe.select(
         F.col(id_col).alias("__mid"),
         F.col(group_col).alias("__grp"),
         F.col(sh_col).alias("__msh"),
-    )
+    ).localCheckpoint(eager=False)
     all_m = fp_all.select(
         F.col(id_col).alias("__mid"),
         F.col(group_col).alias("__grp"),
         F.col(sh_col).alias("__msh"),
-    )
+    ).localCheckpoint(eager=False)
     probe_ids = probe_m.select(F.col("__mid").alias("__pid")).distinct().withColumn(
         "__isp", F.lit(True)
     )
@@ -955,14 +976,12 @@ def simhash_blocked_edges_touching(
         )
     )
 
-    def units(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(group_col).alias("__grp"), F.col(sh_col).alias("__sh")
-        ).distinct()
+    def units(m: DataFrame) -> DataFrame:
+        return m.select("__grp", F.col("__msh").alias("__sh")).distinct()
 
     carry = ["__grp", "__sh"]
-    pk = _block_union_keys(units(fp_probe), "__sh", bits, blocks, max_hamming, carry)
-    ak = _block_union_keys(units(fp_all), "__sh", bits, blocks, max_hamming, carry)
+    pk = _block_union_keys(units(probe_m), "__sh", bits, blocks, max_hamming, carry)
+    ak = _block_union_keys(units(all_m), "__sh", bits, blocks, max_hamming, carry)
     p, o = pk.alias("p"), ak.alias("o")
     ham = F.bit_count(F.col("p.__sh").bitwiseXOR(F.col("o.__sh"))).cast("int")
     cand = (
