@@ -254,7 +254,7 @@ def minhash_lsh_candidates(
     # transform (the simhash_blocked_pairs lesson)
     keyed = sig_df.select(
         F.col(id_col), F.col("sig"), F.sha2(F.concat_ws(",", "sig"), 256).alias("__fp")
-    ).localCheckpoint(eager=False)
+    ).persist()
     members = keyed.select(F.col(id_col).alias("__mid"), F.col("__fp").alias("__msh"))
     distinct_sigs = keyed.select("__fp", "sig").dropDuplicates(["__fp"])
     banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands)
@@ -627,7 +627,7 @@ def simhash_banded_pairs(
     # simhash_blocked_pairs lesson)
     members = fp.select(
         F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh")
-    ).localCheckpoint(eager=False)
+    ).persist()
     banded = _simhash_banded_distinct(
         members.select(F.col("__msh").alias(sh_col)), sh_col, bits, bands
     )
@@ -797,15 +797,18 @@ def simhash_blocked_pairs(
     if blocks > bits:
         raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
     grp = [group_col] if group_col else []
-    # materialize the thin (id, group, fingerprint) projection ONCE: the
+    # cache the thin (id, group, fingerprint) projection ONCE: the
     # generator references it from five plan branches (units/explode,
     # popcount verify, both expansion joins, the intra self-join), and
-    # without the lineage cut Catalyst re-inlines the caller's whole
-    # fingerprint aggregation per branch (measured 23s -> 6s on the skew
-    # row). Lazy checkpoint: materializes at first action, reused after.
+    # column pruning makes the branches' aggregate subplans differ, so
+    # exchange reuse cannot always dedupe the caller's fingerprint
+    # pipeline across them (measured 23s -> 6s on the skew row).
+    # persist(), NOT localCheckpoint: the InMemoryRelation keeps accurate
+    # size statistics so downstream joins stay broadcastable; the
+    # ContextCleaner unpersists when the frame is garbage-collected.
     members = fp.select(
         F.col(id_col).alias("__mid"), *grp, F.col(sh_col).alias("__msh")
-    ).localCheckpoint(eager=False)
+    ).persist()
     units = members.select(*grp, F.col("__msh").alias("__sh")).distinct()
     carry = grp + ["__sh"]
     keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
@@ -948,12 +951,12 @@ def simhash_blocked_edges_touching(
         F.col(id_col).alias("__mid"),
         F.col(group_col).alias("__grp"),
         F.col(sh_col).alias("__msh"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     all_m = fp_all.select(
         F.col(id_col).alias("__mid"),
         F.col(group_col).alias("__grp"),
         F.col(sh_col).alias("__msh"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     probe_ids = probe_m.select(F.col("__mid").alias("__pid")).distinct().withColumn(
         "__isp", F.lit(True)
     )
