@@ -601,7 +601,7 @@ def main() -> None:
             "stream_tws_user_totals": "bimodal trigger scheduling; code unchanged since r4 (see bench.py)",
             "jaccard_prefix_filter_pairs": "r7 drift re-measured median-of-5 at 6.9s steady, traced to the exploded token table recomputed 4x; tokenize-once localCheckpoint landed r8 (median 4.2s, below the r6 5.2s)",
             "levenshtein_capped_pairs": "r7 drift re-measured median-of-5 in r8: 3.07s steady on unchanged code (r6 2.84, r7 3.69) - box/AQE noise, within 1.1x of r6",
-            "r8_broad_drift": "r8's broad +10.9% comparable-set drift REVERSED in r9 without code changes to those scenarios (320-scenario set 409.7 -> 380.4s, -7.2%; tpch_q3 1.46 -> 0.90, explode_timestamp_groups 0.78 -> 0.42, cdc_last_state 0.61 -> 0.36, all at or below their r7 levels) - environmental (box pressure of the longer r8 run), as hypothesized",
+            "r8_broad_drift": "r8's broad +10.9% comparable-set drift re-measured in r9: the named movers reversed without code changes (tpch_q3 1.46 -> 0.86-0.99 across three r9 runs, explode_timestamp_groups 0.78 -> 0.42-0.66, cdc_last_state 0.61 -> 0.35-0.52, all at or below r7 levels), and the comparable-set TOTAL swung -7.2% to +8.2% between same-code r9 runs (the Arrow/multimodal scenarios alone move 2x run-to-run, e.g. image_dup_clusters 4.45 vs 8.03) - the r8 drift sits inside the box's run-to-run band; environmental, as hypothesized",
             "simhash_hamming_pairs": "+3.3s vs r8 by design: detection moved from the within-source all-pairs join (broadcast nested-loop at fixture scale, O(m^2/sources) at corpus scale - the r8 verdict's flagged defect) to Manku block-union candidates; at 5k docs the union keys cannot beat the 2.5M-candidate floor (32-bit fp at h<=8 has ~6-bit keys and intrinsically dense pair semantics - 187k true pairs), so the blocked machinery is pure fixture-scale overhead; the curve certifies sub-linearity on THIS plan and simhash_wide_blocked_pairs (60-bit, 12-bit keys, ratio 0.17) is the corpus-scale semantics. blocker_ensemble_pairs and multimodal_consensus_dup_pairs inherit the same detection delta (both replay detection fresh).",
             "stream_components_update": "+7.1s vs r8 by design: each micro-batch now runs blocked (never batch-x-state all-pairs) edge generation plus the bucketed-serving swap; the replay scenario pays the blocked machinery twice. Scale evidence: curve ratio 0.47 on this exact path, untouched-bucket byte-identity pinned.",
         },
