@@ -157,6 +157,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "sprt_conversion_monitor",
     "blocked_dup_under_duplication",
+    "wide_dedup_clusters",
     "user_activity_streaks",
     "rake_keyphrases",
     "session_gap_distribution",

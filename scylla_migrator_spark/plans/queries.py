@@ -18431,3 +18431,70 @@ def blocked_dup_under_duplication(spark: SparkSession, sf_dir: str) -> DataFrame
     fp = D.simhash_fingerprints(corpus, "text", "doc_id", bits=32)
     pairs = D.simhash_blocked_pairs(fp, "doc_id", bits=32, blocks=10, max_hamming=8)
     return pairs.groupBy("hamming").agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+@_register(
+    "wide_dedup_clusters",
+    # the wide-fingerprint pair CTE closed into components by the same
+    # transitive-closure recursion the image/video cluster oracles use;
+    # canonical keeper = min doc_id, cluster_size for the drop policy.
+    r"""
+    WITH RECURSIVE h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
+      FROM documents),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 59),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    e2 AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM e2),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN e2 e ON r.u = e.s),
+    comp AS (SELECT v AS doc_id, min(u)::BIGINT AS canonical_id
+             FROM reach GROUP BY v)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN (
+      SELECT canonical_id, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY canonical_id) s
+    ON c.canonical_id = s.canonical_id
+    """,
+)
+def wide_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE dedup pipeline end to end: 60-bit fingerprints
+    (only genuine near-dups pair at hamming<=8 — the precision semantics
+    a 100 TB run wants), Manku-blocked star-contracted edges (~12-bit
+    union keys, linear intra-group edges), connected components, and the
+    keep-one-drop-rest readout (canonical keeper = min doc_id + cluster
+    size). This row composes the round's three scale pieces —
+    simhash_wide_blocked_pairs' fingerprint width, emit="star"'s linear
+    edges, and the iterative components fixpoint — into the one pipeline
+    a production near-dedup actually ships; the oracle closes the wide
+    pair set by transitive-closure recursion."""
+    from scylla_migrator_spark.analytics.components import connected_components
+
+    docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    fp = D.simhash_fingerprints(
+        docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+    )
+    edges = D.simhash_blocked_pairs(
+        fp, "doc_id", bits=60, blocks=10, max_hamming=8,
+        group_col="source", emit="star",
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        "cluster_size",
+    )
