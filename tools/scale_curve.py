@@ -165,6 +165,20 @@ def run_pipelines(
 
     record("simhash_wide_blocked_pairs", n_docs, wide_blocked)
 
+    def wide_clusters() -> int:
+        # the composed corpus-scale pipeline: wide fps -> blocked star
+        # edges -> components (the wide_dedup_clusters registry row)
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        )
+        edges = D.simhash_blocked_pairs(
+            fp, "doc_id", bits=60, blocks=10, max_hamming=8,
+            group_col="source", emit="star",
+        ).select("id_a", "id_b")
+        return connected_components(edges, "id_a", "id_b").count()
+
+    record("wide_dedup_clusters", n_docs, wide_clusters)
+
     def dedup_components() -> int:
         fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
         edges = D.simhash_blocked_pairs(
