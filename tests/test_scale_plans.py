@@ -1368,3 +1368,31 @@ def test_touching_edges_match_full_recompute(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_blocked_generator_guards(spark):
+    """Input-contract guards of the round-9 generators: block-union needs
+    blocks > max_hamming and blocks <= bits; wide fingerprints need the
+    token hash at least as wide as the requested fingerprint."""
+    import pytest as _pt
+
+    from scylla_migrator_spark.analytics.dedup import (
+        simhash_blocked_edges_touching,
+        simhash_blocked_pairs,
+        simhash_fingerprints,
+    )
+
+    fp = spark.createDataFrame([(1, "a", 7)], "doc_id long, source string, sh long")
+    with _pt.raises(ValueError, match="blocks > max_hamming"):
+        simhash_blocked_pairs(fp, "doc_id", blocks=8, max_hamming=8)
+    with _pt.raises(ValueError, match="blocks <= bits"):
+        simhash_blocked_pairs(fp, "doc_id", bits=8, blocks=10, max_hamming=4)
+    with _pt.raises(ValueError, match="blocks > max_hamming"):
+        simhash_blocked_edges_touching(fp, fp, id_col="doc_id", blocks=5, max_hamming=8)
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="exceeds token-hash width"):
+        simhash_fingerprints(docs, "text", "doc_id", bits=60, hash_hex=8)
+    # the 60-bit path actually sets high bits (a 32-bit-hash regression
+    # would leave bits 32..59 permanently zero)
+    wide = simhash_fingerprints(docs, "text", "doc_id", bits=60, hash_hex=15)
+    assert wide.collect()[0]["sh"] > (1 << 32)
