@@ -298,10 +298,28 @@ def incremental_components_update(
     vertex of ``new_edges`` (the connected_components vertex convention).
     At 100 TB this is the difference between re-running the fixpoint over
     a trillion-edge history and running it over one ingest batch."""
-    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     merged = contracted_merge(base_labels, new_edges, src, dst)
+    return incremental_components_apply(base_labels, merged, new_edges, src, dst)
+
+
+def incremental_components_apply(
+    base_labels: DataFrame,
+    merged: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The remap tail of incremental_components_update, split out so
+    consumers that compute ``merged`` from a RESTRICTED label set (the
+    staged union-key probe hands back labels for exactly the state
+    anchors appearing in the batch's edges — components_cdc.py) can
+    apply it to the full labelling without contracting against the full
+    state. ``merged`` is batch-sized by contract, hence the broadcast
+    hints: the corpus-sized base streams through map-side joins."""
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bmerged = F.broadcast(merged)
     updated_old = (
-        base_labels.join(merged, base_labels["comp"] == merged["__mid"], "left_outer")
+        base_labels.join(bmerged, base_labels["comp"] == merged["__mid"], "left_outer")
         .select("id", F.coalesce("__mc", "comp").alias("comp"))
     )
     verts = (
@@ -311,7 +329,7 @@ def incremental_components_update(
     )
     nv = verts.join(base_labels.select("id"), "id", "left_anti")
     new_labels = (
-        nv.join(merged, nv["id"] == merged["__mid"], "left_outer")
+        nv.join(bmerged, nv["id"] == merged["__mid"], "left_outer")
         .select("id", F.coalesce("__mc", "id").alias("comp"))
     )
     return updated_old.unionByName(new_labels)

@@ -15,6 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
@@ -227,6 +228,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_band_freq: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: rows sharing any band bucket.
 
@@ -255,6 +257,8 @@ def minhash_lsh_candidates(
     keyed = sig_df.select(
         F.col(id_col), F.col("sig"), F.sha2(F.concat_ws(",", "sig"), 256).alias("__fp")
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(keyed)
     members = keyed.select(F.col(id_col).alias("__mid"), F.col("__fp").alias("__msh"))
     distinct_sigs = keyed.select("__fp", "sig").dropDuplicates(["__fp"])
     banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands)
@@ -586,6 +590,7 @@ def simhash_banded_pairs(
     max_hamming: int = 3,
     max_band_freq: int | None = None,
     emit: str = "pairs",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Band-prefix LSH blocking for SimHash — the 100 TB candidate
     generator: split each ``bits``-bit fingerprint into ``bands`` equal
@@ -628,6 +633,8 @@ def simhash_banded_pairs(
     members = fp.select(
         F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh")
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(members)
     banded = _simhash_banded_distinct(
         members.select(F.col("__msh").alias(sh_col)), sh_col, bits, bands
     )
@@ -763,6 +770,7 @@ def simhash_blocked_pairs(
     group_col: str | None = None,
     emit: str = "pairs",
     max_key_freq: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Blocked, LOSSLESS hamming ≤ ``max_hamming`` pair generation via
     Manku block-union keys — the candidate generator for thresholds too
@@ -804,11 +812,16 @@ def simhash_blocked_pairs(
     # exchange reuse cannot always dedupe the caller's fingerprint
     # pipeline across them (measured 23s -> 6s on the skew row).
     # persist(), NOT localCheckpoint: the InMemoryRelation keeps accurate
-    # size statistics so downstream joins stay broadcastable; the
-    # ContextCleaner unpersists when the frame is garbage-collected.
+    # size statistics so downstream joins stay broadcastable. CacheManager
+    # holds a STRONG reference (Dataset caches are never GC-unpersisted) —
+    # callers that materialize the result and keep the session alive
+    # should pass ``persisted_out`` and unpersist; one-shot detection
+    # plans accept the session-lifetime cache entry.
     members = fp.select(
         F.col(id_col).alias("__mid"), *grp, F.col(sh_col).alias("__msh")
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(members)
     units = members.select(*grp, F.col("__msh").alias("__sh")).distinct()
     carry = grp + ["__sh"]
     keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
@@ -907,6 +920,7 @@ def simhash_blocked_edges_touching(
     bits: int = 32,
     blocks: int = 10,
     max_hamming: int = 8,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Star-contracted near-dup edges TOUCHING a probe batch — the
     incremental / streaming dedup-graph edge generator
@@ -943,6 +957,8 @@ def simhash_blocked_edges_touching(
         raise ValueError(
             f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
         )
+    if blocks > bits:
+        raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
     # thin projections materialized once (lazy checkpoint): each side is
     # referenced from several plan branches (anchors, star, key explode,
     # candidate join) — without the lineage cut the caller's fingerprint
@@ -957,6 +973,8 @@ def simhash_blocked_edges_touching(
         F.col(group_col).alias("__grp"),
         F.col(sh_col).alias("__msh"),
     ).persist()
+    if persisted_out is not None:
+        persisted_out.extend([probe_m, all_m])
     probe_ids = probe_m.select(F.col("__mid").alias("__pid")).distinct().withColumn(
         "__isp", F.lit(True)
     )
@@ -1026,6 +1044,309 @@ def simhash_blocked_edges_touching(
         )
     )
     return star.unionByName(cross)
+
+
+@dataclass
+class StagedProbe:
+    """Result of ``simhash_staged_probe`` — the batch-sized pieces a
+    dedup-graph maintainer needs, with every full-state input replaced by
+    the persistent union-key stage.
+
+    edges          (id_a, id_b) star ∪ cross touching edges (see
+                   simhash_blocked_edges_touching for the closure
+                   contract — identical here).
+    anchor_labels  (id, comp) for every STATE anchor appearing in
+                   ``edges``, with comp = the stage's ``comp0`` (the
+                   anchor's component label when its unit was appended).
+                   Resolve through the merge journal before feeding
+                   contracted_merge if the stage can be stale.
+    new_units      (__grp, __sh, __anchor) units absent from the stage —
+                   explode with ``staged_union_keys`` (after assigning
+                   comp0 from this batch's fixpoint) and append.
+    persisted      frames this probe .persist()ed — the caller MUST
+                   unpersist them once the batch's outputs are
+                   materialized (CacheManager holds strong references;
+                   a streaming maintainer that skips this grows executor
+                   storage without bound)."""
+
+    edges: DataFrame
+    anchor_labels: DataFrame
+    new_units: DataFrame
+    persisted: list
+    # stage partitions the probe could touch (None when unpruned/no stage)
+    probe_kbs: list | None = None
+
+
+def simhash_staged_probe(
+    fp_probe: DataFrame,
+    staged_keys: DataFrame | None,
+    id_col: str,
+    sh_col: str = "sh",
+    group_col: str = "source",
+    bits: int = 32,
+    blocks: int = 10,
+    max_hamming: int = 8,
+    key_bucket_col: str | None = None,
+    n_key_buckets: int | None = None,
+    materialize: str = "persist",
+) -> StagedProbe:
+    """Touching-edge generation against a PERSISTENT union-key stage —
+    the per-batch core of the incremental / streaming dedup-graph
+    maintainers, with the full-state re-explode of
+    simhash_blocked_edges_touching replaced by a probe of an append-only
+    staged table. Union keys are a pure function of the immutable
+    fingerprint, so the stage is written once per unit and only APPENDED
+    afterwards; a micro-batch's scan volume is the batch itself plus the
+    stage partitions its probe keys hash into — never |state|.
+
+    ``staged_keys`` schema (None ⇒ empty stage / first generation):
+        grp, combo_id, key_val, sh, anchor, comp0
+    where one unit = one distinct (grp, sh) fingerprint, ``anchor`` is
+    the unit's first-seen member id (every member is starred onto it on
+    arrival, so it is connected to all state members — the induction
+    simhash_blocked_edges_touching documents), and ``comp0`` is the
+    anchor's component label when the unit was appended. If
+    ``key_bucket_col``/``n_key_buckets`` are given the stage read is
+    partition-pruned to the buckets the batch's probe keys hash into
+    (``pmod(xxhash64(combo_id, key_val), n)`` — the writer's layout).
+
+    Edge families (all batch-bounded):
+    * star  — every probe member → its unit's anchor (staged anchor for
+      an existing unit, min batch member for a new one).
+    * cross (batch×stage) — NEW batch units probe the stage's keys
+      (broadcast batch side, popcount verify); one anchor→anchor edge
+      per candidate unit pair. Pairs between two ALREADY-staged units
+      were emitted when the later of them was introduced, so they are in
+      the prior labelling and are not re-emitted.
+    * cross (batch×batch) — new units self-join on their own keys.
+
+    The closure of these edges together with the prior labelling equals
+    the closure of ALL hamming ≤ max_hamming pairs touching a probe row
+    (the simhash_blocked_edges_touching contract), and the edge vertex
+    set preserves the ``paired``-flag bookkeeping: every batch member of
+    a non-singleton unit gets a star edge, and a previously-unpaired
+    state vertex is its unit's anchor."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
+        )
+    if blocks > bits:
+        raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
+    persisted: list = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # multi-branch batch frames need a lineage cut either way;
+        # "persist" keeps InMemoryRelation size stats (broadcastable
+        # downstream) but the CALLER must unpersist (CacheManager holds a
+        # strong reference until then — the streaming maintainer does so
+        # at batch end); "checkpoint" trades the stats for ContextCleaner
+        # GC-based cleanup, the right mode for one-shot plan builders
+        # that hand the plan to a driver and never see the action.
+        if materialize == "checkpoint":
+            return df.localCheckpoint(eager=True)
+        p = df.persist()
+        persisted.append(p)
+        return p
+
+    grp, sh = F.col(group_col), F.col(sh_col)
+    probe_m = _pin(
+        fp_probe.select(
+            F.col(id_col).alias("__mid"), grp.alias("__grp"), sh.alias("__msh")
+        )
+    )
+    units_b = _pin(
+        probe_m.groupBy("__grp", F.col("__msh").alias("__sh"))
+        .agg(F.min("__mid").alias("__bmin"))
+    )
+    pk = _block_union_keys(
+        units_b, "__sh", bits, blocks, max_hamming, ["__grp", "__sh", "__bmin"]
+    )
+
+    probe_kbs: list | None = None
+    if staged_keys is None:
+        # typed empty frames derived from the batch (group type preserved)
+        exact = units_b.select(
+            "__grp", "__sh",
+            F.col("__bmin").alias("anchor"),
+            F.col("__bmin").alias("comp0"),
+        ).limit(0)
+        cand_sb = units_b.select(
+            "__grp", "__sh",
+            F.col("__bmin").alias("__oanchor"),
+            F.col("__bmin").alias("__ocomp0"),
+        ).limit(0)
+    else:
+        staged = staged_keys
+        if key_bucket_col is not None and n_key_buckets is not None:
+            # partition pruning: the batch's probe keys determine which
+            # stage buckets can possibly match — collect their (few,
+            # ≤ n_key_buckets) bucket ids and push the isin into the scan
+            kbs = [
+                r["__kb"]
+                for r in pk.select(
+                    F.pmod(
+                        F.xxhash64("combo_id", "key_val"), F.lit(n_key_buckets)
+                    )
+                    .cast("int")
+                    .alias("__kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            probe_kbs = sorted(kbs)
+            staged = staged.filter(F.col(key_bucket_col).isin(kbs))
+        p, s = pk.alias("p"), staged.alias("s")
+        ham = F.bit_count(F.col("p.__sh").bitwiseXOR(F.col("s.sh"))).cast("int")
+        # broadcast the batch side: the stage scan streams through the
+        # (pruned) partitions with no shuffle of state
+        m = (
+            F.broadcast(p)
+            .join(
+                s,
+                on=[
+                    F.col("p.__grp") == F.col("s.grp"),
+                    F.col("p.combo_id") == F.col("s.combo_id"),
+                    F.col("p.key_val") == F.col("s.key_val"),
+                ],
+            )
+            .filter(ham <= max_hamming)
+        )
+        exact = (
+            m.filter(F.col("p.__sh") == F.col("s.sh"))
+            .select("p.__grp", "p.__sh", "s.anchor", "s.comp0")
+            .distinct()
+        )
+        cand_sb = (
+            m.filter(F.col("p.__sh") != F.col("s.sh"))
+            .select(
+                F.col("p.__grp").alias("__grp"),
+                F.col("p.__sh").alias("__sh"),
+                F.col("s.anchor").alias("__oanchor"),
+                F.col("s.comp0").alias("__ocomp0"),
+            )
+            .dropDuplicates(["__grp", "__sh", "__oanchor"])
+        )
+    new_units = units_b.join(
+        exact.select("__grp", "__sh"), ["__grp", "__sh"], "left_anti"
+    ).select("__grp", "__sh", F.col("__bmin").alias("__anchor"))
+    unit_anchor = exact.select(
+        "__grp", "__sh", F.col("anchor").alias("__anchor")
+    ).unionByName(new_units)
+    # string-qualified aliases throughout: unit_anchor/new_units derive
+    # from probe_m, so bare dataframe["col"] predicates can resolve both
+    # sides to the SAME attribute (trivially-true join)
+    star = (
+        probe_m.alias("pm")
+        .join(
+            unit_anchor.alias("ua"),
+            on=[
+                F.col("pm.__grp") == F.col("ua.__grp"),
+                F.col("pm.__msh") == F.col("ua.__sh"),
+            ],
+        )
+        .filter(F.col("pm.__mid") != F.col("ua.__anchor"))
+        .select(
+            F.least("pm.__mid", "ua.__anchor").alias("id_a"),
+            F.greatest("pm.__mid", "ua.__anchor").alias("id_b"),
+        )
+    )
+    # cross edges from NEW batch units only: an already-staged batch
+    # unit's inter-unit pairs were emitted when the later unit arrived
+    cross_sb = (
+        cand_sb.join(new_units, ["__grp", "__sh"])
+        .select(
+            F.least("__anchor", "__oanchor").alias("id_a"),
+            F.greatest("__anchor", "__oanchor").alias("id_b"),
+        )
+    )
+    nk = pk.join(
+        new_units.select("__grp", "__sh"), ["__grp", "__sh"], "left_semi"
+    )
+    a, b = nk.alias("a"), nk.alias("b")
+    bb_ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).cast("int")
+    cand_bb = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__grp") == F.col("b.__grp"),
+                F.col("a.combo_id") == F.col("b.combo_id"),
+                F.col("a.key_val") == F.col("b.key_val"),
+                F.col("a.__sh") < F.col("b.__sh"),
+            ],
+        )
+        .filter(bb_ham <= max_hamming)
+        .select(
+            F.col("a.__grp").alias("__grp"),
+            F.col("a.__sh").alias("__sh_a"),
+            F.col("b.__sh").alias("__sh_b"),
+        )
+        .dropDuplicates(["__grp", "__sh_a", "__sh_b"])
+    )
+    na = new_units.select("__grp", "__sh", "__anchor")
+    cross_bb = (
+        cand_bb.alias("cb")
+        .join(
+            na.alias("xa"),
+            on=[
+                F.col("cb.__grp") == F.col("xa.__grp"),
+                F.col("cb.__sh_a") == F.col("xa.__sh"),
+            ],
+        )
+        .join(
+            na.alias("xb"),
+            on=[
+                F.col("cb.__grp") == F.col("xb.__grp"),
+                F.col("cb.__sh_b") == F.col("xb.__sh"),
+            ],
+        )
+        .select(
+            F.least(F.col("xa.__anchor"), F.col("xb.__anchor")).alias("id_a"),
+            F.greatest(F.col("xa.__anchor"), F.col("xb.__anchor")).alias("id_b"),
+        )
+    )
+    edges = star.unionByName(cross_sb).unionByName(cross_bb)
+    anchor_labels = (
+        exact.select(F.col("anchor").alias("id"), F.col("comp0").alias("comp"))
+        .unionByName(
+            cand_sb.join(new_units.select("__grp", "__sh"), ["__grp", "__sh"], "left_semi")
+            .select(
+                F.col("__oanchor").alias("id"), F.col("__ocomp0").alias("comp")
+            )
+        )
+        .distinct()
+    )
+    return StagedProbe(
+        edges=edges,
+        anchor_labels=anchor_labels,
+        new_units=new_units,
+        persisted=persisted,
+        probe_kbs=probe_kbs,
+    )
+
+
+def staged_union_keys(
+    units: DataFrame,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Explode (__grp, __sh, __anchor, __comp0) units into the persistent
+    union-key stage rows ``simhash_staged_probe`` consumes:
+    (grp, combo_id, key_val, sh, anchor, comp0). The writer partitions by
+    ``pmod(xxhash64(combo_id, key_val), n_key_buckets)`` so probes can
+    prune; this helper only produces the rows."""
+    keys = _block_union_keys(
+        units, "__sh", bits, blocks, max_hamming,
+        ["__grp", "__sh", "__anchor", "__comp0"],
+    )
+    return keys.select(
+        F.col("__grp").alias("grp"),
+        "combo_id",
+        "key_val",
+        F.col("__sh").alias("sh"),
+        F.col("__anchor").alias("anchor"),
+        F.col("__comp0").alias("comp0"),
+    )
 
 
 def frame_sequence_pairs(

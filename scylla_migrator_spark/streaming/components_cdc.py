@@ -7,43 +7,67 @@ Pattern:
 
     readStream(documents) -> foreachBatch:
         fp      = simhash fingerprints of the batch's docs
-        edges   = near-dup pairs touching a batch doc (batch x state)
-        labels' = incremental_components_update(state labels, edges)
-        state'  = state rows remapped + batch rows appended (atomic swap)
+        edges   = near-dup pairs touching a batch doc (staged-key probe)
+        labels' = contracted fixpoint over batch edges + touched labels
+        state'  = state rows remapped + batch rows appended (journaled swap)
 
 Correctness invariant (checked by the oracle): after any prefix of the
 stream, the paired rows of the serving table equal the batch
 connected-components labelling over all documents seen so far — because a
 new batch can only create pairs that TOUCH a batch document (old-old pairs
-were already present), which is exactly the contract
-incremental_components_update requires.
+were already present), which is exactly the contract the contracted merge
+requires.
+
+State layout (three sibling tables, all under the caller's serving path):
+
+* ``serving``             (id, source, sh, comp, paired), partitioned by a
+  COMPONENT-hash bucket (streaming/rollup.py layout); each batch swaps
+  ONLY the buckets whose labels moved.
+* ``serving_keys``        the persistent union-key stage: one row per
+  (unit, probe combo) — (grp, combo_id, key_val, sh, anchor, comp0) —
+  partitioned by ``pmod(xxhash64(combo_id, key_val), n_key_buckets)``.
+  Union keys are a pure function of the immutable fingerprint, so this
+  table is APPEND-ONLY: a batch appends keys for its new units and probes
+  with its own (batch-sized, broadcast) key set. A micro-batch therefore
+  never re-explodes or re-shuffles the full state — its stage scan is
+  pruned to the partitions the batch's keys hash into.
+* ``serving_journal``     append-only component-merge log (old, new): the
+  stage's ``comp0`` labels go stale when components merge; resolving a
+  probe's touched anchors is comp0 followed through the journal. The
+  journal is merge-EVENT metadata (one row per component ever retired),
+  orders smaller than the state; ``compact_components_stage`` folds it
+  back into the stage when it grows.
+
+Crash safety: every generation's mutations (bucket swaps, key appends,
+journal appends) are listed in a manifest written BEFORE the first
+mutation and removed after the last; ``_recover_pending`` rolls an
+interrupted generation FORWARD on the next batch, so a crash can never
+leave a bucket directory missing or a mixed-generation labelling in use.
+Readers that race a live swap can still observe a bucket mid-replace —
+snapshot consumers should read a quiesced table (the streaming query is
+the single writer).
 
 Scale notes: per batch the fixpoint runs on the CONTRACTED graph (batch
 edges + the component labels they touch), never the history; edge
-generation is the blocked star-contracted generator
-(dedup.simhash_blocked_edges_touching — Manku union keys over distinct
-fingerprints, batch-linear edges); and the serving table is partitioned
-by a component-hash bucket (the streaming/rollup.py layout) with each
-batch swapping ONLY the buckets whose labels moved — write volume is
-proportional to touched components, pinned by
-test_components_serving_rewrites_only_moved_buckets. At 100 TB raise
-``n_buckets`` so each bucket directory stays a few GB.
+generation probes the staged union keys (dedup.simhash_staged_probe —
+broadcast batch keys, partition-pruned stage scan, batch-linear edges);
+and per-batch writes are proportional to touched components + new units.
+At 100 TB raise ``n_buckets``/``n_key_buckets`` so each directory stays a
+few GB.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.analytics import dedup as D
-from scylla_migrator_spark.analytics.components import (
-    connected_components,
-    contracted_merge,
-)
+from scylla_migrator_spark.analytics.components import contracted_merge
 from scylla_migrator_spark.streaming.rollup import (
     BUCKET_COL,
     _bucket_expr,
@@ -52,6 +76,143 @@ from scylla_migrator_spark.streaming.rollup import (
 )
 
 DEFAULT_COMPONENT_BUCKETS = 16  # fixture scale; thousands at 100 TB
+DEFAULT_KEY_BUCKETS = 32
+KEYS_SUFFIX = "_keys"
+JOURNAL_SUFFIX = "_journal"
+KEY_BUCKET_COL = "__kb"
+
+
+def _pending_path(serving_path: str) -> str:
+    return serving_path + "__pending.json"
+
+
+def _move_part_files(src_dir: str, dst_dir: str) -> list[list[str]]:
+    """Plan (src, dst) moves for every data file under a Spark-written
+    directory tree, preserving partition subdirs. Returns the move list
+    (nothing is moved here — the manifest records it first)."""
+    moves: list[list[str]] = []
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        for f in files:
+            if not f.startswith("part-"):
+                continue
+            dst = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            moves.append([os.path.join(root, f), os.path.join(dst, f)])
+    return moves
+
+
+def _execute_manifest(serving_path: str, man: dict) -> None:
+    """Apply a generation's mutations. IDEMPOTENT: every step checks
+    source existence first, so a crashed run re-applies cleanly."""
+    for src, dst in man.get("file_moves", []):
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    if man["kind"] == "full":
+        if not os.path.isdir(serving_path) and os.path.isdir(man["src"]):
+            os.rename(man["src"], serving_path)
+        _write_meta(serving_path, man["n_buckets"])
+    else:
+        gen = man["gen"]
+        for b in man.get("swap_buckets", []):
+            entry = f"{BUCKET_COL}={b}"
+            src = os.path.join(man["tmp"], entry)
+            dst = os.path.join(serving_path, entry)
+            old = f"{serving_path}__old_{gen}_{b}"
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    os.replace(dst, old)
+                os.replace(src, dst)
+            # src missing => this bucket's swap already completed
+        for b in man.get("drop_buckets", []):
+            # an affected bucket emptied by a label hop: remove, not stale
+            dst = os.path.join(serving_path, f"{BUCKET_COL}={b}")
+            if os.path.isdir(dst):
+                os.replace(dst, f"{serving_path}__old_{gen}_{b}")
+    keys_path = serving_path + KEYS_SUFFIX
+    if man.get("n_key_buckets") and os.path.isdir(keys_path):
+        _write_meta(keys_path, man["n_key_buckets"])
+    # cleanup: displaced generations + scratch dirs, then the manifest
+    parent = os.path.dirname(serving_path) or "."
+    base = os.path.basename(serving_path)
+    for e in os.listdir(parent):
+        if e.startswith(f"{base}__old_") or e.startswith(f"{base}__gen_"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    for scratch in man.get("scratch", []):
+        shutil.rmtree(scratch, ignore_errors=True)
+    os.remove(_pending_path(serving_path))
+
+
+def _recover_pending(serving_path: str) -> None:
+    """Roll FORWARD an interrupted generation before touching state —
+    the crash-recovery half of the manifest protocol. Also sweeps
+    scratch dirs orphaned by a crash that happened BEFORE the manifest
+    was written (those generations never started mutating state)."""
+    pp = _pending_path(serving_path)
+    if os.path.exists(pp):
+        with open(pp) as f:
+            man = json.load(f)
+        _execute_manifest(serving_path, man)
+        return
+    parent = os.path.dirname(serving_path) or "."
+    base = os.path.basename(serving_path)
+    if os.path.isdir(parent):
+        for e in os.listdir(parent):
+            if e.startswith(f"{base}__old_") or e.startswith(f"{base}__gen_"):
+                shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+
+
+def _write_manifest(serving_path: str, man: dict) -> None:
+    pp = _pending_path(serving_path)
+    tmp = pp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, pp)
+
+
+def _read_journal(spark: SparkSession, journal_path: str) -> dict[int, int]:
+    """The component-merge log as a driver dict (merge-event metadata —
+    one row per component ever retired; orders smaller than state, and
+    compact_components_stage folds it down when it grows)."""
+    if not os.path.isdir(journal_path):
+        return {}
+    if not any(f.startswith("part-") for f in os.listdir(journal_path)):
+        return {}
+    return {
+        r["old"]: r["new"]
+        for r in spark.read.parquet(journal_path).collect()
+    }
+
+
+def _resolve_labels(
+    anchor_labels: DataFrame, spark: SparkSession, journal_path: str
+) -> DataFrame:
+    """Resolve staged ``comp0`` labels to CURRENT components by following
+    the merge journal to its terminal targets (path-compressed on the
+    driver, applied as one broadcast map join)."""
+    mp = _read_journal(spark, journal_path)
+    if not mp:
+        return anchor_labels
+    term: dict[int, int] = {}
+
+    def resolve(x: int) -> int:
+        seen = []
+        while x in mp and x not in term:
+            seen.append(x)
+            x = mp[x]
+        final = term.get(x, x)
+        for s in seen:
+            term[s] = final
+        return final
+
+    rows = [(o, resolve(o)) for o in mp]
+    jdf = spark.createDataFrame(rows, "old long, new long")
+    return (
+        anchor_labels.join(
+            F.broadcast(jdf), anchor_labels["comp"] == jdf["old"], "left_outer"
+        )
+        .select("id", F.coalesce("new", "comp").alias("comp"))
+    )
 
 
 def components_upsert_batch(
@@ -63,25 +224,30 @@ def components_upsert_batch(
     bits: int = 32,
     max_hamming: int = 8,
     n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
+    n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+    metrics: dict | None = None,
 ) -> list[int] | None:
     """foreachBatch body: fold one micro-batch of documents into the served
-    (id, source, sh, comp, paired) component table, partitioned by a
-    COMPONENT-hash bucket (``__bucket = pmod(xxhash64(comp), n_buckets)``,
-    the streaming/rollup.py layout). A batch that already carries an
-    ``sh`` fingerprint column (the upstream-encode shape — at scale the
-    fingerprint stage runs where the text is ingested, and only 8-byte
-    hashes reach the graph maintainer) is used as-is; otherwise the batch
-    is fingerprinted here.
+    (id, source, sh, comp, paired) component table plus its union-key
+    stage and merge journal (module docstring has the layout). A batch
+    that already carries an ``sh`` fingerprint column (the upstream-encode
+    shape — at scale the fingerprint stage runs where the text is
+    ingested, and only 8-byte hashes reach the graph maintainer) is used
+    as-is; otherwise the batch is fingerprinted here.
+
+    Per-batch I/O scales with the batch plus what it touches — NOT |state|:
+    * stage scan: partition-pruned to the key buckets the batch's probe
+      keys hash into, streamed against the broadcast batch keys;
+    * serving scan: only the affected component-hash buckets;
+    * writes: affected buckets + the batch's new unit keys + merge events.
 
     Returns the list of bucket ids this batch rewrote (None for the first
-    generation, which writes every bucket) — the write-volume contract
-    the plan pin asserts: only buckets holding a label that MOVED (either
-    side of the contracted merge remap, plus the batch's own labels) are
-    swapped; every other bucket directory is untouched bytes on disk. A
-    remapped row hops from bucket(old comp) to bucket(new comp); both are
-    in the affected set by construction, and an affected bucket emptied
-    by the hop is deleted rather than left stale."""
+    generation, which writes every bucket). ``metrics``, when a dict is
+    passed, is filled with per-batch observability numbers the plan pins
+    assert on (probe_kbs, staged_rows_scanned, n_edges, n_merged,
+    affected_buckets)."""
     spark = batch_df.sparkSession
+    _recover_pending(serving_path)
     if "sh" in batch_df.columns:
         fp_b = batch_df.select(
             F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
@@ -94,84 +260,51 @@ def components_upsert_batch(
                 id_col,
                 carry_cols=[source_col],
                 bits=bits,
+                hash_hex=(bits + 3) // 4,
             )
             .select(
                 F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
             )
             .localCheckpoint(eager=True)
         )
-    state = None
-    if os.path.isdir(serving_path):
-        # materialize BEFORE the swap below: the state must not be a lazy
-        # read of the very files this batch replaces
-        state = (
-            spark.read.parquet(serving_path)
-            .select("id", "source", "sh", "comp", "paired")
-            .localCheckpoint(eager=True)
+    keys_path = serving_path + KEYS_SUFFIX
+    journal_path = serving_path + JOURNAL_SUFFIX
+    blocks = min(bits, max(10, max_hamming + 2))
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} blocks but "
+            f"bits={bits} admits at most {bits}"
         )
+    have_state = os.path.isdir(serving_path)
+    staged = None
+    if have_state:
         n_buckets = _table_buckets(serving_path, n_buckets)
-    all_fp = (
-        state.select("id", "source", "sh").unionByName(fp_b)
-        if state is not None
-        else fp_b
-    )
-    # BLOCKED batch×state edge generation (r8 verdict task #1): Manku
-    # block-union candidates over DISTINCT fingerprints, star-contracted
-    # onto per-group anchors — per-batch comparisons bounded by union-key
-    # bucket population and edge count linear in batch size, never a
-    # batch × full-served-state join keyed on source alone. The closure
-    # (plus the induction this generator maintains) equals the all-pairs
-    # touching set, so the full-corpus oracle invariant is unchanged.
-    new_edges = D.simhash_blocked_edges_touching(
+        if os.path.isdir(keys_path):
+            n_key_buckets = _table_buckets(keys_path, n_key_buckets)
+            staged = spark.read.parquet(keys_path)
+    pr = D.simhash_staged_probe(
         fp_b,
-        all_fp,
+        staged,
         id_col="id",
         sh_col="sh",
         group_col="source",
         bits=bits,
-        blocks=max(10, max_hamming + 2),
+        blocks=blocks,
         max_hamming=max_hamming,
-    ).localCheckpoint(eager=True)
+        key_bucket_col=KEY_BUCKET_COL,
+        n_key_buckets=n_key_buckets,
+    )
+    edges = pr.edges.localCheckpoint(eager=True)
+    base = _resolve_labels(pr.anchor_labels, spark, journal_path)
+    merged = contracted_merge(base, edges, "id_a", "id_b").localCheckpoint(
+        eager=True
+    )
     everts = (
-        new_edges.select(F.col("id_a").alias("__vid"))
-        .union(new_edges.select("id_b"))
+        edges.select(F.col("id_a").alias("__vid"))
+        .union(edges.select("id_b"))
         .distinct()
         .withColumn("__touched", F.lit(True))
     )
-    if state is None:
-        # first generation: full write, bucketed layout from the start
-        labels = connected_components(new_edges, "id_a", "id_b").select(
-            F.col("id").alias("__lid"), F.col("comp").alias("__lc")
-        )
-        new_state = (
-            fp_b.join(labels, fp_b["id"] == labels["__lid"], "left_outer")
-            .join(everts, fp_b["id"] == everts["__vid"], "left_outer")
-            .select(
-                "id",
-                "source",
-                "sh",
-                F.coalesce("__lc", "id").alias("comp"),
-                F.coalesce("__touched", F.lit(False)).alias("paired"),
-            )
-        )
-        nxt = serving_path + ".next"
-        if os.path.exists(nxt):
-            shutil.rmtree(nxt)
-        new_state.withColumn(BUCKET_COL, _bucket_expr(["comp"], n_buckets)).repartition(
-            F.col(BUCKET_COL)
-        ).write.partitionBy(BUCKET_COL).parquet(nxt)
-        if os.path.exists(serving_path):
-            shutil.rmtree(serving_path)
-        os.rename(nxt, serving_path)
-        _write_meta(serving_path, n_buckets)
-        return None
-    # incremental generation: contract the batch onto the existing labels
-    # and rewrite ONLY the buckets whose labels move. ``merged`` is the
-    # contracted-fixpoint remap (batch-sized); a label absent from it is
-    # untouched, so its bucket is untouched.
-    merged = contracted_merge(
-        state.select("id", "comp"), new_edges, "id_a", "id_b"
-    ).localCheckpoint(eager=True)
     batch_rows = (
         fp_b.join(merged, fp_b["id"] == merged["__mid"], "left_outer")
         .join(everts, fp_b["id"] == everts["__vid"], "left_outer")
@@ -185,6 +318,93 @@ def components_upsert_batch(
         )
         .localCheckpoint(eager=True)
     )
+    # stage append for NEW units: comp0 = the anchor's label after this
+    # batch's fixpoint (current at append time; the journal covers later
+    # merges)
+    nu = (
+        pr.new_units.join(
+            merged, pr.new_units["__anchor"] == merged["__mid"], "left_outer"
+        )
+        .select(
+            "__grp",
+            "__sh",
+            "__anchor",
+            F.coalesce("__mc", "__anchor").alias("__comp0"),
+        )
+    )
+    new_keys = D.staged_union_keys(nu, bits, blocks, max_hamming).withColumn(
+        KEY_BUCKET_COL, _bucket_expr(["combo_id", "key_val"], n_key_buckets)
+    )
+    gen = uuid.uuid4().hex[:8]
+    tmp_keys = f"{serving_path}__gen_{gen}_keys"
+    new_keys.repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
+        KEY_BUCKET_COL
+    ).parquet(tmp_keys)
+    file_moves = _move_part_files(tmp_keys, keys_path)
+    scratch = [tmp_keys]
+    # journal append: only genuine merge EVENTS (a pre-batch current comp
+    # remapped) — new-vertex contractions never anchor a stale comp0
+    jnew = (
+        merged.filter(F.col("__mid") != F.col("__mc"))
+        .join(
+            base.select(F.col("comp").alias("__mid")).distinct(),
+            "__mid",
+            "left_semi",
+        )
+        .select(F.col("__mid").alias("old"), F.col("__mc").alias("new"))
+        .localCheckpoint(eager=True)
+    )
+    if jnew.count() > 0:
+        tmp_journal = f"{serving_path}__gen_{gen}_journal"
+        jnew.coalesce(1).write.parquet(tmp_journal)
+        file_moves += _move_part_files(tmp_journal, journal_path)
+        scratch.append(tmp_journal)
+
+    if metrics is not None:
+        metrics["probe_kbs"] = pr.probe_kbs
+        metrics["n_edges"] = edges.count()
+        metrics["n_merged"] = merged.count()
+        if staged is not None and pr.probe_kbs is not None:
+            scan = staged.filter(F.col(KEY_BUCKET_COL).isin(pr.probe_kbs))
+            metrics["staged_rows_scanned"] = scan.count()
+            # input_file_name over the PRUNED read counts the files the
+            # scan actually touches (inputFiles() would report the whole
+            # relation, ignoring partition pruning)
+            metrics["staged_files_scanned"] = (
+                scan.select(F.input_file_name()).distinct().count()
+            )
+            metrics["staged_files_total"] = (
+                staged.select(F.input_file_name()).distinct().count()
+            )
+
+    if not have_state:
+        # first generation: full write, bucketed layout from the start
+        nxt = serving_path + f"__gen_{gen}_full"
+        batch_rows.withColumn(
+            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(
+            nxt
+        )
+        scratch.append(nxt)
+        man = {
+            "kind": "full",
+            "src": nxt,
+            "n_buckets": n_buckets,
+            "n_key_buckets": n_key_buckets,
+            "file_moves": file_moves,
+            "scratch": scratch,
+        }
+        _write_manifest(serving_path, man)
+        _execute_manifest(serving_path, man)
+        for f in pr.persisted:
+            f.unpersist()
+        if metrics is not None:
+            metrics["affected_buckets"] = None
+        return None
+
+    # incremental generation: rewrite ONLY the buckets whose labels move.
+    # ``merged`` is the contracted-fixpoint remap (batch-sized); a label
+    # absent from it is untouched, so its bucket is untouched.
     affected_comps = (
         merged.select(F.col("__mid").alias("c"))
         .unionByName(merged.select(F.col("__mc").alias("c")))
@@ -199,18 +419,25 @@ def components_upsert_batch(
         .distinct()
         .collect()
     )
-    # prune the rewrite to affected buckets: a state row changes only if
-    # its comp is remapped (comp in merged.__mid) or its paired flag flips
-    # (a previously-unpaired row's comp IS its id, which the contracted
-    # graph contains when it gains an edge) — both put bucket(comp) in
-    # the affected set
-    pruned = state.filter(
-        _bucket_expr(["comp"], n_buckets).isin(affected)
-        if affected
-        else F.lit(False)
+    # prune the state read to affected buckets (partition filter — the
+    # only serving rows this batch reads): a state row changes only if
+    # its comp is remapped (comp in merged.__mid) or its paired flag
+    # flips (a previously-unpaired row's comp IS its id, which the
+    # contracted graph contains when it gains an edge) — both put
+    # bucket(comp) in the affected set. Materialize BEFORE the swap:
+    # these are the very files the manifest replaces.
+    pruned = (
+        spark.read.parquet(serving_path)
+        .filter(
+            F.col(BUCKET_COL).isin(affected) if affected else F.lit(False)
+        )
+        .select("id", "source", "sh", "comp", "paired")
+        .localCheckpoint(eager=True)
     )
     rewritten = (
-        pruned.join(merged, pruned["comp"] == merged["__mid"], "left_outer")
+        pruned.join(
+            F.broadcast(merged), pruned["comp"] == merged["__mid"], "left_outer"
+        )
         .join(everts, pruned["id"] == everts["__vid"], "left_outer")
         .select(
             "id",
@@ -223,22 +450,75 @@ def components_upsert_batch(
         )
         .unionByName(batch_rows)
     )
-    tmp = f"{serving_path}__gen_{uuid.uuid4().hex[:8]}"
-    rewritten.withColumn(BUCKET_COL, _bucket_expr(["comp"], n_buckets)).repartition(
-        F.col(BUCKET_COL)
-    ).write.partitionBy(BUCKET_COL).parquet(tmp)
-    for b in affected:
-        entry = f"{BUCKET_COL}={b}"
-        src = os.path.join(tmp, entry)
-        dst = os.path.join(serving_path, entry)
-        old = f"{serving_path}__old_{b}_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(dst):
-            os.replace(dst, old)
-        if os.path.isdir(src):
-            os.replace(src, dst)
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = f"{serving_path}__gen_{gen}"
+    rewritten.withColumn(
+        BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+    ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
+    scratch.append(tmp)
+    written = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tmp)
+        if e.startswith(f"{BUCKET_COL}=")
+    }
+    man = {
+        "kind": "swap",
+        "gen": gen,
+        "tmp": tmp,
+        "swap_buckets": sorted(written & set(affected)),
+        "drop_buckets": sorted(set(affected) - written),
+        "file_moves": file_moves,
+        "scratch": scratch,
+    }
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
+    for f in pr.persisted:
+        f.unpersist()
+    if metrics is not None:
+        metrics["affected_buckets"] = affected
     return affected
+
+
+def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
+    """Maintenance: fold the merge journal into the union-key stage
+    (rewrite every staged comp0 to its current component, then truncate
+    the journal). Run when the journal's size approaches the per-batch
+    resolution budget; returns the number of journal entries folded.
+    Full-stage rewrite — amortized maintenance, never on the batch path."""
+    _recover_pending(serving_path)
+    keys_path = serving_path + KEYS_SUFFIX
+    journal_path = serving_path + JOURNAL_SUFFIX
+    mp = _read_journal(spark, journal_path)
+    if not mp:
+        return 0
+    staged = spark.read.parquet(keys_path)
+    resolved = _resolve_labels(
+        staged.select(F.col("anchor").alias("id"), F.col("comp0").alias("comp")),
+        spark,
+        journal_path,
+    )
+    folded = (
+        staged.drop("comp0")
+        .join(
+            resolved.select(
+                F.col("id").alias("anchor"), F.col("comp").alias("comp0")
+            ).distinct(),
+            "anchor",
+        )
+        .select("grp", "combo_id", "key_val", "sh", "anchor", "comp0", KEY_BUCKET_COL)
+    )
+    gen = uuid.uuid4().hex[:8]
+    tmp = f"{serving_path}__gen_{gen}_compact"
+    folded.repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
+        KEY_BUCKET_COL
+    ).parquet(tmp)
+    n_kb = _table_buckets(keys_path, DEFAULT_KEY_BUCKETS)
+    old = f"{serving_path}__old_{gen}_keys"
+    os.replace(keys_path, old)
+    os.replace(tmp, keys_path)
+    _write_meta(keys_path, n_kb)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(journal_path, ignore_errors=True)
+    return len(mp)
 
 
 def incremental_components_stream(
@@ -248,6 +528,10 @@ def incremental_components_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    bits: int = 32,
+    max_hamming: int = 8,
+    n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
+    n_key_buckets: int = DEFAULT_KEY_BUCKETS,
 ):
     """Drive a document stream into the incrementally-maintained component
     table; returns the started query. Read the labelling with
@@ -258,7 +542,15 @@ def incremental_components_stream(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(
             lambda bdf, _bid: components_upsert_batch(
-                bdf, serving_path, text_col, id_col, source_col
+                bdf,
+                serving_path,
+                text_col,
+                id_col,
+                source_col,
+                bits=bits,
+                max_hamming=max_hamming,
+                n_buckets=n_buckets,
+                n_key_buckets=n_key_buckets,
             )
         )
         .trigger(availableNow=True)

@@ -1,0 +1,230 @@
+"""Round-10 pins for the PERSISTENT union-key stage behind the
+incremental/streaming dedup-graph maintainers (components_cdc.py +
+dedup.simhash_staged_probe):
+
+* scan contract — a micro-batch's stage read is partition-pruned to the
+  key buckets its own probe keys hash into (batch-sized, never |state|);
+* crash recovery — an interrupted generation (the ADVICE r9 scenario: a
+  bucket directory displaced to __old_* but its replacement never moved
+  in) rolls FORWARD from the manifest on the next touch, leaving the
+  exact post-batch state;
+* journal chains — staged comp0 labels stale across several generations
+  of merges resolve through the merge journal (path-compressed) and the
+  labelling still equals the full recompute;
+* compaction — folding the journal into the stage preserves behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_migrator_spark.analytics import dedup as D
+from scylla_migrator_spark.analytics.components import connected_components
+from scylla_migrator_spark.streaming import components_cdc as CC
+
+
+def _full_labelling(spark, rows):
+    """Ground truth: min-label components over ALL hamming<=8 pairs of
+    the (id, source, sh) rows seen so far."""
+    fp = spark.createDataFrame(rows, "doc_id long, source string, sh long")
+    pairs = D.simhash_blocked_pairs(fp, "doc_id", group_col="source").select(
+        "id_a", "id_b"
+    )
+    return {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+
+
+def _served(spark, serving):
+    return {
+        (r["id"], r["comp"])
+        for r in spark.read.parquet(serving).filter("paired").collect()
+    }
+
+
+def _upsert(spark, serving, rows, **kw):
+    bdf = spark.createDataFrame(rows, "doc_id long, source string, sh long")
+    return CC.components_upsert_batch(bdf, serving, id_col="doc_id", **kw)
+
+
+def test_stage_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The task-#1 'Done' pin: a micro-batch's stage scan bytes scale
+    with the batch (its probe keys' buckets), not |state| — asserted on
+    the actual pruned read via inputFiles + the per-batch metrics."""
+    serving = str(tmp_path / "serving")
+    import random
+
+    random.seed(11)
+    fps: list[int] = []
+    while len(fps) < 40:
+        v = random.getrandbits(32)
+        if all(bin(v ^ w).count("1") >= 12 for w in fps):
+            fps.append(v)
+    b1 = [(i + 1, "s", fps[i]) for i in range(40)]
+    assert _upsert(spark, serving, b1, n_key_buckets=64) is None
+    # batch 2: ONE new near-dup unit -> <=45 probe keys -> <=45 of the 64
+    # stage partitions can match
+    m: dict = {}
+    _upsert(spark, serving, [(100, "s", fps[0] ^ 1)], metrics=m)
+    assert m["probe_kbs"] is not None and len(m["probe_kbs"]) <= 45
+    assert 0 < m["staged_files_scanned"] < m["staged_files_total"]
+    # the pruned scan is bounded by the touched partitions' population,
+    # strictly under the full stage (40 units x 45 combos = 1800 rows)
+    assert m["staged_rows_scanned"] < 1800
+    assert _served(spark, serving) == _full_labelling(
+        spark, b1 + [(100, "s", fps[0] ^ 1)]
+    )
+
+
+def test_crash_mid_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2 scenario: crash between the dst->old displacement and
+    the src->dst move leaves a bucket directory MISSING; the manifest
+    protocol must roll the whole generation forward on the next touch."""
+    serving = str(tmp_path / "serving")
+    rows1 = [(1, "s", 0b1010101), (2, "s", 0b1010100), (30, "s", 1 << 30)]
+    _upsert(spark, serving, rows1)
+
+    # capture the manifest instead of executing it (crash before any
+    # mutation), then replay the worst-case partial execution by hand
+    captured: dict = {}
+
+    def crash(serving_path, man):
+        captured.update(man)
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(CC, "_execute_manifest", crash)
+    rows2 = [(40, "s", 0b1010110), (50, "s", (1 << 30) ^ 3)]
+    with pytest.raises(RuntimeError):
+        _upsert(spark, serving, rows2)
+    monkeypatch.undo()
+    assert os.path.exists(CC._pending_path(serving))
+    man = json.load(open(CC._pending_path(serving)))
+    assert man == captured and man["kind"] == "swap"
+    # partial execution: all file moves done, then the FIRST affected
+    # bucket displaced but never replaced — the directory is gone
+    for src, dst in man["file_moves"]:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+    b0 = man["swap_buckets"][0]
+    dst0 = os.path.join(serving, f"{CC.BUCKET_COL}={b0}")
+    if os.path.isdir(dst0):
+        os.replace(dst0, f"{serving}__old_{man['gen']}_{b0}")
+        assert not os.path.isdir(dst0)  # the ADVICE's stranded state
+
+    CC._recover_pending(serving)
+    assert not os.path.exists(CC._pending_path(serving))
+    parent, base = os.path.dirname(serving), os.path.basename(serving)
+    leftovers = [
+        e
+        for e in os.listdir(parent)
+        if e.startswith(f"{base}__old_") or e.startswith(f"{base}__gen_")
+    ]
+    assert leftovers == []
+    assert _served(spark, serving) == _full_labelling(spark, rows1 + rows2)
+    # the recovered state keeps serving further batches correctly
+    rows3 = [(60, "s", 0b1010111)]
+    _upsert(spark, serving, rows3)
+    assert _served(spark, serving) == _full_labelling(
+        spark, rows1 + rows2 + rows3
+    )
+
+
+def test_journal_chain_resolution_across_generations(spark, tmp_path):
+    """comp0 labels written at unit introduction go stale as later
+    batches merge components; a probe several generations later must
+    resolve the CHAIN old->...->current through the merge journal."""
+    serving = str(tmp_path / "serving")
+    fam = 0b11110000
+    seen = []
+
+    def step(rows):
+        seen.extend(rows)
+        _upsert(spark, serving, rows)
+        assert _served(spark, serving) == _full_labelling(spark, seen), rows
+
+    step([(10, "s", fam), (11, "s", fam)])          # comp 10, unit comp0=10
+    step([(5, "s", fam ^ 1)])                        # merge -> comp 5 (journal 10->5)
+    step([(3, "s", fam ^ 2)])                        # resolve 10->5, merge -> 3 (5->3)
+    step([(1, "s", fam ^ 4)])                        # chain 10->5->3, merge -> 1
+    journal = CC._read_journal(spark, serving + CC.JOURNAL_SUFFIX)
+    assert journal.get(10) == 5 and journal.get(5) == 3 and journal.get(3) == 1
+
+
+def test_compact_components_stage_folds_journal(spark, tmp_path):
+    serving = str(tmp_path / "serving")
+    fam = 0b1100110011
+    seen = [(20, "s", fam), (21, "s", fam)]
+    _upsert(spark, serving, seen[:2])
+    for i, d in enumerate([1, 2, 4]):
+        rows = [(9 - i, "s", fam ^ d)]
+        seen.extend(rows)
+        _upsert(spark, serving, rows)
+    assert CC._read_journal(spark, serving + CC.JOURNAL_SUFFIX)
+    folded = CC.compact_components_stage(spark, serving)
+    assert folded > 0
+    assert CC._read_journal(spark, serving + CC.JOURNAL_SUFFIX) == {}
+    # post-compaction batches still converge to the full recompute
+    rows = [(2, "s", fam ^ 8), (100, "s", 1 << 20)]
+    seen.extend(rows)
+    _upsert(spark, serving, rows)
+    assert _served(spark, serving) == _full_labelling(spark, seen)
+
+
+def test_staged_probe_closure_equals_all_pairs_touching(spark):
+    """dedup-level contract: closure(prior labelling + staged-probe
+    edges) == closure(ALL hamming<=8 pairs) when every state unit is
+    staged with a valid anchor/comp0 — the simhash_blocked_edges_touching
+    guarantee reproduced by the staged generator."""
+    import random
+
+    random.seed(23)
+    state = [(i + 1, "s" if i % 2 else "t", random.getrandbits(20)) for i in range(60)]
+    batch = [(200 + i, "s", state[i][2] ^ (1 << (i % 5))) for i in range(10)]
+    batch += [(300, "t", state[1][2]), (301, "u", 12345)]
+    sdf = spark.createDataFrame(state, "id long, source string, sh long")
+    bdf = spark.createDataFrame(batch, "id long, source string, sh long")
+    prior_pairs = D.simhash_blocked_pairs(sdf, "id", group_col="source").select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(prior_pairs, "id_a", "id_b")
+    units = (
+        sdf.groupBy("source", "sh")
+        .agg(F.min("id").alias("__anchor"))
+        .join(
+            labels.select(F.col("id").alias("__anchor"), F.col("comp")),
+            "__anchor",
+            "left",
+        )
+        .select(
+            F.col("source").alias("__grp"),
+            F.col("sh").alias("__sh"),
+            "__anchor",
+            F.coalesce("comp", "__anchor").alias("__comp0"),
+        )
+    )
+    staged = D.staged_union_keys(units, bits=32, blocks=10, max_hamming=8)
+    pr = D.simhash_staged_probe(
+        bdf, staged, id_col="id", sh_col="sh", group_col="source",
+        bits=32, blocks=10, max_hamming=8, materialize="checkpoint",
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            prior_pairs.unionByName(pr.edges), "id_a", "id_b"
+        ).collect()
+    }
+    alldf = sdf.unionByName(bdf)
+    want_pairs = D.simhash_blocked_pairs(alldf, "id", group_col="source").select(
+        "id_a", "id_b"
+    )
+    want = {
+        (r["id"], r["comp"])
+        for r in connected_components(want_pairs, "id_a", "id_b").collect()
+    }
+    assert got == want
+    assert pr.persisted == []  # checkpoint mode leaves no cache pins
