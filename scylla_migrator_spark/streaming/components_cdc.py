@@ -112,7 +112,19 @@ def _execute_manifest(serving_path: str, man: dict) -> None:
         if not os.path.isdir(serving_path) and os.path.isdir(man["src"]):
             os.rename(man["src"], serving_path)
         _write_meta(serving_path, man["n_buckets"])
-    else:
+    elif man["kind"] == "compact":
+        kp = serving_path + KEYS_SUFFIX
+        if os.path.isdir(man["tmp"]):
+            if os.path.isdir(kp):
+                os.replace(kp, man["old"])
+            os.replace(man["tmp"], kp)
+        _write_meta(kp, man["n_key_buckets"])
+        shutil.rmtree(man["old"], ignore_errors=True)
+        # journal entries map RETIRED comps; folded comp0s are current, so
+        # re-applying a journal that outlived a crash is a no-op — safe to
+        # drop it only after the folded stage is live
+        shutil.rmtree(serving_path + JOURNAL_SUFFIX, ignore_errors=True)
+    elif man["kind"] == "swap":
         gen = man["gen"]
         for b in man.get("swap_buckets", []):
             entry = f"{BUCKET_COL}={b}"
@@ -276,6 +288,10 @@ def components_upsert_batch(
             f"bits={bits} admits at most {bits}"
         )
     have_state = os.path.isdir(serving_path)
+    if not have_state and fp_b.isEmpty():
+        # an empty first batch must not create an unreadable (schema-less)
+        # serving table; the next non-empty batch becomes generation 0
+        return None
     staged = None
     if have_state:
         n_buckets = _table_buckets(serving_path, n_buckets)
@@ -511,13 +527,15 @@ def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
     folded.repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
         KEY_BUCKET_COL
     ).parquet(tmp)
-    n_kb = _table_buckets(keys_path, DEFAULT_KEY_BUCKETS)
-    old = f"{serving_path}__old_{gen}_keys"
-    os.replace(keys_path, old)
-    os.replace(tmp, keys_path)
-    _write_meta(keys_path, n_kb)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(journal_path, ignore_errors=True)
+    man = {
+        "kind": "compact",
+        "tmp": tmp,
+        "old": f"{serving_path}__old_{gen}_keys",
+        "n_key_buckets": _table_buckets(keys_path, DEFAULT_KEY_BUCKETS),
+        "scratch": [tmp],
+    }
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
     return len(mp)
 
 

@@ -39,7 +39,6 @@ from scylla_migrator_spark.analytics import similarity as SIM  # noqa: E402
 from scylla_migrator_spark.analytics import text as TXT  # noqa: E402
 from scylla_migrator_spark.analytics.components import (  # noqa: E402
     connected_components,
-    incremental_components_update,
     k_core,
     label_propagation,
 )
@@ -145,9 +144,12 @@ def run_pipelines(
     # verdict task #2) — Manku-blocked hamming<=8 within-source candidates,
     # star-contracted for the graph builders, NOT the banded h<=3 proxy
     def keep_best() -> int:
-        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        )
         edges = D.simhash_blocked_pairs(
-            fp, "doc_id", blocks=10, max_hamming=8, group_col="source", emit="star"
+            fp, "doc_id", bits=60, blocks=10, max_hamming=8,
+            group_col="source", emit="star",
         )
         comp = connected_components(edges, "id_a", "id_b")
         return comp.groupBy("comp").count().count()
@@ -180,27 +182,64 @@ def run_pipelines(
     record("wide_dedup_clusters", n_docs, wide_clusters)
 
     def dedup_components() -> int:
-        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        )
         edges = D.simhash_blocked_pairs(
-            fp, "doc_id", blocks=10, max_hamming=8, group_col="source", emit="star"
+            fp, "doc_id", bits=60, blocks=10, max_hamming=8,
+            group_col="source", emit="star",
         )
         return connected_components(edges, "id_a", "id_b").count()
 
     record("dedup_components", n_docs, dedup_components)
 
     def incr_components() -> int:
+        # mirrors the registry row: staged union keys probed by the batch
+        # (never a full-state key re-explode), contracted fixpoint, one
+        # broadcast remap join
+        from scylla_migrator_spark.analytics.components import (
+            contracted_merge,
+            incremental_components_apply,
+        )
+
         fp = D.simhash_fingerprints(
-            docs, "text", "doc_id", carry_cols=["source"]
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
         ).localCheckpoint(eager=True)
         fp_old = fp.filter(F.col("doc_id") % 10 != 0)
         fp_inc = fp.filter(F.col("doc_id") % 10 == 0)
         old_pairs = D.simhash_blocked_pairs(
-            fp_old, "doc_id", blocks=10, max_hamming=8, group_col="source",
-            emit="star",
+            fp_old, "doc_id", bits=60, blocks=10, max_hamming=8,
+            group_col="source", emit="star",
         ).select("id_a", "id_b")
-        base = connected_components(old_pairs, "id_a", "id_b")
-        new_edges = D.simhash_blocked_edges_touching(fp_inc, fp, id_col="doc_id")
-        return incremental_components_update(base, new_edges, "id_a", "id_b").count()
+        base = connected_components(old_pairs, "id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        units = (
+            fp_old.groupBy("source", "sh")
+            .agg(F.min("doc_id").alias("__anchor"))
+            .join(
+                base.select(
+                    F.col("id").alias("__anchor"), F.col("comp").alias("__c")
+                ),
+                "__anchor",
+                "left",
+            )
+            .select(
+                F.col("source").alias("__grp"),
+                F.col("sh").alias("__sh"),
+                "__anchor",
+                F.coalesce("__c", "__anchor").alias("__comp0"),
+            )
+        )
+        keys = D.staged_union_keys(units, bits=60, blocks=10, max_hamming=8)
+        pr = D.simhash_staged_probe(
+            fp_inc, keys, id_col="doc_id", sh_col="sh", group_col="source",
+            bits=60, blocks=10, max_hamming=8, materialize="checkpoint",
+        )
+        merged = contracted_merge(pr.anchor_labels, pr.edges, "id_a", "id_b")
+        return incremental_components_apply(
+            base, merged, pr.edges, "id_a", "id_b"
+        ).count()
 
     record("incremental_components_update", n_docs, incr_components)
 
@@ -212,15 +251,19 @@ def run_pipelines(
             components_upsert_batch,
         )
 
-        fp = D.simhash_fingerprints(docs, "text", "doc_id", carry_cols=["source"])
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        )
         root = tempfile.mkdtemp(prefix="sgs_curve_cc_")
         serving = os.path.join(root, "serving")
         try:
             components_upsert_batch(
-                fp.filter(F.col("doc_id") % 2 == 0), serving, id_col="doc_id"
+                fp.filter(F.col("doc_id") % 2 == 0), serving, id_col="doc_id",
+                bits=60,
             )
             components_upsert_batch(
-                fp.filter(F.col("doc_id") % 2 == 1), serving, id_col="doc_id"
+                fp.filter(F.col("doc_id") % 2 == 1), serving, id_col="doc_id",
+                bits=60,
             )
             return (
                 docs.sparkSession.read.parquet(serving)
