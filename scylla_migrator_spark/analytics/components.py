@@ -335,6 +335,42 @@ def incremental_components_apply(
     return updated_old.unionByName(new_labels)
 
 
+def minlabel_union_find(pairs) -> dict[int, int]:
+    """Driver-side min-label union-find over CONTRACTED label pairs — the
+    collected-core alternative to running the iterative fixpoint as Spark
+    jobs when the contracted graph is batch-bounded (the incremental /
+    streaming maintainers' contract guarantees it: star + cross edges are
+    linear in batch size and touched candidate units). At micro-batch
+    cadence the distributed fixpoint's ~2 jobs/round of scheduling
+    dominates the actual graph work by orders of magnitude; a local
+    union-find makes the merge one collect. Returns {label:
+    final_min_label} for every label appearing in a non-self pair — the
+    contracted_merge output contract (labels absent are unchanged)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            parent.setdefault(a, ra)
+            parent.setdefault(b, rb)
+            continue
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {x: find(x) for x in parent}
+
+
 def contracted_merge(
     base_labels: DataFrame,
     new_edges: DataFrame,

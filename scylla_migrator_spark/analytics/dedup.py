@@ -1158,8 +1158,15 @@ def simhash_staged_probe(
         probe_m.groupBy("__grp", F.col("__msh").alias("__sh"))
         .agg(F.min("__mid").alias("__bmin"))
     )
-    pk = _block_union_keys(
-        units_b, "__sh", bits, blocks, max_hamming, ["__grp", "__sh", "__bmin"]
+    # pin the exploded probe keys too: the C(blocks, blocks-h)-combo
+    # expression tree is large, and four consumers (kb pruning, stage
+    # probe, batch self-join twice) would each re-optimize and re-execute
+    # it — cached it is a leaf for all of them
+    pk = _pin(
+        _block_union_keys(
+            units_b, "__sh", bits, blocks, max_hamming,
+            ["__grp", "__sh", "__bmin"],
+        )
     )
 
     probe_kbs: list | None = None
@@ -1198,8 +1205,10 @@ def simhash_staged_probe(
         p, s = pk.alias("p"), staged.alias("s")
         ham = F.bit_count(F.col("p.__sh").bitwiseXOR(F.col("s.sh"))).cast("int")
         # broadcast the batch side: the stage scan streams through the
-        # (pruned) partitions with no shuffle of state
-        m = (
+        # (pruned) partitions with no shuffle of state. The verified match
+        # table is pinned so its THREE consumers (exact units, candidates,
+        # anchor labels) cost one stage scan, not one each.
+        m = _pin(
             F.broadcast(p)
             .join(
                 s,
@@ -1210,19 +1219,22 @@ def simhash_staged_probe(
                 ],
             )
             .filter(ham <= max_hamming)
+            .select(
+                "p.__grp", "p.__sh", "s.sh", "s.anchor", "s.comp0"
+            )
         )
         exact = (
-            m.filter(F.col("p.__sh") == F.col("s.sh"))
-            .select("p.__grp", "p.__sh", "s.anchor", "s.comp0")
+            m.filter(F.col("__sh") == F.col("sh"))
+            .select("__grp", "__sh", "anchor", "comp0")
             .distinct()
         )
         cand_sb = (
-            m.filter(F.col("p.__sh") != F.col("s.sh"))
+            m.filter(F.col("__sh") != F.col("sh"))
             .select(
-                F.col("p.__grp").alias("__grp"),
-                F.col("p.__sh").alias("__sh"),
-                F.col("s.anchor").alias("__oanchor"),
-                F.col("s.comp0").alias("__ocomp0"),
+                "__grp",
+                "__sh",
+                F.col("anchor").alias("__oanchor"),
+                F.col("comp0").alias("__ocomp0"),
             )
             .dropDuplicates(["__grp", "__sh", "__oanchor"])
         )

@@ -13359,6 +13359,7 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
     from scylla_migrator_spark.analytics.components import (
         contracted_merge,
         incremental_components_apply,
+        minlabel_union_find,
     )
     from scylla_migrator_spark.streaming.components_cdc import KEY_BUCKET_COL
 
@@ -13387,8 +13388,27 @@ def incremental_components_update_q(spark: SparkSession, sf_dir: str) -> DataFra
         key_bucket_col=KEY_BUCKET_COL, n_key_buckets=32,
         materialize="checkpoint",
     )
-    merged = contracted_merge(pr.anchor_labels, pr.edges, "id_a", "id_b")
-    labels = incremental_components_apply(base, merged, pr.edges, "id_a", "id_b")
+    # batch-bounded contracted graph -> driver-side min-label union-find
+    # (one collect; the distributed fixpoint's per-round job scheduling
+    # dominates at batch scale), distributed fallback past the cap
+    from scylla_migrator_spark.streaming.components_cdc import (
+        MAX_LOCAL_MERGE_EDGES,
+    )
+
+    edge_rows = [(r[0], r[1]) for r in pr.edges.take(MAX_LOCAL_MERGE_EDGES + 1)]
+    if len(edge_rows) <= MAX_LOCAL_MERGE_EDGES:
+        base_map = {r["id"]: r["comp"] for r in pr.anchor_labels.collect()}
+        merged_map = minlabel_union_find(
+            (base_map.get(a, a), base_map.get(b, b)) for a, b in edge_rows
+        )
+        edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+        merged = spark.createDataFrame(
+            list(merged_map.items()), "__mid long, __mc long"
+        )
+    else:
+        edges = pr.edges.localCheckpoint(eager=True)
+        merged = contracted_merge(pr.anchor_labels, edges, "id_a", "id_b")
+    labels = incremental_components_apply(base, merged, edges, "id_a", "id_b")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )

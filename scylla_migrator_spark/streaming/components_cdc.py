@@ -67,7 +67,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_migrator_spark.analytics import dedup as D
-from scylla_migrator_spark.analytics.components import contracted_merge
+from scylla_migrator_spark.analytics.components import (
+    contracted_merge,
+    minlabel_union_find,
+)
 from scylla_migrator_spark.streaming.rollup import (
     BUCKET_COL,
     _bucket_expr,
@@ -77,6 +80,10 @@ from scylla_migrator_spark.streaming.rollup import (
 
 DEFAULT_COMPONENT_BUCKETS = 16  # fixture scale; thousands at 100 TB
 DEFAULT_KEY_BUCKETS = 32
+# above this many touching edges a batch's merge falls back to the
+# distributed fixpoint instead of the driver-side union-find (~16 B/edge
+# collected; the touching contract keeps real batches far below this)
+MAX_LOCAL_MERGE_EDGES = 5_000_000
 KEYS_SUFFIX = "_keys"
 JOURNAL_SUFFIX = "_journal"
 KEY_BUCKET_COL = "__kb"
@@ -197,12 +204,11 @@ def _read_journal(spark: SparkSession, journal_path: str) -> dict[int, int]:
 
 
 def _resolve_labels(
-    anchor_labels: DataFrame, spark: SparkSession, journal_path: str
+    anchor_labels: DataFrame, spark: SparkSession, mp: dict[int, int]
 ) -> DataFrame:
     """Resolve staged ``comp0`` labels to CURRENT components by following
     the merge journal to its terminal targets (path-compressed on the
     driver, applied as one broadcast map join)."""
-    mp = _read_journal(spark, journal_path)
     if not mp:
         return anchor_labels
     term: dict[int, int] = {}
@@ -237,6 +243,7 @@ def components_upsert_batch(
     max_hamming: int = 8,
     n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
     n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+    compact_journal_above: int | None = None,
     metrics: dict | None = None,
 ) -> list[int] | None:
     """foreachBatch body: fold one micro-batch of documents into the served
@@ -254,11 +261,27 @@ def components_upsert_batch(
     * writes: affected buckets + the batch's new unit keys + merge events.
 
     Returns the list of bucket ids this batch rewrote (None for the first
-    generation, which writes every bucket). ``metrics``, when a dict is
-    passed, is filled with per-batch observability numbers the plan pins
-    assert on (probe_kbs, staged_rows_scanned, n_edges, n_merged,
-    affected_buckets)."""
+    generation, which writes every bucket). ``compact_journal_above``
+    wires the journal-fold amortization policy into the maintainer: when
+    the merge-event log would exceed the threshold after this batch, the
+    committed generation is followed by compact_components_stage (one
+    O(stage) rewrite buying journal-free resolution for the next
+    ~threshold merges) — size it to the driver-side resolution budget.
+    ``metrics``, when a dict is passed, is filled with per-batch
+    observability numbers the plan pins assert on (probe_kbs,
+    staged_rows_scanned, n_edges, n_merged, affected_buckets)."""
+    import time as _time
+
     spark = batch_df.sparkSession
+    _phases: dict[str, float] = {}
+    _last = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _last
+        now = _time.perf_counter()
+        _phases[name] = round(now - _last, 3)
+        _last = now
+
     _recover_pending(serving_path)
     if "sh" in batch_df.columns:
         fp_b = batch_df.select(
@@ -279,6 +302,7 @@ def components_upsert_batch(
             )
             .localCheckpoint(eager=True)
         )
+    _mark("fingerprint")
     keys_path = serving_path + KEYS_SUFFIX
     journal_path = serving_path + JOURNAL_SUFFIX
     blocks = min(bits, max(10, max_hamming + 2))
@@ -310,11 +334,55 @@ def components_upsert_batch(
         key_bucket_col=KEY_BUCKET_COL,
         n_key_buckets=n_key_buckets,
     )
-    edges = pr.edges.localCheckpoint(eager=True)
-    base = _resolve_labels(pr.anchor_labels, spark, journal_path)
-    merged = contracted_merge(base, edges, "id_a", "id_b").localCheckpoint(
-        eager=True
-    )
+    journal_map = _read_journal(spark, journal_path)
+
+    def _term(c: int) -> int:
+        while c in journal_map:
+            c = journal_map[c]
+        return c
+
+    # the touching contract bounds the edge set by batch size + touched
+    # candidate units — collect once and run the merge as a driver-side
+    # min-label union-find: at micro-batch cadence the distributed
+    # fixpoint's per-round job scheduling dwarfs the actual graph work.
+    # Pathological batches past the cap fall back to the fixpoint.
+    _mark("probe_build")
+    edge_rows = [(r[0], r[1]) for r in pr.edges.take(MAX_LOCAL_MERGE_EDGES + 1)]
+    _mark("edges_take")
+    if len(edge_rows) <= MAX_LOCAL_MERGE_EDGES:
+        base_map = {
+            r["id"]: _term(r["comp"]) for r in pr.anchor_labels.collect()
+        }
+        merged_map = minlabel_union_find(
+            (base_map.get(a, a), base_map.get(b, b)) for a, b in edge_rows
+        )
+        edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+        merged = spark.createDataFrame(
+            list(merged_map.items()), "__mid long, __mc long"
+        )
+        base_vals = set(base_map.values())
+        jnew_rows = [
+            [o, n]
+            for o, n in merged_map.items()
+            if o != n and o in base_vals
+        ]
+        # batch comps, driver-side: a batch vertex's label is its merged
+        # target or itself — no Spark pass over batch_rows just to
+        # enumerate the touched components
+        batch_ids = [r["id"] for r in fp_b.select("id").collect()]
+        affected_vals = (
+            set(merged_map) | set(merged_map.values())
+            | {merged_map.get(i, i) for i in batch_ids}
+        )
+    else:
+        edges = pr.edges.localCheckpoint(eager=True)
+        base = _resolve_labels(pr.anchor_labels, spark, journal_map)
+        merged = contracted_merge(base, edges, "id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        jnew_rows = None
+        affected_vals = None
+    _mark("merge")
     everts = (
         edges.select(F.col("id_a").alias("__vid"))
         .union(edges.select("id_b"))
@@ -332,7 +400,9 @@ def components_upsert_batch(
             F.coalesce("__mc", "id").alias("comp"),
             F.coalesce("__touched", F.lit(False)).alias("paired"),
         )
-        .localCheckpoint(eager=True)
+        # no materialization needed pre-swap: derives only from the
+        # checkpointed fp_b and the batch-local merged/everts frames,
+        # never from the serving files the manifest replaces
     )
     # stage append for NEW units: comp0 = the anchor's label after this
     # batch's fixpoint (current at append time; the journal covers later
@@ -353,29 +423,43 @@ def components_upsert_batch(
     )
     gen = uuid.uuid4().hex[:8]
     tmp_keys = f"{serving_path}__gen_{gen}_keys"
-    new_keys.repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
-        KEY_BUCKET_COL
-    ).parquet(tmp_keys)
+    _mark("plan_keys")
+    # no repartition for the per-batch append: a batch's key rows are
+    # batch-sized and the table layout is by DIRECTORY — dynamic
+    # partitioned write from the (few) batch partitions skips a shuffle;
+    # compact_components_stage re-clusters file counts when it runs
+    new_keys.write.partitionBy(KEY_BUCKET_COL).parquet(tmp_keys)
+    _mark("keys_write")
     file_moves = _move_part_files(tmp_keys, keys_path)
     scratch = [tmp_keys]
     # journal append: only genuine merge EVENTS (a pre-batch current comp
     # remapped) — new-vertex contractions never anchor a stale comp0
-    jnew = (
-        merged.filter(F.col("__mid") != F.col("__mc"))
-        .join(
-            base.select(F.col("comp").alias("__mid")).distinct(),
-            "__mid",
-            "left_semi",
+    if jnew_rows is None:
+        jnew = (
+            merged.filter(F.col("__mid") != F.col("__mc"))
+            .join(
+                base.select(F.col("comp").alias("__mid")).distinct(),
+                "__mid",
+                "left_semi",
+            )
+            .select(F.col("__mid").alias("old"), F.col("__mc").alias("new"))
+            .localCheckpoint(eager=True)
         )
-        .select(F.col("__mid").alias("old"), F.col("__mc").alias("new"))
-        .localCheckpoint(eager=True)
-    )
-    if jnew.count() > 0:
+        n_jnew = jnew.count()
+    else:
+        n_jnew = len(jnew_rows)
+        jnew = (
+            spark.createDataFrame(jnew_rows, "old long, new long")
+            if jnew_rows
+            else None
+        )
+    if n_jnew > 0:
         tmp_journal = f"{serving_path}__gen_{gen}_journal"
         jnew.coalesce(1).write.parquet(tmp_journal)
         file_moves += _move_part_files(tmp_journal, journal_path)
         scratch.append(tmp_journal)
 
+    _mark("journal_write")
     if metrics is not None:
         metrics["probe_kbs"] = pr.probe_kbs
         metrics["n_edges"] = edges.count()
@@ -414,19 +498,26 @@ def components_upsert_batch(
         _execute_manifest(serving_path, man)
         for f in pr.persisted:
             f.unpersist()
+        _mark("full_write")
         if metrics is not None:
             metrics["affected_buckets"] = None
+            metrics["phases"] = _phases
         return None
 
     # incremental generation: rewrite ONLY the buckets whose labels move.
     # ``merged`` is the contracted-fixpoint remap (batch-sized); a label
     # absent from it is untouched, so its bucket is untouched.
-    affected_comps = (
-        merged.select(F.col("__mid").alias("c"))
-        .unionByName(merged.select(F.col("__mc").alias("c")))
-        .unionByName(batch_rows.select(F.col("comp").alias("c")))
-        .distinct()
-    )
+    if affected_vals is not None:
+        affected_comps = spark.createDataFrame(
+            [(c,) for c in affected_vals], "c long"
+        )
+    else:
+        affected_comps = (
+            merged.select(F.col("__mid").alias("c"))
+            .unionByName(merged.select(F.col("__mc").alias("c")))
+            .unionByName(batch_rows.select(F.col("comp").alias("c")))
+            .distinct()
+        )
     affected = sorted(
         r["b"]
         for r in affected_comps.select(
@@ -435,6 +526,7 @@ def components_upsert_batch(
         .distinct()
         .collect()
     )
+    _mark("affected")
     # prune the state read to affected buckets (partition filter — the
     # only serving rows this batch reads): a state row changes only if
     # its comp is remapped (comp in merged.__mid) or its paired flag
@@ -466,11 +558,13 @@ def components_upsert_batch(
         )
         .unionByName(batch_rows)
     )
+    _mark("pruned_read")
     tmp = f"{serving_path}__gen_{gen}"
     rewritten.withColumn(
         BUCKET_COL, _bucket_expr(["comp"], n_buckets)
     ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
     scratch.append(tmp)
+    _mark("rewrite")
     written = {
         int(e.split("=", 1)[1])
         for e in os.listdir(tmp)
@@ -489,8 +583,19 @@ def components_upsert_batch(
     _execute_manifest(serving_path, man)
     for f in pr.persisted:
         f.unpersist()
+    _mark("swap")
     if metrics is not None:
         metrics["affected_buckets"] = affected
+        metrics["phases"] = _phases
+    # amortized maintenance: once the merge journal outgrows the caller's
+    # per-batch resolution budget, fold it into the stage HERE (after the
+    # generation committed) — one O(stage) rewrite buys journal-free
+    # resolution for the next ~threshold merge events
+    if (
+        compact_journal_above is not None
+        and len(journal_map) + n_jnew > compact_journal_above
+    ):
+        compact_components_stage(spark, serving_path)
     return affected
 
 
@@ -510,7 +615,7 @@ def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
     resolved = _resolve_labels(
         staged.select(F.col("anchor").alias("id"), F.col("comp0").alias("comp")),
         spark,
-        journal_path,
+        mp,
     )
     folded = (
         staged.drop("comp0")
@@ -550,6 +655,7 @@ def incremental_components_stream(
     max_hamming: int = 8,
     n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
     n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+    compact_journal_above: int | None = None,
 ):
     """Drive a document stream into the incrementally-maintained component
     table; returns the started query. Read the labelling with
@@ -569,6 +675,7 @@ def incremental_components_stream(
                 max_hamming=max_hamming,
                 n_buckets=n_buckets,
                 n_key_buckets=n_key_buckets,
+                compact_journal_above=compact_journal_above,
             )
         )
         .trigger(availableNow=True)

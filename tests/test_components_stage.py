@@ -175,6 +175,75 @@ def test_compact_components_stage_folds_journal(spark, tmp_path):
     assert _served(spark, serving) == _full_labelling(spark, seen)
 
 
+def test_minlabel_union_find_matches_fixpoint_semantics():
+    """Pure-python check (no Spark): the driver-side union-find produces
+    the same {label: min-of-component} remap the iterative fixpoint
+    would, on chains, merges of merges, self-edges, and singletons."""
+    from scylla_migrator_spark.analytics.components import minlabel_union_find
+
+    got = minlabel_union_find(
+        [(5, 9), (9, 2), (7, 7), (10, 11), (3, 10), (2, 11), (20, 30)]
+    )
+    # {5,9,2,10,11,3} all collapse to 2... no: 3 < 2? 2 is min. chain:
+    # 5-9-2, 10-11-3, then 2-11 merges both -> min is 2
+    assert {k: v for k, v in got.items() if k != v} == {
+        5: 2, 9: 2, 10: 2, 11: 2, 3: 2, 30: 20
+    }
+    assert got.get(2) == 2 and got.get(20) == 20
+    assert 7 not in got  # self-edge never enters the contracted graph
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(20):
+        edges = [
+            (rnd.randrange(40), rnd.randrange(40)) for _ in range(rnd.randrange(1, 60))
+        ]
+        got = minlabel_union_find(edges)
+        # brute force: BFS each component, label = min member
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        seen: set[int] = set()
+        for v in adj:
+            if v in seen:
+                continue
+            comp, frontier = {v}, [v]
+            while frontier:
+                u = frontier.pop()
+                for w in adj[u]:
+                    if w not in comp:
+                        comp.add(w)
+                        frontier.append(w)
+            seen |= comp
+            m = min(comp)
+            for u in comp:
+                want[u] = m
+        assert got == want, (edges, got, want)
+
+
+def test_auto_compaction_threshold(spark, tmp_path):
+    """compact_journal_above folds the journal into the stage as part of
+    the batch whose merges push it past the threshold — the wired-in
+    amortization policy (no manual maintenance call), with the labelling
+    invariant intact across the fold."""
+    serving = str(tmp_path / "serving")
+    fam = 0b101010101
+    seen = [(30, "s", fam), (31, "s", fam)]
+    _upsert(spark, serving, seen[:2], compact_journal_above=1)
+    for i, d in enumerate([1, 2, 4]):
+        rows = [(9 - i, "s", fam ^ d)]
+        seen.extend(rows)
+        _upsert(spark, serving, rows, compact_journal_above=1)
+        # each batch adds one merge event; threshold 1 folds it promptly,
+        # so the journal never accumulates more than one generation
+        assert len(CC._read_journal(spark, serving + CC.JOURNAL_SUFFIX)) <= 1
+        assert _served(spark, serving) == _full_labelling(spark, seen)
+
+
 def test_staged_probe_closure_equals_all_pairs_touching(spark):
     """dedup-level contract: closure(prior labelling + staged-probe
     edges) == closure(ALL hamming<=8 pairs) when every state unit is
