@@ -150,6 +150,7 @@ HEADLINE = [
     "video_dup_clusters",
     "incremental_components_update",
     "stream_components_update",
+    "components_retract_rebalance",
     "shard_balance_stats",
     "daily_volume_autocorr",
     "near_dup_under_duplication",

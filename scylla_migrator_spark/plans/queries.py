@@ -13475,6 +13475,136 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_state_staged(spark: SparkSession, sf_dir: str) -> str:
+    """The maintained dedup-graph STATE (serving + union-key stage +
+    merge journal) over the full corpus, built through the streaming
+    maintainer in two batches (so the journal is non-trivial) and staged
+    once per fixture+code generation. Mutating consumers (the retraction
+    row) copy it to a scratch dir — in production this state simply
+    exists; re-building it inside the scenario would measure base
+    construction, not the retraction the row is about."""
+    import hashlib
+    import inspect
+    import os
+
+    from scylla_migrator_spark.analytics import components as _CMOD
+    from scylla_migrator_spark.analytics import dedup as _D
+    from scylla_migrator_spark.analytics import text as _TXTMOD
+    from scylla_migrator_spark.streaming import components_cdc as _CC
+
+    code = (
+        inspect.getsource(_fan)
+        + inspect.getsource(_D)
+        + inspect.getsource(_TXTMOD)
+        + inspect.getsource(_CMOD)
+        + inspect.getsource(_CC)
+    )
+    ver = hashlib.md5(code.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        "/tmp", f"sgs_cc_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
+    )
+
+    def build(tmp_stage: str) -> None:
+        from scylla_migrator_spark.streaming.components_cdc import (
+            components_upsert_batch,
+        )
+
+        docs = _fan(
+            _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        )
+        fp = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        ).localCheckpoint(eager=True)
+        serving = os.path.join(tmp_stage, "serving")
+        os.makedirs(tmp_stage, exist_ok=True)
+        with _stream_shuffle_partitions(spark):
+            components_upsert_batch(
+                fp.filter(F.col("doc_id") % 2 == 0), serving,
+                id_col="doc_id", bits=60,
+            )
+            components_upsert_batch(
+                fp.filter(F.col("doc_id") % 2 == 1), serving,
+                id_col="doc_id", bits=60,
+            )
+
+    return _publish_stage(stage, build)
+
+
+@_register(
+    "components_retract_rebalance",
+    # full-corpus wide closure over the REMAINING documents — the
+    # retraction path must reproduce it exactly, splits included
+    r"""
+    WITH RECURSIVE
+    live AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+    h AS (
+      SELECT doc_id, source,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
+      FROM live),
+    fp AS (
+      SELECT doc_id, source,
+        list_sum(list_transform(generate_series(0, 59),
+          b -> CASE WHEN len(list_filter(hs, x -> (x & (1::BIGINT << b)) <> 0)) * 2 > len(hs)
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+      FROM h),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s)
+    SELECT v AS doc_id, min(u)::BIGINT AS component FROM reach GROUP BY v
+    """,
+)
+def components_retract_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION support for the maintained dup-graph (GDPR takedowns,
+    licence pulls): retract every doc_id % 17 == 0 from the served state
+    and return the surviving paired labelling — which must equal a full
+    recompute over the remaining corpus, COMPONENT SPLITS included (the
+    case the insert-only merge journal cannot express; see
+    streaming/components_cdc.components_retract_batch for the design:
+    combo-0 stage probe locates the victims' components bucket-pruned,
+    survivors re-solve per component with the driver-side union-find,
+    serving buckets + key partitions + journal rewrite swap under one
+    crash manifest). The pre-delete state is staged (it EXISTS in
+    production) and copied to scratch, so the row measures what a
+    retraction batch actually costs."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_migrator_spark.streaming.components_cdc import (
+        components_retract_batch,
+    )
+
+    state = _cc_state_staged(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="sgs_cc_retract_")
+    for entry in os.listdir(state):
+        if entry.startswith("serving"):
+            shutil.copytree(
+                os.path.join(state, entry), os.path.join(scratch, entry)
+            )
+    serving = os.path.join(scratch, "serving")
+    victims = _fan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).filter(F.col("doc_id") % 17 == 0)
+    fp_del = D.simhash_fingerprints(
+        victims, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+    )
+    with _stream_shuffle_partitions(spark):
+        components_retract_batch(fp_del, serving, id_col="doc_id", bits=60)
+    return (
+        spark.read.parquet(serving)
+        .filter(F.col("paired"))
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    )
+
+
 @_register(
     "shard_balance_stats",
     r"""

@@ -148,6 +148,36 @@ def _execute_manifest(serving_path: str, man: dict) -> None:
             dst = os.path.join(serving_path, f"{BUCKET_COL}={b}")
             if os.path.isdir(dst):
                 os.replace(dst, f"{serving_path}__old_{gen}_{b}")
+        # retractions also swap union-key stage partitions (anchor/comp0
+        # corrections + dead-unit removal) — same idempotent protocol
+        kp = serving_path + KEYS_SUFFIX
+        for b in man.get("keys_swap_buckets", []):
+            entry = f"{KEY_BUCKET_COL}={b}"
+            src = os.path.join(man["keys_tmp"], entry)
+            dst = os.path.join(kp, entry)
+            old = f"{serving_path}__old_{gen}_kb{b}"
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    os.replace(dst, old)
+                os.replace(src, dst)
+        for b in man.get("keys_drop_buckets", []):
+            dst = os.path.join(kp, f"{KEY_BUCKET_COL}={b}")
+            if os.path.isdir(dst):
+                os.replace(dst, f"{serving_path}__old_{gen}_kb{b}")
+        # retractions rewrite the merge journal: entries whose chain
+        # terminates in a re-solved component are dead for every
+        # surviving unit (all got direct comp0s) and DANGEROUS if their
+        # old label was resurrected as a split subset's new minimum
+        if man.get("journal_tmp") or man.get("journal_clear"):
+            jp = serving_path + JOURNAL_SUFFIX
+            jold = f"{serving_path}__old_{gen}_journal"
+            jt = man.get("journal_tmp")
+            if jt and os.path.isdir(jt):
+                if os.path.isdir(jp):
+                    os.replace(jp, jold)
+                os.replace(jt, jp)
+            elif man.get("journal_clear") and os.path.isdir(jp):
+                os.replace(jp, jold)
     keys_path = serving_path + KEYS_SUFFIX
     if man.get("n_key_buckets") and os.path.isdir(keys_path):
         _write_meta(keys_path, man["n_key_buckets"])
@@ -596,6 +626,350 @@ def components_upsert_batch(
         and len(journal_map) + n_jnew > compact_journal_above
     ):
         compact_components_stage(spark, serving_path)
+    return affected
+
+
+def components_retract_batch(
+    batch_df: DataFrame,
+    serving_path: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    bits: int = 32,
+    max_hamming: int = 8,
+    n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
+    n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+) -> list[int] | None:
+    """DELETE documents from the maintained dedup graph — the retraction
+    half of maintenance completeness (GDPR takedowns, licence pulls,
+    quality recalls). Deletion is strictly harder than ingest: removing a
+    bridge vertex SPLITS a component, which the insert-only merge journal
+    cannot express (a split maps one retired label to MANY successors,
+    and the successor depends on the anchor, not the label). The design
+    therefore rewrites the affected state directly, all of it pruned:
+
+    * the retraction record carries (id, source, sh) — the same
+      upstream-encode shape ingest uses. The fingerprint is what makes
+      the delete PRUNED: the unit's combo-0 stage key locates its staged
+      anchor/comp0 (one partition-pruned exact probe), the journal
+      resolves it to the CURRENT component, and bucket(comp) addresses
+      the serving rows — never a full scan by id. (An id-only retraction
+      API would need an id->comp index, a different storage trade.)
+    * survivors of the affected components are re-solved from scratch:
+      deletion never creates pairs and pairs never cross components, so
+      the remaining pair graph is confined to each affected component —
+      star + blocked cross edges among the survivors' units, merged with
+      the same driver-side union-find the ingest path uses (distributed
+      fallback past the cap). Splits, re-anchored labels, and
+      paired-flag flips (a survivor whose only pair died becomes
+      unpaired, component = own id) all fall out of the re-solve.
+    * the union-key stage is corrected in the same generation: dead
+      units' 45 key rows are removed, surviving units get their new
+      anchor (min surviving member — the re-solve's star target, so the
+      induction "anchor is connected to every member" is preserved for
+      future ingest batches) and their comp0 rewritten to the new label.
+      Only the key partitions those units hash into are swapped. Stale
+      journal entries whose targets were relabelled become unreachable
+      (every unit that could resolve through them just got a direct
+      comp0) and are dropped by the next compaction.
+
+    Serving buckets and key partitions swap under ONE crash manifest;
+    per-batch I/O scales with the retraction batch plus the components
+    it touches. Returns the serving bucket ids rewritten (None when
+    there is no state)."""
+    spark = batch_df.sparkSession
+    _recover_pending(serving_path)
+    if not os.path.isdir(serving_path):
+        return None
+    keys_path = serving_path + KEYS_SUFFIX
+    journal_path = serving_path + JOURNAL_SUFFIX
+    n_buckets = _table_buckets(serving_path, n_buckets)
+    n_key_buckets = _table_buckets(keys_path, n_key_buckets)
+    blocks = min(bits, max(10, max_hamming + 2))
+    dl = batch_df.select(
+        F.col(id_col).alias("__did"),
+        F.col(source_col).alias("__grp"),
+        F.col("sh").alias("__sh"),
+    ).localCheckpoint(eager=True)
+    del_rows = dl.collect()
+    if not del_rows:
+        return []
+    del_ids = {r["__did"] for r in del_rows}
+    journal_map = _read_journal(spark, journal_path)
+
+    def _term(c: int) -> int:
+        while c in journal_map:
+            c = journal_map[c]
+        return c
+
+    # 1. locate the deleted units' CURRENT components via their combo-0
+    #    stage key (identical fingerprints match every combo, so one
+    #    combo suffices for an exact probe) — partition-pruned
+    units_df = dl.select("__grp", "__sh").distinct()
+    k0 = D._block_union_keys(
+        units_df, "__sh", bits, blocks, max_hamming, ["__grp", "__sh"]
+    ).filter(F.col("combo_id") == 0)
+    kb0 = [
+        r["b"]
+        for r in k0.select(
+            _bucket_expr(["combo_id", "key_val"], n_key_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    staged = spark.read.parquet(keys_path)
+    hits = (
+        F.broadcast(k0.alias("p"))
+        .join(
+            staged.filter(
+                F.col(KEY_BUCKET_COL).isin(kb0) & (F.col("combo_id") == 0)
+            ).alias("s"),
+            on=[
+                F.col("p.__grp") == F.col("s.grp"),
+                F.col("p.key_val") == F.col("s.key_val"),
+                F.col("p.__sh") == F.col("s.sh"),
+            ],
+        )
+        .select("p.__grp", "p.__sh", "s.comp0")
+        .distinct()
+        .collect()
+    )
+    comps_old = {_term(r["comp0"]) for r in hits}
+    if not comps_old:
+        return []
+    buckets_old = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(c,) for c in comps_old], "c long")
+        .select(_bucket_expr(["c"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+
+    # 2. read the affected buckets (the files this generation replaces)
+    pruned = (
+        spark.read.parquet(serving_path)
+        .filter(F.col(BUCKET_COL).isin(buckets_old))
+        .select("id", "source", "sh", "comp", "paired")
+        .localCheckpoint(eager=True)
+    )
+    in_comps = F.col("comp").isin(list(comps_old))
+    survivors = pruned.filter(in_comps & ~F.col("id").isin(list(del_ids)))
+
+    # 3. re-solve the survivor subgraph: star onto per-unit min member +
+    #    blocked cross candidates WITHIN each old component
+    units_s = (
+        survivors.groupBy("comp", "source", F.col("sh").alias("__ush"))
+        .agg(F.min("id").alias("__rep"))
+        .localCheckpoint(eager=True)
+    )
+    star = (
+        survivors.alias("sv")
+        .join(
+            units_s.alias("u"),
+            on=[
+                F.col("sv.comp") == F.col("u.comp"),
+                F.col("sv.source") == F.col("u.source"),
+                F.col("sv.sh") == F.col("u.__ush"),
+            ],
+        )
+        .filter(F.col("sv.id") != F.col("u.__rep"))
+        .select(F.col("sv.id").alias("id_a"), F.col("u.__rep").alias("id_b"))
+    )
+    uk = D._block_union_keys(
+        units_s.select(
+            F.col("comp").alias("__c"),
+            F.col("source").alias("__grp"),
+            F.col("__ush").alias("__sh"),
+            "__rep",
+        ),
+        "__sh",
+        bits,
+        blocks,
+        max_hamming,
+        ["__c", "__grp", "__sh", "__rep"],
+    )
+    a, b = uk.alias("a"), uk.alias("b")
+    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).cast("int")
+    cross = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__c") == F.col("b.__c"),
+                F.col("a.__grp") == F.col("b.__grp"),
+                F.col("a.combo_id") == F.col("b.combo_id"),
+                F.col("a.key_val") == F.col("b.key_val"),
+                F.col("a.__sh") < F.col("b.__sh"),
+            ],
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col("a.__rep").alias("id_a"), F.col("b.__rep").alias("id_b"))
+        .distinct()
+    )
+    edge_rows = [
+        (r[0], r[1])
+        for r in star.unionByName(cross).take(MAX_LOCAL_MERGE_EDGES + 1)
+    ]
+    if len(edge_rows) <= MAX_LOCAL_MERGE_EDGES:
+        labels = minlabel_union_find(edge_rows)
+    else:  # pragma: no cover - pathological component size
+        from scylla_migrator_spark.analytics.components import (
+            connected_components,
+        )
+
+        ed = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+        labels = {
+            r["id"]: r["comp"]
+            for r in connected_components(ed, "id_a", "id_b").collect()
+        }
+    survivor_ids = [r["id"] for r in survivors.select("id").collect()]
+    new_comps = {labels.get(i, i) for i in survivor_ids}
+    buckets_new = (
+        {
+            r["b"]
+            for r in spark.createDataFrame([(c,) for c in new_comps], "c long")
+            .select(_bucket_expr(["c"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+        if new_comps
+        else set()
+    )
+    extra = sorted(buckets_new - set(buckets_old))
+    affected = sorted(set(buckets_old) | buckets_new)
+    pruned2 = (
+        spark.read.parquet(serving_path)
+        .filter(F.col(BUCKET_COL).isin(extra))
+        .select("id", "source", "sh", "comp", "paired")
+        .localCheckpoint(eager=True)
+        if extra
+        else None
+    )
+    lab_df = spark.createDataFrame(
+        list(labels.items()), "__lid long, __lc long"
+    )
+    relabelled = (
+        survivors.join(
+            F.broadcast(lab_df), survivors["id"] == lab_df["__lid"], "left_outer"
+        )
+        .select(
+            "id",
+            "source",
+            "sh",
+            F.coalesce("__lc", "id").alias("comp"),
+            F.col("__lid").isNotNull().alias("paired"),
+        )
+    )
+    rewritten = (
+        pruned.filter(~in_comps)  # same-bucket passthrough
+        .unionByName(relabelled)
+    )
+    if pruned2 is not None:
+        rewritten = rewritten.unionByName(pruned2)
+
+    gen = uuid.uuid4().hex[:8]
+    tmp = f"{serving_path}__gen_{gen}"
+    rewritten.withColumn(
+        BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+    ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
+    scratch = [tmp]
+    written = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tmp)
+        if e.startswith(f"{BUCKET_COL}=")
+    }
+
+    # 4. correct the union-key stage: every unit of an affected component
+    #    gets its post-delete anchor (min surviving member) and comp0;
+    #    fully-deleted units disappear. Only their key partitions swap.
+    corrected_units = (
+        survivors.groupBy(
+            F.col("source").alias("__grp"), F.col("sh").alias("__sh")
+        )
+        .agg(F.min("id").alias("__anchor"))
+        .join(
+            F.broadcast(lab_df),
+            F.col("__anchor") == lab_df["__lid"],
+            "left_outer",
+        )
+        .select(
+            "__grp", "__sh", "__anchor",
+            F.coalesce("__lc", "__anchor").alias("__comp0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched_units = (
+        corrected_units.select("__grp", "__sh")
+        .unionByName(units_df)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tk = D._block_union_keys(
+        touched_units, "__sh", bits, blocks, max_hamming, ["__grp", "__sh"]
+    )
+    kb_aff = sorted(
+        r["b"]
+        for r in tk.select(
+            _bucket_expr(["combo_id", "key_val"], n_key_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    keep_keys = (
+        staged.filter(F.col(KEY_BUCKET_COL).isin(kb_aff))
+        .alias("s")
+        .join(
+            F.broadcast(
+                touched_units.select(
+                    F.col("__grp").alias("grp"), F.col("__sh").alias("sh")
+                )
+            ),
+            ["grp", "sh"],
+            "left_anti",
+        )
+    )
+    new_keys = D.staged_union_keys(
+        corrected_units, bits, blocks, max_hamming
+    ).withColumn(
+        KEY_BUCKET_COL, _bucket_expr(["combo_id", "key_val"], n_key_buckets)
+    ).filter(F.col(KEY_BUCKET_COL).isin(kb_aff))
+    tmp_keys = f"{serving_path}__gen_{gen}_keys"
+    keep_keys.select(
+        "grp", "combo_id", "key_val", "sh", "anchor", "comp0", KEY_BUCKET_COL
+    ).unionByName(new_keys).repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
+        KEY_BUCKET_COL
+    ).parquet(tmp_keys)
+    scratch.append(tmp_keys)
+    keys_written = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tmp_keys)
+        if e.startswith(f"{KEY_BUCKET_COL}=")
+    }
+    kept_journal = [
+        [x, y] for x, y in journal_map.items() if _term(x) not in comps_old
+    ]
+    man = {
+        "kind": "swap",
+        "gen": gen,
+        "tmp": tmp,
+        "swap_buckets": sorted(written & set(affected)),
+        "drop_buckets": sorted(set(affected) - written),
+        "keys_tmp": tmp_keys,
+        "keys_swap_buckets": sorted(keys_written & set(kb_aff)),
+        "keys_drop_buckets": sorted(set(kb_aff) - keys_written),
+        "file_moves": [],
+        "scratch": scratch,
+    }
+    if len(kept_journal) != len(journal_map):
+        if kept_journal:
+            tmp_journal = f"{serving_path}__gen_{gen}_journal"
+            spark.createDataFrame(
+                kept_journal, "old long, new long"
+            ).coalesce(1).write.parquet(tmp_journal)
+            scratch.append(tmp_journal)
+            man["journal_tmp"] = tmp_journal
+        else:
+            man["journal_clear"] = True
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
     return affected
 
 

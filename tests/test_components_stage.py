@@ -244,6 +244,111 @@ def test_auto_compaction_threshold(spark, tmp_path):
         assert _served(spark, serving) == _full_labelling(spark, seen)
 
 
+def _retract(spark, serving, rows, **kw):
+    bdf = spark.createDataFrame(rows, "doc_id long, source string, sh long")
+    return CC.components_retract_batch(bdf, serving, id_col="doc_id", **kw)
+
+
+def test_retract_bridge_splits_component(spark, tmp_path):
+    """Deleting a bridge vertex SPLITS its component — the case the
+    insert-only merge journal cannot express; the retraction path must
+    re-solve the survivor subgraph and leave exactly the full-recompute
+    labelling over the remaining corpus."""
+    serving = str(tmp_path / "serving")
+    a, b = 0b0, 0b11110000                     # ham(a,b)=4
+    c = b ^ 0b1111000000000000                  # ham(b,c)=4, ham(a,c)=8
+    d = c ^ 0b111100000000000000000000          # ham(c,d)=4, ham(b,d)=8, ham(a,d)=12
+    far = 0x7FFFFFFF  # >= 19 bits from every chain member
+    rows = [(1, "s", a), (2, "s", b), (3, "s", c), (4, "s", d), (9, "s", far)]
+    _upsert(spark, serving, rows)
+    assert _served(spark, serving) == _full_labelling(spark, rows)
+    # delete doc 2 and 3: {1} and {4} separate; 1 still pairs with... a~c
+    # gone, a~d ham=12 no -> 1 and 4 become unpaired singletons
+    _retract(spark, serving, [(2, "s", b), (3, "s", c)])
+    remaining = [(1, "s", a), (4, "s", d), (9, "s", far)]
+    assert _served(spark, serving) == _full_labelling(spark, remaining)
+    rows_now = {
+        r["id"]: (r["comp"], r["paired"])
+        for r in spark.read.parquet(serving).collect()
+    }
+    assert set(rows_now) == {1, 4, 9}
+    assert rows_now[1] == (1, False) and rows_now[4] == (4, False)
+
+
+def test_retract_partial_split_keeps_subclusters(spark, tmp_path):
+    """A 5-vertex path loses its middle: the two remaining 2-vertex ends
+    must stay paired with their own min-label, not the old component's."""
+    serving = str(tmp_path / "serving")
+    f0 = 0
+    fps = [f0]
+    for i in range(4):
+        # ham(i,i+1)=5, ham(i,i+2)=10 > 8: ONLY consecutive docs pair
+        fps.append(fps[-1] ^ (0b11111 << (5 * i)))
+    # chain 10-11-12-13-14
+    rows = [(10 + i, "s", fps[i]) for i in range(5)]
+    _upsert(spark, serving, rows)
+    _retract(spark, serving, [(12, "s", fps[2])])
+    remaining = [r for r in rows if r[0] != 12]
+    assert _served(spark, serving) == _full_labelling(spark, remaining)
+    got = {r["id"]: r["comp"] for r in spark.read.parquet(serving).filter("paired").collect()}
+    assert got == {10: 10, 11: 10, 13: 13, 14: 13}
+
+
+def test_retract_then_ingest_keeps_invariants(spark, tmp_path):
+    """After a retraction the stage's anchors/comp0 must still satisfy
+    the ingest induction: deleting a unit's ANCHOR re-anchors the unit
+    (future members join the right component), and a fully-deleted unit
+    must not ghost-pair future docs with its dead anchor."""
+    serving = str(tmp_path / "serving")
+    u = 0b1010101
+    f20 = 0xFFFF0000  # ham(u, f20)=20, ham(u, f20^3)=20 — genuinely far
+    rows1 = [(5, "s", u), (9, "s", u), (20, "s", f20), (21, "s", f20 ^ 3)]
+    _upsert(spark, serving, rows1)
+    # delete the anchor (min member 5) of the identical-fp unit
+    _retract(spark, serving, [(5, "s", u)])
+    live = [r for r in rows1 if r[0] != 5]
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    # new member of the re-anchored unit joins 9's component
+    rows2 = [(12, "s", u)]
+    _upsert(spark, serving, rows2)
+    live += rows2
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    # now delete the ENTIRE unit; a later doc with the same fingerprint
+    # must form a fresh singleton-unit component, never pair with ghosts
+    _retract(spark, serving, [(9, "s", u), (12, "s", u)])
+    live = [r for r in live if r[0] not in (9, 12)]
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    rows3 = [(30, "s", u)]
+    _upsert(spark, serving, rows3)
+    live += rows3
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    final = {r["id"]: r["paired"] for r in spark.read.parquet(serving).collect()}
+    assert final[30] is False  # no surviving near-dups -> unpaired
+
+
+def test_retract_after_merge_history(spark, tmp_path):
+    """Retraction on a state whose components grew through several
+    journaled merges: the combo-0 probe + journal chain must locate the
+    CURRENT component, and the post-delete comp0 rewrite must leave
+    future batches consistent (stale journal entries unreachable)."""
+    serving = str(tmp_path / "serving")
+    fam = 0b11110000
+    seq = [[(10, "s", fam), (11, "s", fam)], [(5, "s", fam ^ 1)], [(3, "s", fam ^ 2)]]
+    live = []
+    for rows in seq:
+        live += rows
+        _upsert(spark, serving, rows)
+    # comps now labelled 3 via chain 10->5->3; delete doc 3 (the label!)
+    _retract(spark, serving, [(3, "s", fam ^ 2)])
+    live = [r for r in live if r[0] != 3]
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    # keep ingesting: unit (s, fam)'s comp0 was rewritten, not journaled
+    rows = [(2, "s", fam ^ 4)]
+    _upsert(spark, serving, rows)
+    live += rows
+    assert _served(spark, serving) == _full_labelling(spark, live)
+
+
 def test_staged_probe_closure_equals_all_pairs_touching(spark):
     """dedup-level contract: closure(prior labelling + staged-probe
     edges) == closure(ALL hamming<=8 pairs) when every state unit is
