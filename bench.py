@@ -421,6 +421,11 @@ def main() -> None:
             Q._query_pairs_staged(spark, sf_dir, leg).count()
         except Exception as exc:  # noqa: BLE001
             print(f"BENCHMARK_WARNING | stage_warm=qpairs:{leg} err={exc!r:.200}", file=sys.stderr)
+    # the retraction row's pre-delete state (a path stage, not a frame)
+    try:
+        Q._cc_state_staged(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCHMARK_WARNING | stage_warm=_cc_state_staged err={exc!r:.200}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -275,6 +275,46 @@ def run_pipelines(
 
     record("stream_components_update", n_docs, stream_components)
 
+    # retraction: state built UNTIMED (it exists in production); the
+    # pipeline times only the delete batch — probe + per-component
+    # re-solve + bucket/key-partition swaps
+    if not only or any(s in "components_retract_rebalance" for s in only):
+        import shutil
+        import tempfile
+
+        from scylla_migrator_spark.streaming.components_cdc import (
+            components_retract_batch,
+            components_upsert_batch,
+        )
+
+        fp60 = D.simhash_fingerprints(
+            docs, "text", "doc_id", carry_cols=["source"], bits=60, hash_hex=15
+        ).localCheckpoint(eager=True)
+        rroot = tempfile.mkdtemp(prefix="sgs_curve_retract_")
+        rserving = os.path.join(rroot, "serving")
+        components_upsert_batch(
+            fp60.filter(F.col("doc_id") % 2 == 0), rserving,
+            id_col="doc_id", bits=60,
+        )
+        components_upsert_batch(
+            fp60.filter(F.col("doc_id") % 2 == 1), rserving,
+            id_col="doc_id", bits=60,
+        )
+
+        def retract_components() -> int:
+            components_retract_batch(
+                fp60.filter(F.col("doc_id") % 17 == 0), rserving,
+                id_col="doc_id", bits=60,
+            )
+            return (
+                docs.sparkSession.read.parquet(rserving)
+                .filter(F.col("paired"))
+                .count()
+            )
+
+        record("components_retract_rebalance", n_docs, retract_components)
+        shutil.rmtree(rroot, ignore_errors=True)
+
     record(
         "ngram_jaccard_capped_pairs",
         n_docs,
