@@ -1018,6 +1018,62 @@ def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
     return len(mp)
 
 
+def components_cdc_stream(
+    stream: DataFrame,
+    serving_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    op_col: str = "op",
+    bits: int = 32,
+    max_hamming: int = 8,
+    n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
+    n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+    compact_journal_above: int | None = None,
+):
+    """Drive a MIXED insert/delete CDC feed into the maintained component
+    table: rows with ``op == 'delete'`` retract, everything else ingests
+    (the upstream-encode shape — every record carries its fingerprint).
+    Within a micro-batch, ingests apply before retractions, so a
+    same-batch insert+delete nets to absence and a delete+reinsert
+    across batches round-trips. Returns the started query."""
+
+    def body(bdf: DataFrame, _bid: int) -> None:
+        ups = bdf.filter(F.col(op_col) != "delete").drop(op_col)
+        dels = bdf.filter(F.col(op_col) == "delete").drop(op_col)
+        if not ups.isEmpty():
+            components_upsert_batch(
+                ups,
+                serving_path,
+                id_col=id_col,
+                source_col=source_col,
+                bits=bits,
+                max_hamming=max_hamming,
+                n_buckets=n_buckets,
+                n_key_buckets=n_key_buckets,
+                compact_journal_above=compact_journal_above,
+            )
+        if not dels.isEmpty():
+            components_retract_batch(
+                dels,
+                serving_path,
+                id_col=id_col,
+                source_col=source_col,
+                bits=bits,
+                max_hamming=max_hamming,
+                n_buckets=n_buckets,
+                n_key_buckets=n_key_buckets,
+            )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(body)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_components_stream(
     stream: DataFrame,
     serving_path: str,

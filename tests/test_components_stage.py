@@ -349,6 +349,51 @@ def test_retract_after_merge_history(spark, tmp_path):
     assert _served(spark, serving) == _full_labelling(spark, live)
 
 
+def test_components_cdc_stream_mixed_ops(spark, tmp_path):
+    """The CDC driver: a mixed insert/delete feed replayed as two
+    micro-batches — same-batch insert+delete nets to absence, a
+    cross-batch delete splits, and the final labelling equals the full
+    recompute over the net-live rows."""
+    import os
+    import tempfile
+
+    serving = str(tmp_path / "serving")
+    f0 = 0
+    fps = [f0]
+    for i in range(4):
+        fps.append(fps[-1] ^ (0b11111 << (5 * i)))  # consecutive-only pairs
+    batch1 = [(10 + i, "s", fps[i], "upsert") for i in range(5)]
+    # batch 2: extend the chain, delete the middle (12) AND a same-batch
+    # insert+delete (99)
+    batch2 = [
+        (15, "s", fps[4] ^ (0b11111 << 20), "upsert"),
+        (99, "s", 0x3FFFFFFF, "upsert"),
+        (99, "s", 0x3FFFFFFF, "delete"),
+        (12, "s", fps[2], "delete"),
+    ]
+    stage = str(tmp_path / "feed")
+    schema = "doc_id long, source string, sh long, op string"
+    for tag, rows in (("0", batch1), ("1", batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(stage, tag)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/*")
+    )
+    q = CC.components_cdc_stream(
+        stream, serving, tempfile.mkdtemp(prefix="cdc_ckpt_")
+    )
+    q.awaitTermination()
+    live = [(10 + i, "s", fps[i]) for i in range(5) if i != 2] + [
+        (15, "s", fps[4] ^ (0b11111 << 20))
+    ]
+    assert _served(spark, serving) == _full_labelling(spark, live)
+    ids = {r["id"] for r in spark.read.parquet(serving).collect()}
+    assert 99 not in ids and 12 not in ids
+
+
 def test_staged_probe_closure_equals_all_pairs_touching(spark):
     """dedup-level contract: closure(prior labelling + staged-probe
     edges) == closure(ALL hamming<=8 pairs) when every state unit is
