@@ -638,6 +638,7 @@ def components_retract_batch(
     max_hamming: int = 8,
     n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
     n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+    metrics: dict | None = None,
 ) -> list[int] | None:
     """DELETE documents from the maintained dedup graph — the retraction
     half of maintenance completeness (GDPR takedowns, licence pulls,
@@ -970,6 +971,12 @@ def components_retract_batch(
             man["journal_clear"] = True
     _write_manifest(serving_path, man)
     _execute_manifest(serving_path, man)
+    if metrics is not None:
+        metrics["probe_kbs"] = sorted(kb0)
+        metrics["buckets_old"] = list(buckets_old)
+        metrics["affected_buckets"] = affected
+        metrics["keys_partitions_rewritten"] = kb_aff
+        metrics["n_survivor_edges"] = len(edge_rows)
     return affected
 
 

@@ -349,6 +349,38 @@ def test_retract_after_merge_history(spark, tmp_path):
     assert _served(spark, serving) == _full_labelling(spark, live)
 
 
+def test_retract_scan_is_bucket_pruned(spark, tmp_path):
+    """Retraction's scan contract: deleting one doc touches only its
+    component's serving bucket(s) and the key partitions its unit's keys
+    hash into — never the full state (the combo-0 probe + bucket(comp)
+    addressing)."""
+    import random
+
+    serving = str(tmp_path / "serving")
+    random.seed(31)
+    fps: list[int] = []
+    while len(fps) < 40:
+        v = random.getrandbits(32)
+        if all(bin(v ^ w).count("1") >= 12 for w in fps):
+            fps.append(v)
+    rows = [(i + 1, "s", fps[i]) for i in range(40)]
+    rows.append((100, "s", fps[0] ^ 1))  # pairs with doc 1
+    _upsert(spark, serving, rows, n_key_buckets=64)
+    n_serving_buckets = len(
+        [e for e in os.listdir(serving) if e.startswith(f"{CC.BUCKET_COL}=")]
+    )
+    m: dict = {}
+    _retract(spark, serving, [(100, "s", fps[0] ^ 1)], metrics=m)
+    assert 0 < len(m["buckets_old"]) < n_serving_buckets
+    # combo-0 probe of ONE deleted unit: a single key partition
+    assert len(m["probe_kbs"]) == 1
+    # keys rewrite bounded by TOUCHED units' keys (2 units x 45), never
+    # the full stage (41 units x 45)
+    assert 0 < len(m["keys_partitions_rewritten"]) <= 90
+    live = rows[:-1]
+    assert _served(spark, serving) == _full_labelling(spark, live)
+
+
 def test_components_cdc_stream_mixed_ops(spark, tmp_path):
     """The CDC driver: a mixed insert/delete feed replayed as two
     micro-batches — same-batch insert+delete nets to absence, a
