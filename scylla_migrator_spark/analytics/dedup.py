@@ -1347,6 +1347,12 @@ def staged_union_keys(
     (grp, combo_id, key_val, sh, anchor, comp0). The writer partitions by
     ``pmod(xxhash64(combo_id, key_val), n_key_buckets)`` so probes can
     prune; this helper only produces the rows."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"need blocks > max_hamming (got {blocks} <= {max_hamming})"
+        )
+    if blocks > bits:
+        raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
     keys = _block_union_keys(
         units, "__sh", bits, blocks, max_hamming,
         ["__grp", "__sh", "__anchor", "__comp0"],

@@ -677,6 +677,13 @@ def components_retract_batch(
     per-batch I/O scales with the retraction batch plus the components
     it touches. Returns the serving bucket ids rewritten (None when
     there is no state)."""
+    if "sh" not in batch_df.columns:
+        raise ValueError(
+            "retraction records must carry the 'sh' fingerprint (the "
+            "upstream-encode shape): it is what locates the unit's stage "
+            "keys and component bucket without a full scan — an id-only "
+            "delete API would need an id->comp index"
+        )
     spark = batch_df.sparkSession
     _recover_pending(serving_path)
     if not os.path.isdir(serving_path):
@@ -1044,6 +1051,9 @@ def components_cdc_stream(
     Within a micro-batch, ingests apply before retractions, so a
     same-batch insert+delete nets to absence and a delete+reinsert
     across batches round-trips. Returns the started query."""
+
+    if op_col not in stream.columns:
+        raise ValueError(f"CDC stream must carry an {op_col!r} column")
 
     def body(bdf: DataFrame, _bid: int) -> None:
         ups = bdf.filter(F.col(op_col) != "delete").drop(op_col)

@@ -349,6 +349,31 @@ def test_retract_after_merge_history(spark, tmp_path):
     assert _served(spark, serving) == _full_labelling(spark, live)
 
 
+def test_maintenance_input_guards(spark, tmp_path):
+    """Guard-rail pins: the retraction contract (fingerprint required),
+    the CDC op column, and staged_union_keys' block geometry all fail
+    FAST with actionable messages instead of deep AnalysisExceptions."""
+    serving = str(tmp_path / "serving")
+    _upsert(spark, serving, [(1, "s", 7)])
+    no_sh = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="sh"):
+        CC.components_retract_batch(no_sh, serving, id_col="doc_id")
+    with pytest.raises(ValueError, match="op"):
+        CC.components_cdc_stream(
+            spark.readStream.schema("doc_id long, source string, sh long")
+            .parquet(serving),
+            serving,
+            str(tmp_path / "ckpt"),
+        )
+    units = spark.createDataFrame(
+        [("s", 7, 1, 1)], "__grp string, __sh long, __anchor long, __comp0 long"
+    )
+    with pytest.raises(ValueError, match="blocks"):
+        D.staged_union_keys(units, bits=32, blocks=8, max_hamming=8)
+    with pytest.raises(ValueError, match="blocks"):
+        D.staged_union_keys(units, bits=8, blocks=10, max_hamming=4)
+
+
 def test_retract_scan_is_bucket_pruned(spark, tmp_path):
     """Retraction's scan contract: deleting one doc touches only its
     component's serving bucket(s) and the key partitions its unit's keys
