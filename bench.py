@@ -151,6 +151,7 @@ HEADLINE = [
     "incremental_components_update",
     "stream_components_update",
     "components_retract_rebalance",
+    "components_cdc_replay",
     "shard_balance_stats",
     "daily_volume_autocorr",
     "near_dup_under_duplication",

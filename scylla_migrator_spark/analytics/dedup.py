@@ -698,34 +698,52 @@ def _block_union_keys(
     useless buckets. blocks=10, h=8 → 45 probe tables keyed on ~6-7 bit
     unions; one explode, one shuffle on the key.
 
-    Output: (carry_cols..., combo_id, key_val)."""
-    k = blocks - max_hamming
-    base_w, rem = divmod(bits, blocks)
-    widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
-    offsets: list[int] = []
-    off = 0
-    for w in widths:
-        offsets.append(off)
-        off += w
+    Output: (carry_cols..., combo_id, key_val).
 
-    def block_val(i: int) -> Column:
-        return F.shiftright(F.col(sh_col), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
+    The C(blocks, k)-combo expression forest is ~600 expression nodes
+    built through one py4j round-trip each — measured 1-3 s of pure
+    driver-side plan construction PER CALL at micro-batch cadence (the
+    r10 verdict's fixed-cost finding). The tree is a pure function of
+    (sh_col, bits, blocks, max_hamming), so it is built ONCE per
+    SparkContext and reused by every subsequent batch (cache keyed on
+    the live context object: a restarted context rebuilds)."""
+    sc = units.sparkSession.sparkContext
+    cache = getattr(sc, "_sgs_union_key_exprs", None)
+    if cache is None:
+        cache = {}
+        sc._sgs_union_key_exprs = cache
+    ckey = (sh_col, bits, blocks, max_hamming)
+    expr = cache.get(ckey)
+    if expr is None:
+        k = blocks - max_hamming
+        base_w, rem = divmod(bits, blocks)
+        widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
+        offsets: list[int] = []
+        off = 0
+        for w in widths:
+            offsets.append(off)
+            off += w
 
-    structs = []
-    for j, combo in enumerate(combinations(range(blocks), k)):
-        key: Column | None = None
-        for i in combo:
-            bv = block_val(i)
-            key = bv if key is None else key * F.lit(1 << widths[i]) + bv
-        structs.append(
-            F.struct(
-                F.lit(j).alias("combo_id"), key.cast("long").alias("key_val")
+        def block_val(i: int) -> Column:
+            return F.shiftright(F.col(sh_col), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
             )
-        )
+
+        structs = []
+        for j, combo in enumerate(combinations(range(blocks), k)):
+            key: Column | None = None
+            for i in combo:
+                bv = block_val(i)
+                key = bv if key is None else key * F.lit(1 << widths[i]) + bv
+            structs.append(
+                F.struct(
+                    F.lit(j).alias("combo_id"), key.cast("long").alias("key_val")
+                )
+            )
+        expr = F.explode(F.array(*structs))
+        cache[ckey] = expr
     return units.select(
-        *[F.col(c) for c in carry_cols], F.explode(F.array(*structs)).alias("kk")
+        *[F.col(c) for c in carry_cols], expr.alias("kk")
     ).select(*carry_cols, "kk.combo_id", "kk.key_val")
 
 

@@ -13584,11 +13584,21 @@ def components_retract_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _cc_state_staged(spark, sf_dir)
     scratch = tempfile.mkdtemp(prefix="sgs_cc_retract_")
+    # hardlink the scratch copy: the staged parquet files are immutable
+    # (maintenance swaps whole directories, never appends in place), so
+    # the mutable working set costs O(#files) directory entries, not a
+    # byte copy — the timed body measures retraction work, not copytree
+    # (r10 verdict hygiene item). Cross-device fallback copies for real.
+    def _link_tree(src: str, dst: str) -> None:
+        try:
+            shutil.copytree(src, dst, copy_function=os.link)
+        except OSError:
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+
     for entry in os.listdir(state):
         if entry.startswith("serving"):
-            shutil.copytree(
-                os.path.join(state, entry), os.path.join(scratch, entry)
-            )
+            _link_tree(os.path.join(state, entry), os.path.join(scratch, entry))
     serving = os.path.join(scratch, "serving")
     victims = _fan(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -13598,6 +13608,81 @@ def components_retract_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_shuffle_partitions(spark):
         components_retract_batch(fp_del, serving, id_col="doc_id", bits=60)
+    return (
+        spark.read.parquet(serving)
+        .filter(F.col("paired"))
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    )
+
+
+@_register(
+    "components_cdc_replay",
+    # net-live wide closure over doc_id % 17 != 0 — the surviving corpus
+    # after the mixed feed below nets out (same remaining set as the
+    # retraction row, so the oracle is that row's recursive closure)
+    ORACLES["components_retract_rebalance"],
+)
+def components_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED insert/delete CDC maintenance end to end
+    (streaming/components_cdc.components_cdc_stream): one op-tagged feed
+    replayed as two micro-batches — batch 1 ingests the even half of the
+    corpus; batch 2 ingests the odd half AND retracts every doc_id % 17
+    == 0 in the same micro-batch. That interleaving exercises the full
+    lifecycle under the driver's value-hash gate: mid-chain deletes of
+    batch-1 documents (component SPLITS against served state), same-batch
+    insert-then-delete (odd % 17 docs must net to absence), and the
+    upsert→retract ordering contract. The oracle is the full recursive
+    closure over the NET-LIVE corpus (doc_id % 17 != 0) — the maintained
+    graph must be indistinguishable from a batch recompute over what
+    remains. Per-batch I/O follows the maintenance scan contract
+    (staged-key probe, bucket-pruned swaps, one crash manifest per
+    generation; at-least-once replays no-op via the batch marker)."""
+    import os
+    import tempfile
+    import uuid
+
+    from scylla_migrator_spark.streaming.components_cdc import (
+        components_cdc_stream,
+    )
+
+    fp = D.simhash_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "text",
+        "doc_id",
+        carry_cols=["source"],
+        bits=60,
+        hash_hex=15,
+    )
+    ups = fp.select("doc_id", "source", "sh", F.lit("upsert").alias("op"))
+    dels = fp.select("doc_id", "source", "sh", F.lit("delete").alias("op"))
+    stage = os.path.join(
+        "/tmp", f"sgs_doccdc60_feed_{_stage_tag(sf_dir, 'documents')}"
+    )
+    stage = _publish_stage(
+        stage,
+        lambda tmp: _write_half_files(
+            tmp,
+            [
+                ("0", ups.filter(F.col("doc_id") % 2 == 0)),
+                (
+                    "1",
+                    ups.filter(F.col("doc_id") % 2 == 1).unionByName(
+                        dels.filter(F.col("doc_id") % 17 == 0)
+                    ),
+                ),
+            ],
+        ),
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    serving = tempfile.mkdtemp(prefix="sgs_cdc_") + f"/serving_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = components_cdc_stream(
+            stream, serving, tempfile.mkdtemp(prefix="sgs_cdc_ckpt_"), bits=60
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(serving)
         .filter(F.col("paired"))

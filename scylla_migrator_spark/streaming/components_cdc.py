@@ -76,6 +76,7 @@ from scylla_migrator_spark.streaming.rollup import (
     _bucket_expr,
     _table_buckets,
     _write_meta,
+    bucket_of_long,
 )
 
 DEFAULT_COMPONENT_BUCKETS = 16  # fixture scale; thousands at 100 TB
@@ -87,10 +88,85 @@ MAX_LOCAL_MERGE_EDGES = 5_000_000
 KEYS_SUFFIX = "_keys"
 JOURNAL_SUFFIX = "_journal"
 KEY_BUCKET_COL = "__kb"
+_GEOMETRY_FILE = "_geometry.json"
+
+
+# run a generation's independent parquet writes (keys append / serving
+# rewrite) concurrently; module-level so an A/B (or a deployment whose
+# scheduler penalizes concurrent jobs) can flip it
+PARALLEL_COMMIT_WRITES = True
+
+
+def _run_writes(*fns) -> None:
+    if not PARALLEL_COMMIT_WRITES or len(fns) == 1:
+        for f in fns:
+            f()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+        futs = [ex.submit(f) for f in fns]
+        for fu in futs:
+            fu.result()
 
 
 def _pending_path(serving_path: str) -> str:
     return serving_path + "__pending.json"
+
+
+def _applied_path(serving_path: str) -> str:
+    return serving_path + "__applied.json"
+
+
+def read_applied_marker(serving_path: str) -> dict | None:
+    """The last streaming batch the maintainers COMMITTED, written
+    atomically with the generation's manifest: ``{"batch_id": ...,
+    "steps": ["upsert", ...]}``. foreachBatch is at-least-once — a crash
+    after the generation commits but before the streaming checkpoint
+    commits replays the same batch, and replaying
+    ``components_upsert_batch`` would append its rows a second time. The
+    CDC drivers consult this marker and no-op steps a replayed batch
+    already applied (the manifest protocol makes a generation atomic;
+    the marker makes it idempotent per batch id)."""
+    ap = _applied_path(serving_path)
+    if not os.path.exists(ap):
+        return None
+    with open(ap) as f:
+        return json.load(f)
+
+
+def _write_applied(serving_path: str, marker: dict) -> None:
+    ap = _applied_path(serving_path)
+    tmp = ap + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, ap)
+
+
+def _check_geometry(
+    keys_path: str, bits: int, blocks: int, max_hamming: int
+) -> None:
+    """The stage's key layout is a pure function of (bits, blocks,
+    max_hamming): a batch probing with a DIFFERENT geometry derives
+    mismatched (combo_id, key_val) keys, silently matches nothing, and
+    mislabels — the failure class ``_table_buckets`` exists to prevent
+    for the bucket modulus, applied to the block structure. The geometry
+    is pinned in the keys-table meta at creation and validated on every
+    upsert/retract."""
+    gp = os.path.join(keys_path, _GEOMETRY_FILE)
+    if not os.path.exists(gp):
+        return  # pre-geometry layout: pinned by the next committed batch
+    with open(gp) as f:
+        g = json.load(f)
+    ours = {"bits": bits, "blocks": blocks, "max_hamming": max_hamming}
+    if g != ours:
+        raise ValueError(
+            f"union-key stage at {keys_path} was created with geometry "
+            f"{g} but this batch probes with {ours}: the (combo_id, "
+            "key_val) keys would not line up, so the probe would silently "
+            "match nothing and mislabel. Call with the original geometry, "
+            "or rebuild the stage (rebuild_components_stage)."
+        )
 
 
 def _move_part_files(src_dir: str, dst_dir: str) -> list[list[str]]:
@@ -181,6 +257,19 @@ def _execute_manifest(serving_path: str, man: dict) -> None:
     keys_path = serving_path + KEYS_SUFFIX
     if man.get("n_key_buckets") and os.path.isdir(keys_path):
         _write_meta(keys_path, man["n_key_buckets"])
+    # geometry pin (once, at stage creation) and the applied-batch marker
+    # commit INSIDE the manifest: a crash anywhere in this protocol rolls
+    # forward to a state where the generation AND its marker are visible
+    # together — never a committed generation a replayed batch re-applies
+    if man.get("geometry") and os.path.isdir(keys_path):
+        gp = os.path.join(keys_path, _GEOMETRY_FILE)
+        if not os.path.exists(gp):
+            gt = gp + ".tmp"
+            with open(gt, "w") as f:
+                json.dump(man["geometry"], f)
+            os.replace(gt, gp)
+    if man.get("applied_marker"):
+        _write_applied(serving_path, man["applied_marker"])
     # cleanup: displaced generations + scratch dirs, then the manifest
     parent = os.path.dirname(serving_path) or "."
     base = os.path.basename(serving_path)
@@ -275,6 +364,7 @@ def components_upsert_batch(
     n_key_buckets: int = DEFAULT_KEY_BUCKETS,
     compact_journal_above: int | None = None,
     metrics: dict | None = None,
+    applied_marker: dict | None = None,
 ) -> list[int] | None:
     """foreachBatch body: fold one micro-batch of documents into the served
     (id, source, sh, comp, paired) component table plus its union-key
@@ -349,9 +439,20 @@ def components_upsert_batch(
     staged = None
     if have_state:
         n_buckets = _table_buckets(serving_path, n_buckets)
-        if os.path.isdir(keys_path):
-            n_key_buckets = _table_buckets(keys_path, n_key_buckets)
-            staged = spark.read.parquet(keys_path)
+        if not os.path.isdir(keys_path):
+            # probing an absent stage would treat EVERY batch unit as new
+            # (no batch-x-state edges, self-labelled appends) — silent
+            # mislabelling of the maintained graph, not a degraded mode
+            raise ValueError(
+                f"serving table {serving_path} exists but its union-key "
+                f"stage {keys_path} is missing (pre-stage on-disk format, "
+                "or a lost/renamed keys dir). Rebuild it with "
+                "rebuild_components_stage(spark, serving_path, ...) "
+                "before ingesting further batches."
+            )
+        n_key_buckets = _table_buckets(keys_path, n_key_buckets)
+        _check_geometry(keys_path, bits, blocks, max_hamming)
+        staged = spark.read.parquet(keys_path)
     pr = D.simhash_staged_probe(
         fp_b,
         staged,
@@ -398,12 +499,17 @@ def components_upsert_batch(
         ]
         # batch comps, driver-side: a batch vertex's label is its merged
         # target or itself — no Spark pass over batch_rows just to
-        # enumerate the touched components
-        batch_ids = [r["id"] for r in fp_b.select("id").collect()]
-        affected_vals = (
-            set(merged_map) | set(merged_map.values())
-            | {merged_map.get(i, i) for i in batch_ids}
-        )
+        # enumerate the touched components. Only the incremental path
+        # needs them: the first generation writes every bucket, so a
+        # full initial load must not pay a driver collect of its ids
+        if have_state:
+            batch_ids = [r["id"] for r in fp_b.select("id").collect()]
+            affected_vals = (
+                set(merged_map) | set(merged_map.values())
+                | {merged_map.get(i, i) for i in batch_ids}
+            )
+        else:
+            affected_vals = None
     else:
         edges = pr.edges.localCheckpoint(eager=True)
         base = _resolve_labels(pr.anchor_labels, spark, journal_map)
@@ -454,16 +560,23 @@ def components_upsert_batch(
     gen = uuid.uuid4().hex[:8]
     tmp_keys = f"{serving_path}__gen_{gen}_keys"
     _mark("plan_keys")
-    # no repartition for the per-batch append: a batch's key rows are
-    # batch-sized and the table layout is by DIRECTORY — dynamic
-    # partitioned write from the (few) batch partitions skips a shuffle;
-    # compact_components_stage re-clusters file counts when it runs
-    new_keys.write.partitionBy(KEY_BUCKET_COL).parquet(tmp_keys)
-    _mark("keys_write")
-    file_moves = _move_part_files(tmp_keys, keys_path)
+
+    def _write_keys() -> None:
+        # the table layout is by DIRECTORY, so the per-batch append skips
+        # a shuffle; incremental appends additionally coalesce to 2 tasks
+        # (batch-sized rows) so each generation adds O(touched buckets)
+        # files, not O(batch partitions x buckets) — at micro-batch
+        # cadence the stage's FILE COUNT is what later probes pay for;
+        # compact_components_stage re-clusters when it runs. The first
+        # (corpus-sized) generation keeps its parallelism.
+        nk = new_keys.coalesce(2) if have_state else new_keys
+        nk.write.partitionBy(KEY_BUCKET_COL).parquet(tmp_keys)
+
+    file_moves: list[list[str]] = []
     scratch = [tmp_keys]
     # journal append: only genuine merge EVENTS (a pre-batch current comp
     # remapped) — new-vertex contractions never anchor a stale comp0
+    tmp_journal = f"{serving_path}__gen_{gen}_journal"
     if jnew_rows is None:
         jnew = (
             merged.filter(F.col("__mid") != F.col("__mc"))
@@ -476,16 +589,28 @@ def components_upsert_batch(
             .localCheckpoint(eager=True)
         )
         n_jnew = jnew.count()
+        if n_jnew > 0:
+            jnew.coalesce(1).write.parquet(tmp_journal)
     else:
         n_jnew = len(jnew_rows)
-        jnew = (
-            spark.createDataFrame(jnew_rows, "old long, new long")
-            if jnew_rows
-            else None
-        )
+        if n_jnew > 0:
+            # merge events are DRIVER-resident on the local-merge path:
+            # write the tiny journal delta with pyarrow — one fs write,
+            # no Spark job scheduled at micro-batch cadence
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(tmp_journal, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "old": pa.array([r[0] for r in jnew_rows], pa.int64()),
+                        "new": pa.array([r[1] for r in jnew_rows], pa.int64()),
+                    }
+                ),
+                os.path.join(tmp_journal, f"part-00000-{gen}.parquet"),
+            )
     if n_jnew > 0:
-        tmp_journal = f"{serving_path}__gen_{gen}_journal"
-        jnew.coalesce(1).write.parquet(tmp_journal)
         file_moves += _move_part_files(tmp_journal, journal_path)
         scratch.append(tmp_journal)
 
@@ -509,12 +634,19 @@ def components_upsert_batch(
 
     if not have_state:
         # first generation: full write, bucketed layout from the start
+        # (one-off — the keys write runs alongside it, same overlap as
+        # the incremental path)
         nxt = serving_path + f"__gen_{gen}_full"
-        batch_rows.withColumn(
-            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
-        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(
-            nxt
-        )
+
+        def _write_full() -> None:
+            batch_rows.withColumn(
+                BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+            ).repartition(F.col(BUCKET_COL)).write.partitionBy(
+                BUCKET_COL
+            ).parquet(nxt)
+
+        _run_writes(_write_keys, _write_full)
+        file_moves += _move_part_files(tmp_keys, keys_path)
         scratch.append(nxt)
         man = {
             "kind": "full",
@@ -523,6 +655,10 @@ def components_upsert_batch(
             "n_key_buckets": n_key_buckets,
             "file_moves": file_moves,
             "scratch": scratch,
+            "geometry": {
+                "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+            },
+            "applied_marker": applied_marker,
         }
         _write_manifest(serving_path, man)
         _execute_manifest(serving_path, man)
@@ -538,9 +674,9 @@ def components_upsert_batch(
     # ``merged`` is the contracted-fixpoint remap (batch-sized); a label
     # absent from it is untouched, so its bucket is untouched.
     if affected_vals is not None:
-        affected_comps = spark.createDataFrame(
-            [(c,) for c in affected_vals], "c long"
-        )
+        # driver-side bucket math (pinned vs Spark's xxhash64): no
+        # local-relation Spark job just to hash a handful of comp ids
+        affected = sorted({bucket_of_long(c, n_buckets) for c in affected_vals})
     else:
         affected_comps = (
             merged.select(F.col("__mid").alias("c"))
@@ -548,14 +684,14 @@ def components_upsert_batch(
             .unionByName(batch_rows.select(F.col("comp").alias("c")))
             .distinct()
         )
-    affected = sorted(
-        r["b"]
-        for r in affected_comps.select(
-            _bucket_expr(["c"], n_buckets).alias("b")
+        affected = sorted(
+            r["b"]
+            for r in affected_comps.select(
+                _bucket_expr(["c"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
     _mark("affected")
     # prune the state read to affected buckets (partition filter — the
     # only serving rows this batch reads): a state row changes only if
@@ -590,9 +726,20 @@ def components_upsert_batch(
     )
     _mark("pruned_read")
     tmp = f"{serving_path}__gen_{gen}"
-    rewritten.withColumn(
-        BUCKET_COL, _bucket_expr(["comp"], n_buckets)
-    ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
+
+    def _write_serving() -> None:
+        rewritten.withColumn(
+            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(
+            tmp
+        )
+
+    # the keys append and the serving rewrite are independent jobs on
+    # independent frames: submit them CONCURRENTLY so the batch pays one
+    # write latency, not two (both must land before the manifest commits
+    # — the crash protocol is unchanged)
+    _run_writes(_write_keys, _write_serving)
+    file_moves += _move_part_files(tmp_keys, keys_path)
     scratch.append(tmp)
     _mark("rewrite")
     written = {
@@ -608,6 +755,10 @@ def components_upsert_batch(
         "drop_buckets": sorted(set(affected) - written),
         "file_moves": file_moves,
         "scratch": scratch,
+        "geometry": {
+            "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+        },
+        "applied_marker": applied_marker,
     }
     _write_manifest(serving_path, man)
     _execute_manifest(serving_path, man)
@@ -639,6 +790,8 @@ def components_retract_batch(
     n_buckets: int = DEFAULT_COMPONENT_BUCKETS,
     n_key_buckets: int = DEFAULT_KEY_BUCKETS,
     metrics: dict | None = None,
+    local_merge_cap: int = MAX_LOCAL_MERGE_EDGES,
+    applied_marker: dict | None = None,
 ) -> list[int] | None:
     """DELETE documents from the maintained dedup graph — the retraction
     half of maintenance completeness (GDPR takedowns, licence pulls,
@@ -659,10 +812,19 @@ def components_retract_batch(
       deletion never creates pairs and pairs never cross components, so
       the remaining pair graph is confined to each affected component —
       star + blocked cross edges among the survivors' units, merged with
-      the same driver-side union-find the ingest path uses (distributed
-      fallback past the cap). Splits, re-anchored labels, and
-      paired-flag flips (a survivor whose only pair died becomes
-      unpaired, component = own id) all fall out of the re-solve.
+      the same driver-side union-find the ingest path uses below
+      ``local_merge_cap`` edges. PAST the cap (a retraction touching a
+      boilerplate mega-cluster — exactly the components dedup exists to
+      find) the re-solve stays distributed END TO END: labels remain a
+      DataFrame (distributed fixpoint), survivors relabel through a
+      shuffled join instead of a broadcast map, affected buckets derive
+      from a ``distinct()`` of BUCKET ids (≤ n_buckets rows), and the
+      stage correction joins the distributed labelling — the driver
+      never holds more than O(batch + buckets + cap) rows either way
+      (pinned: test_retract_oversized_component_stays_distributed).
+      Splits, re-anchored labels, and paired-flag flips (a survivor
+      whose only pair died becomes unpaired, component = own id) all
+      fall out of the re-solve.
     * the union-key stage is corrected in the same generation: dead
       units' 45 key rows are removed, surviving units get their new
       anchor (min surviving member — the re-solve's star target, so the
@@ -690,19 +852,33 @@ def components_retract_batch(
         return None
     keys_path = serving_path + KEYS_SUFFIX
     journal_path = serving_path + JOURNAL_SUFFIX
+    if not os.path.isdir(keys_path):
+        raise ValueError(
+            f"serving table {serving_path} exists but its union-key stage "
+            f"{keys_path} is missing: retraction locates victims through "
+            "their combo-0 stage keys. Rebuild it with "
+            "rebuild_components_stage(spark, serving_path, ...) first."
+        )
     n_buckets = _table_buckets(serving_path, n_buckets)
     n_key_buckets = _table_buckets(keys_path, n_key_buckets)
     blocks = min(bits, max(10, max_hamming + 2))
+    _check_geometry(keys_path, bits, blocks, max_hamming)
+    # every driver-side materialization is tallied here; the scale pin
+    # asserts the total is O(batch + buckets + journal + cap), NEVER
+    # member-scale of an affected component
+    driver_rows = 0
     dl = batch_df.select(
         F.col(id_col).alias("__did"),
         F.col(source_col).alias("__grp"),
         F.col("sh").alias("__sh"),
     ).localCheckpoint(eager=True)
     del_rows = dl.collect()
+    driver_rows += len(del_rows)
     if not del_rows:
         return []
     del_ids = {r["__did"] for r in del_rows}
     journal_map = _read_journal(spark, journal_path)
+    driver_rows += len(journal_map)
 
     def _term(c: int) -> int:
         while c in journal_map:
@@ -741,16 +917,11 @@ def components_retract_batch(
         .distinct()
         .collect()
     )
+    driver_rows += len(hits) + len(kb0)
     comps_old = {_term(r["comp0"]) for r in hits}
     if not comps_old:
         return []
-    buckets_old = sorted(
-        r["b"]
-        for r in spark.createDataFrame([(c,) for c in comps_old], "c long")
-        .select(_bucket_expr(["c"], n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
+    buckets_old = sorted({bucket_of_long(c, n_buckets) for c in comps_old})
 
     # 2. read the affected buckets (the files this generation replaces)
     pruned = (
@@ -812,35 +983,59 @@ def components_retract_batch(
         .select(F.col("a.__rep").alias("id_a"), F.col("b.__rep").alias("id_b"))
         .distinct()
     )
-    edge_rows = [
-        (r[0], r[1])
-        for r in star.unionByName(cross).take(MAX_LOCAL_MERGE_EDGES + 1)
-    ]
-    if len(edge_rows) <= MAX_LOCAL_MERGE_EDGES:
-        labels = minlabel_union_find(edge_rows)
-    else:  # pragma: no cover - pathological component size
+    edges_all = star.unionByName(cross)
+    edge_rows = [(r[0], r[1]) for r in edges_all.take(local_merge_cap + 1)]
+    local = len(edge_rows) <= local_merge_cap
+    if local:
+        # batch-bounded survivor graph: same justification as ingest —
+        # at this size the fixpoint's per-round job scheduling dwarfs the
+        # actual graph work, so a driver-side union-find is the right call
+        labels_map = minlabel_union_find(edge_rows)
+        driver_rows += len(edge_rows) + len(labels_map)
+        lab_df = spark.createDataFrame(
+            list(labels_map.items()), "__lid long, __lc long"
+        )
+        lab_join = F.broadcast(lab_df)
+    else:
+        # PAST the cap the affected component is the one thing this
+        # corpus cannot bound (a boilerplate mega-cluster): the labelling
+        # stays a DataFrame end to end — distributed fixpoint, shuffled
+        # relabel join, bucket ids (≤ n_buckets) the only collect
         from scylla_migrator_spark.analytics.components import (
             connected_components,
         )
 
-        ed = spark.createDataFrame(edge_rows, "id_a long, id_b long")
-        labels = {
-            r["id"]: r["comp"]
-            for r in connected_components(ed, "id_a", "id_b").collect()
-        }
-    survivor_ids = [r["id"] for r in survivors.select("id").collect()]
-    new_comps = {labels.get(i, i) for i in survivor_ids}
-    buckets_new = (
-        {
-            r["b"]
-            for r in spark.createDataFrame([(c,) for c in new_comps], "c long")
-            .select(_bucket_expr(["c"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        }
-        if new_comps
-        else set()
+        driver_rows += len(edge_rows)  # the capped take, then discarded
+        ed = edges_all.localCheckpoint(eager=True)
+        labels_map = None
+        lab_df = (
+            connected_components(ed, "id_a", "id_b")
+            .select(F.col("id").alias("__lid"), F.col("comp").alias("__lc"))
+            .localCheckpoint(eager=True)
+        )
+        lab_join = lab_df
+    relabelled = (
+        survivors.join(
+            lab_join, survivors["id"] == lab_df["__lid"], "left_outer"
+        )
+        .select(
+            "id",
+            "source",
+            "sh",
+            F.coalesce("__lc", "id").alias("comp"),
+            F.col("__lid").isNotNull().alias("paired"),
+        )
     )
+    # affected buckets from the DISTRIBUTED labelling: distinct of the
+    # bucket expression (≤ n_buckets rows to the driver), never the
+    # member-scale survivor ids
+    buckets_new = {
+        r["b"]
+        for r in relabelled.select(_bucket_expr(["comp"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    driver_rows += len(buckets_new) + len(buckets_old)
     extra = sorted(buckets_new - set(buckets_old))
     affected = sorted(set(buckets_old) | buckets_new)
     pruned2 = (
@@ -851,21 +1046,6 @@ def components_retract_batch(
         if extra
         else None
     )
-    lab_df = spark.createDataFrame(
-        list(labels.items()), "__lid long, __lc long"
-    )
-    relabelled = (
-        survivors.join(
-            F.broadcast(lab_df), survivors["id"] == lab_df["__lid"], "left_outer"
-        )
-        .select(
-            "id",
-            "source",
-            "sh",
-            F.coalesce("__lc", "id").alias("comp"),
-            F.col("__lid").isNotNull().alias("paired"),
-        )
-    )
     rewritten = (
         pruned.filter(~in_comps)  # same-bucket passthrough
         .unionByName(relabelled)
@@ -875,15 +1055,14 @@ def components_retract_batch(
 
     gen = uuid.uuid4().hex[:8]
     tmp = f"{serving_path}__gen_{gen}"
-    rewritten.withColumn(
-        BUCKET_COL, _bucket_expr(["comp"], n_buckets)
-    ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
     scratch = [tmp]
-    written = {
-        int(e.split("=", 1)[1])
-        for e in os.listdir(tmp)
-        if e.startswith(f"{BUCKET_COL}=")
-    }
+
+    def _write_serving() -> None:
+        rewritten.withColumn(
+            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(
+            tmp
+        )
 
     # 4. correct the union-key stage: every unit of an affected component
     #    gets its post-delete anchor (min surviving member) and comp0;
@@ -894,7 +1073,7 @@ def components_retract_batch(
         )
         .agg(F.min("id").alias("__anchor"))
         .join(
-            F.broadcast(lab_df),
+            lab_join,
             F.col("__anchor") == lab_df["__lid"],
             "left_outer",
         )
@@ -921,15 +1100,17 @@ def components_retract_batch(
         .distinct()
         .collect()
     )
+    driver_rows += len(kb_aff)
+    # touched_units is UNIT-scale of the affected components — broadcast
+    # only when the local cap already certified the component small
+    tu = touched_units.select(
+        F.col("__grp").alias("grp"), F.col("__sh").alias("sh")
+    )
     keep_keys = (
         staged.filter(F.col(KEY_BUCKET_COL).isin(kb_aff))
         .alias("s")
         .join(
-            F.broadcast(
-                touched_units.select(
-                    F.col("__grp").alias("grp"), F.col("__sh").alias("sh")
-                )
-            ),
+            F.broadcast(tu) if local else tu,
             ["grp", "sh"],
             "left_anti",
         )
@@ -940,11 +1121,23 @@ def components_retract_batch(
         KEY_BUCKET_COL, _bucket_expr(["combo_id", "key_val"], n_key_buckets)
     ).filter(F.col(KEY_BUCKET_COL).isin(kb_aff))
     tmp_keys = f"{serving_path}__gen_{gen}_keys"
-    keep_keys.select(
-        "grp", "combo_id", "key_val", "sh", "anchor", "comp0", KEY_BUCKET_COL
-    ).unionByName(new_keys).repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
-        KEY_BUCKET_COL
-    ).parquet(tmp_keys)
+
+    def _write_keys() -> None:
+        keep_keys.select(
+            "grp", "combo_id", "key_val", "sh", "anchor", "comp0",
+            KEY_BUCKET_COL,
+        ).unionByName(new_keys).repartition(
+            F.col(KEY_BUCKET_COL)
+        ).write.partitionBy(KEY_BUCKET_COL).parquet(tmp_keys)
+
+    # serving rewrite and key-partition rewrite are independent frames
+    # (both pinned upstream): one write latency, not two, per retraction
+    _run_writes(_write_serving, _write_keys)
+    written = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tmp)
+        if e.startswith(f"{BUCKET_COL}=")
+    }
     scratch.append(tmp_keys)
     keys_written = {
         int(e.split("=", 1)[1])
@@ -965,13 +1158,33 @@ def components_retract_batch(
         "keys_drop_buckets": sorted(set(kb_aff) - keys_written),
         "file_moves": [],
         "scratch": scratch,
+        "geometry": {
+            "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+        },
+        "applied_marker": applied_marker,
     }
     if len(kept_journal) != len(journal_map):
         if kept_journal:
+            # the journal is driver-resident (merge-event metadata):
+            # pyarrow write, no Spark job
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
             tmp_journal = f"{serving_path}__gen_{gen}_journal"
-            spark.createDataFrame(
-                kept_journal, "old long, new long"
-            ).coalesce(1).write.parquet(tmp_journal)
+            os.makedirs(tmp_journal, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "old": pa.array(
+                            [r[0] for r in kept_journal], pa.int64()
+                        ),
+                        "new": pa.array(
+                            [r[1] for r in kept_journal], pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(tmp_journal, f"part-00000-{gen}.parquet"),
+            )
             scratch.append(tmp_journal)
             man["journal_tmp"] = tmp_journal
         else:
@@ -984,6 +1197,9 @@ def components_retract_batch(
         metrics["affected_buckets"] = affected
         metrics["keys_partitions_rewritten"] = kb_aff
         metrics["n_survivor_edges"] = len(edge_rows)
+        metrics["local_merge"] = local
+        metrics["driver_label_rows"] = len(labels_map) if local else 0
+        metrics["driver_rows_collected"] = driver_rows
     return affected
 
 
@@ -1032,6 +1248,55 @@ def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
     return len(mp)
 
 
+def rebuild_components_stage(
+    spark: SparkSession,
+    serving_path: str,
+    bits: int = 32,
+    max_hamming: int = 8,
+    n_key_buckets: int = DEFAULT_KEY_BUCKETS,
+) -> int:
+    """Migration: reconstruct the union-key stage FROM the serving table
+    (pre-stage on-disk format, or a lost/renamed keys dir — the scenario
+    the upsert/retract guards refuse to probe silently). One unit per
+    distinct (source, sh); anchor = min member id (the same re-anchoring
+    choice the retraction path makes, which preserves the ingest
+    induction: an anchor shares its unit's fingerprint, so it is
+    connected to every member); comp0 = the unit's CURRENT component, so
+    the journal starts empty. Full-state rewrite by construction — a
+    one-off migration, never on the batch path. Returns the number of
+    staged units."""
+    _recover_pending(serving_path)
+    keys_path = serving_path + KEYS_SUFFIX
+    blocks = min(bits, max(10, max_hamming + 2))
+    units = (
+        spark.read.parquet(serving_path)
+        .groupBy(F.col("source").alias("__grp"), F.col("sh").alias("__sh"))
+        .agg(F.min("id").alias("__anchor"), F.min("comp").alias("__comp0"))
+        .localCheckpoint(eager=True)
+    )
+    keys = D.staged_union_keys(units, bits, blocks, max_hamming).withColumn(
+        KEY_BUCKET_COL, _bucket_expr(["combo_id", "key_val"], n_key_buckets)
+    )
+    gen = uuid.uuid4().hex[:8]
+    tmp = f"{serving_path}__gen_{gen}_rebuild"
+    keys.repartition(F.col(KEY_BUCKET_COL)).write.partitionBy(
+        KEY_BUCKET_COL
+    ).parquet(tmp)
+    man = {
+        "kind": "compact",  # same swap shape: tmp replaces the keys dir
+        "tmp": tmp,
+        "old": f"{serving_path}__old_{gen}_keys",
+        "n_key_buckets": n_key_buckets,
+        "scratch": [tmp],
+        "geometry": {
+            "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+        },
+    }
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
+    return units.count()
+
+
 def components_cdc_stream(
     stream: DataFrame,
     serving_path: str,
@@ -1047,30 +1312,47 @@ def components_cdc_stream(
 ):
     """Drive a MIXED insert/delete CDC feed into the maintained component
     table: rows with ``op == 'delete'`` retract, everything else ingests
-    (the upstream-encode shape — every record carries its fingerprint).
-    Within a micro-batch, ingests apply before retractions, so a
-    same-batch insert+delete nets to absence and a delete+reinsert
-    across batches round-trips. Returns the started query."""
+    — including rows with a NULL op (null-safe predicate: a malformed op
+    must not silently vanish from both branches). Within a micro-batch,
+    ingests apply before retractions, so a same-batch insert+delete nets
+    to absence and a delete+reinsert across batches round-trips.
+
+    foreachBatch is at-least-once: a crash after a generation commits
+    but before the streaming checkpoint commits replays the batch. Each
+    step therefore commits a (batch_id, step) marker INSIDE its
+    generation's manifest, and a replayed batch no-ops the steps the
+    marker already records — the upsert append is made idempotent per
+    batch id (retraction is naturally idempotent: replayed victims are
+    no longer staged). Returns the started query."""
 
     if op_col not in stream.columns:
         raise ValueError(f"CDC stream must carry an {op_col!r} column")
 
-    def body(bdf: DataFrame, _bid: int) -> None:
-        ups = bdf.filter(F.col(op_col) != "delete").drop(op_col)
+    def body(bdf: DataFrame, bid: int) -> None:
+        st = read_applied_marker(serving_path)
+        done = list(st["steps"]) if st and st.get("batch_id") == bid else []
+        ups = bdf.filter(
+            (F.col(op_col) != "delete") | F.col(op_col).isNull()
+        ).drop(op_col)
         dels = bdf.filter(F.col(op_col) == "delete").drop(op_col)
-        if not ups.isEmpty():
-            components_upsert_batch(
-                ups,
-                serving_path,
-                id_col=id_col,
-                source_col=source_col,
-                bits=bits,
-                max_hamming=max_hamming,
-                n_buckets=n_buckets,
-                n_key_buckets=n_key_buckets,
-                compact_journal_above=compact_journal_above,
-            )
-        if not dels.isEmpty():
+        if "upsert" not in done:
+            if not ups.isEmpty():
+                components_upsert_batch(
+                    ups,
+                    serving_path,
+                    id_col=id_col,
+                    source_col=source_col,
+                    bits=bits,
+                    max_hamming=max_hamming,
+                    n_buckets=n_buckets,
+                    n_key_buckets=n_key_buckets,
+                    compact_journal_above=compact_journal_above,
+                    applied_marker={
+                        "batch_id": bid, "steps": done + ["upsert"]
+                    },
+                )
+            done = done + ["upsert"]
+        if "retract" not in done and not dels.isEmpty():
             components_retract_batch(
                 dels,
                 serving_path,
@@ -1080,6 +1362,7 @@ def components_cdc_stream(
                 max_hamming=max_hamming,
                 n_buckets=n_buckets,
                 n_key_buckets=n_key_buckets,
+                applied_marker={"batch_id": bid, "steps": done + ["retract"]},
             )
 
     return (
@@ -1107,24 +1390,32 @@ def incremental_components_stream(
     """Drive a document stream into the incrementally-maintained component
     table; returns the started query. Read the labelling with
     ``spark.read.parquet(serving_path)`` (filter ``paired`` for the
-    pair-graph vertex convention)."""
+    pair-graph vertex convention). At-least-once replay of a committed
+    batch is a no-op (batch-id marker committed inside the generation's
+    manifest — see components_cdc_stream)."""
+
+    def body(bdf: DataFrame, bid: int) -> None:
+        st = read_applied_marker(serving_path)
+        if st and st.get("batch_id") == bid and "upsert" in st["steps"]:
+            return  # replayed batch: its generation already committed
+        components_upsert_batch(
+            bdf,
+            serving_path,
+            text_col,
+            id_col,
+            source_col,
+            bits=bits,
+            max_hamming=max_hamming,
+            n_buckets=n_buckets,
+            n_key_buckets=n_key_buckets,
+            compact_journal_above=compact_journal_above,
+            applied_marker={"batch_id": bid, "steps": ["upsert"]},
+        )
+
     return (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(
-            lambda bdf, _bid: components_upsert_batch(
-                bdf,
-                serving_path,
-                text_col,
-                id_col,
-                source_col,
-                bits=bits,
-                max_hamming=max_hamming,
-                n_buckets=n_buckets,
-                n_key_buckets=n_key_buckets,
-                compact_journal_above=compact_journal_above,
-            )
-        )
+        .foreachBatch(body)
         .trigger(availableNow=True)
         .start()
     )

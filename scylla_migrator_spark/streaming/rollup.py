@@ -64,6 +64,45 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     )
 
 
+_M64 = (1 << 64) - 1
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of ONE long column, on the driver: XXH64 of
+    the value's 8 bytes with Spark's seed 42 (XxHash64Function processes
+    a long as a single 8-byte block). Returned as Spark's SIGNED long.
+    Pinned property-style against the engine's own xxhash64
+    (tests/test_components_stage.py::test_driver_bucket_matches_spark) —
+    it lets the maintainers derive a handful of bucket ids from a
+    driver-resident component set without scheduling a local-relation
+    Spark job per micro-batch."""
+    h = (seed + _XXP5 + 8) & _M64
+    k1 = (_rotl64((value & _M64) * _XXP2 & _M64, 31) * _XXP1) & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = h * _XXP2 & _M64
+    h ^= h >> 29
+    h = h * _XXP3 & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of_long(value: int, n_buckets: int) -> int:
+    """Driver-side twin of ``_bucket_expr([one_long_col], n)`` — pmod of
+    the signed xxhash64, matching Spark's pmod semantics."""
+    return xxh64_long(value) % n_buckets
+
+
 def _table_buckets(path: str, n_buckets: int) -> int:
     """Pin n_buckets at table creation so later upserts can't silently use a
     different modulus (which would mis-prune)."""
