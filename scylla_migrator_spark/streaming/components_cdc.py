@@ -311,15 +311,36 @@ def _write_manifest(serving_path: str, man: dict) -> None:
 def _read_journal(spark: SparkSession, journal_path: str) -> dict[int, int]:
     """The component-merge log as a driver dict (merge-event metadata —
     one row per component ever retired; orders smaller than state, and
-    compact_components_stage folds it down when it grows)."""
+    compact_components_stage folds it down when it grows). Cached
+    in-process keyed by the journal's file listing: the streaming query
+    is the SINGLE writer (module contract), so between this process's
+    own appends/rewrites the listing is the identity of the content —
+    a micro-batch pays an fs listing, not a Spark job, to resolve."""
     if not os.path.isdir(journal_path):
         return {}
-    if not any(f.startswith("part-") for f in os.listdir(journal_path)):
+    parts = tuple(
+        sorted(
+            (f, os.path.getsize(os.path.join(journal_path, f)))
+            for f in os.listdir(journal_path)
+            if f.startswith("part-")
+        )
+    )
+    if not parts:
         return {}
-    return {
+    sc = spark.sparkContext
+    cache = getattr(sc, "_sgs_journal_cache", None)
+    if cache is None:
+        cache = {}
+        sc._sgs_journal_cache = cache
+    hit = cache.get(journal_path)
+    if hit is not None and hit[0] == parts:
+        return hit[1]
+    mp = {
         r["old"]: r["new"]
         for r in spark.read.parquet(journal_path).collect()
     }
+    cache[journal_path] = (parts, mp)
+    return mp
 
 
 def _resolve_labels(
@@ -510,6 +531,7 @@ def components_upsert_batch(
             )
         else:
             affected_vals = None
+        evert_ids = sorted({v for e in edge_rows for v in e})
     else:
         edges = pr.edges.localCheckpoint(eager=True)
         base = _resolve_labels(pr.anchor_labels, spark, journal_map)
@@ -518,13 +540,22 @@ def components_upsert_batch(
         )
         jnew_rows = None
         affected_vals = None
+        evert_ids = None
     _mark("merge")
-    everts = (
-        edges.select(F.col("id_a").alias("__vid"))
-        .union(edges.select("id_b"))
-        .distinct()
-        .withColumn("__touched", F.lit(True))
-    )
+    if evert_ids is not None and len(evert_ids) <= 400_000:
+        # touched-vertex set is already on the driver (the collected edge
+        # endpoints): a local relation skips the union+distinct shuffle
+        # that both downstream joins would otherwise re-exchange
+        everts = spark.createDataFrame(
+            [(v,) for v in evert_ids], "__vid long"
+        ).withColumn("__touched", F.lit(True))
+    else:
+        everts = (
+            edges.select(F.col("id_a").alias("__vid"))
+            .union(edges.select("id_b"))
+            .distinct()
+            .withColumn("__touched", F.lit(True))
+        )
     batch_rows = (
         fp_b.join(merged, fp_b["id"] == merged["__mid"], "left_outer")
         .join(everts, fp_b["id"] == everts["__vid"], "left_outer")
@@ -569,7 +600,14 @@ def components_upsert_batch(
         # cadence the stage's FILE COUNT is what later probes pay for;
         # compact_components_stage re-clusters when it runs. The first
         # (corpus-sized) generation keeps its parallelism.
-        nk = new_keys.coalesce(2) if have_state else new_keys
+        if have_state:
+            nk = new_keys.coalesce(2)
+        else:
+            # first (corpus-sized) generation: cluster by bucket so the
+            # stage starts at ONE file per partition — later probes pay
+            # for stage FILE COUNT at listing time, and an unclustered
+            # initial write from P tasks seeds P x n_key_buckets files
+            nk = new_keys.repartition(F.col(KEY_BUCKET_COL))
         nk.write.partitionBy(KEY_BUCKET_COL).parquet(tmp_keys)
 
     file_moves: list[list[str]] = []
@@ -698,15 +736,15 @@ def components_upsert_batch(
     # its comp is remapped (comp in merged.__mid) or its paired flag
     # flips (a previously-unpaired row's comp IS its id, which the
     # contracted graph contains when it gains an edge) — both put
-    # bucket(comp) in the affected set. Materialize BEFORE the swap:
-    # these are the very files the manifest replaces.
+    # bucket(comp) in the affected set. No materialization: the single
+    # consumer is the serving rewrite, whose write to the generation's
+    # tmp dir completes BEFORE the manifest swaps these files out.
     pruned = (
         spark.read.parquet(serving_path)
         .filter(
             F.col(BUCKET_COL).isin(affected) if affected else F.lit(False)
         )
         .select("id", "source", "sh", "comp", "paired")
-        .localCheckpoint(eager=True)
     )
     rewritten = (
         pruned.join(
