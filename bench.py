@@ -443,9 +443,26 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"BENCHMARK_ERROR | scenario={name} err={errors[name]!r}", file=sys.stderr)
-            continue
+            # one retry before recording: a 330-scenario single-JVM run
+            # can transiently fail a py4j round-trip under GC pressure
+            # (observed once on a streaming scenario that passes alone);
+            # a REAL failure reproduces on the immediate retry
+            print(
+                f"BENCHMARK_WARNING | scenario={name} retrying after "
+                f"{type(exc).__name__}",
+                file=sys.stderr,
+            )
+            try:
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+            except Exception as exc2:  # noqa: BLE001
+                errors[name] = f"{type(exc2).__name__}: {exc2}"[:300]
+                print(
+                    f"BENCHMARK_ERROR | scenario={name} err={errors[name]!r}",
+                    file=sys.stderr,
+                )
+                continue
         if _is_streaming_scenario(name, fn):
             # streaming scenarios: micro-batch trigger scheduling and
             # checkpoint-dir timing make a single reading swing up to 2x
