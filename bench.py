@@ -152,6 +152,7 @@ HEADLINE = [
     "stream_components_update",
     "components_retract_rebalance",
     "components_cdc_replay",
+    "components_stage_lifecycle",
     "shard_balance_stats",
     "daily_volume_autocorr",
     "near_dup_under_duplication",

@@ -13690,6 +13690,62 @@ def components_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("components_stage_lifecycle", ORACLES["dedup_components"])
+def components_stage_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained graph's STAGE MAINTENANCE path under the value-hash
+    gate: two ingest generations (journal goes non-trivial), then
+    ``compact_components_stage`` folds the merge journal into the
+    union-key stage, then the keys dir is DELETED and
+    ``rebuild_components_stage`` reconstructs it from the serving table
+    (the migration path the upsert/retract guards point at — pre-stage
+    on-disk formats, lost/renamed keys dirs), then a THIRD generation
+    ingests against the rebuilt stage. The final labelling must equal the
+    full-corpus wide closure — compaction must preserve resolution,
+    and the rebuilt stage must preserve the ingest induction (anchors
+    connected to every member, comp0s current, journal empty). Both
+    operations were pytest-only before this row; the driver's oracle now
+    hashes them."""
+    import os
+    import shutil
+    import tempfile
+
+    from scylla_migrator_spark.streaming.components_cdc import (
+        KEYS_SUFFIX,
+        compact_components_stage,
+        components_upsert_batch,
+        rebuild_components_stage,
+    )
+
+    fp = D.simhash_fingerprints(
+        _fan(_t(spark, sf_dir, "documents").select("doc_id", "source", "text")),
+        "text",
+        "doc_id",
+        carry_cols=["source"],
+        bits=60,
+        hash_hex=15,
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="sgs_ccl_")
+    serving = os.path.join(root, "serving")
+    with _stream_shuffle_partitions(spark):
+        components_upsert_batch(
+            fp.filter(F.col("doc_id") % 3 == 0), serving, id_col="doc_id", bits=60
+        )
+        components_upsert_batch(
+            fp.filter(F.col("doc_id") % 3 == 1), serving, id_col="doc_id", bits=60
+        )
+        compact_components_stage(spark, serving)
+        shutil.rmtree(serving + KEYS_SUFFIX)
+        rebuild_components_stage(spark, serving, bits=60)
+        components_upsert_batch(
+            fp.filter(F.col("doc_id") % 3 == 2), serving, id_col="doc_id", bits=60
+        )
+    return (
+        spark.read.parquet(serving)
+        .filter(F.col("paired"))
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    )
+
+
 @_register(
     "shard_balance_stats",
     r"""
