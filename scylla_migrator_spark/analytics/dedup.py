@@ -504,27 +504,47 @@ def simhash_fingerprints(
             f"(raise hash_hex)"
         )
     carry = carry_cols or []
+    # The bit-vote expression forest (``bits`` sum-aggregates + the
+    # ``bits``-term reconstruction chain) is ~700 expression nodes built
+    # through one py4j round-trip each — measured ~1.0 s of pure
+    # driver-side plan construction PER CALL (the _block_union_keys
+    # fixed-cost finding, guide §7.3 "planning time itself can become the
+    # bottleneck"). The tree is a pure function of (bits, hash_hex) over
+    # fixed internal column names, so build it ONCE per SparkContext and
+    # reuse the Column objects (unresolved expressions are reusable; the
+    # cache dies with the context).
+    sc = df.sparkSession.sparkContext
+    cache = getattr(sc, "_sgs_simhash_exprs", None)
+    if cache is None:
+        cache = {}
+        sc._sgs_simhash_exprs = cache
+    ckey = (bits, hash_hex)
+    cached = cache.get(ckey)
+    if cached is None:
+        tok_hash = (
+            _md5_int(F.col("__tok"))
+            if hash_hex == 8
+            else F.conv(
+                F.substring(F.md5(F.col("__tok")), 1, hash_hex), 16, 10
+            ).cast("long")
+        )
+        aggs = [
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+            for b in range(bits)
+        ] + [F.count("*").alias("__n")]
+        sh = None
+        for b in range(bits):
+            bit = F.when(
+                F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sh = bit if sh is None else sh + bit
+        cached = (tok_hash, aggs, sh.alias("sh"))
+        cache[ckey] = cached
+    tok_hash, aggs, sh_named = cached
     ex = df.select(F.col(id_col), *carry, F.explode(tokens(F.col(text_col))).alias("__tok"))
-    tok_hash = (
-        _md5_int(F.col("__tok"))
-        if hash_hex == 8
-        else F.conv(F.substring(F.md5(F.col("__tok")), 1, hash_hex), 16, 10).cast(
-            "long"
-        )
-    )
     h = ex.select(id_col, *carry, tok_hash.alias("__h"))
-    aggs = [
-        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-        for b in range(bits)
-    ] + [F.count("*").alias("__n")]
     agg = h.groupBy(id_col, *carry).agg(*aggs)
-    sh = None
-    for b in range(bits):
-        bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sh = bit if sh is None else sh + bit
-    return agg.select(F.col(id_col), *carry, sh.alias("sh"))
+    return agg.select(F.col(id_col), *carry, sh_named)
 
 
 def _simhash_banded_distinct(
@@ -745,6 +765,55 @@ def _block_union_keys(
     return units.select(
         *[F.col(c) for c in carry_cols], expr.alias("kk")
     ).select(*carry_cols, "kk.combo_id", "kk.key_val")
+
+
+_UNION_KEY_GEOMS: dict[tuple[int, int, int], tuple] = {}
+
+
+def union_key_geometry(
+    bits: int, blocks: int, max_hamming: int
+) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """(widths, offsets, combos) of the Manku block-union key layout —
+    the shared geometry between ``_block_union_keys`` (the Catalyst
+    expression forest) and ``block_union_key_rows`` (its driver-side
+    twin). Cached per (bits, blocks, max_hamming)."""
+    geom = _UNION_KEY_GEOMS.get((bits, blocks, max_hamming))
+    if geom is None:
+        k = blocks - max_hamming
+        base_w, rem = divmod(bits, blocks)
+        widths = [base_w + 1 if i < rem else base_w for i in range(blocks)]
+        offsets: list[int] = []
+        off = 0
+        for w in widths:
+            offsets.append(off)
+            off += w
+        geom = (widths, offsets, list(combinations(range(blocks), k)))
+        _UNION_KEY_GEOMS[(bits, blocks, max_hamming)] = geom
+    return geom
+
+
+def block_union_key_rows(
+    sh: int, bits: int, blocks: int, max_hamming: int
+) -> list[tuple[int, int]]:
+    """Driver-side twin of ``_block_union_keys`` for ONE fingerprint:
+    the C(blocks, blocks−max_hamming) ``(combo_id, key_val)`` probe keys,
+    bit-identical to the Catalyst forest (same widths/offsets/packing;
+    Python ``>>`` is arithmetic like Spark's shiftright, and packed keys
+    stay under ``bits`` so the long arithmetic cannot overflow). Pinned
+    against the Spark expression in tests/test_components_stage.py.
+    Used by the maintainers' small-batch local path, where generating a
+    micro-batch's keys in-process is cheaper than scheduling Spark jobs
+    over a batch-sized local relation."""
+    widths, offsets, combos = union_key_geometry(bits, blocks, max_hamming)
+    out: list[tuple[int, int]] = []
+    for j, combo in enumerate(combos):
+        key = 0
+        for i in combo:
+            key = key * (1 << widths[i]) + (
+                (sh >> offsets[i]) & ((1 << widths[i]) - 1)
+            )
+        out.append((j, key))
+    return out
 
 
 def simhash_hot_union_keys(

@@ -76,6 +76,7 @@ from scylla_migrator_spark.streaming.rollup import (
     _bucket_expr,
     _table_buckets,
     _write_meta,
+    bucket_of_combo_key,
     bucket_of_long,
 )
 
@@ -373,6 +374,420 @@ def _resolve_labels(
     )
 
 
+# small-batch LOCAL path: below this many batch documents the whole
+# generation (keys, edges, merge, journal, bucket math) is computed
+# in-process from ONE collect of the batch's fingerprints — a micro-batch
+# at 5 s cadence otherwise pays ~6 scheduled Spark jobs of pure fixed
+# cost (guide §1.2: fix the distributed algorithm first; here the
+# "algorithm" for a small batch is: don't distribute the batch-sized
+# half). Batches past the cap (e.g. a corpus-sized initial load) take the
+# distributed path unchanged. The collect is bounded by the cap
+# (~50 B/row), the same driver-boundedness argument as the existing
+# edge-take/union-find (MAX_LOCAL_MERGE_EDGES).
+LOCAL_BATCH_DOCS_CAP = 20_000
+# keys fan out C(blocks, blocks-h)x per unit; bound the driver-resident
+# key list independently of the doc cap
+LOCAL_BATCH_KEYS_CAP = 2_000_000
+
+_PA_TYPES = {"string": "string", "bigint": "int64", "int": "int32", "boolean": "bool_"}
+
+
+def _pa_field(name: str, spark_simple: str):
+    import pyarrow as pa
+
+    return pa.field(name, getattr(pa, _PA_TYPES[spark_simple])())
+
+
+def _write_bucketed_parquet(
+    tmp_dir: str,
+    bucket_col: str,
+    by_bucket: dict[int, list[tuple]],
+    fields: list,
+    gen: str,
+) -> None:
+    """Mirror Spark's ``repartition(bucket).write.partitionBy(bucket)``
+    layout from driver-resident rows: one parquet file per bucket dir,
+    bucket column NOT in the file (partition-dir encoding), written with
+    pyarrow — no Spark job. Consumed by the same manifest/move protocol
+    as the Spark-written generations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(fields)
+    for b, rows in by_bucket.items():
+        d = os.path.join(tmp_dir, f"{bucket_col}={b}")
+        os.makedirs(d, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        pq.write_table(
+            pa.table(
+                {f.name: pa.array(cols[i], f.type) for i, f in enumerate(fields)}
+            ),
+            os.path.join(d, f"part-00000-{gen}.parquet"),
+        )
+
+
+def _local_upsert(
+    spark: SparkSession,
+    fp_plan: DataFrame,
+    have_state: bool,
+    staged: DataFrame | None,
+    serving_path: str,
+    keys_path: str,
+    journal_path: str,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    n_buckets: int,
+    n_key_buckets: int,
+    compact_journal_above: int | None,
+    metrics: dict | None,
+    applied_marker: dict | None,
+) -> tuple[bool, list[int] | None]:
+    """In-process generation for a small batch: returns ``(handled,
+    result)`` — ``handled=False`` means a cap or type guard tripped and
+    the caller must run the distributed path instead. Semantics are
+    IDENTICAL to the distributed body (same edge families, same journal
+    resolution, same manifest protocol); the only difference is where
+    the batch-sized half of the work happens. Spark jobs per generation:
+    one batch collect + (with state) one pruned stage-probe join + one
+    pruned serving rewrite; the first generation writes entirely via
+    pyarrow."""
+    import time as _time
+
+    from scylla_migrator_spark.analytics.dedup import (
+        block_union_key_rows,
+        union_key_geometry,
+    )
+
+    _phases: dict[str, float] = {}
+    _last = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _last
+        now = _time.perf_counter()
+        _phases[name] = round(now - _last, 3)
+        _last = now
+
+    # type guard: the pyarrow writers and the driver-side hash twins
+    # assume (long id, string-or-long group, long fingerprint)
+    fields = {f.name: f.dataType.simpleString() for f in fp_plan.schema.fields}
+    if (
+        fields.get("id") != "bigint"
+        or fields.get("sh") != "bigint"
+        or fields.get("source") not in _PA_TYPES
+    ):
+        return False, None
+    rows = [(r[0], r[1], r[2]) for r in fp_plan.collect()]
+    _mark("fingerprint")
+    if any(g is None for _i, g, _s in rows):
+        # SQL null-group semantics (null joins nothing) differ from
+        # Python dict keys — preserve them via the distributed path
+        return False, None
+    if not have_state and not rows:
+        # an empty first batch must not create a schema-less table
+        return True, None
+
+    units: dict[tuple, int] = {}
+    for i, g, s in rows:
+        u = (g, s)
+        if u not in units or i < units[u]:
+            units[u] = i
+    n_combos = len(union_key_geometry(bits, blocks, max_hamming)[2])
+    if len(units) * n_combos > LOCAL_BATCH_KEYS_CAP:
+        return False, None
+    unit_keys: dict[tuple, list[tuple[int, int]]] = {
+        u: block_union_key_rows(u[1], bits, blocks, max_hamming) for u in units
+    }
+    journal_map = _read_journal(spark, journal_path)
+
+    def _term(c: int) -> int:
+        while c in journal_map:
+            c = journal_map[c]
+        return c
+
+    # probe the persistent stage (broadcast batch keys, pruned scan) —
+    # the ONE distributed step a stateful batch cannot avoid
+    exact: dict[tuple, tuple[int, int]] = {}
+    cand_sb: dict[tuple, dict[int, int]] = {}
+    kbs: list[int] | None = None
+    if have_state:
+        kbs = sorted(
+            {
+                bucket_of_combo_key(j, kv, n_key_buckets)
+                for keys in unit_keys.values()
+                for j, kv in keys
+            }
+        )
+        if units:
+            probe = spark.createDataFrame(
+                [
+                    (u[0], j, kv, u[1])
+                    for u, keys in unit_keys.items()
+                    for j, kv in keys
+                ],
+                schema=f"grp {fields['source']}, combo_id int, key_val bigint, sh bigint",
+            )
+            st = staged.filter(F.col(KEY_BUCKET_COL).isin(kbs))
+            p, s = probe.alias("p"), st.alias("s")
+            ham = F.bit_count(F.col("p.sh").bitwiseXOR(F.col("s.sh"))).cast("int")
+            m = (
+                F.broadcast(p)
+                .join(
+                    s,
+                    on=[
+                        F.col("p.grp") == F.col("s.grp"),
+                        F.col("p.combo_id") == F.col("s.combo_id"),
+                        F.col("p.key_val") == F.col("s.key_val"),
+                    ],
+                )
+                .filter(ham <= max_hamming)
+                .select(
+                    F.col("p.grp").alias("g"),
+                    F.col("p.sh").alias("psh"),
+                    F.col("s.sh").alias("ssh"),
+                    "s.anchor",
+                    "s.comp0",
+                )
+                .collect()
+            )
+            for r in m:
+                u = (r["g"], r["psh"])
+                if r["psh"] == r["ssh"]:
+                    exact[u] = (r["anchor"], r["comp0"])
+                else:
+                    cand_sb.setdefault(u, {})[r["anchor"]] = r["comp0"]
+    _mark("probe")
+
+    anchor = {u: (exact[u][0] if u in exact else units[u]) for u in units}
+    new_units = [u for u in units if u not in exact]
+    new_set = set(new_units)
+    # star: every member -> its unit's anchor
+    edges: list[tuple[int, int]] = []
+    for i, g, s in rows:
+        a = anchor[(g, s)]
+        if i != a:
+            edges.append((i, a) if i < a else (a, i))
+    # cross (batch x stage), NEW units only
+    base_map: dict[int, int] = {}
+    for u, (a, c0) in exact.items():
+        base_map[a] = _term(c0)
+    for u, cands in cand_sb.items():
+        if u not in new_set:
+            continue
+        a = anchor[u]
+        for oa, oc0 in cands.items():
+            base_map[oa] = _term(oc0)
+            edges.append((a, oa) if a < oa else (oa, a))
+    # cross (batch x batch) among new units, via their own keys
+    bykey: dict[tuple, list[tuple]] = {}
+    for u in new_units:
+        for j, kv in unit_keys[u]:
+            bykey.setdefault((u[0], j, kv), []).append(u)
+    n_pairs = sum(len(v) * (len(v) - 1) // 2 for v in bykey.values())
+    if n_pairs > MAX_LOCAL_MERGE_EDGES or len(edges) > MAX_LOCAL_MERGE_EDGES:
+        return False, None
+    seen_bb: set = set()
+    for (g, _j, _kv), us in bykey.items():
+        if len(us) < 2:
+            continue
+        us = sorted(us, key=lambda u: u[1])
+        for x in range(len(us)):
+            for y in range(x + 1, len(us)):
+                ua, ub = us[x], us[y]
+                key = (g, ua[1], ub[1])
+                if key in seen_bb:
+                    continue
+                seen_bb.add(key)
+                if bin(ua[1] ^ ub[1]).count("1") <= max_hamming:
+                    a, b = anchor[ua], anchor[ub]
+                    edges.append((a, b) if a < b else (b, a))
+    merged_map = minlabel_union_find(
+        (base_map.get(a, a), base_map.get(b, b)) for a, b in edges
+    )
+    base_vals = set(base_map.values())
+    jnew_rows = [
+        [o, n] for o, n in merged_map.items() if o != n and o in base_vals
+    ]
+    evert = {v for e in edges for v in e}
+    batch_rows_local = [
+        (i, g, s, merged_map.get(i, i), i in evert) for i, g, s in rows
+    ]
+    _mark("merge")
+
+    gen = uuid.uuid4().hex[:8]
+    file_moves: list[list[str]] = []
+    scratch: list[str] = []
+    # keys append for NEW units (comp0 = the anchor's label after this
+    # batch's fixpoint), one pyarrow file per touched key bucket
+    tmp_keys = f"{serving_path}__gen_{gen}_keys"
+    keys_by_bucket: dict[int, list[tuple]] = {}
+    for u in new_units:
+        a = anchor[u]
+        c0 = merged_map.get(a, a)
+        for j, kv in unit_keys[u]:
+            keys_by_bucket.setdefault(
+                bucket_of_combo_key(j, kv, n_key_buckets), []
+            ).append((u[0], j, kv, u[1], a, c0))
+    key_fields = [
+        _pa_field("grp", fields["source"]),
+        _pa_field("combo_id", "int"),
+        _pa_field("key_val", "bigint"),
+        _pa_field("sh", "bigint"),
+        _pa_field("anchor", "bigint"),
+        _pa_field("comp0", "bigint"),
+    ]
+    _write_bucketed_parquet(tmp_keys, KEY_BUCKET_COL, keys_by_bucket, key_fields, gen)
+    file_moves += _move_part_files(tmp_keys, keys_path)
+    scratch.append(tmp_keys)
+    # journal append (driver-resident merge events, pyarrow — as before)
+    tmp_journal = f"{serving_path}__gen_{gen}_journal"
+    if jnew_rows:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(tmp_journal, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "old": pa.array([r[0] for r in jnew_rows], pa.int64()),
+                    "new": pa.array([r[1] for r in jnew_rows], pa.int64()),
+                }
+            ),
+            os.path.join(tmp_journal, f"part-00000-{gen}.parquet"),
+        )
+        file_moves += _move_part_files(tmp_journal, journal_path)
+        scratch.append(tmp_journal)
+    _mark("plan_writes")
+
+    if metrics is not None:
+        metrics["probe_kbs"] = kbs
+        metrics["n_edges"] = len(edges)
+        metrics["n_merged"] = len(merged_map)
+        metrics["local_batch"] = True
+        if staged is not None and kbs is not None:
+            scan = staged.filter(F.col(KEY_BUCKET_COL).isin(kbs))
+            metrics["staged_rows_scanned"] = scan.count()
+            metrics["staged_files_scanned"] = (
+                scan.select(F.input_file_name()).distinct().count()
+            )
+            metrics["staged_files_total"] = (
+                staged.select(F.input_file_name()).distinct().count()
+            )
+
+    serving_fields = [
+        _pa_field("id", "bigint"),
+        _pa_field("source", fields["source"]),
+        _pa_field("sh", "bigint"),
+        _pa_field("comp", "bigint"),
+        _pa_field("paired", "boolean"),
+    ]
+    if not have_state:
+        # first generation: whole table written from the driver rows
+        nxt = serving_path + f"__gen_{gen}_full"
+        by_bucket: dict[int, list[tuple]] = {}
+        for row in batch_rows_local:
+            by_bucket.setdefault(bucket_of_long(row[3], n_buckets), []).append(row)
+        _write_bucketed_parquet(nxt, BUCKET_COL, by_bucket, serving_fields, gen)
+        scratch.append(nxt)
+        man = {
+            "kind": "full",
+            "src": nxt,
+            "n_buckets": n_buckets,
+            "n_key_buckets": n_key_buckets,
+            "file_moves": file_moves,
+            "scratch": scratch,
+            "geometry": {
+                "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+            },
+            "applied_marker": applied_marker,
+        }
+        _write_manifest(serving_path, man)
+        _execute_manifest(serving_path, man)
+        _mark("full_write")
+        if metrics is not None:
+            metrics["affected_buckets"] = None
+            metrics["phases"] = _phases
+        return True, None
+
+    # incremental: rewrite ONLY the buckets whose labels move (driver-side
+    # bucket math; the pruned read + local-relation joins are ONE write job)
+    affected_vals = (
+        set(merged_map)
+        | set(merged_map.values())
+        | {merged_map.get(i, i) for i, _g, _s in rows}
+    )
+    affected = sorted({bucket_of_long(c, n_buckets) for c in affected_vals})
+    tmp = f"{serving_path}__gen_{gen}"
+    written: set[int] = set()
+    if affected:
+        pruned = (
+            spark.read.parquet(serving_path)
+            .filter(F.col(BUCKET_COL).isin(affected))
+            .select("id", "source", "sh", "comp", "paired")
+        )
+        merged_df = spark.createDataFrame(
+            list(merged_map.items()) or [], "__mid long, __mc long"
+        )
+        everts_df = spark.createDataFrame(
+            [(v,) for v in sorted(evert)] or [], "__vid long"
+        ).withColumn("__touched", F.lit(True))
+        batch_local_df = spark.createDataFrame(
+            batch_rows_local or [],
+            f"id bigint, source {fields['source']}, sh bigint, comp bigint, paired boolean",
+        )
+        rewritten = (
+            pruned.join(
+                F.broadcast(merged_df), pruned["comp"] == merged_df["__mid"], "left_outer"
+            )
+            .join(F.broadcast(everts_df), pruned["id"] == everts_df["__vid"], "left_outer")
+            .select(
+                "id",
+                "source",
+                "sh",
+                F.coalesce("__mc", pruned["comp"]).alias("comp"),
+                (F.col("paired") | F.coalesce("__touched", F.lit(False))).alias(
+                    "paired"
+                ),
+            )
+            .unionByName(batch_local_df)
+        )
+        rewritten.withColumn(
+            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
+        scratch.append(tmp)
+        written = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(tmp)
+            if e.startswith(f"{BUCKET_COL}=")
+        }
+    _mark("rewrite")
+    man = {
+        "kind": "swap",
+        "gen": gen,
+        "tmp": tmp,
+        "swap_buckets": sorted(written & set(affected)),
+        "drop_buckets": sorted(set(affected) - written),
+        "file_moves": file_moves,
+        "scratch": scratch,
+        "geometry": {
+            "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+        },
+        "applied_marker": applied_marker,
+    }
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
+    _mark("swap")
+    if metrics is not None:
+        metrics["affected_buckets"] = affected
+        metrics["phases"] = _phases
+    if (
+        compact_journal_above is not None
+        and len(journal_map) + len(jnew_rows) > compact_journal_above
+    ):
+        compact_components_stage(spark, serving_path)
+    return True, affected
+
+
 def components_upsert_batch(
     batch_df: DataFrame,
     serving_path: str,
@@ -424,26 +839,6 @@ def components_upsert_batch(
         _last = now
 
     _recover_pending(serving_path)
-    if "sh" in batch_df.columns:
-        fp_b = batch_df.select(
-            F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
-        ).localCheckpoint(eager=True)
-    else:
-        fp_b = (
-            D.simhash_fingerprints(
-                batch_df.select(id_col, source_col, text_col),
-                text_col,
-                id_col,
-                carry_cols=[source_col],
-                bits=bits,
-                hash_hex=(bits + 3) // 4,
-            )
-            .select(
-                F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
-            )
-            .localCheckpoint(eager=True)
-        )
-    _mark("fingerprint")
     keys_path = serving_path + KEYS_SUFFIX
     journal_path = serving_path + JOURNAL_SUFFIX
     blocks = min(bits, max(10, max_hamming + 2))
@@ -453,10 +848,6 @@ def components_upsert_batch(
             f"bits={bits} admits at most {bits}"
         )
     have_state = os.path.isdir(serving_path)
-    if not have_state and fp_b.isEmpty():
-        # an empty first batch must not create an unreadable (schema-less)
-        # serving table; the next non-empty batch becomes generation 0
-        return None
     staged = None
     if have_state:
         n_buckets = _table_buckets(serving_path, n_buckets)
@@ -474,6 +865,37 @@ def components_upsert_batch(
         n_key_buckets = _table_buckets(keys_path, n_key_buckets)
         _check_geometry(keys_path, bits, blocks, max_hamming)
         staged = spark.read.parquet(keys_path)
+    if "sh" in batch_df.columns:
+        fp_plan = batch_df.select(
+            F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
+        )
+    else:
+        fp_plan = D.simhash_fingerprints(
+            batch_df.select(id_col, source_col, text_col),
+            text_col,
+            id_col,
+            carry_cols=[source_col],
+            bits=bits,
+            hash_hex=(bits + 3) // 4,
+        ).select(
+            F.col(id_col).alias("id"), F.col(source_col).alias("source"), "sh"
+        )
+    # small-batch local path: one narrow count decides; a batch under the
+    # cap runs the whole generation in-process (see _local_upsert)
+    if batch_df.count() <= LOCAL_BATCH_DOCS_CAP:
+        handled, res = _local_upsert(
+            spark, fp_plan, have_state, staged, serving_path, keys_path,
+            journal_path, bits, blocks, max_hamming, n_buckets,
+            n_key_buckets, compact_journal_above, metrics, applied_marker,
+        )
+        if handled:
+            return res
+    fp_b = fp_plan.localCheckpoint(eager=True)
+    _mark("fingerprint")
+    if not have_state and fp_b.isEmpty():
+        # an empty first batch must not create an unreadable (schema-less)
+        # serving table; the next non-empty batch becomes generation 0
+        return None
     pr = D.simhash_staged_probe(
         fp_b,
         staged,

@@ -85,7 +85,7 @@ def xxh64_long(value: int, seed: int = 42) -> int:
     it lets the maintainers derive a handful of bucket ids from a
     driver-resident component set without scheduling a local-relation
     Spark job per micro-batch."""
-    h = (seed + _XXP5 + 8) & _M64
+    h = ((seed & _M64) + _XXP5 + 8) & _M64
     k1 = (_rotl64((value & _M64) * _XXP2 & _M64, 31) * _XXP1) & _M64
     h ^= k1
     h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
@@ -95,6 +95,33 @@ def xxh64_long(value: int, seed: int = 42) -> int:
     h = h * _XXP3 & _M64
     h ^= h >> 32
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_int(value: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of ONE *int* column, on the driver: Spark
+    hashes IntegerType as a 4-byte XXH64 input (XxHash64Function.hashInt),
+    which takes the 32-bit tail path, not the 8-byte block path."""
+    h = ((seed & _M64) + _XXP5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+    h ^= h >> 33
+    h = h * _XXP2 & _M64
+    h ^= h >> 29
+    h = h * _XXP3 & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of_combo_key(combo_id: int, key_val: int, n_buckets: int) -> int:
+    """Driver-side twin of ``_bucket_expr(["combo_id", "key_val"], n)``
+    for the union-key stage layout (combo_id int, key_val long): Spark's
+    multi-column xxhash64 chains each column's hash as the next column's
+    seed, so ``xxhash64(c, k) = xxh64_long(k, seed=xxh64_int(c, 42))``.
+    Pinned bit-for-bit against the engine's own xxhash64
+    (tests/test_components_stage.py::test_driver_bucket_matches_spark) —
+    it lets a micro-batch derive its probe's key-bucket prune list from
+    driver-resident keys without a local-relation Spark job."""
+    return xxh64_long(key_val, seed=xxh64_int(combo_id)) % n_buckets
 
 
 def bucket_of_long(value: int, n_buckets: int) -> int:

@@ -694,3 +694,59 @@ def test_driver_bucket_matches_spark(spark):
     for v, r in zip(vals, got):
         assert r["h"] == xxh64_long(v), v
         assert r["b"] == bucket_of_long(v, 16), v
+
+
+def test_driver_combo_key_bucket_matches_spark(spark):
+    """The small-batch local path derives its stage-prune list with
+    ``bucket_of_combo_key`` (xxhash64 over (combo_id int, key_val long):
+    Spark chains each column's hash as the next column's seed, and hashes
+    IntegerType via the 4-byte XXH64 tail path). Must match the writer's
+    ``_bucket_expr(["combo_id", "key_val"], n)`` bit-for-bit or the local
+    probe would scan the wrong partitions."""
+    import random
+
+    from scylla_migrator_spark.streaming.rollup import (
+        _bucket_expr,
+        bucket_of_combo_key,
+    )
+
+    random.seed(13)
+    vals = [(0, 0), (44, -1), (7, 2**62), (45, -(2**63))] + [
+        (random.randrange(0, 46), random.getrandbits(64) - (1 << 63))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(vals, "combo_id int, key_val long")
+    got = df.select(
+        "combo_id", "key_val", _bucket_expr(["combo_id", "key_val"], 64).alias("b")
+    ).collect()
+    for r in got:
+        assert r["b"] == bucket_of_combo_key(r["combo_id"], r["key_val"], 64)
+
+
+def test_driver_union_key_rows_match_spark(spark):
+    """``block_union_key_rows`` (the local path's in-process key
+    generator) must emit exactly the (combo_id, key_val) set of the
+    ``_block_union_keys`` Catalyst forest for the same geometry — a
+    mismatch would mis-key the stage append and silently break later
+    probes."""
+    import random
+
+    from scylla_migrator_spark.analytics.dedup import (
+        _block_union_keys,
+        block_union_key_rows,
+    )
+
+    random.seed(17)
+    for bits, blocks, h in ((32, 10, 8), (60, 10, 8), (60, 12, 8)):
+        shs = [random.getrandbits(bits) for _ in range(20)] + [0, (1 << bits) - 1]
+        df = spark.createDataFrame([(s,) for s in shs], "__sh long")
+        spark_keys = {
+            (r["__sh"], r["combo_id"], r["key_val"])
+            for r in _block_union_keys(df, "__sh", bits, blocks, h, ["__sh"]).collect()
+        }
+        local_keys = {
+            (s, j, kv)
+            for s in shs
+            for j, kv in block_union_key_rows(s, bits, blocks, h)
+        }
+        assert spark_keys == local_keys, (bits, blocks, h)
