@@ -1240,6 +1240,282 @@ def components_upsert_batch(
     return affected
 
 
+# local retraction path: when the affected bucket/key partitions are
+# small ON DISK (the size gate below — actual bytes, the same signal AQE
+# plans on), the survivor re-solve runs in-process over pyarrow reads of
+# the pruned partitions. A retraction touching a mega-cluster blows the
+# byte gate (or local_merge_cap) and takes the distributed path.
+LOCAL_RETRACT_BYTES_CAP = 8 << 20
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.startswith("part-"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _read_parquet_dir(d: str, columns: list[str]) -> list[tuple]:
+    """Driver-side read of one bucket directory (local-fs parquet, the
+    maintainers' storage contract) — rows as tuples in ``columns`` order."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(d):
+        return []
+    t = pq.read_table(d, columns=columns)
+    return list(zip(*(t.column(c).to_pylist() for c in columns)))
+
+
+def _local_retract(
+    spark: SparkSession,
+    serving_path: str,
+    keys_path: str,
+    journal_path: str,
+    del_rows: list,
+    journal_map: dict[int, int],
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    n_buckets: int,
+    n_key_buckets: int,
+    local_merge_cap: int,
+    metrics: dict | None,
+    applied_marker: dict | None,
+    grp_type: str,
+) -> tuple[bool, list[int] | None]:
+    """In-process retraction for small affected state: ``(handled,
+    result)``; ``handled=False`` → caller runs the distributed body.
+    Semantics identical to the distributed path (same probe keys, same
+    re-solve, same stage correction and manifest); every read is the
+    SAME pruned partition set, just via pyarrow instead of scheduled
+    jobs. Byte gates (not row guesses) decide: affected serving buckets,
+    then the touched key partitions, must each fit the cap."""
+    from scylla_migrator_spark.analytics.dedup import block_union_key_rows
+
+    if grp_type not in _PA_TYPES:
+        return False, None
+    driver_rows = len(del_rows) + len(journal_map)
+
+    def _term(c: int) -> int:
+        while c in journal_map:
+            c = journal_map[c]
+        return c
+
+    del_ids = {r[0] for r in del_rows}
+    units_del = {(r[1], r[2]) for r in del_rows}
+    if any(g is None for g, _s in units_del):
+        return False, None
+    # 1. combo-0 stage probe, driver-side: key + bucket via the pinned
+    #    twins, partitions read with pyarrow (byte-gated)
+    key0 = {
+        u: block_union_key_rows(u[1], bits, blocks, max_hamming)[0][1]
+        for u in units_del
+    }
+    kb0 = sorted({bucket_of_combo_key(0, kv, n_key_buckets) for kv in key0.values()})
+    kb0_dirs = [os.path.join(keys_path, f"{KEY_BUCKET_COL}={b}") for b in kb0]
+    if sum(_dir_bytes(d) for d in kb0_dirs) > LOCAL_RETRACT_BYTES_CAP:
+        return False, None
+    want = {(u[0], kv, u[1]) for u, kv in key0.items()}
+    comps_old: set[int] = set()
+    n_hits = 0
+    for d in kb0_dirs:
+        for g, cid, kv, s, c0 in _read_parquet_dir(
+            d, ["grp", "combo_id", "key_val", "sh", "comp0"]
+        ):
+            if cid == 0 and (g, kv, s) in want:
+                comps_old.add(_term(c0))
+                n_hits += 1
+    driver_rows += n_hits + len(kb0)
+    if not comps_old:
+        return True, []
+    buckets_old = sorted({bucket_of_long(c, n_buckets) for c in comps_old})
+    # 2. affected serving buckets, byte-gated, read driver-side
+    old_dirs = {
+        b: os.path.join(serving_path, f"{BUCKET_COL}={b}") for b in buckets_old
+    }
+    if sum(_dir_bytes(d) for d in old_dirs.values()) > LOCAL_RETRACT_BYTES_CAP:
+        return False, None
+    cols = ["id", "source", "sh", "comp", "paired"]
+    passthrough: list[tuple] = []
+    survivors: list[tuple] = []
+    for d in old_dirs.values():
+        for row in _read_parquet_dir(d, cols):
+            if row[3] in comps_old:
+                if row[0] not in del_ids:
+                    survivors.append(row)
+            else:
+                passthrough.append(row)
+    driver_rows += len(survivors) + len(passthrough)
+    # 3. re-solve the survivor subgraph (star + blocked cross per
+    #    component) with the driver union-find — local_merge_cap bounds it
+    units_s: dict[tuple, int] = {}  # (comp, grp, sh) -> rep (min id)
+    for i, g, s, c, _p in survivors:
+        u = (c, g, s)
+        if u not in units_s or i < units_s[u]:
+            units_s[u] = i
+    edges: list[tuple[int, int]] = []
+    for i, g, s, c, _p in survivors:
+        rep = units_s[(c, g, s)]
+        if i != rep:
+            edges.append((i, rep) if i < rep else (rep, i))
+    bykey: dict[tuple, list[tuple]] = {}
+    for (c, g, s), rep in units_s.items():
+        for j, kv in block_union_key_rows(s, bits, blocks, max_hamming):
+            bykey.setdefault((c, g, j, kv), []).append((s, rep))
+    n_pairs = sum(len(v) * (len(v) - 1) // 2 for v in bykey.values())
+    if n_pairs > local_merge_cap or len(edges) > local_merge_cap:
+        return False, None
+    seen: set = set()
+    for (c, g, _j, _kv), us in bykey.items():
+        if len(us) < 2:
+            continue
+        us = sorted(us)
+        for x in range(len(us)):
+            for y in range(x + 1, len(us)):
+                (sa, ra), (sb, rb) = us[x], us[y]
+                k = (c, g, sa, sb)
+                if k in seen:
+                    continue
+                seen.add(k)
+                if bin(sa ^ sb).count("1") <= max_hamming:
+                    edges.append((ra, rb) if ra < rb else (rb, ra))
+    if len(edges) > local_merge_cap:
+        return False, None
+    labels_map = minlabel_union_find(edges)
+    driver_rows += len(edges) + len(labels_map)
+    relabelled = [
+        (i, g, s, labels_map.get(i, i), i in labels_map)
+        for i, g, s, _c, _p in survivors
+    ]
+    buckets_new = {bucket_of_long(r[3], n_buckets) for r in relabelled}
+    extra = sorted(buckets_new - set(buckets_old))
+    affected = sorted(set(buckets_old) | buckets_new)
+    extra_rows: list[tuple] = []
+    if extra:
+        extra_dirs = [
+            os.path.join(serving_path, f"{BUCKET_COL}={b}") for b in extra
+        ]
+        if sum(_dir_bytes(d) for d in extra_dirs) > LOCAL_RETRACT_BYTES_CAP:
+            return False, None
+        for d in extra_dirs:
+            extra_rows.extend(_read_parquet_dir(d, cols))
+        driver_rows += len(extra_rows)
+    # 4. stage correction: surviving units re-anchored to their min
+    #    member, dead units removed — only the touched key partitions swap
+    corrected: dict[tuple, tuple[int, int]] = {}  # (grp, sh) -> (anchor, comp0)
+    for (c, g, s), rep in units_s.items():
+        corrected[(g, s)] = (rep, labels_map.get(rep, rep))
+    touched = set(corrected) | units_del
+    kb_aff = sorted(
+        {
+            bucket_of_combo_key(j, kv, n_key_buckets)
+            for g, s in touched
+            for j, kv in block_union_key_rows(s, bits, blocks, max_hamming)
+        }
+    )
+    driver_rows += len(kb_aff)
+    kb_dirs = {
+        b: os.path.join(keys_path, f"{KEY_BUCKET_COL}={b}") for b in kb_aff
+    }
+    if sum(_dir_bytes(d) for d in kb_dirs.values()) > LOCAL_RETRACT_BYTES_CAP:
+        return False, None
+    gen = uuid.uuid4().hex[:8]
+    keys_by_bucket: dict[int, list[tuple]] = {}
+    kcols = ["grp", "combo_id", "key_val", "sh", "anchor", "comp0"]
+    for b, d in kb_dirs.items():
+        for row in _read_parquet_dir(d, kcols):
+            if (row[0], row[3]) not in touched:
+                keys_by_bucket.setdefault(b, []).append(row)
+    for (g, s), (a, c0) in corrected.items():
+        for j, kv in block_union_key_rows(s, bits, blocks, max_hamming):
+            b = bucket_of_combo_key(j, kv, n_key_buckets)
+            if b in kb_dirs:
+                keys_by_bucket.setdefault(b, []).append((g, j, kv, s, a, c0))
+    # 5. writes (all pyarrow) + the shared manifest protocol
+    tmp = f"{serving_path}__gen_{gen}"
+    scratch = [tmp]
+    by_bucket: dict[int, list[tuple]] = {}
+    for row in relabelled:
+        by_bucket.setdefault(bucket_of_long(row[3], n_buckets), []).append(row)
+    for row in passthrough + extra_rows:
+        by_bucket.setdefault(bucket_of_long(row[3], n_buckets), []).append(row)
+    serving_fields = [
+        _pa_field("id", "bigint"),
+        _pa_field("source", grp_type),
+        _pa_field("sh", "bigint"),
+        _pa_field("comp", "bigint"),
+        _pa_field("paired", "boolean"),
+    ]
+    _write_bucketed_parquet(tmp, BUCKET_COL, by_bucket, serving_fields, gen)
+    written = set(by_bucket)
+    tmp_keys = f"{serving_path}__gen_{gen}_keys"
+    scratch.append(tmp_keys)
+    key_fields = [
+        _pa_field("grp", grp_type),
+        _pa_field("combo_id", "int"),
+        _pa_field("key_val", "bigint"),
+        _pa_field("sh", "bigint"),
+        _pa_field("anchor", "bigint"),
+        _pa_field("comp0", "bigint"),
+    ]
+    _write_bucketed_parquet(tmp_keys, KEY_BUCKET_COL, keys_by_bucket, key_fields, gen)
+    keys_written = set(keys_by_bucket)
+    kept_journal = [
+        [x, y] for x, y in journal_map.items() if _term(x) not in comps_old
+    ]
+    man = {
+        "kind": "swap",
+        "gen": gen,
+        "tmp": tmp,
+        "swap_buckets": sorted(written & set(affected)),
+        "drop_buckets": sorted(set(affected) - written),
+        "keys_tmp": tmp_keys,
+        "keys_swap_buckets": sorted(keys_written & set(kb_aff)),
+        "keys_drop_buckets": sorted(set(kb_aff) - keys_written),
+        "file_moves": [],
+        "scratch": scratch,
+        "geometry": {
+            "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+        },
+        "applied_marker": applied_marker,
+    }
+    if len(kept_journal) != len(journal_map):
+        if kept_journal:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tmp_journal = f"{serving_path}__gen_{gen}_journal"
+            os.makedirs(tmp_journal, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "old": pa.array([r[0] for r in kept_journal], pa.int64()),
+                        "new": pa.array([r[1] for r in kept_journal], pa.int64()),
+                    }
+                ),
+                os.path.join(tmp_journal, f"part-00000-{gen}.parquet"),
+            )
+            scratch.append(tmp_journal)
+            man["journal_tmp"] = tmp_journal
+        else:
+            man["journal_clear"] = True
+    _write_manifest(serving_path, man)
+    _execute_manifest(serving_path, man)
+    if metrics is not None:
+        metrics["probe_kbs"] = kb0
+        metrics["buckets_old"] = list(buckets_old)
+        metrics["affected_buckets"] = affected
+        metrics["keys_partitions_rewritten"] = kb_aff
+        metrics["n_survivor_edges"] = len(edges)
+        metrics["local_merge"] = True
+        metrics["local_batch"] = True
+        metrics["driver_label_rows"] = len(labels_map)
+        metrics["driver_rows_collected"] = driver_rows
+    return True, affected
+
+
 def components_retract_batch(
     batch_df: DataFrame,
     serving_path: str,
@@ -1327,18 +1603,34 @@ def components_retract_batch(
     # asserts the total is O(batch + buckets + journal + cap), NEVER
     # member-scale of an affected component
     driver_rows = 0
-    dl = batch_df.select(
-        F.col(id_col).alias("__did"),
-        F.col(source_col).alias("__grp"),
-        F.col("sh").alias("__sh"),
-    ).localCheckpoint(eager=True)
-    del_rows = dl.collect()
+    del_rows = [
+        (r[0], r[1], r[2])
+        for r in batch_df.select(
+            F.col(id_col).alias("__did"),
+            F.col(source_col).alias("__grp"),
+            F.col("sh").alias("__sh"),
+        ).collect()
+    ]
     driver_rows += len(del_rows)
     if not del_rows:
         return []
-    del_ids = {r["__did"] for r in del_rows}
     journal_map = _read_journal(spark, journal_path)
     driver_rows += len(journal_map)
+    # small-state local path (byte-gated; falls back on any cap)
+    grp_type = {
+        f.name: f.dataType.simpleString() for f in batch_df.schema.fields
+    }.get(source_col, "")
+    handled, res = _local_retract(
+        spark, serving_path, keys_path, journal_path, del_rows, journal_map,
+        bits, blocks, max_hamming, n_buckets, n_key_buckets,
+        local_merge_cap, metrics, applied_marker, grp_type,
+    )
+    if handled:
+        return res
+    del_ids = {r[0] for r in del_rows}
+    dl = spark.createDataFrame(
+        del_rows, f"__did bigint, __grp {grp_type}, __sh bigint"
+    )
 
     def _term(c: int) -> int:
         while c in journal_map:
