@@ -720,46 +720,69 @@ def _local_upsert(
     tmp = f"{serving_path}__gen_{gen}"
     written: set[int] = set()
     if affected:
-        pruned = (
-            spark.read.parquet(serving_path)
-            .filter(F.col(BUCKET_COL).isin(affected))
-            .select("id", "source", "sh", "comp", "paired")
-        )
-        merged_df = spark.createDataFrame(
-            list(merged_map.items()) or [], "__mid long, __mc long"
-        )
-        everts_df = spark.createDataFrame(
-            [(v,) for v in sorted(evert)] or [], "__vid long"
-        ).withColumn("__touched", F.lit(True))
-        batch_local_df = spark.createDataFrame(
-            batch_rows_local or [],
-            f"id bigint, source {fields['source']}, sh bigint, comp bigint, paired boolean",
-        )
-        rewritten = (
-            pruned.join(
-                F.broadcast(merged_df), pruned["comp"] == merged_df["__mid"], "left_outer"
+        aff_dirs = [
+            os.path.join(serving_path, f"{BUCKET_COL}={b}") for b in affected
+        ]
+        if sum(_dir_bytes(d) for d in aff_dirs) <= LOCAL_RETRACT_BYTES_CAP:
+            # affected partitions small on disk: apply the remap/pair
+            # flips in-process and write the generation with pyarrow
+            by_bucket: dict[int, list[tuple]] = {}
+            for d in aff_dirs:
+                for i, g, s, c, p in _read_parquet_dir(
+                    d, ["id", "source", "sh", "comp", "paired"]
+                ):
+                    c2 = merged_map.get(c, c)
+                    by_bucket.setdefault(bucket_of_long(c2, n_buckets), []).append(
+                        (i, g, s, c2, p or (i in evert))
+                    )
+            for row in batch_rows_local:
+                by_bucket.setdefault(
+                    bucket_of_long(row[3], n_buckets), []
+                ).append(row)
+            _write_bucketed_parquet(tmp, BUCKET_COL, by_bucket, serving_fields, gen)
+            scratch.append(tmp)
+            written = set(by_bucket)
+        else:
+            pruned = (
+                spark.read.parquet(serving_path)
+                .filter(F.col(BUCKET_COL).isin(affected))
+                .select("id", "source", "sh", "comp", "paired")
             )
-            .join(F.broadcast(everts_df), pruned["id"] == everts_df["__vid"], "left_outer")
-            .select(
-                "id",
-                "source",
-                "sh",
-                F.coalesce("__mc", pruned["comp"]).alias("comp"),
-                (F.col("paired") | F.coalesce("__touched", F.lit(False))).alias(
-                    "paired"
-                ),
+            merged_df = spark.createDataFrame(
+                list(merged_map.items()) or [], "__mid long, __mc long"
             )
-            .unionByName(batch_local_df)
-        )
-        rewritten.withColumn(
-            BUCKET_COL, _bucket_expr(["comp"], n_buckets)
-        ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
-        scratch.append(tmp)
-        written = {
-            int(e.split("=", 1)[1])
-            for e in os.listdir(tmp)
-            if e.startswith(f"{BUCKET_COL}=")
-        }
+            everts_df = spark.createDataFrame(
+                [(v,) for v in sorted(evert)] or [], "__vid long"
+            ).withColumn("__touched", F.lit(True))
+            batch_local_df = spark.createDataFrame(
+                batch_rows_local or [],
+                f"id bigint, source {fields['source']}, sh bigint, comp bigint, paired boolean",
+            )
+            rewritten = (
+                pruned.join(
+                    F.broadcast(merged_df), pruned["comp"] == merged_df["__mid"], "left_outer"
+                )
+                .join(F.broadcast(everts_df), pruned["id"] == everts_df["__vid"], "left_outer")
+                .select(
+                    "id",
+                    "source",
+                    "sh",
+                    F.coalesce("__mc", pruned["comp"]).alias("comp"),
+                    (F.col("paired") | F.coalesce("__touched", F.lit(False))).alias(
+                        "paired"
+                    ),
+                )
+                .unionByName(batch_local_df)
+            )
+            rewritten.withColumn(
+                BUCKET_COL, _bucket_expr(["comp"], n_buckets)
+            ).repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).parquet(tmp)
+            scratch.append(tmp)
+            written = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(tmp)
+                if e.startswith(f"{BUCKET_COL}=")
+            }
     _mark("rewrite")
     man = {
         "kind": "swap",
@@ -1967,6 +1990,51 @@ def compact_components_stage(spark: SparkSession, serving_path: str) -> int:
     mp = _read_journal(spark, journal_path)
     if not mp:
         return 0
+
+    def _term(c: int) -> int:
+        while c in mp:
+            c = mp[c]
+        return c
+
+    if _dir_bytes(keys_path) <= LOCAL_RETRACT_BYTES_CAP:
+        # small stage: the fold is a per-row comp0 -> terminal-label map
+        # (every key row of a unit carries the unit's anchor/comp0, so
+        # the anchor join of the distributed path reduces to _term) —
+        # rewrite the partitions with pyarrow, same manifest
+        kcols = ["grp", "combo_id", "key_val", "sh", "anchor", "comp0"]
+        by_bucket: dict[int, list[tuple]] = {}
+        grp_type = None
+        for e in sorted(os.listdir(keys_path)):
+            if not e.startswith(f"{KEY_BUCKET_COL}="):
+                continue
+            b = int(e.split("=", 1)[1])
+            rows = _read_parquet_dir(os.path.join(keys_path, e), kcols)
+            by_bucket[b] = [
+                (g, cid, kv, s, a, _term(c0)) for g, cid, kv, s, a, c0 in rows
+            ]
+            if rows and grp_type is None:
+                grp_type = "string" if isinstance(rows[0][0], str) else "bigint"
+        gen = uuid.uuid4().hex[:8]
+        tmp = f"{serving_path}__gen_{gen}_compact"
+        key_fields = [
+            _pa_field("grp", grp_type or "string"),
+            _pa_field("combo_id", "int"),
+            _pa_field("key_val", "bigint"),
+            _pa_field("sh", "bigint"),
+            _pa_field("anchor", "bigint"),
+            _pa_field("comp0", "bigint"),
+        ]
+        _write_bucketed_parquet(tmp, KEY_BUCKET_COL, by_bucket, key_fields, gen)
+        man = {
+            "kind": "compact",
+            "tmp": tmp,
+            "old": f"{serving_path}__old_{gen}_keys",
+            "n_key_buckets": _table_buckets(keys_path, DEFAULT_KEY_BUCKETS),
+            "scratch": [tmp],
+        }
+        _write_manifest(serving_path, man)
+        _execute_manifest(serving_path, man)
+        return len(mp)
     staged = spark.read.parquet(keys_path)
     resolved = _resolve_labels(
         staged.select(F.col("anchor").alias("id"), F.col("comp0").alias("comp")),
@@ -2020,6 +2088,58 @@ def rebuild_components_stage(
     _recover_pending(serving_path)
     keys_path = serving_path + KEYS_SUFFIX
     blocks = min(bits, max(10, max_hamming + 2))
+    if _dir_bytes(serving_path) <= LOCAL_RETRACT_BYTES_CAP:
+        # small serving table: derive the units and their key rows
+        # in-process (pinned twins), write the stage with pyarrow —
+        # same manifest, no Spark jobs
+        from scylla_migrator_spark.analytics.dedup import block_union_key_rows
+
+        units_l: dict[tuple, tuple[int, int]] = {}
+        grp_type = None
+        for e in sorted(os.listdir(serving_path)):
+            if not e.startswith(f"{BUCKET_COL}="):
+                continue
+            for i, g, s, c in _read_parquet_dir(
+                os.path.join(serving_path, e), ["id", "source", "sh", "comp"]
+            ):
+                if grp_type is None:
+                    grp_type = "string" if isinstance(g, str) else "bigint"
+                u = (g, s)
+                cur = units_l.get(u)
+                if cur is None:
+                    units_l[u] = (i, c)
+                else:
+                    units_l[u] = (min(cur[0], i), min(cur[1], c))
+        by_bucket: dict[int, list[tuple]] = {}
+        for (g, s), (a, c0) in units_l.items():
+            for j, kv in block_union_key_rows(s, bits, blocks, max_hamming):
+                by_bucket.setdefault(
+                    bucket_of_combo_key(j, kv, n_key_buckets), []
+                ).append((g, j, kv, s, a, c0))
+        gen = uuid.uuid4().hex[:8]
+        tmp = f"{serving_path}__gen_{gen}_rebuild"
+        key_fields = [
+            _pa_field("grp", grp_type or "string"),
+            _pa_field("combo_id", "int"),
+            _pa_field("key_val", "bigint"),
+            _pa_field("sh", "bigint"),
+            _pa_field("anchor", "bigint"),
+            _pa_field("comp0", "bigint"),
+        ]
+        _write_bucketed_parquet(tmp, KEY_BUCKET_COL, by_bucket, key_fields, gen)
+        man = {
+            "kind": "compact",  # same swap shape: tmp replaces the keys dir
+            "tmp": tmp,
+            "old": f"{serving_path}__old_{gen}_keys",
+            "n_key_buckets": n_key_buckets,
+            "scratch": [tmp],
+            "geometry": {
+                "bits": bits, "blocks": blocks, "max_hamming": max_hamming
+            },
+        }
+        _write_manifest(serving_path, man)
+        _execute_manifest(serving_path, man)
+        return len(units_l)
     units = (
         spark.read.parquet(serving_path)
         .groupBy(F.col("source").alias("__grp"), F.col("sh").alias("__sh"))
