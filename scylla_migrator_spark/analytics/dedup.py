@@ -253,15 +253,19 @@ def minhash_lsh_candidates(
     sig_df = minhash_signatures(df, text_col, id_col, num_hashes)
     # one materialization of the signature table: members, the distinct
     # collapse, and the expansion joins otherwise each re-run the minhash
-    # transform (the simhash_blocked_pairs lesson)
+    # transform (the simhash_blocked_pairs lesson). localCheckpoint, not
+    # persist: re-ANALYZING the signature subtree per branch was the
+    # fixed cost (planning, not execution — same A/B as the simhash
+    # generators); the banded explode feeds both sides of the self-join,
+    # so it is truncated too.
     keyed = sig_df.select(
         F.col(id_col), F.col("sig"), F.sha2(F.concat_ws(",", "sig"), 256).alias("__fp")
-    ).persist()
-    if persisted_out is not None:
-        persisted_out.append(keyed)
+    ).localCheckpoint(eager=True)
     members = keyed.select(F.col(id_col).alias("__mid"), F.col("__fp").alias("__msh"))
     distinct_sigs = keyed.select("__fp", "sig").dropDuplicates(["__fp"])
-    banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands)
+    banded = _banded(distinct_sigs, ["__fp"], num_hashes, bands).localCheckpoint(
+        eager=True
+    )
     if max_band_freq is not None:
         keep = (
             banded.groupBy("band_id", "band_hash")
@@ -649,15 +653,17 @@ def simhash_banded_pairs(
     # one materialization of the thin (id, fingerprint) projection: the
     # band join, the expansion joins, and the intra self-join otherwise
     # each re-inline the caller's fingerprint pipeline (the
-    # simhash_blocked_pairs lesson)
+    # simhash_blocked_pairs lesson). localCheckpoint, not persist: the
+    # fingerprint subtree would otherwise be re-ANALYZED per branch —
+    # planning, not execution, was the fixed cost (see
+    # simhash_blocked_pairs; same A/B). The banded explode feeds both
+    # sides of the band self-join, so it is truncated too.
     members = fp.select(
         F.col(id_col).alias("__mid"), F.col(sh_col).alias("__msh")
-    ).persist()
-    if persisted_out is not None:
-        persisted_out.append(members)
+    ).localCheckpoint(eager=True)
     banded = _simhash_banded_distinct(
         members.select(F.col("__msh").alias(sh_col)), sh_col, bits, bands
-    )
+    ).localCheckpoint(eager=True)
     if max_band_freq is not None:
         keep = (
             banded.groupBy("band_id", "band_val")
@@ -892,26 +898,33 @@ def simhash_blocked_pairs(
     if blocks > bits:
         raise ValueError(f"need blocks <= bits (got {blocks} > {bits})")
     grp = [group_col] if group_col else []
-    # cache the thin (id, group, fingerprint) projection ONCE: the
+    # materialize the thin (id, group, fingerprint) projection ONCE: the
     # generator references it from five plan branches (units/explode,
     # popcount verify, both expansion joins, the intra self-join), and
     # column pruning makes the branches' aggregate subplans differ, so
     # exchange reuse cannot always dedupe the caller's fingerprint
     # pipeline across them (measured 23s -> 6s on the skew row).
-    # persist(), NOT localCheckpoint: the InMemoryRelation keeps accurate
-    # size statistics so downstream joins stay broadcastable. CacheManager
-    # holds a STRONG reference (Dataset caches are never GC-unpersisted) —
-    # callers that materialize the result and keep the session alive
-    # should pass ``persisted_out`` and unpersist; one-shot detection
-    # plans accept the session-lifetime cache entry.
+    # localCheckpoint (eager), not persist: the caller's fingerprint
+    # subtree (~800 Catalyst nodes for the 60-bit bit-vote aggregate)
+    # would otherwise be ANALYZED AND OPTIMIZED once per branch — persist
+    # dedupes execution but not planning, and planning was the larger
+    # fixed cost (guide §3.3/§7.3; measured 3.2→2.3 s on the wide pair
+    # row with identical results). AQE re-plans the post-shuffle joins
+    # from runtime sizes, so broadcastability does not depend on the
+    # severed statistics, and the RDD checkpoint is GC-collected —
+    # no CacheManager strong reference to leak (persisted_out callers
+    # simply see nothing to unpersist).
     members = fp.select(
         F.col(id_col).alias("__mid"), *grp, F.col(sh_col).alias("__msh")
-    ).persist()
-    if persisted_out is not None:
-        persisted_out.append(members)
+    ).localCheckpoint(eager=True)
     units = members.select(*grp, F.col("__msh").alias("__sh")).distinct()
     carry = grp + ["__sh"]
-    keys = _block_union_keys(units, "__sh", bits, blocks, max_hamming, carry)
+    # the exploded key table feeds BOTH sides of the candidate self-join:
+    # checkpoint it too, so the C(blocks,k) forest is planned and
+    # executed once, and the self-join reads a leaf
+    keys = _block_union_keys(
+        units, "__sh", bits, blocks, max_hamming, carry
+    ).localCheckpoint(eager=True)
     key_cols = grp + ["combo_id", "key_val"]
     if max_key_freq is not None:
         keep = (
