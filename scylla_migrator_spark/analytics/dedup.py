@@ -1518,6 +1518,11 @@ def frame_sequence_pairs(
         )
         .distinct()
     )
+    # materialize the two shared tables once (the pair-generator lesson:
+    # localCheckpoint, so each consumer branch plans AND executes against a
+    # leaf): seq_fp feeds fp_shingles + members, and fp_shingles feeds the
+    # size aggregate plus BOTH sides of the shingle self-join — without the
+    # cut the shingle join + distinct executes up to three times
     seq_fp = base.groupBy("__vid").agg(
         F.sha2(
             F.concat_ws(
@@ -1529,7 +1534,7 @@ def frame_sequence_pairs(
             ),
             256,
         ).alias("__fp")
-    )
+    ).localCheckpoint(eager=True)
     fp_shingles = (
         shingles_by_id.join(seq_fp, "__vid").select("__fp", "__g").distinct()
     )
@@ -1541,6 +1546,7 @@ def frame_sequence_pairs(
             .select("__g")
         )
         fp_shingles = fp_shingles.join(keep, ["__g"], "left_semi")
+    fp_shingles = fp_shingles.localCheckpoint(eager=True)
     sz = fp_shingles.groupBy("__fp").agg(F.count("*").alias("__sz"))
     a, b = fp_shingles.alias("a"), fp_shingles.alias("b")
     inter = (

@@ -172,6 +172,31 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+def _ppm_raw(data: bytes) -> tuple[int, int, int, bytes]:
+    """Header parse + raw pixel slice of a P6 PPM: (width, height, maxval,
+    pixels). Same tokenizer as :func:`decode_ppm` (comments included) but
+    skips the per-pixel ``samples``/``pixel_sum`` materialization — the
+    resize/dhash hot paths only consume geometry and the raw bytes, and the
+    float-list construction was the dominant per-frame cost there."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1
+    width, height, maxval = tokens
+    return width, height, maxval, data[pos : pos + width * height * 3]
+
+
 def decode_png(data: bytes) -> dict:
     """Parse PNG IHDR for dimensions; decompress IDAT and reverse per-row
     filters for 8-bit grayscale/RGB(A) (the common training-data cases)."""
@@ -707,18 +732,18 @@ def resize_ppm_nn(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = []
             for a in pdf["asset"]:
-                m = decode_ppm(a["data"])
-                pix, w, h = m["pixels"], m["width"], m["height"]
-                resized = bytearray()
-                for y in range(out_h):
-                    sy = y * h // out_h
-                    for x in range(out_w):
-                        base = (sy * w + x * w // out_w) * 3
-                        resized += pix[base : base + 3]
-                out.append(encode_ppm(out_w, out_h, bytes(resized)))
+                w, h, _maxval, pix = _ppm_raw(a["data"])
+                # vectorized NN sample: identical index math to the scalar
+                # loop (sy = y*h//out_h, sx = x*w//out_w, 3 bytes per pixel)
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                out.append(encode_ppm(out_w, out_h, arr[sy][:, sx].tobytes()))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "data": out})
 
     return df.select("asset_id", "asset").mapInPandas(run, schema)
@@ -764,26 +789,34 @@ def image_dhash_fingerprints(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # bit weights of the scalar loop: bit (y*(grid-1)+x) for the
+        # horizontal neighbor pair at (y, x); max bit 54 for grid=8, safely
+        # inside int64
+        weights = np.left_shift(
+            np.int64(1), np.arange(grid * (grid - 1), dtype=np.int64)
+        ).reshape(grid, grid - 1)
         for pdf in batches:
-            hashes = []
+            mats = []
             for data in pdf["data"]:
-                m = decode_ppm(bytes(data))
-                if m["width"] != grid or m["height"] != grid:
+                w, h, _maxval, pix = _ppm_raw(bytes(data))
+                if w != grid or h != grid:
                     raise ValueError(
                         f"dhash expects a {grid}x{grid} image (resize first), "
-                        f"got {m['width']}x{m['height']}"
+                        f"got {w}x{h}"
                     )
-                pix = m["pixels"]
-                gray = [
-                    (pix[i * 3] + pix[i * 3 + 1] + pix[i * 3 + 2]) // 3
-                    for i in range(grid * grid)
-                ]
-                sh = 0
-                for y in range(grid):
-                    for x in range(grid - 1):
-                        if gray[y * grid + x] < gray[y * grid + x + 1]:
-                            sh |= 1 << (y * (grid - 1) + x)
-                hashes.append(sh)
+                mats.append(np.frombuffer(pix, dtype=np.uint8))
+            if mats:
+                # one vectorized pass over the whole Arrow batch:
+                # gray = (r+g+b)//3 per pixel (uint16 sum cannot overflow),
+                # one bit per horizontally adjacent pair where left < right
+                px = np.stack(mats).astype(np.uint16).reshape(-1, grid, grid, 3)
+                gray = px.sum(axis=3) // 3
+                bits = gray[:, :, :-1] < gray[:, :, 1:]
+                hashes = (bits * weights).sum(axis=(1, 2)).astype(np.int64)
+            else:
+                hashes = []
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "sh": hashes})
 
     return df.select("asset_id", "data").mapInPandas(run, schema)
