@@ -122,10 +122,125 @@ def merge_pair(sym_col: Column, p1: str | Column, p2: str | Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# In-process trainer fast path.
+#
+# Training state is the distinct-word frequency table, which is VOCAB-sized,
+# not corpus-sized: the corpus pass that builds it stays distributed, but the
+# merge/EM rounds afterwards iterate Spark jobs over |vocab| rows. When that
+# table fits comfortably on the driver, paying 1-2 scheduled jobs per round
+# (argmax collect + lineage checkpoint) for kilobytes of state is pure
+# scheduling overhead, so each trainer probes the table with one capped
+# ``take`` (the connected_components ``local_edge_cap`` pattern) and runs its
+# rounds in-process — bit-identically: exact integer pair/symbol counts, the
+# same IEEE-double expressions evaluated in the same order, the same
+# DECIMAL(18,9) truncations (``Decimal.quantize`` HALF_UP == Spark's
+# double->decimal cast), and the same lexicographic tie-breaks (Python str
+# comparison is code-point order, which equals Spark's UTF8String binary
+# order because UTF-8 byte order preserves code-point order). A corpus whose
+# word table blows the cap takes the distributed rounds unchanged.
+
+TOKENIZER_LOCAL_WORD_CAP = 100_000
+
+
+def _words_local(words: DataFrame, cap: int) -> list[tuple[str, int]] | None:
+    """Capped driver probe of the word-frequency table: the (word, cnt)
+    list when it fits, ``None`` when it overflows (distributed path). The
+    probe runs the corpus aggregation once; on overflow the distributed
+    path re-materializes it via ``localCheckpoint`` (same double-probe
+    posture as ``connected_components``'s edge-cap take)."""
+    if not cap:
+        return None
+    rows = words.select("word", "cnt").take(cap + 1)
+    if len(rows) > cap:
+        return None
+    return [(r[0], int(r[1])) for r in rows]
+
+
+def _merge_local(syms: list[str], p1: str, p2: str) -> list[str]:
+    """In-process twin of :func:`merge_pair`: greedy left-to-right,
+    non-overlapping."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == p1 and s == p2:
+            out[-1] = p1 + p2
+        else:
+            out.append(s)
+    return out
+
+
+def _words_state_df(spark, state: list[tuple[str, int, list[str]]]) -> DataFrame:
+    """The (word, cnt, symbols) training state as a DataFrame with the
+    word_frequency_table schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("symbols", T.ArrayType(T.StringType())),
+        ]
+    )
+    return spark.createDataFrame(state, schema)
+
+
+def _train_bpe_local(
+    wl: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]]]:
+    """The BPE merge loop on the collected word table — the classic dict
+    implementation, argmax and merge semantics identical to the
+    distributed round (max pair_count, ties lexical asc on (p1, p2))."""
+    state = [(w, c, list(w)) for w, c in wl]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for _w, c, syms in state:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (p1, p2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((p1, p2, cnt))
+        state = [(w, c, _merge_local(syms, p1, p2)) for w, c, syms in state]
+    return merges, state
+
+
+def _train_wordpiece_local(
+    wl: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str, int, float]], list[tuple[str, int, list[str]]]]:
+    """The WordPiece merge loop on the collected word table: likelihood
+    score pc/(c1*c2) in the same widened doubles the distributed round
+    computes, ties lexical asc on (p1, p2)."""
+    state = [(w, c, list(w)) for w, c in wl]
+    merges: list[tuple[str, str, int, float]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for _w, c, syms in state:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (p1, p2), pc = min(
+            pairs.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(sc[kv[0][0]]) * float(sc[kv[0][1]]))),
+                kv[0],
+            ),
+        )
+        score = float(pc) / (float(sc[p1]) * float(sc[p2]))
+        merges.append((p1, p2, pc, score))
+        state = [(w, c, _merge_local(syms, p1, p2)) for w, c, syms in state]
+    return merges, state
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    local_word_cap: int = TOKENIZER_LOCAL_WORD_CAP,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules over the corpus.
 
@@ -137,10 +252,19 @@ def train_bpe(
     Driver work per round is ONE 1-row collect; all counting and merging is
     distributed. The word table is localCheckpointed every few rounds so the
     fold-on-fold lineage doesn't deepen unboundedly (same discipline as the
-    connected-components fixpoint loop in analytics/components.py)."""
+    connected-components fixpoint loop in analytics/components.py).
+
+    A word table at or under ``local_word_cap`` rows runs every round
+    in-process instead (identical merges — see the fast-path block comment);
+    pass ``local_word_cap=0`` to force the distributed rounds."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
-    words = word_frequency_table(df, text_col).localCheckpoint()
+    words = word_frequency_table(df, text_col)
+    wl = _words_local(words, local_word_cap)
+    if wl is not None:
+        merges_l, state = _train_bpe_local(wl, n_merges)
+        return merges_l, _words_state_df(df.sparkSession, state)
+    words = words.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for round_no in range(n_merges):
         best = (
@@ -490,19 +614,161 @@ def unigram_em_round(
     )
 
 
+def _seed_vocab_local(
+    wl: list[tuple[str, int]], max_piece_len: int, top_multi: int
+) -> dict[str, float]:
+    """In-process twin of :func:`substring_seed_vocab`: all single chars
+    plus the top_multi most frequent multi-char substrings (count desc,
+    piece asc), p = c/total over the selected set in the same doubles."""
+    subs: dict[str, int] = {}
+    for w, c in wl:
+        n = len(w)
+        for j in range(n):
+            for k in range(1, max_piece_len + 1):
+                if j + k <= n:
+                    piece = w[j : j + k]
+                    subs[piece] = subs.get(piece, 0) + c
+    vocab = {p: c for p, c in subs.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subs.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[:top_multi]
+        )
+    )
+    tot = sum(vocab.values())
+    return {p: float(c) / float(tot) for p, c in vocab.items()}
+
+
+def _em_round_local(
+    wl: list[tuple[str, int]], probs: dict[str, float], max_piece_len: int
+) -> dict[str, float]:
+    """In-process twin of :func:`unigram_em_round`: the same forward/
+    backward DPs with the k = 1..max term order pinned, the same
+    left-associated double product per edge, the same DECIMAL(18,9)
+    HALF_UP truncation pre-sum (decimal addition is exact, so the
+    accumulation order is immaterial — as in the distributed shuffle)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000000001")
+    ks = range(1, max_piece_len + 1)
+    ec: dict[str, Decimal] = {}
+    for w, c in wl:
+        n = len(w)
+        al = [1.0] + [0.0] * n
+        for t in range(1, n + 1):
+            s = 0.0
+            for k in ks:
+                if t - k >= 0:
+                    p = probs.get(w[t - k : t])
+                    if p is not None:
+                        s += p * al[t - k]
+            al[t] = s
+        be = [0.0] * n + [1.0]
+        for t in range(n - 1, -1, -1):
+            s = 0.0
+            for k in ks:
+                if t + k <= n:
+                    p = probs.get(w[t : t + k])
+                    if p is not None:
+                        s += p * be[t + k]
+            be[t] = s
+        for j in range(n):
+            for k in ks:
+                if j + k <= n:
+                    piece = w[j : j + k]
+                    p = probs.get(piece)
+                    if p is not None:
+                        g = c * al[j] * p * be[j + k] / al[n]
+                        ec[piece] = ec.get(piece, Decimal(0)) + Decimal(g).quantize(
+                            q, rounding=ROUND_HALF_UP
+                        )
+    tot = float(sum(ec.values(), Decimal(0)))
+    return {p: float(v) / tot for p, v in ec.items()}
+
+
+def _prune_local(probs: dict[str, float], keep_multi: int) -> dict[str, float]:
+    """In-process twin of :func:`unigram_prune`: keep chars + top
+    keep_multi multi pieces (p desc, piece asc), renormalize over the
+    DECIMAL(18,9)-truncated kept probabilities."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000000001")
+    kept = {p: v for p, v in probs.items() if len(p) == 1}
+    kept.update(
+        dict(
+            sorted(
+                ((p, v) for p, v in probs.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[:keep_multi]
+        )
+    )
+    tot = float(
+        sum(
+            (Decimal(v).quantize(q, rounding=ROUND_HALF_UP) for v in kept.values()),
+            Decimal(0),
+        )
+    )
+    return {p: v / tot for p, v in kept.items()}
+
+
+def _probs_df(spark, probs: dict[str, float]) -> DataFrame:
+    """A (piece, p) probability dict as a DataFrame (sorted by piece for a
+    deterministic row order; consumers treat the frame as a set)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("piece", T.StringType()), T.StructField("p", T.DoubleType())]
+    )
+    return spark.createDataFrame(sorted(probs.items()), schema)
+
+
 def train_unigram(
     df: DataFrame,
     rounds: int = 2,
     text_col: str = "text",
     max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
     top_multi: int = 128,
+    local_word_cap: int = TOKENIZER_LOCAL_WORD_CAP,
 ) -> DataFrame:
     """Train the unigram LM: substring-seeded vocab, ``rounds`` exact EM
     rounds. Returns (piece, p). The word table is the only corpus-pass;
-    each round's cost is proportional to |vocab| * max word length."""
+    each round's cost is proportional to |vocab| * max word length.
+
+    A word table at or under ``local_word_cap`` rows runs seeding and every
+    EM round in-process (identical doubles — see the fast-path block
+    comment); ``local_word_cap=0`` forces the distributed rounds."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    words = word_frequency_table(df, text_col).localCheckpoint()
+    return unigram_probs_from_words(
+        word_frequency_table(df, text_col),
+        rounds,
+        max_piece_len,
+        top_multi,
+        local_word_cap,
+    )
+
+
+def unigram_probs_from_words(
+    words: DataFrame,
+    rounds: int,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    top_multi: int = 128,
+    local_word_cap: int = TOKENIZER_LOCAL_WORD_CAP,
+) -> DataFrame:
+    """Seed + ``rounds`` EM rounds from an existing word-frequency table
+    (callers that also consume ``words`` downstream build it once and pass
+    it here). Gated like :func:`train_unigram`; the distributed branch
+    localCheckpoints ``words`` itself (re-checkpointing an
+    already-materialized frame costs one vocab-sized copy)."""
+    wl = _words_local(words, local_word_cap)
+    if wl is not None:
+        probs_l = _seed_vocab_local(wl, max_piece_len, top_multi)
+        for _ in range(rounds):
+            probs_l = _em_round_local(wl, probs_l, max_piece_len)
+        return _probs_df(words.sparkSession, probs_l)
+    words = words.localCheckpoint()
     probs = substring_seed_vocab(words, max_piece_len, top_multi)
     for _ in range(rounds):
         # cut the plan between rounds: the probs table is vocab-sized
@@ -589,11 +855,22 @@ def train_unigram_pruned(
     text_col: str = "text",
     max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
     top_multi: int = 128,
+    local_word_cap: int = TOKENIZER_LOCAL_WORD_CAP,
 ) -> DataFrame:
     """The full SentencePiece-style loop: seed -> EM x rounds_before ->
     prune to (alphabet + keep_multi) -> EM x rounds_after. Returns the
-    final (piece, p) vocabulary."""
-    words = word_frequency_table(df, text_col).localCheckpoint()
+    final (piece, p) vocabulary. Gated like :func:`train_unigram`."""
+    words = word_frequency_table(df, text_col)
+    wl = _words_local(words, local_word_cap)
+    if wl is not None:
+        probs_l = _seed_vocab_local(wl, max_piece_len, top_multi)
+        for _ in range(rounds_before):
+            probs_l = _em_round_local(wl, probs_l, max_piece_len)
+        probs_l = _prune_local(probs_l, keep_multi)
+        for _ in range(rounds_after):
+            probs_l = _em_round_local(wl, probs_l, max_piece_len)
+        return _probs_df(df.sparkSession, probs_l)
+    words = words.localCheckpoint()
     probs = substring_seed_vocab(words, max_piece_len, top_multi)
     for _ in range(rounds_before):
         probs = unigram_em_round(words, probs, max_piece_len).localCheckpoint()
@@ -620,6 +897,7 @@ def train_wordpiece(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    local_word_cap: int = TOKENIZER_LOCAL_WORD_CAP,
 ) -> tuple[list[tuple[str, str, int, float]], DataFrame]:
     """Learn ``n_merges`` WordPiece merge rules (Schuster & Nakajima 2012,
     the BERT tokenizer's trainer): identical iteration shape to BPE
@@ -642,10 +920,19 @@ def train_wordpiece(
     [(p1, p2, pair_count, score), ...]. Per-round cost: the same two
     vocab-sized aggregations (pair counts + symbol counts, AQE-joined on
     the symbol), a 1-row collect, and the shared greedy merge fold —
-    corpus is scanned once for the word table, never per round."""
+    corpus is scanned once for the word table, never per round.
+
+    A word table at or under ``local_word_cap`` rows runs every round
+    in-process instead (identical merges and scores — see the fast-path
+    block comment); ``local_word_cap=0`` forces the distributed rounds."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
-    words = word_frequency_table(df, text_col).localCheckpoint()
+    words = word_frequency_table(df, text_col)
+    wl = _words_local(words, local_word_cap)
+    if wl is not None:
+        merges_l, state = _train_wordpiece_local(wl, n_merges)
+        return merges_l, _words_state_df(df.sparkSession, state)
+    words = words.localCheckpoint()
     merges: list[tuple[str, str, int, float]] = []
     for round_no in range(n_merges):
         pc = pair_counts(words)

@@ -11543,9 +11543,7 @@ def _unigram_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fan(_t(spark, sf_dir, "documents"))
     words = TOK.word_frequency_table(docs).localCheckpoint()
-    probs = TOK.substring_seed_vocab(words)
-    for _ in range(2):
-        probs = TOK.unigram_em_round(words, probs).localCheckpoint()
+    probs = TOK.unigram_probs_from_words(words, rounds=2)
     wnp = TOK.unigram_viterbi_counts(words, probs)
     dw = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("word")

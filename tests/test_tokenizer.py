@@ -677,3 +677,55 @@ def test_train_wordpiece_zero_and_negative_rounds(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         TOK.train_wordpiece(docs, -1)
+
+
+# --- in-process trainer fast path == distributed rounds -------------------
+
+
+def test_trainer_local_path_equals_distributed(spark, sf_dir):
+    """The byte-gated in-process rounds (word table under
+    TOKENIZER_LOCAL_WORD_CAP) must be BIT-IDENTICAL to the distributed
+    rounds on the same corpus: merges, scores, final word state, and the
+    unigram probabilities — exact double equality, not a tolerance. The
+    default path here is the local one (fixture word table is tiny);
+    local_word_cap=0 forces the distributed rounds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    b_l, bw_l = TOK.train_bpe(docs, 6)
+    b_d, bw_d = TOK.train_bpe(docs, 6, local_word_cap=0)
+    assert b_l == b_d
+
+    def wset(wdf):
+        return sorted((r["word"], r["cnt"], tuple(r["symbols"])) for r in wdf.collect())
+
+    assert wset(bw_l) == wset(bw_d)
+
+    w_l, _ = TOK.train_wordpiece(docs, 6)
+    w_d, _ = TOK.train_wordpiece(docs, 6, local_word_cap=0)
+    assert w_l == w_d  # includes the IEEE-double scores exactly
+
+    u_l = {r["piece"]: r["p"] for r in TOK.train_unigram(docs, rounds=2).collect()}
+    u_d = {
+        r["piece"]: r["p"]
+        for r in TOK.train_unigram(docs, rounds=2, local_word_cap=0).collect()
+    }
+    assert u_l == u_d  # exact doubles: same op order, same decimal truncation
+
+    p_l = {
+        r["piece"]: r["p"]
+        for r in TOK.train_unigram_pruned(docs, 2, 48, 1).collect()
+    }
+    p_d = {
+        r["piece"]: r["p"]
+        for r in TOK.train_unigram_pruned(docs, 2, 48, 1, local_word_cap=0).collect()
+    }
+    assert p_l == p_d
+
+
+def test_trainer_local_cap_overflow_falls_back(spark):
+    """A word table bigger than the cap must take the distributed rounds
+    (probe overflows) and still produce the same merges."""
+    docs = spark.createDataFrame([(1, "ab ab ac bc bc bc")], "doc_id long, text string")
+    got = TOK.train_bpe(docs, 2, local_word_cap=1)[0]  # 3 distinct words > cap
+    want = TOK.train_bpe(docs, 2)[0]
+    assert got == want
