@@ -2234,11 +2234,22 @@ def edit_distance_pairs(
     dist) with id_a < id_b, dist <= k_max.
     """
     min_len_for_filter = k_max * q + q  # bound > 0 needs len - q + 1 - K*q >= 1
-    ks = keys.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(partition_col).alias("part"),
-        F.col(key_col).alias("key"),
-    ).withColumn("klen", F.length("key"))
+    # ks feeds SIX plan branches (long/short split, border, fringe, and both
+    # key-attach joins) and `visible` feeds both sides of the candidate
+    # self-join: without a lineage cut Catalyst re-plans the key projection
+    # per branch and the physical plan carries ~20 scans / ~50 exchanges of
+    # the same subtree (measured; exchange reuse dedupes execution but not
+    # planning). localCheckpoint both — one row per string, the generator
+    # materialization lesson from the simhash/minhash pair family.
+    ks = (
+        keys.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(partition_col).alias("part"),
+            F.col(key_col).alias("key"),
+        )
+        .withColumn("klen", F.length("key"))
+        .localCheckpoint(eager=True)
+    )
 
     long_keys = ks.filter(F.col("klen") >= min_len_for_filter)
     grams = long_keys.select(

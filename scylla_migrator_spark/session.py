@@ -49,6 +49,18 @@ def get_spark(app_name: str = "scylla-migrator-spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(cpus * 4))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold, and let AQE rewrite sort-merge to shuffled-hash at runtime
+        # when every post-shuffle partition's build side fits a 64 MB local
+        # map: the engine's joins are dominated by vocab-/stats-sized sides
+        # where the SMJ sort is pure overhead. Scale posture: the 64 MB
+        # per-partition cap (not a local[32] constant — it bounds build-map
+        # memory per TASK, the same on a 1000-executor cluster) plus AQE
+        # skew splitting keeps the build side bounded; oversized partitions
+        # simply stay sort-merge. Measured on an 18-row join battery at
+        # sf0.1: -15% (28.3 -> 24.1 s), no row slower than noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # read parquet TIMESTAMP(NANOS) as epoch-nanos LongType (Spark has no
