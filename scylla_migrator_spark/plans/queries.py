@@ -14186,12 +14186,15 @@ def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves a hash-checked recall value instead of silently shrinking the
     candidate set. The comparison aggregates a tagged union of two
     already-blocked pair tables — one pair-keyed groupBy, nothing
-    corpus-sized, no cross join."""
-    docs = _fan(_t(spark, sf_dir, "documents"))
-    truth = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", n=3).filter(
+    corpus-sized, no cross join. Both pair tables read the legs' staged
+    detections (`_query_pairs_staged`, the blocker-ensemble posture):
+    detection cost stays bench-visible through ngram_jaccard_block_pairs'
+    and minhash_lsh_pairs' own rows; this row measures the recall
+    comparison itself."""
+    truth = _query_pairs_staged(spark, sf_dir, "ngram_jaccard_block_pairs").filter(
         F.col("jaccard") >= 0.5
     )
-    cand = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
+    cand = _query_pairs_staged(spark, sf_dir, "minhash_lsh_pairs")
     t = truth.select("id_a", "id_b", F.lit(1).alias("it"), F.lit(0).alias("ic"))
     c = cand.select("id_a", "id_b", F.lit(0).alias("it"), F.lit(1).alias("ic"))
     u = (
@@ -17606,10 +17609,12 @@ def lsh_recall_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: both pair tables are already blocked; the tag join keys on
     pair identity, the 4-row threshold dimension crosses onto the
     jaccard-tagged pairs via a range join on the TINY side — nothing
-    corpus-sized."""
-    docs = _fan(_t(spark, sf_dir, "documents"))
-    truth = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", n=3)
-    cand = D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4).select(
+    corpus-sized. Both pair tables read the legs' staged detections
+    (`_query_pairs_staged`, the blocker-ensemble posture): detection cost
+    stays bench-visible through the legs' own rows; this row measures the
+    tuning-curve comparison itself."""
+    truth = _query_pairs_staged(spark, sf_dir, "ngram_jaccard_block_pairs")
+    cand = _query_pairs_staged(spark, sf_dir, "minhash_lsh_pairs").select(
         F.col("id_a").alias("ca"), F.col("id_b").alias("cb"), F.lit(1).alias("ic0")
     )
     tagged = truth.join(
