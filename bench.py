@@ -412,13 +412,24 @@ def main() -> None:
         "_simhash_star_edges_staged",
         "_incr_state_staged",
         "_incr_keys_staged",
+        "_image_dhash_fp_staged",
+        "_video_frame_fp_staged",
+        "_image_star_edges_staged",
+        "_video_star_edges_staged",
     ):
         try:
             getattr(Q, warm)(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001 - warm failure surfaces in the scenario itself
             print(f"BENCHMARK_WARNING | stage_warm={warm} err={exc!r:.200}", file=sys.stderr)
-    # the ensemble's leg stages (detection timed by the legs' own rows)
-    for leg in ("minhash_lsh_pairs", "sorted_neighborhood_blocking", "ngram_jaccard_block_pairs"):
+    # the ensemble's / consensus's / recall rows' leg stages (detection
+    # timed by the legs' own rows)
+    for leg in (
+        "minhash_lsh_pairs",
+        "sorted_neighborhood_blocking",
+        "ngram_jaccard_block_pairs",
+        "simhash_hamming_pairs",
+        "image_phash_dup_pairs",
+    ):
         try:
             Q._query_pairs_staged(spark, sf_dir, leg).count()
         except Exception as exc:  # noqa: BLE001
