@@ -1052,12 +1052,18 @@ def kn_doc_nll(
         (F.col("c") - d) / F.col("cp")
         + d * F.col("n_fwd") / F.col("cp") * F.col("n_bwd") / F.col("nbig")
     )
-    scored = (
-        bg.join(_stats_side(c2, broadcast_stats), ["w1", "w2"])
-        .join(_stats_side(pre, broadcast_stats), "w1")
+    # the NLL is a function of the bigram alone, so compute it once per
+    # DISTINCT bigram on the vocab-bounded count table and send the
+    # corpus-sized bigram stream through ONE join instead of four
+    # (identical doubles: the same expression over the same stat values)
+    nll_tab = (
+        c2.join(_stats_side(pre, broadcast_stats), "w1")
         .join(_stats_side(cont, broadcast_stats), "w2")
         .join(F.broadcast(nbig))
-        .select(F.col(id_col), (-F.log(p_kn)).cast("decimal(18,9)").alias("nll"))
+        .select("w1", "w2", (-F.log(p_kn)).cast("decimal(18,9)").alias("nll"))
+    )
+    scored = bg.join(_stats_side(nll_tab, broadcast_stats), ["w1", "w2"]).select(
+        F.col(id_col), "nll"
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
@@ -1118,15 +1124,23 @@ def kn3_doc_nll(
         + d * F.col("n_fwd1") / F.col("cp1") * F.col("n_bwd") / F.col("ncont")
     )
     p3 = (F.col("c") - d) / F.col("cp2") + d * F.col("n_fwd2") / F.col("cp2") * p2
-    scored = (
-        tg.join(_stats_side(c3, broadcast_stats), ["w1", "w2", "w3"])
-        .join(_stats_side(pre2, broadcast_stats), ["w1", "w2"])
+    # the NLL is a function of the trigram alone: compute it once per
+    # DISTINCT trigram on the vocab-bounded count table and send the
+    # corpus-sized trigram stream through ONE join instead of six
+    # (identical doubles: the same expression over the same stat values)
+    nll_tab = (
+        c3.join(_stats_side(pre2, broadcast_stats), ["w1", "w2"])
         .join(_stats_side(c2c, broadcast_stats), ["w2", "w3"])
         .join(_stats_side(pre1, broadcast_stats), "w2")
         .join(_stats_side(cont, broadcast_stats), "w3")
         .join(F.broadcast(ntot))
-        .select(F.col(id_col), (-F.log(p3)).cast("decimal(18,9)").alias("nll"))
+        .select(
+            "w1", "w2", "w3", (-F.log(p3)).cast("decimal(18,9)").alias("nll")
+        )
     )
+    scored = tg.join(
+        _stats_side(nll_tab, broadcast_stats), ["w1", "w2", "w3"]
+    ).select(F.col(id_col), "nll")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_trigrams"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_kn3_nll"),
