@@ -650,7 +650,8 @@ def main() -> None:
             "jaccard_prefix_filter_pairs": "r7 drift re-measured median-of-5 at 6.9s steady, traced to the exploded token table recomputed 4x; tokenize-once localCheckpoint landed r8 (median 4.2s, below the r6 5.2s)",
             "levenshtein_capped_pairs": "r7 drift re-measured median-of-5 in r8: 3.07s steady on unchanged code (r6 2.84, r7 3.69) - box/AQE noise, within 1.1x of r6",
             "r8_broad_drift": "r8's broad +10.9% comparable-set drift re-measured in r9: the named movers reversed without code changes (tpch_q3 1.46 -> 0.86-0.99 across three r9 runs, explode_timestamp_groups 0.78 -> 0.42-0.66, cdc_last_state 0.61 -> 0.35-0.52, all at or below r7 levels), and the comparable-set TOTAL swung -7.2% to +8.2% between same-code r9 runs (the Arrow/multimodal scenarios alone move 2x run-to-run, e.g. image_dup_clusters 4.45 vs 8.03) - the r8 drift sits inside the box's run-to-run band; environmental, as hypothesized",
-            "simhash_hamming_pairs": "+3.3s vs r8 by design: detection moved from the within-source all-pairs join (broadcast nested-loop at fixture scale, O(m^2/sources) at corpus scale - the r8 verdict's flagged defect) to Manku block-union candidates; at 5k docs the union keys cannot beat the 2.5M-candidate floor (32-bit fp at h<=8 has ~6-bit keys and intrinsically dense pair semantics - 187k true pairs), so the blocked machinery is pure fixture-scale overhead; the curve certifies sub-linearity on THIS plan and simhash_wide_blocked_pairs (60-bit, 12-bit keys, ratio 0.17) is the corpus-scale semantics. blocker_ensemble_pairs and multimodal_consensus_dup_pairs inherit the same detection delta (both replay detection fresh).",
+            "simhash_hamming_pairs": "+3.3s vs r8 by design: detection moved from the within-source all-pairs join (broadcast nested-loop at fixture scale, O(m^2/sources) at corpus scale - the r8 verdict's flagged defect) to Manku block-union candidates; at 5k docs the union keys cannot beat the 2.5M-candidate floor (32-bit fp at h<=8 has ~6-bit keys and intrinsically dense pair semantics - 187k true pairs), so the blocked machinery is pure fixture-scale overhead; the curve certifies sub-linearity on THIS plan and simhash_wide_blocked_pairs (60-bit, 12-bit keys, ratio 0.17) is the corpus-scale semantics. blocker_ensemble_pairs inherits the same detection delta through its staged leg; multimodal_consensus_dup_pairs reads staged legs since r11 (see multimodal_staging note).",
+            "multimodal_staging": "r11: the image/video fingerprint tables and star-edge joins are staged once per fixture+code generation (the text family's pair-stage posture); cluster/scene-cut/hot-bands/consensus/recall rows read stages while the detection rows (image_phash_dup_pairs, video_phash_dup_pairs, simhash_hamming_pairs, minhash_lsh_pairs, ngram_jaccard_block_pairs) always compute fresh - their rows carry the decode+detection cost. Stages are pre-warmed above so readings are HEADLINE-order-independent.",
             "stream_components_update": "r11 closed the r10 fixed-cost finding: the 45-combo key expression forest (measured 1-3s of py4j plan construction PER CALL) is built once per SparkContext; journal resolution caches on the file listing (single-writer contract) and journal deltas write via pyarrow — no Spark job; affected buckets hash driver-side (xxhash64 twin pinned bit-for-bit); the keys append and serving rewrite submit concurrently; the pruned serving read lost its localCheckpoint (single consumer, write lands before the swap). Near-empty-batch fixed cost 12.5 -> 4.5s at sf0.01; this row 17.0 -> ~14-16s median (samples swing 14-27 run-to-run — the documented streaming band; the residual is genuine two-batch work at sf0.1 plus trigger scheduling). Scan contract unchanged and still pinned.",
             "components_retract_rebalance": "r11: the scratch state copy is hardlinked (immutable staged parquet, maintenance swaps whole dirs) so the timed body measures retraction, not copytree — 11.6 -> ~8.5s; past local_merge_cap the survivor re-solve now stays distributed end to end (labels as a DataFrame, join relabel, bucket-id-only collects), pinned via the metrics hook on an oversized component.",
             "components_cdc_replay": "new in r11: the mixed insert/delete lifecycle under the value-hash gate — batch 1 ingests the even half, batch 2 ingests the odd half AND retracts doc_id%17==0 in the same micro-batch; oracle is the recursive closure over the net-live corpus. Expensive by construction: the row deliberately rebuilds the maintained state inside the scenario because the LIFECYCLE (build -> merge -> mid-chain split -> same-batch net-out) is the thing under measurement.",
