@@ -2235,12 +2235,15 @@ def edit_distance_pairs(
     """
     min_len_for_filter = k_max * q + q  # bound > 0 needs len - q + 1 - K*q >= 1
     # ks feeds SIX plan branches (long/short split, border, fringe, and both
-    # key-attach joins) and `visible` feeds both sides of the candidate
-    # self-join: without a lineage cut Catalyst re-plans the key projection
-    # per branch and the physical plan carries ~20 scans / ~50 exchanges of
-    # the same subtree (measured; exchange reuse dedupes execution but not
-    # planning). localCheckpoint both — one row per string, the generator
-    # materialization lesson from the simhash/minhash pair family.
+    # key-attach joins): without a lineage cut Catalyst re-plans the key
+    # projection per branch and the physical plan carries ~20 scans / ~50
+    # exchanges of the same subtree (measured; exchange reuse dedupes
+    # execution but not planning). Only ks is checkpointed — one row per
+    # string, the generator materialization lesson from the simhash/minhash
+    # pair family. `visible` (per-(doc, gram, occ) rows, both sides of the
+    # candidate self-join) is deliberately NOT cut: its branches plan against
+    # the ks leaf, and an eager job on the exploded table measured slower
+    # than the exchange reuse it would replace.
     ks = (
         keys.select(
             F.col(id_col).alias("doc_id"),

@@ -595,22 +595,30 @@ def unigram_em_round(
         F.aggregate(F.sequence(F.lit(1), n), one, astep).alias("al"),
         F.aggregate(F.sequence(n - 1, F.lit(0), F.lit(-1)), one, bstep).alias("be"),
     )
+    # Degenerate lattices (a word with NO full segmentation — realistic for
+    # long unsegmentable tokens whose normalizer underflows to 0.0) must
+    # DROP their contributions, not kill the whole training job: under
+    # ANSI (the Spark 4 default) a plain `/ 0.0` raises DIVIDE_BY_ZERO and
+    # a decimal(18,9) overflow raises on the cast, so both go through the
+    # try_ variants — null contributions, skipped by the sum. The
+    # in-process twin (_em_round_local) mirrors the same drops.
     g = edges.join(st, "word").select(
         "piece",
-        (
+        F.try_divide(
             F.col("cnt")
             * F.try_element_at("al", F.col("j") + 1)
             * F.col("p")
-            * F.try_element_at("be", F.col("j") + F.col("k") + 1)
-            / F.element_at("al", F.lit(-1))
+            * F.try_element_at("be", F.col("j") + F.col("k") + 1),
+            F.element_at("al", F.lit(-1)),
         )
-        .cast("decimal(18,9)")
+        .try_cast("decimal(18,9)")
         .alias("ec"),
     )
     ec = g.groupBy("piece").agg(F.sum("ec").alias("ec"))
     tot = ec.agg(F.sum("ec").alias("t"))
     return ec.join(F.broadcast(tot)).select(
-        "piece", (F.col("ec").cast("double") / F.col("t").cast("double")).alias("p")
+        "piece",
+        F.try_divide(F.col("ec").cast("double"), F.col("t").cast("double")).alias("p"),
     )
 
 
@@ -648,10 +656,22 @@ def _em_round_local(
     backward DPs with the k = 1..max term order pinned, the same
     left-associated double product per edge, the same DECIMAL(18,9)
     HALF_UP truncation pre-sum (decimal addition is exact, so the
-    accumulation order is immaterial — as in the distributed shuffle)."""
+    accumulation order is immaterial — as in the distributed shuffle).
+
+    Degenerate contributions mirror the distributed cast semantics: a word
+    whose lattice normalizer is 0.0 (no full segmentation / underflow on
+    very long tokens) and any per-edge expected count outside the
+    decimal(18,9) range contribute NOTHING, exactly as the distributed
+    NaN/Inf/overflow -> null -> sum-drops-null path. Documented bound: a
+    piece every one of whose contributions is dropped is OMITTED here,
+    while the distributed plan emits a (piece, NULL) row — NULL probabilities
+    behave as absent in every downstream lookup, so the trained model is the
+    same; the bit-identity contract covers the non-null rows."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal("0.000000001")
+    lim = Decimal(10) ** 9  # decimal(18,9) holds |x| < 10^9
     ks = range(1, max_piece_len + 1)
     ec: dict[str, Decimal] = {}
     for w, c in wl:
@@ -674,6 +694,12 @@ def _em_round_local(
                     if p is not None:
                         s += p * be[t + k]
             be[t] = s
+        if al[n] == 0.0:
+            # distributed twin: g = x / 0.0 is NaN or Infinity, the
+            # decimal(18,9) cast nulls it, and the sum drops the null —
+            # the whole word contributes nothing (realistic for long
+            # unsegmentable tokens whose lattice normalizer underflows)
+            continue
         for j in range(n):
             for k in ks:
                 if j + k <= n:
@@ -681,9 +707,12 @@ def _em_round_local(
                     p = probs.get(piece)
                     if p is not None:
                         g = c * al[j] * p * be[j + k] / al[n]
-                        ec[piece] = ec.get(piece, Decimal(0)) + Decimal(g).quantize(
-                            q, rounding=ROUND_HALF_UP
-                        )
+                        if not math.isfinite(g):
+                            continue  # NaN/Inf -> null on the cast -> dropped
+                        d = Decimal(g).quantize(q, rounding=ROUND_HALF_UP)
+                        if abs(d) >= lim:
+                            continue  # decimal(18,9) overflow -> null -> dropped
+                        ec[piece] = ec.get(piece, Decimal(0)) + d
     tot = float(sum(ec.values(), Decimal(0)))
     return {p: float(v) / tot for p, v in ec.items()}
 

@@ -13213,10 +13213,17 @@ def _query_pairs_staged(
     from scylla_migrator_spark.analytics import text as _TXTMOD
 
     # multimodal is in the key for the perceptual legs (image dHash
-    # pairs); coarser invalidation for text legs, never stale
+    # pairs); coarser invalidation for text legs, never stale. The
+    # perceptual legs delegate their pipelines to queries.py helpers
+    # (_image_dhash_fp / _video_frame_fp) whose source is NOT covered by
+    # getsource(QUERIES[qname]) — hash them explicitly so an edit
+    # anywhere in a leg's pipeline invalidates its stage (over-hashing
+    # for text legs only costs a rebuild, never staleness).
     code = (
         inspect.getsource(QUERIES[qname])
         + inspect.getsource(_fan)
+        + inspect.getsource(_image_dhash_fp)
+        + inspect.getsource(_video_frame_fp)
         + inspect.getsource(_D)
         + inspect.getsource(_TXTMOD)
         + inspect.getsource(_MM)

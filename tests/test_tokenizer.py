@@ -729,3 +729,38 @@ def test_trainer_local_cap_overflow_falls_back(spark):
     got = TOK.train_bpe(docs, 2, local_word_cap=1)[0]  # 3 distinct words > cap
     want = TOK.train_bpe(docs, 2)[0]
     assert got == want
+
+
+def test_em_round_local_degenerate_lattice_matches_distributed(spark):
+    """A word with NO full segmentation (lattice normalizer 0.0 — the
+    underflow shape for long unsegmentable tokens) must not crash the
+    in-process EM round: the distributed twin nulls every one of its
+    contributions (x / 0.0 -> NaN/Inf -> decimal(18,9) cast -> null,
+    dropped by the sum), so the word contributes nothing. Pieces shared
+    with live words still match the distributed doubles exactly; a piece
+    appearing ONLY in the dead word is a NULL row distributed / omitted
+    locally (documented bound in _em_round_local)."""
+    probs = {"a": 0.4, "b": 0.4, "z": 0.2}
+    wl = [("ab", 3), ("xyz", 5)]  # "xyz": x, y unsegmentable -> alpha[n] == 0
+    local = TOK._em_round_local(wl, probs, 3)
+    words = spark.createDataFrame(wl, "word string, cnt long")
+    dist = {
+        r["piece"]: r["p"]
+        for r in TOK.unigram_em_round(words, TOK._probs_df(spark, probs), 3).collect()
+    }
+    assert local == {p: v for p, v in dist.items() if v is not None}
+
+
+def test_em_round_local_decimal_overflow_contribution_dropped(spark):
+    """A per-edge expected count >= 1e9 overflows the distributed
+    decimal(18,9) cast (null -> dropped from the sum); the local path
+    must drop it too instead of keeping the full-precision Decimal."""
+    probs = {"a": 0.5, "b": 0.5}
+    wl = [("a", 2_000_000_000), ("b", 4)]  # g("a") = 2e9 -> overflow
+    local = TOK._em_round_local(wl, probs, 3)
+    words = spark.createDataFrame(wl, "word string, cnt long")
+    dist = {
+        r["piece"]: r["p"]
+        for r in TOK.unigram_em_round(words, TOK._probs_df(spark, probs), 3).collect()
+    }
+    assert local == {p: v for p, v in dist.items() if v is not None}
