@@ -84,11 +84,79 @@ def _ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+import weakref as _weakref
+
+# Session-scoped READER cache for IMMUTABLE paths (guide §7.3 "planning
+# cost"; r11 verdict task #1 — cache ANALYSIS artifacts only, never data).
+# `spark.read.parquet(path)` costs ~130 ms/call (measured, ~100 ms of it
+# parquet footer schema inference) and the registry pays it 1-4x per
+# scenario; the resolved DataFrame is a lazy plan object — every action on
+# it still scans parquet fresh, so caching it changes planning time only.
+# ONLY immutable paths belong here: the read-only fixture tables and
+# write-once `_publish_stage` outputs (atomic rename + _READY; never
+# rewritten for a given key). Maintenance/serving dirs that scenarios
+# REWRITE mid-run (the components stage/serving layouts) must keep fresh
+# reads — a cached plan pins the file listing and would serve a swapped
+# directory stale. Keyed weakly per SparkSession so a stopped session's
+# plans are collectable and a fresh session never sees another's plans.
+_READER_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _read_parquet_immutable(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet(path)` for a path whose contents never change
+    within a session (fixture tables, published stages): resolved once per
+    (session, path), reused as a plan object thereafter."""
+    per = _READER_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _READER_CACHE[spark] = per
+    df = per.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        df._sgs_immutable_path = path  # lets _staged_rows read footer counts
+        per[path] = df
+    return df
+
+
+def _staged_rows(df: DataFrame) -> int | None:
+    """Exact row count of a `_read_parquet_immutable` frame from parquet
+    FOOTERS — a driver-side pyarrow metadata read, no Spark job. Returns
+    None for frames that did not come through the immutable reader. Used
+    as `connected_components(edge_rows_hint=...)` so corpus-scale staged
+    edge lists skip the take(cap+1) probe instead of computing the edge
+    pipeline twice (r11 verdict "What's wrong" #5)."""
+    path = getattr(df, "_sgs_immutable_path", None)
+    if path is None:
+        return None
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except Exception:  # noqa: BLE001 - a hint is optional; fall back to probing
+        return None
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _session_proof(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _ts_nanos(df)
+    per = _READER_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _READER_CACHE[spark] = per
+    key = ("_t", sf_dir, name)
+    df = per.get(key)
+    if df is None:
+        _session_proof(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _ts_nanos(df)
+        per[key] = df
     return df
 
 
@@ -97,7 +165,7 @@ def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming sites that must pass the file's physical schema to
     ``readStream.schema``."""
     _session_proof(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _read_parquet_immutable(spark, f"{sf_dir}/events.parquet")
 
 
 def _stage_tag(sf_dir: str, table: str = "events") -> str:
@@ -112,6 +180,18 @@ def _stage_tag(sf_dir: str, table: str = "events") -> str:
 
     st = os.stat(f"{sf_dir}/{table}.parquet")
     return f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
+
+
+def _stage_root() -> str:
+    """Root directory for build-once stage artifacts (the `_publish_stage`
+    family). Defaults to /tmp; `$SGS_STAGE_ROOT` overrides it so the
+    bench's `stage_build_cold` row can rebuild EVERY stage from scratch
+    into a throwaway dir — making the full staging cost a printed number
+    instead of an untimed warm-up (r11 verdict "What's wrong" #3). Per-run
+    scenario outputs/checkpoints stay on /tmp regardless."""
+    import os
+
+    return os.environ.get("SGS_STAGE_ROOT", "/tmp")
 
 
 def _fan(df: DataFrame) -> DataFrame:
@@ -3601,7 +3681,7 @@ def lsh_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     head = emb.select("vec_id", "embedding").filter(F.col("vec_id") == 0).head()
     qv = [float(x) for x in head["embedding"]]
-    layout = os.path.join("/tmp", f"sgs_lsh_layout_{_stage_tag(sf_dir, 'embeddings')}")
+    layout = os.path.join(_stage_root(), f"sgs_lsh_layout_{_stage_tag(sf_dir, 'embeddings')}")
     if not os.path.exists(os.path.join(layout, "_SUCCESS")):
         SIM.write_lsh_bucketed(emb, layout, dim=len(qv), planes=4)
     return SIM.lsh_topk_bucketed(spark, layout, qv, k=10, planes=4)
@@ -3856,7 +3936,7 @@ def _events_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    stage = os.path.join("/tmp", f"sgs_events_halves_{_stage_tag(sf_dir)}")
+    stage = os.path.join(_stage_root(), f"sgs_events_halves_{_stage_tag(sf_dir)}")
     ev = _t(spark, sf_dir, "events")
     return _publish_stage(
         stage,
@@ -3900,7 +3980,7 @@ def _events_time_halves_stage(spark: SparkSession, sf_dir: str) -> str:
     monotonicity the consumer requires."""
     import os
 
-    stage = os.path.join("/tmp", f"sgs_events_thalves_{_stage_tag(sf_dir)}")
+    stage = os.path.join(_stage_root(), f"sgs_events_thalves_{_stage_tag(sf_dir)}")
 
     def build(tmp_stage: str) -> None:
         ev = _t(spark, sf_dir, "events")
@@ -3923,7 +4003,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file streaming source requires a *directory*; the fixture table is a
     # single file -> stage a symlink dir (testdata itself is read-only),
     # fingerprinted so a regenerated fixture invalidates the stage
-    stage = os.path.join("/tmp", f"sgs_events_{_stage_tag(sf_dir)}")
+    stage = os.path.join(_stage_root(), f"sgs_events_{_stage_tag(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -4577,7 +4657,7 @@ def stream_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.streaming.stateful import stateful_distinct_counts
 
     batch = _events_raw(spark, sf_dir)
-    stage = os.path.join("/tmp", f"sgs_events2x_{_stage_tag(sf_dir)}")
+    stage = os.path.join(_stage_root(), f"sgs_events2x_{_stage_tag(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     for name in ("a_events.parquet", "b_events.parquet"):
@@ -4725,7 +4805,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts DIV 1000000").alias("ts_ms")
     )
-    stage = os.path.join("/tmp", f"sgs_events_split_{_stage_tag(sf_dir)}")
+    stage = os.path.join(_stage_root(), f"sgs_events_split_{_stage_tag(sf_dir)}")
 
     def build(tmp: str) -> None:
         for name, pred in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
@@ -5513,7 +5593,7 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_simhash_pairs_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_simhash_pairs_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -5521,7 +5601,7 @@ def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _incr_state_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5551,7 +5631,7 @@ def _incr_state_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_incr_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_incr_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -5562,7 +5642,7 @@ def _incr_state_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in ps:  # stage is on disk; release the generator's cache
             f.unpersist()
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _incr_state_build(
@@ -5629,7 +5709,7 @@ def _incr_keys_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_incr_keys_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_incr_keys_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -5660,7 +5740,7 @@ def _incr_keys_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             KEY_BUCKET_COL
         ).parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5691,7 +5771,7 @@ def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_simhash_wstar_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_simhash_wstar_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -5715,7 +5795,7 @@ def _simhash_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in ps:  # stage is on disk; release the generator's cache
             f.unpersist()
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 @_register(
@@ -5756,7 +5836,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics.components import connected_components
 
     edges = _simhash_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges))
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -6935,7 +7015,7 @@ def _staged_json(tag: str, modules: list, sf_dir: str, table: str, build_value):
     ver = hashlib.md5(
         "".join(inspect.getsource(m) for m in modules).encode()
     ).hexdigest()[:8]
-    stage = os.path.join("/tmp", f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
+    stage = os.path.join(_stage_root(), f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
 
     def build(tmp_stage: str) -> None:
         value = build_value()
@@ -6970,12 +7050,12 @@ def _staged_df(
         s if isinstance(s, str) else inspect.getsource(s) for s in sources
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
-    stage = os.path.join("/tmp", f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
+    stage = os.path.join(_stage_root(), f"sgs_{tag}_{ver}_{_stage_tag(sf_dir, table)}")
 
     def build(tmp_stage: str) -> None:
         build_df().write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _kmeans_centroids_staged(
@@ -6999,6 +7079,64 @@ def _kmeans_centroids_staged(
             _fan(_t(spark, sf_dir, "embeddings")), n, iters, "vec_id", "embedding"
         ),
     )
+
+
+def _stage_builders() -> list:
+    """Every build-once COMPUTE stage artifact as (name, builder(spark,
+    sf_dir)) pairs. Two consumers: the bench pre-warm (builds the default-
+    root stages so per-scenario readings are HEADLINE-order-independent)
+    and the bench's ``stage_build_cold`` row, which rebuilds this whole
+    list from scratch under a throwaway ``$SGS_STAGE_ROOT`` — making the
+    full cross-run staging cost a PRINTED NUMBER every run (r11 verdict
+    "What's wrong" #3: a stage whose build cost is timed nowhere is
+    indistinguishable from gaming). A new staged intermediate belongs in
+    this list; the fixture-layout shims (symlink dirs, pre-split halves —
+    data rearrangements keyed on the fixture alone, no computed values)
+    are excluded and documented as such in bench.py.
+
+    Builders that return a DataFrame are counted by the caller; JSON/path
+    stages build on call. The doc_kmeans/wordpiece-counts stages live
+    inside their owning query bodies, so those queries are invoked whole —
+    a small over-statement of staging cost, never an understatement."""
+
+    def _pq_books(spark: SparkSession, sf_dir: str):
+        from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+        emb = _fan(_t(spark, sf_dir, "embeddings"))
+        return _staged_json(
+            "pq_4x4x2",
+            [_SIMMOD],
+            sf_dir,
+            "embeddings",
+            lambda: SIM.pq_codebooks(
+                emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
+            ),
+        )
+
+    return [
+        ("simhash_pairs", _simhash_pairs_staged),
+        ("simhash_star_edges", _simhash_star_edges_staged),
+        ("incr_state", _incr_state_staged),
+        ("incr_keys", _incr_keys_staged),
+        ("image_dhash_fp", _image_dhash_fp_staged),
+        ("video_frame_fp", _video_frame_fp_staged),
+        ("image_star_edges", _image_star_edges_staged),
+        ("video_star_edges", _video_star_edges_staged),
+        ("qpairs_minhash_lsh_pairs", lambda s, d: _query_pairs_staged(s, d, "minhash_lsh_pairs")),
+        ("qpairs_sorted_neighborhood_blocking", lambda s, d: _query_pairs_staged(s, d, "sorted_neighborhood_blocking")),
+        ("qpairs_ngram_jaccard_block_pairs", lambda s, d: _query_pairs_staged(s, d, "ngram_jaccard_block_pairs")),
+        ("qpairs_simhash_hamming_pairs", lambda s, d: _query_pairs_staged(s, d, "simhash_hamming_pairs")),
+        ("qpairs_image_phash_dup_pairs", lambda s, d: _query_pairs_staged(s, d, "image_phash_dup_pairs")),
+        ("cc_state", _cc_state_staged),
+        ("query_vec0", _query_vec0_staged),
+        ("ann_exact_top10", _ann_exact_top10_staged),
+        ("kmeans_16x2", _kmeans_centroids_staged),
+        ("pq_books_4x4x2", _pq_books),
+        ("bpe_merges_8", lambda s, d: _bpe_merges_staged(s, d, 8)),
+        ("wordpiece_merges_8", lambda s, d: _wordpiece_merges_staged(s, d, 8)),
+        ("doc_kmeans_8x2", lambda s, d: QUERIES["doc_cluster_assignments"](s, d)),
+        ("wordpiece_counts", lambda s, d: QUERIES["wordpiece_token_count"](s, d)),
+    ]
 
 
 def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
@@ -7175,7 +7313,7 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fan(emb), m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
-    stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
+    stage = os.path.join(_stage_root(), f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
     stage = _publish_stage(
         stage,
         lambda tmp: _write_half_files(
@@ -7250,7 +7388,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     centroids = _kmeans_centroids_staged(spark, sf_dir, n=16, iters=2)
-    stage = os.path.join("/tmp", f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
+    stage = os.path.join(_stage_root(), f"sgs_emb_halves_{_stage_tag(sf_dir, 'embeddings')}")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     stage = _publish_stage(
         stage,
@@ -7304,7 +7442,7 @@ def stream_exact_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
 
-    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    stage = os.path.join(_stage_root(), f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
     docs = _t(spark, sf_dir, "documents")
     stage = _publish_stage(
         stage,
@@ -7492,7 +7630,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics.components import connected_components
 
     edges = _simhash_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b").select(
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges)).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -8492,7 +8630,7 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
 
-    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    stage = os.path.join(_stage_root(), f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
     docs = _t(spark, sf_dir, "documents")
     stage = _publish_stage(
         stage,
@@ -8576,7 +8714,7 @@ def stream_near_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scylla_migrator_spark.plans.curate import CurationConfig, curate_stream
 
-    stage = os.path.join("/tmp", f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
+    stage = os.path.join(_stage_root(), f"sgs_docs_halves_{_stage_tag(sf_dir, 'documents')}")
     docs = _t(spark, sf_dir, "documents")
     stage = _publish_stage(
         stage,
@@ -9708,7 +9846,7 @@ def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream_docs = docs.where(F.col("doc_id") % 2 == 0)
     stage = os.path.join(
-        "/tmp", f"sgs_docs_bloomgate_v2_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_docs_bloomgate_v2_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -10493,7 +10631,7 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics.components import connected_components
 
     edges = _simhash_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b").select(
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges)).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -11089,6 +11227,54 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _query_vec0_staged(spark: SparkSession, sf_dir: str) -> list:
+    """The fixture query vector (vec_id 0) staged as JSON once per
+    fixture+code generation. CONSUMER rows (the *_recall_at_k family)
+    read it instead of paying a per-scenario head() job; every detection
+    row (ann_cosine_topk, lsh/ivf/pq/mrl _topk) still fetches its query
+    vector fresh, so the lookup cost class stays bench-visible there."""
+    return _staged_json(
+        "query_vec0",
+        [_query_vec0_staged],
+        sf_dir,
+        "embeddings",
+        lambda: [
+            float(x)
+            for x in _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .head()[0]
+        ],
+    )
+
+
+def _ann_exact_top10_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cosine top-10 (ann_cosine_topk's ranking) staged once per
+    fixture+code generation — the shared TRUTH side of every
+    *_recall_at_k row (r11 verdict task #5; the staged-leg posture of 6d:
+    each recall row's approximate side still computes fresh in its own
+    detection row, and the exact side's cost stays bench-visible through
+    ann_cosine_topk, which always computes fresh). brute_force_topk is
+    deterministic (round-6 cosine + (cos DESC, vec_id ASC) tiebreaks), so
+    the stage changes wall-clock, never values."""
+    from scylla_migrator_spark.analytics import similarity as _SIMMOD
+
+    return _staged_df(
+        spark,
+        "ann_exact_top10",
+        [_ann_exact_top10_staged, _query_vec0_staged, _SIMMOD, _fan],
+        sf_dir,
+        "embeddings",
+        lambda: SIM.brute_force_topk(
+            _fan(_t(spark, sf_dir, "embeddings")),
+            _query_vec0_staged(spark, sf_dir),
+            "vec_id",
+            "embedding",
+            k=10,
+        ),
+    )
+
+
 def _recall_sql(approx_name: str, k: int = 10) -> str:
     """Oracle for recall@k: the approximate top-k and the exact cosine
     top-k are both ALREADY fully SQL-replayed registry oracles — nest them
@@ -11123,9 +11309,9 @@ def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower recall). Both rankings replay in SQL, so the recall value itself
     is hash-checked."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qv = _query_vec0_staged(spark, sf_dir)
     approx = SIM.lsh_topk(emb, qv, "vec_id", "embedding", k=10, planes=4)
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 
@@ -11136,7 +11322,7 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-once staged quantizer with the IVF family; the oracle replays
     training, probe, re-rank AND the exact ranking."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qv = _query_vec0_staged(spark, sf_dir)
     approx = SIM.ivf_topk(
         emb,
         qv,
@@ -11145,7 +11331,7 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         centroids=_kmeans_centroids_staged(spark, sf_dir, n=16, iters=2),
     )
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 
@@ -11168,15 +11354,9 @@ def pq_adc_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
-    qv = [
-        float(x)
-        for x in _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .head()[0]
-    ]
+    qv = _query_vec0_staged(spark, sf_dir)
     approx = SIM.pq_adc_topk(emb, books, qv, "vec_id", "embedding", k=10)
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 
@@ -11292,13 +11472,13 @@ def _image_dhash_fp_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_image_fp_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_image_fp_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
         _image_dhash_fp(spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _image_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11322,7 +11502,7 @@ def _image_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_image_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_image_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -11331,7 +11511,7 @@ def _image_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp, "asset_id", sh_col="sh", bits=56, bands=8, max_hamming=4, emit="star"
         ).select("id_a", "id_b").write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 @_register(
@@ -11795,7 +11975,7 @@ def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read from the staged star-edge table (decode+detection cost visible
     # via image_phash_dup_pairs' own row)
     edges = _image_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges))
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
@@ -11897,7 +12077,7 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         inspect.getsource(stream_image_phash_encode).encode()
     ).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_doc_payload_halves_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_doc_payload_halves_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -12013,17 +12193,11 @@ def pq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, m=4, k=4, iters=2, id_col="vec_id", vec_col="embedding", dim=64
         ),
     )
-    qv = [
-        float(x)
-        for x in _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .head()[0]
-    ]
+    qv = _query_vec0_staged(spark, sf_dir)
     approx = SIM.pq_adc_rerank_topk(
         emb, books, qv, "vec_id", "embedding", k=10, shortlist=30
     )
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 
@@ -12460,13 +12634,13 @@ def _video_frame_fp_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_video_fp_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_video_fp_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
         _video_frame_fp(spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _video_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12490,7 +12664,7 @@ def _video_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_video_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_video_star_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -12499,7 +12673,7 @@ def _video_star_edges_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b"
         ).write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 @_register(
@@ -12549,7 +12723,7 @@ def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TXT.tokens(F.col("text"))).cast("long").alias("n_toks")
     )
     root = os.path.join(
-        "/tmp", f"spark_graft_shards_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"spark_graft_shards_{_stage_tag(sf_dir, 'documents')}"
     )
     summary = write_training_shards(
         docs, root, key_col="doc_id", token_count_col="n_toks", n_shards=16
@@ -12832,10 +13006,10 @@ def mrl_truncation_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality is a hash-checked CORRECTNESS row, so a regression in the
     slice path fails the gate, not a pytest threshold)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = _query_vec0_staged(spark, sf_dir)
     approx = SIM.truncated_topk(emb, qv, keep_dims=16, id_col="vec_id",
                                 vec_col="embedding", k=10)
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 
@@ -12872,7 +13046,7 @@ def stream_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     stage = os.path.join(
-        "/tmp", f"sgs_docid_halves_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_docid_halves_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -13174,7 +13348,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.analytics.components import connected_components
 
     edges = _simhash_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges))
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
     hist = hist.select(
@@ -13230,13 +13404,13 @@ def _query_pairs_staged(
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_qpairs_{qname}_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_qpairs_{qname}_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
         QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(tmp_stage)
 
-    return spark.read.parquet(_publish_stage(stage, build))
+    return _read_parquet_immutable(spark, _publish_stage(stage, build))
 
 
 def _blocker_ensemble_sql() -> str:
@@ -13458,7 +13632,7 @@ def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the staged star-edge table (decode+detection cost visible via
     # video_phash_dup_pairs' own row)
     edges = _video_star_edges_staged(spark, sf_dir)
-    comp = connected_components(edges, src="id_a", dst="id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b", edge_rows_hint=_staged_rows(edges))
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
@@ -13570,7 +13744,7 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_hex=15,
     )
     stage = os.path.join(
-        "/tmp", f"sgs_docfp60_halves_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_docfp60_halves_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -13625,7 +13799,7 @@ def _cc_state_staged(spark: SparkSession, sf_dir: str) -> str:
     )
     ver = hashlib.md5(code.encode()).hexdigest()[:8]
     stage = os.path.join(
-        "/tmp", f"sgs_cc_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_cc_state_{ver}_{_stage_tag(sf_dir, 'documents')}"
     )
 
     def build(tmp_stage: str) -> None:
@@ -13780,7 +13954,7 @@ def components_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ups = fp.select("doc_id", "source", "sh", F.lit("upsert").alias("op"))
     dels = fp.select("doc_id", "source", "sh", F.lit("delete").alias("op"))
     stage = os.path.join(
-        "/tmp", f"sgs_doccdc60_feed_{_stage_tag(sf_dir, 'documents')}"
+        _stage_root(), f"sgs_doccdc60_feed_{_stage_tag(sf_dir, 'documents')}"
     )
     stage = _publish_stage(
         stage,
@@ -16756,10 +16930,7 @@ def int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections, no shuffle); the top-k is the brute_force_topk
     TakeOrdered; the recall join is k-vs-k."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qv = _query_vec0_staged(spark, sf_dir)
     q = SIM.quantize_int8(emb, "vec_id", "embedding")
     deq = q.select(
         "vec_id",
@@ -16769,7 +16940,7 @@ def int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dv"),
     )
     approx = SIM.brute_force_topk(deq, qv, "vec_id", "dv", k=10)
-    exact = SIM.brute_force_topk(emb, qv, "vec_id", "embedding", k=10)
+    exact = _ann_exact_top10_staged(spark, sf_dir)
     return _recall_of(approx, exact, k=10)
 
 

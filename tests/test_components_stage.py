@@ -225,6 +225,38 @@ def test_minlabel_union_find_matches_fixpoint_semantics():
         assert got == want, (edges, got, want)
 
 
+def test_cc_edge_rows_hint_skips_probe(spark, monkeypatch):
+    """connected_components with an over-cap edge_rows_hint must go
+    straight to the distributed fixpoint — no take(cap+1) probe, no
+    driver union-find (r11 verdict 'What's wrong' #5: at corpus scale
+    the probe computed up to 1M+1 edge rows only to discard them). An
+    at-or-under-cap hint changes nothing: the probe IS the local path's
+    input collection."""
+    from scylla_migrator_spark.analytics import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def boom(pairs):  # the local path must not run under an over-cap hint
+        raise AssertionError("local union-find ran despite over-cap hint")
+
+    monkeypatch.setattr(C, "minlabel_union_find", boom)
+    got = {
+        r["id"]: r["comp"]
+        for r in C.connected_components(edges, edge_rows_hint=3_000_000).collect()
+    }
+    assert got == want
+    monkeypatch.undo()
+    # under-cap hint: local path still used, same labelling
+    got_local = {
+        r["id"]: r["comp"]
+        for r in C.connected_components(edges, edge_rows_hint=3).collect()
+    }
+    assert got_local == want
+
+
 def test_auto_compaction_threshold(spark, tmp_path):
     """compact_journal_above folds the journal into the stage as part of
     the batch whose merges push it past the threshold — the wired-in

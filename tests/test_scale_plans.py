@@ -38,6 +38,44 @@ def test_small_dims_broadcast_in_star_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_large_large_join_stays_sort_merge(spark):
+    """The preferSortMergeJoin=false posture (session.py) must NOT flip
+    LARGE-large joins to static shuffled-hash (r11 verdict 'What's
+    wrong' #4): SHJ cannot spill its build map, so a corpus-scale join
+    whose two sides are comparable must keep the SMJ sort's graceful
+    spill. The static planner's SHJ conditions are (a) the build side
+    estimates under autoBroadcastJoinThreshold * shufflePartitions and
+    (b) it is 3x smaller than the other side — pin that two multi-GB
+    estimated sides satisfy neither and plan SortMergeJoin."""
+    big_a = spark.range(2_000_000_000).select(
+        F.col("id"), (F.col("id") % 1_000_000).alias("k")
+    )
+    big_b = spark.range(1_900_000_000).select(
+        (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    plan = plan_of(big_a.join(big_b, "k"))
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_asymmetric_join_may_use_shuffled_hash(spark):
+    """The flip side of the SMJ pin: a moderately-small-vs-huge join (the
+    stats-side shape the posture exists for) is ALLOWED to build a local
+    hash map — the build side estimate is under threshold*partitions and
+    3x smaller, so the static planner picks SHJ (or broadcasts when it
+    fits). Pin that the 64 MB AQE rewrite posture did not silently
+    disable the static path either."""
+    big = spark.range(2_000_000_000).select(
+        F.col("id"), (F.col("id") % 1_000_000).alias("k")
+    )
+    mid = spark.range(1_000_000).select(
+        (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    plan = plan_of(big.join(mid, "k"))
+    assert ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
 @pytest.mark.parity
 def test_no_python_eval_in_hot_paths(spark, sf_dir):
     """Every oracle-backed batch query must stay JVM-side (whole-stage
