@@ -680,6 +680,9 @@ def main() -> None:
         # f67663c) — the mode is micro-batch trigger scheduling, r5's 2.00
         # was the favorable mode, not a plan that later regressed
         "notes": {
+            "stage_build_cold": "r12 (r11 verdict task #6): one timed row rebuilds EVERY build-once compute stage (Q._stage_builders()) from scratch under a throwaway $SGS_STAGE_ROOT, transitively, so the full cross-run staging cost is a printed number each run. Reported in `queries` and as stage_build_cold_sec but EXCLUDED from `value`: it measures one-off artifact builds whose warm reads the per-scenario rows already time, and folding minutes of build into the headline would break every cross-round total comparison. Fixture-layout shims (symlink dirs, pre-split halves - data rearrangement only) and per-run scenario outputs are excluded; they are either trivial or timed inside their scenarios.",
+            "canary_tpch_q3_end": "r12 (r11 verdict task #2): a fixed reference row re-measured at the END of every run (min-of-2, summed into the total like any addition) so box drift between sessions is machine-detectable - identical code measured 405-494s across four r11-era sessions; tpch_q3's warm band is 0.86-1.46s on a healthy box.",
+            "dup_graph_k_core": "r10 verdict task #5 note (scaling story): the peel is a FIXED 4 synchronous rounds (oracle replays them CTE-for-CTE); each round costs one degree aggregation plus two semi-joins carrying 8-byte ids over the SURVIVING edge list, which shrinks monotonically, so total work is bounded by rounds x initial edges - linear in the pair-graph size, no quadratic term, and the round count does not grow with the corpus (a deeper peel needs more rounds only if k-core depth grows, a property of duplication structure, not scale). The 10x duplication curve ratio (0.417 in SCALE_CURVE.json) reflects the fixed per-round scheduling floor at fixture scale: 4 rounds of ~4 small jobs dominate wall-clock, so 10x the edges costs ~2.4x, converging to scan-bound as edges grow. Bounded-variant escape hatch: callers needing a convergence-driven peel can stop when a round deletes nothing (the surviving-edge signature is already materialized per round).",
             "stream_tws_user_totals": "bimodal trigger scheduling; code unchanged since r4 (see bench.py)",
             "jaccard_prefix_filter_pairs": "r7 drift re-measured median-of-5 at 6.9s steady, traced to the exploded token table recomputed 4x; tokenize-once localCheckpoint landed r8 (median 4.2s, below the r6 5.2s)",
             "levenshtein_capped_pairs": "r7 drift re-measured median-of-5 in r8: 3.07s steady on unchanged code (r6 2.84, r7 3.69) - box/AQE noise, within 1.1x of r6",

@@ -6270,7 +6270,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _session_proof(spark)
     day_ns = 86_400_000_000_000
     stage = _events_halves_stage(spark, sf_dir)
-    batch_schema = spark.read.parquet(stage).schema
+    batch_schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)  # one half per micro-batch
@@ -6923,7 +6923,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.streaming.stateful import running_user_totals
 
     stage = _events_halves_stage(spark, sf_dir)
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one half per micro-batch
@@ -7324,7 +7324,7 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -7400,7 +7400,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -7460,7 +7460,7 @@ def stream_exact_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stages": [{"op": "exact_dedup", "withinWatermark": "1 hour"}],
         }
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
 
     def half_stream():
         return (
@@ -7868,7 +7868,7 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_migrator_spark.streaming.scd_cdc import incremental_scd2
 
     stage = _events_time_halves_stage(spark, sf_dir)
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one half per micro-batch
@@ -8651,7 +8651,7 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -8740,7 +8740,7 @@ def stream_near_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -9858,7 +9858,7 @@ def stream_bloom_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -12089,7 +12089,7 @@ def stream_image_phash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -13058,7 +13058,7 @@ def stream_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -13756,7 +13756,7 @@ def stream_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -13971,7 +13971,7 @@ def components_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    schema = spark.read.parquet(stage).schema
+    schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -15962,7 +15962,7 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     _session_proof(spark)
     day_ns = 86_400_000_000_000
     stage = _events_halves_stage(spark, sf_dir)
-    batch_schema = spark.read.parquet(stage).schema
+    batch_schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
@@ -16177,7 +16177,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _session_proof(spark)
     stage = _events_halves_stage(spark, sf_dir)
-    batch_schema = spark.read.parquet(stage).schema
+    batch_schema = _read_parquet_immutable(spark, stage).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
