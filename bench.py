@@ -404,16 +404,31 @@ def main() -> None:
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import DataFrame as _DF
 
     def _run_stage_builders(tag: str) -> None:
-        for warm, builder in Q._stage_builders():
+        # builders run per dependency WAVE with a small thread pool (guide
+        # §2.6: independent Spark jobs back-fill each other's stragglers —
+        # a stage build's tail tasks leave most cores idle otherwise).
+        # Builders within a wave share no staged inputs; each wave starts
+        # only after the previous one published.
+        def run_one(warm, builder):
             try:
                 out = builder(spark, sf_dir)
                 if isinstance(out, _DF):
                     out.count()
             except Exception as exc:  # noqa: BLE001 - failure surfaces in the owning scenario
                 print(f"BENCHMARK_WARNING | {tag}={warm} err={exc!r:.200}", file=sys.stderr)
+
+        for wave in Q._stage_builder_waves():
+            if len(wave) == 1:
+                run_one(*wave[0])
+                continue
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for _ in pool.map(lambda nb: run_one(*nb), wave):
+                    pass
 
     # stage_build_cold (r11 verdict task #6): rebuild EVERY build-once
     # compute stage from scratch into a throwaway root and time it, so the

@@ -7098,6 +7098,18 @@ def _stage_builders() -> list:
     stages build on call. The doc_kmeans/wordpiece-counts stages live
     inside their owning query bodies, so those queries are invoked whole —
     a small over-statement of staging cost, never an understatement."""
+    return [b for wave in _stage_builder_waves() for b in wave]
+
+
+def _stage_builder_waves() -> list:
+    """`_stage_builders` grouped into DEPENDENCY WAVES for concurrent
+    building (guide §2.6 — independent Spark jobs submitted from a small
+    thread pool back-fill each other's stragglers). Builders within one
+    wave share no staged inputs, so they never double-build a dependency;
+    each wave only starts after the previous wave published. cc_state runs
+    SOLO: its build pins `spark.sql.shuffle.partitions` via the streaming
+    context manager, which is a session-global mutation no concurrent
+    builder may observe."""
 
     def _pq_books(spark: SparkSession, sf_dir: str):
         from scylla_migrator_spark.analytics import similarity as _SIMMOD
@@ -7114,28 +7126,34 @@ def _stage_builders() -> list:
         )
 
     return [
-        ("simhash_pairs", _simhash_pairs_staged),
-        ("simhash_star_edges", _simhash_star_edges_staged),
-        ("incr_state", _incr_state_staged),
-        ("incr_keys", _incr_keys_staged),
-        ("image_dhash_fp", _image_dhash_fp_staged),
-        ("video_frame_fp", _video_frame_fp_staged),
-        ("image_star_edges", _image_star_edges_staged),
-        ("video_star_edges", _video_star_edges_staged),
-        ("qpairs_minhash_lsh_pairs", lambda s, d: _query_pairs_staged(s, d, "minhash_lsh_pairs")),
-        ("qpairs_sorted_neighborhood_blocking", lambda s, d: _query_pairs_staged(s, d, "sorted_neighborhood_blocking")),
-        ("qpairs_ngram_jaccard_block_pairs", lambda s, d: _query_pairs_staged(s, d, "ngram_jaccard_block_pairs")),
-        ("qpairs_simhash_hamming_pairs", lambda s, d: _query_pairs_staged(s, d, "simhash_hamming_pairs")),
-        ("qpairs_image_phash_dup_pairs", lambda s, d: _query_pairs_staged(s, d, "image_phash_dup_pairs")),
-        ("cc_state", _cc_state_staged),
-        ("query_vec0", _query_vec0_staged),
-        ("ann_exact_top10", _ann_exact_top10_staged),
-        ("kmeans_16x2", _kmeans_centroids_staged),
-        ("pq_books_4x4x2", _pq_books),
-        ("bpe_merges_8", lambda s, d: _bpe_merges_staged(s, d, 8)),
-        ("wordpiece_merges_8", lambda s, d: _wordpiece_merges_staged(s, d, 8)),
-        ("doc_kmeans_8x2", lambda s, d: QUERIES["doc_cluster_assignments"](s, d)),
-        ("wordpiece_counts", lambda s, d: QUERIES["wordpiece_token_count"](s, d)),
+        [  # wave 1: independent base stages (fingerprints, detections, trainers)
+            ("simhash_pairs", _simhash_pairs_staged),
+            ("image_dhash_fp", _image_dhash_fp_staged),
+            ("video_frame_fp", _video_frame_fp_staged),
+            ("incr_state", _incr_state_staged),
+            ("kmeans_16x2", _kmeans_centroids_staged),
+            ("pq_books_4x4x2", _pq_books),
+            ("bpe_merges_8", lambda s, d: _bpe_merges_staged(s, d, 8)),
+            ("wordpiece_merges_8", lambda s, d: _wordpiece_merges_staged(s, d, 8)),
+            ("query_vec0", _query_vec0_staged),
+            ("doc_kmeans_8x2", lambda s, d: QUERIES["doc_cluster_assignments"](s, d)),
+            ("qpairs_minhash_lsh_pairs", lambda s, d: _query_pairs_staged(s, d, "minhash_lsh_pairs")),
+            ("qpairs_sorted_neighborhood_blocking", lambda s, d: _query_pairs_staged(s, d, "sorted_neighborhood_blocking")),
+            ("qpairs_ngram_jaccard_block_pairs", lambda s, d: _query_pairs_staged(s, d, "ngram_jaccard_block_pairs")),
+            ("qpairs_simhash_hamming_pairs", lambda s, d: _query_pairs_staged(s, d, "simhash_hamming_pairs")),
+            ("qpairs_image_phash_dup_pairs", lambda s, d: _query_pairs_staged(s, d, "image_phash_dup_pairs")),
+        ],
+        [  # wave 2: stages reading wave-1 outputs
+            ("simhash_star_edges", _simhash_star_edges_staged),
+            ("image_star_edges", _image_star_edges_staged),
+            ("video_star_edges", _video_star_edges_staged),
+            ("incr_keys", _incr_keys_staged),
+            ("ann_exact_top10", _ann_exact_top10_staged),
+            ("wordpiece_counts", lambda s, d: QUERIES["wordpiece_token_count"](s, d)),
+        ],
+        [  # wave 3: solo — mutates session conf during build
+            ("cc_state", _cc_state_staged),
+        ],
     ]
 
 
